@@ -77,6 +77,13 @@ def main():
             print(f"FAIL {name}: columns differ\n  oracle: {ocols}\n  spark:  {scols}")
             n_fail += 1
             continue
+        otypes = {f.name: f.type for f in oracle.schema}
+        stypes = {f.name: f.type for f in spark.schema}
+        for c in ocols:
+            if otypes[c] != stypes[c] and not (
+                pa.types.is_timestamp(otypes[c]) and pa.types.is_timestamp(stypes[c])
+            ):
+                print(f"  WARN {name}.{c}: type oracle={otypes[c]} spark={stypes[c]}")
         if len(orows) != len(srows):
             print(f"FAIL {name}: row count oracle={len(orows)} spark={len(srows)}")
             for r in orows[:3]:

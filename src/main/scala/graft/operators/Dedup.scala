@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.functions.TextFunctions._
+
+/** The deduplication family for LLM-training-data pipelines, all
+  * expressed as shuffle-bounded joins/aggregations (never O(n^2) over
+  * the corpus):
+  *
+  *  - exact: content-hash groupBy (the scalable form of the reference's
+  *    unique (portal_name, url) ingest index, article_indexes.py:13)
+  *  - n-gram Jaccard: shingle inverted-index self-join; candidate work
+  *    is Sum(df(shingle)^2), bounded by a document-frequency cap that
+  *    drops non-discriminative shingles (they cannot identify near-dups
+  *    anyway) — the standard skew kill at 100 TB
+  *  - MinHash+LSH: K portable seeded poly-hashes -> banded signatures
+  *    -> bucket join; only bucket collisions are compared
+  *  - SimHash: one portable hash per token, 16 bit-votes, banded bucket
+  *    join + hamming filter via bit_count(xor)
+  *
+  * Pipelines should run `exact` first and near-dup detection on the
+  * surviving representatives — that is how these operators are wired in
+  * DedupQueries.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per content hash. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_key"))
+    df.withColumn("content_key", md5(col(textCol)))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("keep_id"))
+      .drop("keep_id")
+  }
+
+  /** Distinct (id, shingle) pairs of `n`-token shingles over folded text. */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    require(n == 3, "shingle builder currently materializes 3-grams")
+    df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") + 2 < size(col("toks")))
+      .select(col(idCol),
+        concat_ws(" ", col("tok"),
+          get(col("toks"), col("pos") + 1),
+          get(col("toks"), col("pos") + 2)).as("shingle"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by n-gram Jaccard via inverted-index join.
+    * The >=0.5 threshold is the integer predicate 2*|A∩B| >= |A∪B| — no
+    * float in the filter. `dfCap` drops shingles seen in more docs. */
+  def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None): DataFrame = {
+    val capped = dfCap match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("shingle"))
+        sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
+      case None => sh
+    }
+    val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val a = capped.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = capped.select(col(idCol).as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("intersect_n"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .withColumn("union_n", col("size_a") + col("size_b") - col("intersect_n"))
+      .filter(col("intersect_n") * 2 >= col("union_n"))
+      .withColumn("jaccard_e6",
+        round(lit(1000000.0) *
+          (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
+  }
+
+  val MinhashK = 8
+  val MinhashBands = 4 // 2 rows per band
+
+  /** K min-hash values per doc from seeded portable poly-hashes. */
+  def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+    val mins = (0 until MinhashK).map(k =>
+      min(Hashing.polyHashSeeded(col("shingle"), k)).as(s"h$k"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (id, band_id, band_val) — banded LSH signature rows. */
+  def minhashBands(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = (0 until MinhashBands).map(b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_val")))
+    sig.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_val"))
+  }
+
+  /** Candidate pairs sharing >=1 LSH band, with the band-agreement count. */
+  def minhashCandidates(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = minhashBands(sig, idCol)
+    val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_val"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("band_id")).as("n_bands"))
+  }
+
+  val SimhashBits = 24
+  val SimhashBandCount = 3 // 8-bit bands
+
+  /** 24-bit SimHash per doc: one portable hash per distinct token, bit
+    * votes from the hash's binary digits. 24 bits keeps random-pair
+    * hamming collisions (<=3) around 1e-4 while staying inside the
+    * portable hash's 30-bit range. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(fold(col(textCol)))).as("tok"))
+      .distinct()
+      .withColumn("h", Hashing.polyHash(col("tok")))
+    val votes = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until SimhashBits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    agg.select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs: shared 8-bit band then hamming <= maxHamming. */
+  def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val bandStructs = (0 until SimhashBandCount).map(b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_val")))
+    val banded = sims.select(col(idCol), col("simhash"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_val"))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sim_a"), col("band_id"), col("band_val"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sim_b"), col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k. The query set is broadcast;
+  *   the corpus is scanned once, never shuffled — at 100 TB this is a
+  *   map-side crossJoin + per-query top-k (a windowed rank over
+  *   (query, corpus-partition) partial results).
+  * - `lshTopK`: random-hyperplane LSH. Hyperplane signs come from a
+  *   deterministic integer formula, so bucketing is reproducible on any
+  *   engine. Corpus is bucketed once (one narrow pass), then probes
+  *   join only their bucket — the 100 TB path where a full scan per
+  *   query is off the table.
+  *
+  * Ranking keys are integer (`cos_e6`, then vec id) so top-k choice is
+  * engine-independent even under float noise.
+  */
+object Similarity {
+
+  val Planes = 8
+  val Dim = 64
+
+  /** Deterministic hyperplane signs: s(p, j) in {-1, +1} from integer
+    * arithmetic — reproducible everywhere, no RNG state. */
+  def planeSign(p: Int, j: Int): Double =
+    if ((p * 2654435761L + j * 40503L) % 97 < 48) 1.0 else -1.0
+
+  def planeVector(p: Int): Seq[Double] = (0 until Dim).map(j => planeSign(p, j))
+
+  /** DuckDB list literal for plane `p` — identical values by construction. */
+  def planeSqlLiteral(p: Int): String =
+    planeVector(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** Add `bucket`: 8-bit signature from hyperplane sign tests. */
+  def withLshBucket(df: DataFrame, embCol: String): DataFrame = {
+    val bucketBits = (0 until Planes).map { p =>
+      val plane = array(planeVector(p).map(lit): _*)
+      when(dot(col(embCol), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  /** Exact top-k: queries broadcast against the corpus. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb"))))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("c_norm", norm(col("embedding")))
+    val scored = c.crossJoin(q)
+      .withColumn("cos_e6",
+        e6(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm"))))
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos_e6").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("cos_e6"))
+  }
+
+  /** Bucketed top-k: probes only join their own LSH bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(withLshBucket(
+      queries.select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb")), "q_emb")
+      .withColumn("q_norm", norm(col("q_emb"))))
+    val c = withLshBucket(corpus.select(col("vec_id"), col("embedding")), "embedding")
+      .withColumn("c_norm", norm(col("embedding")))
+    val scored = c.join(q, Seq("bucket"))
+      .withColumn("cos_e6",
+        e6(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm"))))
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos_e6").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("bucket"), col("rank"), col("vec_id"), col("cos_e6"))
+  }
+
+  /** All pairs above a cosine threshold within a bounded id range —
+    * the exact near-dup check run on exact-dedup survivors. The float
+    * threshold compare is engine-safe because both engines compute the
+    * identical double. */
+  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("embedding")).withColumn("nrm", norm(col("embedding")))
+    val a = base.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = base.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    a.crossJoin(b)
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", cosineFrom(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), e6(col("cos")).as("cos_e6"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.Dedup
+
+/** Layer D of SURVEY.md §2: the dedup family over `documents`.
+  * Near-dup detection always runs on exact-dedup survivors (reps) —
+  * the production ordering for a training-data pipeline.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def reps(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+
+  // ---- shared oracle fragments ----
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+  private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
+
+  private val RepsCte =
+    """reps AS (SELECT doc_id, text, lang, source, n_chars FROM (
+      |    SELECT doc_id, text, lang, source, n_chars,
+      |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |    FROM documents) WHERE doc_id = keep)""".stripMargin
+
+  private val ShinglesCte =
+    s"""toks AS (SELECT doc_id, $ToksSql AS t FROM reps),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM pos WHERE i + 2 <= len(t))""".stripMargin
+
+  /** q21: exact content dedup — surviving representatives. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    reps(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    s"""WITH $RepsCte
+       |SELECT doc_id, lang, source, n_chars FROM reps ORDER BY doc_id""".stripMargin
+
+  /** q22: n-gram (3-shingle) Jaccard near-dup pairs at >= 0.5, via the
+    * shingle inverted-index join (never all-pairs). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id")
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("size_a"),
+        col("size_b"), col("union_n"), col("jaccard_e6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val ngramJaccardSql: String =
+    s"""WITH $RepsCte,
+       |$ShinglesCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |j AS (SELECT doc_a, doc_b, intersect_n,
+       |    sa.set_size AS size_a, sb.set_size AS size_b,
+       |    sa.set_size + sb.set_size - intersect_n AS union_n
+       |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, intersect_n, size_a, size_b, union_n,
+       |  CAST(ROUND(1000000.0 * (CAST(intersect_n AS DOUBLE) / CAST(union_n AS DOUBLE))) AS BIGINT) AS jaccard_e6
+       |FROM j WHERE intersect_n * 2 >= union_n
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q23: MinHash (8 seeded portable hashes) + banded LSH (4x2)
+    * candidate pairs with band-agreement counts. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id"),
+      "doc_id")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val minhashLshSql: String = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"MIN(${Hashing.polyHashSeededSql("shingle", k)}) AS h$k")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Dedup.MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS band_val FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $RepsCte,
+       |$ShinglesCte,
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(DISTINCT a.band_id) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q24: 24-bit SimHash near-dup pairs (3 bands of 8 bits, hamming<=3). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(reps(s, dir), "text", "doc_id"), "doc_id")
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val simhashPairsSql: String = {
+    val votes = (0 until Dedup.SimhashBits)
+      .map(j => s"CAST(SUM(((h >> $j) & 1) * 2 - 1) AS BIGINT) AS v$j")
+      .mkString(",\n    ")
+    val bits = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until Dedup.SimhashBandCount)
+      .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_val FROM sims")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $RepsCte,
+       |stok AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest($ToksSql) AS tok FROM reps)),
+       |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("tok")} AS h FROM stok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $bits AS simhash FROM votes),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, sim_a, sim_b,
+       |  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q21_dedup_exact" -> (dedupExact _),
+    "q22_ngram_jaccard" -> (ngramJaccard _),
+    "q23_minhash_lsh" -> (minhashLsh _),
+    "q24_simhash" -> (simhashPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_dedup_exact" -> dedupExactSql,
+    "q22_ngram_jaccard" -> ngramJaccardSql,
+    "q23_minhash_lsh" -> minhashLshSql,
+    "q24_simhash" -> simhashPairsSql)
+}

@@ -146,7 +146,7 @@ object RelationalQueries {
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"), col("o_orderkey"),
         cents(col("o_totalprice")).as("total_cents"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }

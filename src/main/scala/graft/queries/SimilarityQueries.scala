@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Layers D(q25)+E of SURVEY.md §2: embedding near-dup and ANN search
+  * over the `embeddings` table (64-dim float vectors).
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 64
+  /** Bound for the exact pairwise near-dup check so the verify pass
+    * stays O(bound^2); the LSH/bucketed paths are the at-scale story. */
+  val PairBound = 500
+  val NearDupThreshold = 0.4
+
+  /** q25: exact embedding-cosine near-dup pairs over a bounded corpus. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(
+      Tables.embeddings(s, dir).filter(col("vec_id") < PairBound), NearDupThreshold)
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+
+  val embedNearDupSql: String = {
+    val dotAB = dotSql("a.embedding", "b.embedding", Dim)
+    s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm
+       |  FROM embeddings WHERE vec_id < $PairBound),
+       |scored AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |    ($dotAB) / (a.nrm * b.nrm) AS cos
+       |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+       |SELECT vec_id_a, vec_id_b, ${e6Sql("cos")} AS cos_e6
+       |FROM scored WHERE cos >= $NearDupThreshold
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
+  val QuerySetBound = 10
+  val TopK = 5
+  val LshTopK = 3
+
+  /** q26: exact cosine top-k, query set broadcast over one corpus scan. */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound), TopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"), col("vec_id"), col("cos_e6"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annBruteforceSql: String = {
+    val dotQC = dotSql("q_emb", "embedding", Dim)
+    s"""WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, ${normSql("embedding", Dim)} AS q_norm
+       |  FROM embeddings WHERE vec_id < $QuerySetBound),
+       |c AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS c_norm
+       |  FROM embeddings WHERE vec_id >= $QuerySetBound),
+       |scored AS (SELECT q_vec_id, vec_id,
+       |    ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} AS cos_e6
+       |  FROM c, q)
+       |SELECT q_vec_id, rnk, vec_id, cos_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
+  /** q27: random-hyperplane LSH bucketed search — probes join only
+    * their bucket; hyperplanes are integer-deterministic. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound), LshTopK)
+      .select(col("q_vec_id"), col("bucket"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("cos_e6"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annLshSql: String = {
+    def bucketExpr(emb: String): String =
+      (0 until Similarity.Planes).map { p =>
+        val dotP = dotSql(emb, s"(${Similarity.planeSqlLiteral(p)})", Dim)
+        s"(CASE WHEN ($dotP) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    val dotQC = dotSql("q_emb", "embedding", Dim)
+    s"""WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb,
+       |    ${normSql("embedding", Dim)} AS q_norm, ${bucketExpr("embedding")} AS bucket
+       |  FROM embeddings WHERE vec_id < $QuerySetBound),
+       |c AS (SELECT vec_id, embedding,
+       |    ${normSql("embedding", Dim)} AS c_norm, ${bucketExpr("embedding")} AS bucket
+       |  FROM embeddings WHERE vec_id >= $QuerySetBound),
+       |scored AS (SELECT q_vec_id, bucket, vec_id,
+       |    ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} AS cos_e6
+       |  FROM c JOIN q USING (bucket))
+       |SELECT q_vec_id, bucket, rnk, vec_id, cos_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $LshTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q25_embed_neardup" -> (embedNearDup _),
+    "q26_ann_bruteforce" -> (annBruteforce _),
+    "q27_ann_lsh" -> (annLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_embed_neardup" -> embedNearDupSql,
+    "q26_ann_bruteforce" -> annBruteforceSql,
+    "q27_ann_lsh" -> annLshSql)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"), // near dup of 1
+    (4L, "one two three four five six seven eight")) // unrelated
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps the smallest id per content hash") {
+    val reps = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(reps.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("jaccard pairs finds the near-dup and skips unrelated docs") {
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(reps, "text", "doc_id"), "doc_id")
+      .select("doc_a", "doc_b", "intersect_n", "union_n").collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 3L)
+    // 6 shingles each, 5 shared
+    assert(p.getLong(2) == 5L && p.getLong(3) == 7L)
+  }
+
+  test("minhash candidates include the true near-dup pair") {
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(reps, "text", "doc_id"), "doc_id"), "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 3L)))
+    assert(!cands.contains((1L, 2L))) // removed by exact dedup already
+  }
+
+  test("simhash of identical docs is identical; near dups are hamming-close") {
+    val sims = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 6)
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(4L)) > 6)
+  }
+
+  test("lsh bucket assignment is deterministic and brute-force topk ranks by cos_e6") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => (i % 7).toFloat / 7f)),
+      (10L, Array.tabulate(64)(i => (i % 7).toFloat / 7f)), // same direction as query 0
+      (11L, Array.tabulate(64)(i => (63 - i % 7).toFloat / 63f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 10)
+    val c = vecs.filter($"vec_id" >= 10)
+    val bf = Similarity.bruteForceTopK(q, c, 2).collect()
+    assert(bf.head.getAs[Long]("vec_id") == 10L)
+    assert(bf.head.getAs[Long]("cos_e6") == 1000000L)
+    val b1 = Similarity.withLshBucket(c, "embedding").select("vec_id", "bucket").collect()
+    val b2 = Similarity.withLshBucket(c, "embedding").select("vec_id", "bucket").collect()
+    assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
+  }
+}
