@@ -24,7 +24,16 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame = load(s, dir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp. Read nanos as raw longs and rebuild a
+    * microsecond timestamp with exact integer division (`div`, not
+    * float division — epoch nanos exceed double's 53-bit mantissa).
+    * This matches DuckDB's ns->us truncation in epoch_us(). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Sessionize
+
+/** Layer G of SURVEY.md §2 (batch side): tumbling windows,
+  * sessionization and funnels over the `events` table. The streaming
+  * equivalents live in graft.streaming and are spec-gated (DuckDB has
+  * no streaming surface to oracle against).
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val SessionGapMicros: Long = 30L * 60 * 1000000 // 30 min
+
+  /** q30: hourly tumbling aggregation per event type. */
+  def tumblingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val tumblingAggSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** q31: 30-minute-gap sessions per user (lag + running sum, one
+    * shuffle on user_id). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.rollup(
+      Sessionize.assign(Tables.events(s, dir), "user_id", "ts",
+        SessionGapMicros, "event_id"),
+      "user_id", "value")
+      .orderBy(col("user_id"), col("session_id"))
+
+  val sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+       |flagged AS (SELECT *,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |         OR ts_us - lag(ts_us) OVER w > $SessionGapMicros THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sessioned AS (SELECT *,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id,
+       |  COUNT(*) AS n_events,
+       |  MIN(ts_us) AS start_us,
+       |  MAX(ts_us) AS end_us,
+       |  MAX(ts_us) - MIN(ts_us) AS duration_us,
+       |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM sessioned
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** q32: signup -> purchase conversion funnel per user. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_signup_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_us"))
+    signups
+      .join(purchases, Seq("user_id"), "left")
+      .withColumn("p_after", when(col("p_us") >= col("first_signup_us"), col("p_us")))
+      .groupBy(col("user_id"), col("first_signup_us"))
+      .agg(min(col("p_after")).as("first_purchase_after_us"))
+      .withColumn("converted", col("first_purchase_after_us").isNotNull)
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |signups AS (SELECT user_id, MIN(ts_us) AS first_signup_us
+      |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |joined AS (SELECT s.user_id, s.first_signup_us,
+      |    CASE WHEN p.ts_us >= s.first_signup_us THEN p.ts_us END AS p_after
+      |  FROM signups s LEFT JOIN (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase') p
+      |    ON s.user_id = p.user_id)
+      |SELECT user_id, first_signup_us,
+      |  MIN(p_after) AS first_purchase_after_us,
+      |  MIN(p_after) IS NOT NULL AS converted
+      |FROM joined
+      |GROUP BY user_id, first_signup_us
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_tumbling_agg" -> (tumblingAgg _),
+    "q31_sessionize" -> (sessionize _),
+    "q32_funnel" -> (funnel _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_tumbling_agg" -> tumblingAggSql,
+    "q31_sessionize" -> sessionizeSql,
+    "q32_funnel" -> funnelSql)
+}

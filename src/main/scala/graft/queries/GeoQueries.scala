@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Geo
+
+/** Layer H of SURVEY.md §2: haversine + geo-enrichment join
+  * (reference: city_matching/geoutils.py, geo_enrichment_job.py).
+  * Coordinates are derived deterministically from integer keys since
+  * the testdata carries none. */
+object GeoQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q33: scalar haversine over every customer point to a fixed origin. */
+  def haversine(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        Geo.synthLat(col("c_custkey"), 7L).as("lat"),
+        Geo.synthLon(col("c_custkey"), 13L).as("lon"))
+      .withColumn("dist_m",
+        Geo.metersOf(Geo.haversineKm(col("lat"), col("lon"), lit(0.5), lit(0.5))))
+      .orderBy(col("c_custkey"))
+
+  val haversineSql: String = {
+    val lat = Geo.synthLatSql("c_custkey", 7L)
+    val lon = Geo.synthLonSql("c_custkey", 13L)
+    s"""WITH pts AS (SELECT c_custkey, $lat AS lat, $lon AS lon FROM customer)
+       |SELECT c_custkey, lat, lon,
+       |  CAST(ROUND((${Geo.haversineKmSql("lat", "lon", "0.5", "0.5")}) * 1000.0) AS BIGINT) AS dist_m
+       |FROM pts ORDER BY c_custkey""".stripMargin
+  }
+
+  /** q34: geo-enrichment join — each customer against its nation's
+    * "capital" point plus region context, mirroring
+    * distance_from_state_capital_km (aggregator.py:374). */
+  def geoEnrich(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        Geo.synthLat(col("c_custkey"), 7L).as("c_lat"),
+        Geo.synthLon(col("c_custkey"), 13L).as("c_lon"))
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        Geo.synthLat(col("n_nationkey"), 11L).as("n_lat"),
+        Geo.synthLon(col("n_nationkey"), 17L).as("n_lon"))
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"),
+        Geo.metersOf(Geo.haversineKm(col("c_lat"), col("c_lon"), col("n_lat"), col("n_lon")))
+          .as("capital_dist_m"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val geoEnrichSql: String = {
+    val cLat = Geo.synthLatSql("c_custkey", 7L)
+    val cLon = Geo.synthLonSql("c_custkey", 13L)
+    val nLat = Geo.synthLatSql("n_nationkey", 11L)
+    val nLon = Geo.synthLonSql("n_nationkey", 17L)
+    s"""WITH cust AS (SELECT c_custkey, c_nationkey, $cLat AS c_lat, $cLon AS c_lon FROM customer),
+       |nat AS (SELECT n_nationkey, n_name, n_regionkey, $nLat AS n_lat, $nLon AS n_lon FROM nation)
+       |SELECT c_custkey, n_name, r_name,
+       |  CAST(ROUND((${Geo.haversineKmSql("c_lat", "c_lon", "n_lat", "n_lon")}) * 1000.0) AS BIGINT) AS capital_dist_m
+       |FROM cust
+       |JOIN nat ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |ORDER BY c_custkey""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q33_haversine" -> (haversine _),
+    "q34_geo_enrich" -> (geoEnrich _))
+
+  val oracles: Map[String, String] = Map(
+    "q33_haversine" -> haversineSql,
+    "q34_geo_enrich" -> geoEnrichSql)
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Structured Streaming equivalents of the reference's incremental
+  * pipeline (services/extraction/adapters/pending_news_queue.py: a
+  * polling queue consumer; servico_coleta_noticias.py: dedup-on-ingest).
+  *
+  * State is always bounded: watermarks cap the dedup buffer, and the
+  * sessionizer uses processing-time timeouts, so nothing grows with
+  * total stream length — the property that matters when the stream is
+  * 100 TB/day.
+  */
+object Streaming {
+
+  /** Ingest dedup: drop events already seen (by key) within the
+    * watermark horizon — the streaming form of the unique
+    * (portal_name, url) index (article_indexes.py:13). */
+  def dedupIngest(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Tumbling-window counts per key with watermarking (the streaming
+    * form of EventQueries.tumblingAgg). */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "1 hour",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(sessionStartUs: Long, lastUs: Long, nEvents: Long, valueCents: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                        n_events: Long, value_cents: Long, closed: Boolean)
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  /** Stateful gap sessionizer via flatMapGroupsWithState: emits a
+    * closed session whenever the gap is exceeded (or the group times
+    * out), keeps exactly one small state record per active user.
+    *
+    * Production deployments pass ProcessingTimeTimeout so idle users'
+    * sessions eventually close; NoTimeout (default) closes sessions
+    * purely by gap, which keeps test harnesses (processAllAvailable)
+    * from spinning on timeout-triggered empty micro-batches. */
+  def sessionize(events: Dataset[SessionEvent],
+                 timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeoutConf == GroupStateTimeout.ProcessingTimeTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              SessionOut(userId, st.sessionStartUs, st.lastUs, st.nEvents, st.valueCents, closed = true))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closedSessions = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(st) if us - st.lastUs <= GapMicros =>
+                  cur = Some(st.copy(lastUs = us, nEvents = st.nEvents + 1,
+                    valueCents = st.valueCents + cents))
+                case Some(st) =>
+                  closedSessions += SessionOut(userId, st.sessionStartUs, st.lastUs,
+                    st.nEvents, st.valueCents, closed = true)
+                  cur = Some(SessionState(us, us, 1L, cents))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L, cents))
+              }
+            }
+            cur.foreach(state.update)
+            if (useTimeout) state.setTimeoutDuration("30 minutes")
+            closedSessions.result().iterator
+          }
+      }
+  }
+}
