@@ -15,15 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  import org.apache.spark.sql.GraftInternals
+  import graft.expressions.ArrayDot
 
-  def normSq(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd float-array dot; both inputs must be array<float>. */
+  def dot(a: Column, b: Column): Column =
+    GraftInternals.column(ArrayDot(GraftInternals.expression(a), GraftInternals.expression(b)))
+
+  def normSq(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 

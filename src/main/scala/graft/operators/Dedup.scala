@@ -79,11 +79,13 @@ object Dedup {
   val MinhashK = 8
   val MinhashBands = 4 // 2 rows per band
 
-  /** K min-hash values per doc from seeded portable poly-hashes. */
+  /** K min-hash values per doc: ONE string fold per shingle, K affine
+    * family members derived arithmetically. */
   def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
     val mins = (0 until MinhashK).map(k =>
-      min(Hashing.polyHashSeeded(col("shingle"), k)).as(s"h$k"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(Hashing.affine(col("h_base"), k)).as(s"h$k"))
+    sh.withColumn("h_base", Hashing.polyHash(col("shingle")))
+      .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** (id, band_id, band_val) — banded LSH signature rows. */
@@ -126,19 +128,32 @@ object Dedup {
     agg.select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs: shared 8-bit band then hamming <= maxHamming. */
+  /** Near-dup SimHash-value pairs: shared 8-bit band then hamming <=
+    * maxHamming.
+    *
+    * The band join runs over DISTINCT simhash VALUES, not documents:
+    * similar corpora concentrate many docs on few simhash values, and a
+    * doc-level band join goes quadratic in those clusters (measured 10x
+    * slowdown on the synthetic corpus). Each value row carries its doc
+    * count and min doc id, so cluster membership stays linear — the
+    * dictionary-encode-before-quadratic-work rule that holds at 100 TB. */
   def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val values = sims.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
     val bandStructs = (0 until SimhashBandCount).map(b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_val")))
-    val banded = sims.select(col(idCol), col("simhash"),
+    val banded = values.select(col("simhash"), col("n_docs"), col("min_doc"),
       explode(array(bandStructs: _*)).as("band"))
-      .select(col(idCol), col("simhash"), col("band.band_id"), col("band.band_val"))
-    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sim_a"), col("band_id"), col("band_val"))
-    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("sim_b"), col("band_id"), col("band_val"))
+      .select(col("simhash"), col("n_docs"), col("min_doc"), col("band.band_id"), col("band.band_val"))
+    val a = banded.select(col("simhash").as("sim_a"), col("n_docs").as("n_docs_a"),
+      col("min_doc").as("min_doc_a"), col("band_id"), col("band_val"))
+    val b = banded.select(col("simhash").as("sim_b"), col("n_docs").as("n_docs_b"),
+      col("min_doc").as("min_doc_b"), col("band_id"), col("band_val"))
     a.join(b, Seq("band_id", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .filter(col("sim_a") < col("sim_b"))
+      .select(col("sim_a"), col("sim_b"), col("n_docs_a"), col("n_docs_b"),
+        col("min_doc_a"), col("min_doc_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -40,7 +40,9 @@ object Similarity {
   /** Add `bucket`: 8-bit signature from hyperplane sign tests. */
   def withLshBucket(df: DataFrame, embCol: String): DataFrame = {
     val bucketBits = (0 until Planes).map { p =>
-      val plane = array(planeVector(p).map(lit): _*)
+      // float literals so the codegen'd float-array dot applies; +-1.0
+      // is exact in either precision
+      val plane = array(planeVector(p).map(v => lit(v.toFloat)): _*)
       when(dot(col(embCol), plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bucketBits.reduce(_ + _))

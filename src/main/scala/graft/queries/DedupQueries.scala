@@ -79,16 +79,17 @@ object DedupQueries {
 
   val minhashLshSql: String = {
     val mins = (0 until Dedup.MinhashK)
-      .map(k => s"MIN(${Hashing.polyHashSeededSql("shingle", k)}) AS h$k")
+      .map(k => s"MIN(${Hashing.affineSql("h_base", k)}) AS h$k")
       .mkString(",\n    ")
     val bandSelects = (0 until Dedup.MinhashBands)
       .map(b => s"SELECT doc_id, $b AS band_id, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS band_val FROM sigs")
       .mkString("\n  UNION ALL ")
     s"""WITH $RepsCte,
        |$ShinglesCte,
+       |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h_base FROM sh),
        |sigs AS (SELECT doc_id,
        |    $mins
-       |  FROM sh GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id),
        |bands AS (
        |  $bandSelects)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -99,11 +100,13 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** q24: 24-bit SimHash near-dup pairs (3 bands of 8 bits, hamming<=3). */
+  /** q24: 24-bit SimHash near-dup value pairs (3 bands of 8 bits,
+    * hamming<=3), value-clustered (see Dedup.simhashPairs). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Dedup.simhash(reps(s, dir), "text", "doc_id"), "doc_id")
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("sim_a"), col("sim_b"), col("n_docs_a"), col("n_docs_b"),
+        col("min_doc_a"), col("min_doc_b"), col("hamming"))
+      .orderBy(col("sim_a"), col("sim_b"))
 
   val simhashPairsSql: String = {
     val votes = (0 until Dedup.SimhashBits)
@@ -113,7 +116,7 @@ object DedupQueries {
       .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
     val bandSelects = (0 until Dedup.SimhashBandCount)
-      .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_val FROM sims")
+      .map(b => s"SELECT simhash, n_docs, min_doc, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_val FROM vals")
       .mkString("\n  UNION ALL ")
     s"""WITH $RepsCte,
        |stok AS (SELECT DISTINCT doc_id, tok FROM
@@ -123,16 +126,19 @@ object DedupQueries {
        |    $votes
        |  FROM hashed GROUP BY doc_id),
        |sims AS (SELECT doc_id, $bits AS simhash FROM votes),
+       |vals AS (SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+       |  FROM sims GROUP BY simhash),
        |bands AS (
        |  $bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |cand AS (SELECT DISTINCT a.simhash AS sim_a, b.simhash AS sim_b,
+       |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |    a.min_doc AS min_doc_a, b.min_doc AS min_doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, sim_a, sim_b,
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.simhash < b.simhash)
+       |SELECT sim_a, sim_b, n_docs_a, n_docs_b, min_doc_a, min_doc_b,
        |  CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |ORDER BY sim_a, sim_b""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
