@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EventQueries, GeoQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, GeoQueries, MultimodalQueries, RelationalQueries, ReportQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      EventQueries.queries ++ GeoQueries.queries ++ MultimodalQueries.queries
+      EventQueries.queries ++ GeoQueries.queries ++ MultimodalQueries.queries ++
+      ReportQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      EventQueries.oracles ++ GeoQueries.oracles ++ MultimodalQueries.oracles
+      EventQueries.oracles ++ GeoQueries.oracles ++ MultimodalQueries.oracles ++
+      ReportQueries.oracles
 }

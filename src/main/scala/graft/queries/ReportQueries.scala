@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Gazetteer
+
+/** Reporting surface (reference: cli.py report-articles — a
+  * denormalized article x city CSV export — and the per-portal listing
+  * summaries). */
+object ReportQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q35: denormalized doc x keyword-mention report — one row per
+    * (doc, mention); docs with no mentions keep one row with empty
+    * mention fields (the incluir_sem_cidades=true path of
+    * report-articles, cli.py:459). */
+  def reportExport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val mentions = Gazetteer
+      .matches(docs, Gazetteer.catalog(s), "text", "doc_id")
+      .select(col("doc_id"), col("keyword"), col("occurrences"), col("score_milli"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(mentions, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("keyword"), lit("")).as("keyword"),
+        coalesce(col("occurrences"), lit(0L)).as("occurrences"),
+        coalesce(col("score_milli"), lit(0L)).as("score_milli"))
+      .orderBy(col("doc_id"), col("keyword"))
+  }
+
+  val reportExportSql: String = {
+    // mention scoring mirrors TextQueries.matchesCteSql
+    val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+    val toks = s"string_split_regex(trim($fold), '\\s+')"
+    s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |sig AS (SELECT doc_id, tok,
+       |    coalesce(t[i+1] IN ${Gazetteer.adminListSql}, false)
+       |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
+       |    i <= ${Gazetteer.TitleZoneTokens} AS in_title
+       |  FROM pos),
+       |m AS (SELECT doc_id, kw_id, keyword, weight_milli,
+       |    COUNT(*) AS occurrences,
+       |    CAST(SUM(CASE WHEN admin_adj THEN 1 ELSE 0 END) AS BIGINT) AS admin_markers,
+       |    CAST(SUM(CASE WHEN in_title THEN ${Gazetteer.TitleBoostMilli} ELSE 0 END) AS BIGINT) AS title_boost_milli
+       |  FROM sig JOIN ${Gazetteer.catalogValuesSql} ON tok = keyword
+       |  GROUP BY doc_id, kw_id, keyword, weight_milli),
+       |scored AS (SELECT doc_id, keyword, occurrences,
+       |    occurrences * weight_milli + admin_markers * ${Gazetteer.AdminMarkerMilli} + title_boost_milli AS score_milli
+       |  FROM m)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  coalesce(s.keyword, '') AS keyword,
+       |  coalesce(s.occurrences, 0) AS occurrences,
+       |  coalesce(s.score_milli, 0) AS score_milli
+       |FROM documents d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY doc_id, keyword""".stripMargin
+  }
+
+  /** q36: daily report matrix — orders per day with per-priority
+    * conditional-aggregation columns (pivot as stable-schema SUM(CASE)). */
+  def dailyReport(s: SparkSession, dir: String): DataFrame = {
+    def cnt(p: String) = sum(when(col("o_orderpriority") === p, 1L).otherwise(0L))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        cnt("1-URGENT").as("n_urgent"),
+        cnt("2-HIGH").as("n_high"),
+        cnt("3-MEDIUM").as("n_medium"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("d"))
+  }
+
+  val dailyReportSql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS d,
+      |  COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |GROUP BY CAST(o_orderdate AS DATE)
+      |ORDER BY d""".stripMargin
+
+  /** q37: approximate distinct counting (HLL) — sketches are engine-
+    * specific, so this entry ships WITHOUT an oracle (driver records a
+    * rows-only check); the exact twin is q08_distinct_count. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "q35_report_export" -> (reportExport _),
+    "q36_daily_report" -> (dailyReport _),
+    "q37_approx_distinct" -> (approxDistinct _))
+
+  /** q37 intentionally omitted: HLL sketches are not oracle-comparable. */
+  val oracles: Map[String, String] = Map(
+    "q35_report_export" -> reportExportSql,
+    "q36_daily_report" -> dailyReportSql)
+}

@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftInternals {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function into a live session's registry. */
+  def registerFunction(s: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.{RelationalQueries, SimilarityQueries, TextQueries}
+
+/** Plan-shape audit: asserts the physical-plan properties the 100 TB
+  * design depends on — filters reaching the parquet scan, small dims
+  * broadcast, map-only pipelines staying shuffle-free. A plan
+  * regression here is a scale bug even when results stay correct. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 date-range listing pushes both predicates to the parquet scan") {
+    val p = plan(RelationalQueries.dateRange(spark, sfDir))
+    // the PushedFilters list is truncated in toString; date-range and
+    // priority predicates both appear in their IsNotNull/range forms
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), IsNotNull(o_orderpriority), GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q03 join pipeline broadcasts dims (customer, nation)") {
+    val p = plan(RelationalQueries.joinEnrich(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04 catalog join is fully broadcast — no shuffle before the final agg") {
+    val p = plan(RelationalQueries.dimBroadcast(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges allowed are for the 5-row aggregate/sort
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q13 map-only text fold has no shuffle at all") {
+    val p = plan(TextQueries.foldText(spark, sfDir).limit(1))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q01 aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan(RelationalQueries.pricingAgg(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q26 ANN broadcasts the query set; the corpus is never shuffled for scoring") {
+    val p = plan(SimilarityQueries.annBruteforce(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("column pruning: token count reads only the needed columns") {
+    val df = TextQueries.tokenCount(spark, sfDir)
+    val p = plan(df)
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"), scanLine)
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"), scanLine)
+  }
+}
