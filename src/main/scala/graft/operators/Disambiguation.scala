@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions._
+
+/** Mention disambiguation — the reference's `disambiguate_city`
+  * decision tree (extraction/disambiguation.py:88) re-expressed as one
+  * join + one aggregate:
+  *
+  *  1. an explicit hint next to the mention (the "Cidade-UF" suffix,
+  *     gazetteer.py:85) filters candidates first; a hint matching no
+  *     candidate short-circuits to `unknown_ctx` (the unknown_uf path,
+  *     confidence 0.4);
+  *  2. document-level context signals (the state-mention set,
+  *     normalization.py:146) narrow a still-plural candidate set;
+  *  3. a single survivor is `resolved` (0.95), anything else is
+  *     `ambiguous` (0.5).
+  *
+  * Confidences are integer milli-units of the reference's constants
+  * (disambiguation.py:41-44). Candidate "UFs" are context words from
+  * the corpus vocabulary; ambiguity is real (surfaces map to multiple
+  * catalog entries).
+  */
+object Disambiguation {
+
+  /** (surface, cand_id, ctx) — surfaces with >1 entry are ambiguous. */
+  val Catalog: Seq[(String, Int, String)] = Seq(
+    ("merge", 201, "join"), ("merge", 202, "stream"),
+    ("scan", 203, "batch"), ("scan", 204, "window"),
+    ("sort", 205, "batch"))
+
+  val CtxWords: Seq[String] = Seq("join", "stream", "batch", "window")
+  val Surfaces: Seq[String] = Catalog.map(_._1).distinct
+
+  val ConfResolved = 950L // disambiguation.py:41 _CONFIDENCE_RESOLVED
+  val ConfAmbiguous = 500L // :42 _CONFIDENCE_AMBIGUOUS
+  val ConfUnknown = 400L // :43 _CONFIDENCE_UNKNOWN_UF
+
+  def catalogDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Catalog.toDF("surface", "cand_id", "ctx")
+  }
+
+  /** Resolve every mention of a catalog surface in the corpus. */
+  def resolve(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
+    val ctxAny = CtxWords.map(x => x: Any)
+    val surfAny = Surfaces.map(x => x: Any)
+
+    val toks = docs
+      .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+
+    // document-level context flags (one row per doc)
+    val flagCols = CtxWords.map(w => max(when(col("tok") === w, 1L).otherwise(0L)).as(s"has_$w"))
+    val ctxFlags = toks.groupBy(col(idCol)).agg(flagCols.head, flagCols.tail: _*)
+
+    // mentions with the optional explicit next-token hint
+    val mentions = toks
+      .filter(col("tok").isin(surfAny: _*))
+      .withColumn("hint",
+        when(get(col("toks"), col("pos") + 1).isin(ctxAny: _*), get(col("toks"), col("pos") + 1)))
+      .select(col(idCol), col("pos"), col("tok").as("surface"), col("hint"))
+
+    val withCands = mentions
+      .join(broadcast(catalogDf(s)), Seq("surface"))
+      .join(ctxFlags, Seq(idCol))
+      .withColumn("hint_match", col("hint").isNotNull && col("ctx") === col("hint"))
+      .withColumn("ctx_match",
+        CtxWords.map(w => col("ctx") === w && col(s"has_$w") === 1L).reduce(_ || _))
+      .withColumn("both_match", col("hint_match") && col("ctx_match"))
+
+    val agg = withCands
+      .groupBy(col(idCol), col("pos"), col("surface"), col("hint"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("hint_match"), 1L).otherwise(0L)).as("n_hint"),
+        sum(when(col("ctx_match"), 1L).otherwise(0L)).as("n_ctx"),
+        sum(when(col("both_match"), 1L).otherwise(0L)).as("n_both"),
+        min(col("cand_id")).as("id_all"),
+        min(when(col("hint_match"), col("cand_id"))).as("id_hint"),
+        min(when(col("ctx_match"), col("cand_id"))).as("id_ctx"),
+        min(when(col("both_match"), col("cand_id"))).as("id_both"))
+
+    val n1 = when(col("hint").isNull, col("n_cand")).otherwise(col("n_hint"))
+    val m1 = when(col("hint").isNull, col("n_ctx")).otherwise(col("n_both"))
+    val finalN = when(n1 > 1 && m1 > 0, m1).otherwise(n1)
+    val id1 = when(col("hint").isNull,
+      when(col("n_cand") > 1 && col("n_ctx") > 0, col("id_ctx")).otherwise(col("id_all")))
+      .otherwise(
+        when(col("n_hint") > 1 && col("n_both") > 0, col("id_both")).otherwise(col("id_hint")))
+
+    agg
+      .withColumn("status",
+        when(col("hint").isNotNull && col("n_hint") === 0, "unknown_ctx")
+          .when(finalN === 1, "resolved")
+          .otherwise("ambiguous"))
+      .withColumn("resolved_id", when(col("status") === "resolved", id1))
+      .withColumn("confidence_milli",
+        when(col("status") === "resolved", ConfResolved)
+          .when(col("status") === "ambiguous", ConfAmbiguous)
+          .otherwise(ConfUnknown))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("surface"), col("hint"),
+        col("n_cand"), col("status"), col("resolved_id"), col("confidence_milli"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Disambiguation
+
+/** q38: the reference disambiguation decision tree over every mention
+  * of an ambiguous catalog surface (see operators.Disambiguation). */
+object DisambiguationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def disambiguation(s: SparkSession, dir: String): DataFrame =
+    Disambiguation.resolve(Tables.documents(s, dir), s, "text", "doc_id")
+      .orderBy(col("doc_id"), col("pos"))
+
+  val disambiguationSql: String = {
+    val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+    val toksE = s"string_split_regex(trim($fold), '\\s+')"
+    val ctxIn = Disambiguation.CtxWords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val surfIn = Disambiguation.Surfaces.map(w => s"'$w'").mkString("(", ", ", ")")
+    val catVals = Disambiguation.Catalog
+      .map { case (sf, id, cx) => s"('$sf', $id, '$cx')" }
+      .mkString("(VALUES ", ", ", ") AS cat(surface, cand_id, ctx)")
+    val hasCols = Disambiguation.CtxWords
+      .map(w => s"CAST(MAX(CASE WHEN tok = '$w' THEN 1 ELSE 0 END) AS BIGINT) AS has_$w")
+      .mkString(",\n    ")
+    val ctxMatch = Disambiguation.CtxWords
+      .map(w => s"(ctx = '$w' AND has_$w = 1)")
+      .mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, $toksE AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |ctxf AS (SELECT doc_id,
+       |    $hasCols
+       |  FROM pos GROUP BY doc_id),
+       |mentions AS (SELECT doc_id, i - 1 AS pos, tok AS surface,
+       |    CASE WHEN t[i+1] IN $ctxIn THEN t[i+1] END AS hint
+       |  FROM pos WHERE tok IN $surfIn),
+       |cand AS (SELECT m.doc_id, m.pos, m.surface, m.hint, cat.cand_id,
+       |    (m.hint IS NOT NULL AND cat.ctx = m.hint) AS hint_match,
+       |    ($ctxMatch) AS ctx_match
+       |  FROM mentions m
+       |  JOIN $catVals ON m.surface = cat.surface
+       |  JOIN ctxf f ON m.doc_id = f.doc_id),
+       |agg AS (SELECT doc_id, pos, surface, hint,
+       |    COUNT(*) AS n_cand,
+       |    CAST(SUM(CASE WHEN hint_match THEN 1 ELSE 0 END) AS BIGINT) AS n_hint,
+       |    CAST(SUM(CASE WHEN ctx_match THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx,
+       |    CAST(SUM(CASE WHEN hint_match AND ctx_match THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |    MIN(cand_id) AS id_all,
+       |    MIN(CASE WHEN hint_match THEN cand_id END) AS id_hint,
+       |    MIN(CASE WHEN ctx_match THEN cand_id END) AS id_ctx,
+       |    MIN(CASE WHEN hint_match AND ctx_match THEN cand_id END) AS id_both
+       |  FROM cand GROUP BY doc_id, pos, surface, hint),
+       |decided AS (SELECT *,
+       |    CASE WHEN hint IS NULL THEN n_cand ELSE n_hint END AS n1,
+       |    CASE WHEN hint IS NULL THEN n_ctx ELSE n_both END AS m1,
+       |    CASE WHEN hint IS NULL
+       |         THEN CASE WHEN n_cand > 1 AND n_ctx > 0 THEN id_ctx ELSE id_all END
+       |         ELSE CASE WHEN n_hint > 1 AND n_both > 0 THEN id_both ELSE id_hint END
+       |    END AS id1
+       |  FROM agg)
+       |SELECT doc_id, pos, surface, hint, n_cand,
+       |  CASE WHEN hint IS NOT NULL AND n_hint = 0 THEN 'unknown_ctx'
+       |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN 'resolved'
+       |       ELSE 'ambiguous' END AS status,
+       |  CASE WHEN hint IS NOT NULL AND n_hint = 0 THEN NULL
+       |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN id1
+       |       END AS resolved_id,
+       |  CAST(CASE WHEN hint IS NOT NULL AND n_hint = 0 THEN ${Disambiguation.ConfUnknown}
+       |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN ${Disambiguation.ConfResolved}
+       |       ELSE ${Disambiguation.ConfAmbiguous} END AS BIGINT) AS confidence_milli
+       |FROM decided ORDER BY doc_id, pos""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q38_disambiguation" -> (disambiguation _))
+  val oracles: Map[String, String] = Map("q38_disambiguation" -> disambiguationSql)
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Disambiguation
+
+class DisambiguationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resolveOne(text: String) =
+    Disambiguation.resolve(Seq((1L, text)).toDF("doc_id", "text"), spark, "text", "doc_id")
+      .collect().map(r => (r.getAs[String]("surface"), r.getAs[String]("status"),
+        Option(r.getAs[Any]("resolved_id")), r.getAs[Long]("confidence_milli")))
+
+  test("unambiguous surface resolves at 0.95") {
+    val Array(r) = resolveOne("x sort y")
+    assert(r == (("sort", "resolved", Some(205), 950L)))
+  }
+
+  test("ambiguous surface without context stays ambiguous at 0.5") {
+    val Array(r) = resolveOne("x merge y")
+    assert(r._2 == "ambiguous" && r._3.isEmpty && r._4 == 500L)
+  }
+
+  test("document context narrows an ambiguous surface to resolved") {
+    // 'merge' is (201,'join')/(202,'stream'); doc mentions 'join' only
+    val rs = resolveOne("a merge b join c")
+    val m = rs.find(_._1 == "merge").get
+    assert(m._2 == "resolved" && m._3 == Some(201))
+  }
+
+  test("explicit hint wins; a hint matching no candidate is unknown_ctx at 0.4") {
+    // hint 'stream' right after 'merge' -> 202 even though 'join' also present
+    val hinted = resolveOne("a merge stream b join c")
+    val m = hinted.find(_._1 == "merge").get
+    assert(m._2 == "resolved" && m._3 == Some(202))
+    // 'sort' only has ctx 'batch'; hint 'join' matches nothing
+    val unknown = resolveOne("a sort join b")
+    val s = unknown.find(_._1 == "sort").get
+    assert(s._2 == "unknown_ctx" && s._3.isEmpty && s._4 == 400L)
+  }
+}
