@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, DisambiguationQueries, EventQueries, GeoQueries, MultimodalQueries, RelationalQueries, ReportQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, DisambiguationQueries, EventQueries, GeoQueries, MultimodalQueries, RelationalQueries, ReportQueries, ScrapeQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       EventQueries.queries ++ GeoQueries.queries ++ MultimodalQueries.queries ++
-      ReportQueries.queries ++ DisambiguationQueries.queries
+      ReportQueries.queries ++ DisambiguationQueries.queries ++ ScrapeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       EventQueries.oracles ++ GeoQueries.oracles ++ MultimodalQueries.oracles ++
-      ReportQueries.oracles ++ DisambiguationQueries.oracles
+      ReportQueries.oracles ++ DisambiguationQueries.oracles ++ ScrapeQueries.oracles
 }

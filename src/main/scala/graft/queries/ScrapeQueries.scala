@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The scraper's parse stage (infrastructure/scraper.py: fetch HTML,
+  * select title/body, drop boilerplate nodes) as column expressions.
+  * Fetching is I/O orchestration outside an analytics engine; parsing
+  * the fetched payloads at corpus scale is squarely inside it. HTML is
+  * synthesized around the document corpus so the extraction logic has
+  * real markup to chew on (all regexes are RE2-safe: no lookaround, no
+  * backreferences).
+  */
+object ScrapeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ScriptRegex = "<script[^>]*>.*?</script>"
+  private val TagRegex = "<[^>]+>"
+
+  /** q39: title/body extraction from HTML payloads. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("html",
+        concat(lit("<html><head><title>Doc "), col("doc_id"),
+          lit(" | "), col("source"),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p><script>var tracker = 1;</script></body></html>")))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(col("html"), ScriptRegex, " "), TagRegex, " "),
+          "\\s+", " ")).as("body_text"))
+      .select(col("doc_id"), col("title"),
+        length(col("body_text")).cast("long").as("body_chars"),
+        md5(col("body_text")).as("body_md5"))
+      .orderBy(col("doc_id"))
+
+  val htmlExtractSql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |    '<html><head><title>Doc ' || doc_id || ' | ' || source ||
+       |    '</title></head><body><p>' || text ||
+       |    '</p><script>var tracker = 1;</script></body></html>' AS html
+       |  FROM documents),
+       |x AS (SELECT doc_id,
+       |    regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       |    trim(regexp_replace(
+       |      regexp_replace(regexp_replace(html, '$ScriptRegex', ' ', 'g'), '$TagRegex', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS body_text
+       |  FROM h)
+       |SELECT doc_id, title,
+       |  CAST(length(body_text) AS BIGINT) AS body_chars,
+       |  md5(body_text) AS body_md5
+       |FROM x ORDER BY doc_id""".stripMargin
+
+  /** q40: sentence segmentation with the reference's sentence regex
+    * (normalization.py:72 `_SENTENCE_REGEX`); sentence boundaries are
+    * synthesized deterministically since the corpus has no punctuation. */
+  private val SentenceRegex = "[^.!?\\n]+[.!?]?"
+
+  def sentences(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("punct", regexp_replace(col("text"), " batch ", ". "))
+      .withColumn("sents", regexp_extract_all(col("punct"), lit(SentenceRegex), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        trim(get(col("sents"), lit(0))).as("first_sentence"))
+      .orderBy(col("doc_id"))
+
+  val sentencesSql: String =
+    s"""WITH p AS (SELECT doc_id, regexp_replace(text, ' batch ', '. ', 'g') AS punct FROM documents),
+       |x AS (SELECT doc_id, regexp_extract_all(punct, '$SentenceRegex') AS sents FROM p)
+       |SELECT doc_id,
+       |  CAST(len(sents) AS BIGINT) AS n_sentences,
+       |  trim(sents[1]) AS first_sentence
+       |FROM x ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q39_html_extract" -> (htmlExtract _),
+    "q40_sentences" -> (sentences _))
+
+  val oracles: Map[String, String] = Map(
+    "q39_html_extract" -> htmlExtractSql,
+    "q40_sentences" -> sentencesSql)
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Gazetteer
+
+/** Batch operators compose unchanged onto unbounded sources: the
+  * gazetteer match stage (tokenize + broadcast join + aggregate) runs
+  * identically under Structured Streaming — the property that makes
+  * the engine's batch/streaming split a deployment choice, not two
+  * code paths. */
+class StreamingComposeSpec extends SparkSpec {
+
+  test("gazetteer mention counting runs on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val mentions = Gazetteer.matches(docs, Gazetteer.catalog(spark), "text", "doc_id")
+    val q = mentions.writeStream.format("memory").queryName("gaz_stream")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "the spark join runs fast"), (2L, "no keywords here at all"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, keyword, score_milli FROM gaz_stream ORDER BY doc_id, keyword")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // doc 1: join (900 + title 400; 'fast' is not adjacent) and
+      // spark (950 + title 400)
+      assert(rows.toSeq == Seq((1L, "join", 1300L), (1L, "spark", 1350L)))
+    } finally q.stop()
+  }
+}
