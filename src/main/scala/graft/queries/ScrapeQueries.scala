@@ -79,11 +79,41 @@ object ScrapeQueries {
        |  trim(sents[1]) AS first_sentence
        |FROM x ORDER BY doc_id""".stripMargin
 
+  /** q41: BPE-style pre-tokenization counting — the GPT-2-ish regex
+    * split (letter runs | digit runs | single punctuation) that
+    * training-data pipelines use to estimate token budgets before the
+    * actual BPE merge table is applied. */
+  private val PieceRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.fold
+    Tables.documents(s, dir)
+      .withColumn("pieces", regexp_extract_all(fold(col("text")), lit(PieceRegex), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        size(array_distinct(col("pieces"))).cast("long").as("n_distinct_pieces"),
+        aggregate(col("pieces"), lit(0L), (acc, p) => acc + length(p)).as("sum_piece_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokensSql: String = {
+    val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+    s"""WITH p AS (SELECT doc_id, regexp_extract_all($fold, '$PieceRegex') AS pieces FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |  CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+       |  list_reduce(list_transform(pieces, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS sum_piece_len
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_html_extract" -> (htmlExtract _),
-    "q40_sentences" -> (sentences _))
+    "q40_sentences" -> (sentences _),
+    "q41_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "q39_html_extract" -> htmlExtractSql,
-    "q40_sentences" -> sentencesSql)
+    "q40_sentences" -> sentencesSql,
+    "q41_bpe_tokens" -> bpeTokensSql)
 }

@@ -80,12 +80,15 @@ object SimilarityQueries {
       .orderBy(col("q_vec_id"), col("rnk"))
   }
 
+  /** DuckDB fragment for the deterministic LSH bucket of `emb`. */
+  private[queries] def bucketExprSql(emb: String): String =
+    (0 until Similarity.Planes).map { p =>
+      val dotP = dotSql(emb, s"(${Similarity.planeSqlLiteral(p)})", Dim)
+      s"(CASE WHEN ($dotP) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
   val annLshSql: String = {
-    def bucketExpr(emb: String): String =
-      (0 until Similarity.Planes).map { p =>
-        val dotP = dotSql(emb, s"(${Similarity.planeSqlLiteral(p)})", Dim)
-        s"(CASE WHEN ($dotP) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" + ")
+    def bucketExpr(emb: String): String = bucketExprSql(emb)
     val dotQC = dotSql("q_emb", "embedding", Dim)
     s"""WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb,
        |    ${normSql("embedding", Dim)} AS q_norm, ${bucketExpr("embedding")} AS bucket
@@ -103,13 +106,48 @@ object SimilarityQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** q42: LSH-bucketed embedding near-dup — the at-scale path for q25:
+    * the corpus is bucketed in one narrow pass and pairs form only
+    * inside buckets, so the work is Sum(bucket^2) instead of n^2 over
+    * the whole corpus (no vec_id bound needed). */
+  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = Similarity
+      .withLshBucket(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), "embedding")
+      .withColumn("nrm", norm(col("embedding")))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", cosineFrom(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("bucket"), col("vec_id_a"), col("vec_id_b"), e6(col("cos")).as("cos_e6"))
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
+  val embedNearDupLshSql: String = {
+    val dotAB = dotSql("a.embedding", "b.embedding", Dim)
+    s"""WITH bucketed AS (SELECT vec_id, embedding,
+       |    ${normSql("embedding", Dim)} AS nrm, ${bucketExprSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (SELECT a.bucket AS bucket, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |    ($dotAB) / (a.nrm * b.nrm) AS cos
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT bucket, vec_id_a, vec_id_b, ${e6Sql("cos")} AS cos_e6
+       |FROM scored WHERE cos >= $NearDupThreshold
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
-    "q27_ann_lsh" -> (annLsh _))
+    "q27_ann_lsh" -> (annLsh _),
+    "q42_embed_neardup_lsh" -> (embedNearDupLsh _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
     "q26_ann_bruteforce" -> annBruteforceSql,
-    "q27_ann_lsh" -> annLshSql)
+    "q27_ann_lsh" -> annLshSql,
+    "q42_embed_neardup_lsh" -> embedNearDupLshSql)
 }
