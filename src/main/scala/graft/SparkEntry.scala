@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, DisambiguationQueries, EventQueries, GeoQueries, MultimodalQueries, RelationalQueries, ReportQueries, ScrapeQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, DisambiguationQueries, EventQueries, FingerprintQueries, GeoQueries, MultimodalQueries, RelationalQueries, ReportQueries, ScrapeQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       EventQueries.queries ++ GeoQueries.queries ++ MultimodalQueries.queries ++
-      ReportQueries.queries ++ DisambiguationQueries.queries ++ ScrapeQueries.queries
+      ReportQueries.queries ++ DisambiguationQueries.queries ++ ScrapeQueries.queries ++
+      FingerprintQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       EventQueries.oracles ++ GeoQueries.oracles ++ MultimodalQueries.oracles ++
-      ReportQueries.oracles ++ DisambiguationQueries.oracles ++ ScrapeQueries.oracles
+      ReportQueries.oracles ++ DisambiguationQueries.oracles ++ ScrapeQueries.oracles ++
+      FingerprintQueries.oracles
 }
