@@ -18,4 +18,20 @@ object GraftInternals {
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Install an extra planner strategy on a live session (idempotent). */
+  def addStrategy(s: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
+
+  def analyzedPlan(df: Dataset[Row]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  def ofRows(s: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
