@@ -46,9 +46,14 @@ object DedupQueries {
        |SELECT doc_id, lang, source, n_chars FROM reps ORDER BY doc_id""".stripMargin
 
   /** q22: n-gram (3-shingle) Jaccard near-dup pairs at >= 0.5, via the
-    * shingle inverted-index join (never all-pairs). */
+    * shingle inverted-index join (never all-pairs). The df cap drops
+    * shingles shared by more docs than can indicate near-duplication —
+    * the join cost bound Sum(df^2) needs it at scale. */
+  val JaccardDfCap = 1000
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id")
+    Dedup.jaccardPairs(Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id",
+      dfCap = Some(JaccardDfCap))
       .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("size_a"),
         col("size_b"), col("union_n"), col("jaccard_e6"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -56,9 +61,12 @@ object DedupQueries {
   val ngramJaccardSql: String =
     s"""WITH $RepsCte,
        |$ShinglesCte,
-       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $JaccardDfCap),
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
        |j AS (SELECT doc_a, doc_b, intersect_n,
        |    sa.set_size AS size_a, sb.set_size AS size_b,

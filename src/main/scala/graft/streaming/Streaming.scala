@@ -19,12 +19,15 @@ object Streaming {
 
   /** Ingest dedup: drop events already seen (by key) within the
     * watermark horizon — the streaming form of the unique
-    * (portal_name, url) index (article_indexes.py:13). */
+    * (portal_name, url) index (article_indexes.py:13).
+    * dropDuplicatesWithinWatermark dedups on the KEY alone (two
+    * fetches of the same URL at different times are still one
+    * article) while the watermark bounds the state store. */
   def dedupIngest(events: DataFrame, tsCol: String, keyCols: Seq[String],
                   watermarkDelay: String = "1 hour"): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Tumbling-window counts per key with watermarking (the streaming
     * form of EventQueries.tumblingAgg). */
