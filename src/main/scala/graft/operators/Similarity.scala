@@ -82,6 +82,46 @@ object Similarity {
       .select(col("q_vec_id"), col("bucket"), col("rank"), col("vec_id"), col("cos_e6"))
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every vector to
+    * its nearest centroid; queries probe only the `nprobe` nearest
+    * centroid lists. Centroids here are a deterministic subset of the
+    * corpus (a real deployment k-means them offline; the engine-side
+    * mechanics — assignment pass, inverted lists, bounded probing —
+    * are identical). Ranking keys are integer so assignment is
+    * engine-reproducible. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val c = broadcast(centroids
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      .withColumn("cn", norm(col("c_emb"))))
+    val v = vecs.withColumn("vn", norm(col("embedding")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos_e6").desc, col("centroid_id"))
+    v.crossJoin(c)
+      .withColumn("c_cos_e6",
+        e6(cosineFrom(dot(col("embedding"), col("c_emb")), col("vn"), col("cn"))))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("vn"), col("centroid_id"), col("c_rank"))
+  }
+
+  /** IVF search: corpus vectors live in ONE list (nprobe=1); queries
+    * probe their `nprobe` nearest lists; exact scoring within lists. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              nprobe: Int, k: Int): DataFrame = {
+    val lists = ivfAssign(corpus, centroids, 1)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("vn"))
+    val probes = ivfAssign(
+      queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
+      .select(col("centroid_id"), col("vec_id").as("q_vec_id"),
+        col("embedding").as("q_emb"), col("vn").as("q_norm"))
+    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos_e6").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("cos_e6",
+        e6(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("vn"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("centroid_id"), col("cos_e6"))
+  }
+
   /** All pairs above a cosine threshold within a bounded id range —
     * the exact near-dup check run on exact-dedup survivors. The float
     * threshold compare is engine-safe because both engines compute the

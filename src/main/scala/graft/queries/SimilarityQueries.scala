@@ -139,15 +139,74 @@ object SimilarityQueries {
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
   }
 
+  val IvfCentroids = 16
+  val IvfNprobe = 2
+
+  /** q45: IVF ANN — centroids are the first IvfCentroids corpus
+    * vectors (deterministic coarse quantizer); corpus vectors sit in
+    * one inverted list each, queries probe their 2 nearest lists. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound &&
+        col("vec_id") < QuerySetBound + IvfCentroids),
+      IvfNprobe, LshTopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("centroid_id"), col("cos_e6"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annIvfSql: String = {
+    val dotVC = dotSql("v.embedding", "c.c_emb", Dim)
+    val dotQC = dotSql("q_emb", "embedding", Dim)
+    val centMax = QuerySetBound + IvfCentroids
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb,
+       |    ${normSql("embedding", Dim)} AS cn
+       |  FROM embeddings WHERE vec_id >= $QuerySetBound AND vec_id < $centMax),
+       |corp AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS vn
+       |  FROM embeddings WHERE vec_id >= $QuerySetBound),
+       |qs AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS vn
+       |  FROM embeddings WHERE vec_id < $QuerySetBound),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${e6Sql(s"($dotVC) / (v.vn * c.cn)")} DESC, c.centroid_id) AS c_rank
+       |    FROM corp v, cent c)
+       |  WHERE c_rank = 1),
+       |probes AS (SELECT vec_id AS q_vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${e6Sql(s"($dotVC) / (v.vn * c.cn)")} DESC, c.centroid_id) AS c_rank
+       |    FROM qs v, cent c)
+       |  WHERE c_rank <= $IvfNprobe),
+       |scored AS (SELECT p.q_vec_id, l.vec_id, l.centroid_id,
+       |    ${e6Sql(s"($dotQC) / (q_norm * vn)")} AS cos_e6
+       |  FROM (SELECT a.centroid_id, a.vec_id, corp.embedding, corp.vn
+       |        FROM assign a JOIN corp ON a.vec_id = corp.vec_id) l
+       |  JOIN probes p ON l.centroid_id = p.centroid_id
+       |  JOIN (SELECT vec_id AS qid, embedding AS q_emb, vn AS q_norm FROM qs) qq
+       |    ON p.q_vec_id = qq.qid)
+       |SELECT q_vec_id, rnk, vec_id, centroid_id, cos_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |    ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $LshTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
     "q27_ann_lsh" -> (annLsh _),
-    "q42_embed_neardup_lsh" -> (embedNearDupLsh _))
+    "q42_embed_neardup_lsh" -> (embedNearDupLsh _),
+    "q45_ann_ivf" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
     "q26_ann_bruteforce" -> annBruteforceSql,
     "q27_ann_lsh" -> annLshSql,
-    "q42_embed_neardup_lsh" -> embedNearDupLshSql)
+    "q42_embed_neardup_lsh" -> embedNearDupLshSql,
+    "q45_ann_ivf" -> annIvfSql)
 }
