@@ -89,8 +89,10 @@ object RelationalQueries {
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, dir)
     val n = Tables.nation(s, dir)
+    // customer scales with SF — no broadcast hint, AQE decides; nation
+    // is bounded (25 rows) and stays hinted
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(
@@ -143,7 +145,7 @@ object RelationalQueries {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("c_mktsegment"), col("rn").cast("long").as("rn"), col("o_orderkey"),
@@ -194,7 +196,7 @@ object RelationalQueries {
     val w = Window.partitionBy(col("s_nationkey"))
       .orderBy(col("score_e4").desc, col("occurrences").desc, col("s_suppkey"))
     perSupp
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .withColumn("rank_in_nation", row_number().over(w))
       .filter(col("rank_in_nation") === 1)
       .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
@@ -221,7 +223,7 @@ object RelationalQueries {
     * approx sketches are not oracle-comparable across engines. */
   def distinctCount(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         countDistinct(col("o_custkey")).as("n_buyers"),
