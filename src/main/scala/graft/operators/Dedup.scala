@@ -54,12 +54,16 @@ object Dedup {
     * The >=0.5 threshold is the integer predicate 2*|A∩B| >= |A∪B| — no
     * float in the filter. `dfCap` drops shingles seen in more docs. */
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None): DataFrame = {
-    val capped = dfCap match {
+    val cappedPlan = dfCap match {
       case Some(cap) =>
         val w = Window.partitionBy(col("shingle"))
         sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
       case None => sh
     }
+    // the shingle set feeds three consumers (sizes + both join sides);
+    // materialize it once instead of recomputing the tokenize/explode
+    // pipeline three times (plan reuse doesn't fire across the joins)
+    val capped = cappedPlan.localCheckpoint(false)
     val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val a = capped.select(col(idCol).as("doc_a"), col("shingle"))
     val b = capped.select(col(idCol).as("doc_b"), col("shingle"))
@@ -99,7 +103,7 @@ object Dedup {
 
   /** Candidate pairs sharing >=1 LSH band, with the band-agreement count. */
   def minhashCandidates(sig: DataFrame, idCol: String): DataFrame = {
-    val bands = minhashBands(sig, idCol)
+    val bands = minhashBands(sig, idCol).localCheckpoint(false)
     val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_val"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_val"))
     a.join(b, Seq("band_id", "band_val"))
@@ -146,6 +150,7 @@ object Dedup {
     val banded = values.select(col("simhash"), col("n_docs"), col("min_doc"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("simhash"), col("n_docs"), col("min_doc"), col("band.band_id"), col("band.band_val"))
+      .localCheckpoint(false)
     val a = banded.select(col("simhash").as("sim_a"), col("n_docs").as("n_docs_a"),
       col("min_doc").as("min_doc_a"), col("band_id"), col("band_val"))
     val b = banded.select(col("simhash").as("sim_b"), col("n_docs").as("n_docs_b"),

@@ -29,11 +29,15 @@ object LangNgramQueries {
     val prof = TrigramProfiles.toDF("cand_lang", "tri")
     val docs = Tables.documents(s, dir)
     // char trigrams of the folded text via positional substring
+    // build the trigram array in one expression, then explode small
+    // strings — exploding per-char rows would duplicate the full
+    // folded text into every row
     val grams = docs
       .select(col("doc_id"), fold(col("text")).as("f"))
-      .select(col("doc_id"), col("f"), posexplode(split(col("f"), "")).as(Seq("pos", "ch")))
-      .filter(col("pos") + 3 <= length(col("f")))
-      .select(col("doc_id"), expr("substring(f, pos + 1, 3)").as("tri"))
+      .select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN length(f) >= 3 THEN transform(sequence(1, length(f) - 2), i -> substring(f, i, 3)) ELSE array() END"))
+          .as("tri"))
     val hits = grams
       .join(broadcast(prof), Seq("tri"))
       .groupBy(col("doc_id"), col("cand_lang"))
