@@ -106,4 +106,164 @@ object Gazetteer {
       .mkString("(VALUES ", ", ", ") AS catalog(kw_id, keyword, category, weight_milli)")
 
   def adminListSql: String = AdminWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // --------------------------------------------------------------------
+  // Context-UF scoring chain — the reference's full per-match adjustment
+  // (city_matching/signals.py + aggregator.py), which round 1 left out:
+  //
+  //  - state (UF) mention extraction per SENTENCE (signals.py:72
+  //    `_extract_context_uf`: the sentence containing the match is
+  //    scanned for state mentions, the alphabetically-first one wins);
+  //  - `_context_adjust` (aggregator.py:66): +0.3 CONTEXT_MATCH_BONUS
+  //    when the match's context UF equals the city's UF, else
+  //    max(0, conf - 0.7) CONTEXT_MISMATCH_PENALTY — integer milli;
+  //  - per-city context_matches / context_mismatches counters feeding
+  //    tie-break step 4 "menor quantidade de conflitos de UF"
+  //    (aggregator.py:232) and the suppression audit trail
+  //    (aggregator.py:173 `_register_suppression`).
+  //
+  // Sentences follow the q40 convention (the corpus has no punctuation;
+  // " batch " plays the sentence terminator, so a token's sentence id is
+  // the number of "batch" tokens before it). The title field is sentence
+  // 0, matching the reference's field=="title" title boost
+  // (signals.py:89) rather than round 1's flat first-5-token zone.
+  // --------------------------------------------------------------------
+
+  /** Corpus words acting as the state-name table (the synthetic analog
+    * of normalization.py:31 `_STATE_NAMES`); none collide with catalog
+    * keywords or admin words. `uf` codes sort so the reference's
+    * sorted(mentions)[0] pick is MIN(uf). */
+  val StateWords: Seq[(String, String)] = Seq(
+    ("column", "CL"), ("data", "DT"), ("key", "KY"),
+    ("line", "LN"), ("row", "RW"), ("vector", "VC"))
+
+  /** Home state per catalog keyword — the city's UF in the reference's
+    * municipality gazetteer. */
+  val KeywordUf: Seq[(Int, String)] = Seq(
+    1 -> "DT", 2 -> "RW", 3 -> "LN", 4 -> "CL", 5 -> "VC", 6 -> "KY",
+    7 -> "DT", 8 -> "RW", 9 -> "LN", 10 -> "CL", 11 -> "VC", 12 -> "KY",
+    13 -> "DT", 14 -> "RW")
+
+  val ContextMatchBonusMilli = 300L // aggregator.py:11 CONTEXT_MATCH_BONUS = 0.3
+  val ContextMismatchPenaltyMilli = 700L // aggregator.py:12 CONTEXT_MISMATCH_PENALTY = 0.7
+  val SentenceBreakToken = "batch" // q40's synthesized sentence terminator
+
+  def statesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    StateWords.toDF("state_word", "uf")
+  }
+
+  def keywordUfDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    KeywordUf.toDF("kw_id", "city_uf")
+  }
+
+  /** Per-(doc, keyword) aggregation with the full context chain:
+    * occurrences, admin_markers, title_boost_milli, score_milli (sum of
+    * per-match context-adjusted confidences), context_matches,
+    * context_mismatches. One shuffle keyed on the doc id for the
+    * sentence window, one for the sentence-context join, one for the
+    * final per-(doc, kw) aggregate — no step is ever per-document
+    * sequential. */
+  def contextMatches(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
+    val admin = AdminWords.map(x => x: Any)
+    val wSent = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = docs
+      .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("sent_id",
+        coalesce(sum(when(col("tok") === SentenceBreakToken, 1L).otherwise(0L)).over(wSent), lit(0L)))
+    // alphabetically-first state mentioned in each sentence
+    val ctx = toks
+      .join(broadcast(statesDf(s)), col("tok") === col("state_word"))
+      .groupBy(col(idCol), col("sent_id"))
+      .agg(min(col("uf")).as("ctx_uf"))
+    val sig = toks
+      .withColumn("admin_adj",
+        coalesce(get(col("toks"), col("pos") + 1).isin(admin: _*), lit(false)) ||
+          coalesce(get(col("toks"), col("pos") - 1).isin(admin: _*), lit(false)))
+      .withColumn("in_title", col("sent_id") === 0L)
+      .drop("toks")
+    val conf = col("weight_milli") +
+      when(col("in_title"), TitleBoostMilli).otherwise(0L) +
+      when(col("admin_adj"), AdminMarkerMilli).otherwise(0L)
+    val matchRows = sig
+      .join(broadcast(catalog(s)), col("tok") === col("keyword"))
+      .join(broadcast(keywordUfDf(s)), Seq("kw_id"))
+      .join(ctx, Seq(idCol, "sent_id"), "left")
+      .withColumn("conf_milli", conf)
+      .withColumn("adjusted_milli",
+        when(col("ctx_uf").isNull, col("conf_milli"))
+          .when(col("ctx_uf") === col("city_uf"), col("conf_milli") + ContextMatchBonusMilli)
+          .otherwise(greatest(lit(0L), col("conf_milli") - ContextMismatchPenaltyMilli)))
+      .withColumn("ctx_match", col("ctx_uf").isNotNull && col("ctx_uf") === col("city_uf"))
+      .withColumn("ctx_mismatch", col("ctx_uf").isNotNull && col("ctx_uf") =!= col("city_uf"))
+    matchRows
+      .groupBy(col(idCol), col("kw_id"), col("keyword"))
+      .agg(
+        sum(col("adjusted_milli")).as("score_milli"),
+        count(lit(1)).as("occurrences"),
+        sum(when(col("admin_adj"), 1L).otherwise(0L)).as("admin_markers"),
+        sum(when(col("in_title"), TitleBoostMilli).otherwise(0L)).as("title_boost_milli"),
+        sum(when(col("ctx_match"), 1L).otherwise(0L)).as("context_matches"),
+        sum(when(col("ctx_mismatch"), 1L).otherwise(0L)).as("context_mismatches"))
+  }
+
+  /** Primary pick with the reference's FULL 6-step tie-break chain
+    * (aggregator.py:193): score desc -> admin markers desc -> title
+    * boost desc -> FEWEST context mismatches -> occurrences desc ->
+    * keyword id asc. */
+  def primaryWithContext(ctxMatches: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(
+      col("score_milli").desc, col("admin_markers").desc,
+      col("title_boost_milli").desc, col("context_mismatches").asc,
+      col("occurrences").desc, col("kw_id"))
+    ctxMatches
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Suppression audit trail (aggregator.py:173 `_register_suppression`):
+    * each losing candidate is recorded at the FIRST selection step that
+    * eliminated it — reason "lower_score" at step 1, reason "tie_break"
+    * with the step's rule name after that. Expressed as staged window
+    * maxima over the doc partition (all six windows share one hash
+    * partitioning, so this is ONE exchange, not six). */
+  def suppressions(ctxMatches: DataFrame, idCol: String): DataFrame = {
+    val wd = Window.partitionBy(col(idCol))
+    val s1 = col("score_milli") === col("m1")
+    val s2 = s1 && col("admin_markers") === col("m2")
+    val s3 = s2 && col("title_boost_milli") === col("m3")
+    val s4 = s3 && col("context_mismatches") === col("m4")
+    val s5 = s4 && col("occurrences") === col("m5")
+    ctxMatches
+      .withColumn("m1", max(col("score_milli")).over(wd))
+      .withColumn("m2", max(when(s1, col("admin_markers"))).over(wd))
+      .withColumn("m3", max(when(s2, col("title_boost_milli"))).over(wd))
+      .withColumn("m4", min(when(s3, col("context_mismatches"))).over(wd))
+      .withColumn("m5", max(when(s4, col("occurrences"))).over(wd))
+      .withColumn("m6", min(when(s5, col("kw_id"))).over(wd))
+      .withColumn("rule",
+        when(!s1, "score")
+          .when(!s2, "admin_marker")
+          .when(!s3, "title_boost")
+          .when(!s4, "context_uf")
+          .when(!s5, "occurrences")
+          .when(col("kw_id") =!= col("m6"), "city_id"))
+      .filter(col("rule").isNotNull)
+      .withColumn("reason",
+        when(col("rule") === "score", "lower_score").otherwise("tie_break"))
+      .select(col(idCol), col("kw_id"), col("keyword"), col("score_milli"),
+        col("occurrences"), col("reason"), col("rule"))
+  }
+
+  def statesValuesSql: String =
+    StateWords.map { case (w, uf) => s"('$w', '$uf')" }
+      .mkString("(VALUES ", ", ", ") AS states(state_word, uf)")
+
+  def keywordUfValuesSql: String =
+    KeywordUf.map { case (id, uf) => s"($id, '$uf')" }
+      .mkString("(VALUES ", ", ", ") AS ufcat(uf_kw_id, city_uf)")
 }

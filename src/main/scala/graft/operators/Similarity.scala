@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.plans.Plans
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -48,7 +48,11 @@ object Similarity {
     df.withColumn("bucket", bucketBits.reduce(_ + _))
   }
 
-  /** Exact top-k: queries broadcast against the corpus. */
+  /** Exact top-k: queries broadcast against the corpus. The per-query
+    * ranking runs through TopKPerKeyExec (bounded map-side heaps +
+    * one shrunk exchange), NOT a row_number window — the window form
+    * shuffles every scored corpus row into <= n_queries reducer
+    * partitions, a skew bomb at 100 TB. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
@@ -58,10 +62,9 @@ object Similarity {
     val scored = c.crossJoin(q)
       .withColumn("cos_e6",
         e6(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm"))))
-    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos_e6").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("vec_id"), col("cos_e6"))
+    Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+      Seq((scored("cos_e6"), true), (scored("vec_id"), false)), k, "rank")
       .select(col("q_vec_id"), col("rank"), col("vec_id"), col("cos_e6"))
   }
 
@@ -75,10 +78,9 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .withColumn("cos_e6",
         e6(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("c_norm"))))
-    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos_e6").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("bucket"), col("vec_id"), col("cos_e6"))
+    Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+      Seq((scored("cos_e6"), true), (scored("vec_id"), false)), k, "rank")
       .select(col("q_vec_id"), col("bucket"), col("rank"), col("vec_id"), col("cos_e6"))
   }
 
@@ -94,12 +96,12 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       .withColumn("cn", norm(col("c_emb"))))
     val v = vecs.withColumn("vn", norm(col("embedding")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos_e6").desc, col("centroid_id"))
-    v.crossJoin(c)
+    val scored = v.crossJoin(c)
       .withColumn("c_cos_e6",
         e6(cosineFrom(dot(col("embedding"), col("c_emb")), col("vn"), col("cn"))))
-      .withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("vn"), col("centroid_id"), col("c_cos_e6"))
+    Plans.topKPerKeyRanked(scored, Seq(scored("vec_id")),
+      Seq((scored("c_cos_e6"), true), (scored("centroid_id"), false)), nprobe, "c_rank")
       .select(col("vec_id"), col("embedding"), col("vn"), col("centroid_id"), col("c_rank"))
   }
 
@@ -113,12 +115,12 @@ object Similarity {
       queries.select(col("vec_id"), col("embedding")), centroids, nprobe)
       .select(col("centroid_id"), col("vec_id").as("q_vec_id"),
         col("embedding").as("q_emb"), col("vn").as("q_norm"))
-    val w = Window.partitionBy(col("q_vec_id")).orderBy(col("cos_e6").desc, col("vec_id"))
-    lists.join(broadcast(probes), Seq("centroid_id"))
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cos_e6",
         e6(cosineFrom(dot(col("q_emb"), col("embedding")), col("q_norm"), col("vn"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("q_vec_id"), col("vec_id"), col("centroid_id"), col("cos_e6"))
+    Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+      Seq((scored("cos_e6"), true), (scored("vec_id"), false)), k, "rank")
       .select(col("q_vec_id"), col("rank"), col("vec_id"), col("centroid_id"), col("cos_e6"))
   }
 

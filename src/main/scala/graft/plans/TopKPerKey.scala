@@ -4,11 +4,12 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
 
 /** Whole-operator extension example from SURVEY §4: top-k rows per key
   * as a first-class physical operator.
@@ -29,23 +30,31 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Memory is O(distinct-keys-per-partition * k); nothing is ever fully
   * sorted. Wired via SparkSessionExtensions.injectPlannerStrategy or
   * `spark.experimental.extraStrategies` (see Plans.topKPerKey).
+  *
+  * When `rankAttr` is set, the final exec appends the 1-based within-key
+  * rank as a long column — the ranked top-k (ANN search result ranks,
+  * "page N of results") without ANY window operator in the plan: the
+  * rank falls out of the heap's emit order for free.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    rankAttr: Option[AttributeReference],
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // the rank column is born here, not read from the child
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, partial = false,
+        TopKPerKeyExec(keys, order, k, None, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -54,10 +63,13 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    rankAttr: Option[AttributeReference],
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -68,6 +80,8 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val emitRank = rankAttr.isDefined
+    val outputAttrs = output
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering = GenerateOrdering.generate(sortOrder, childOutput)
@@ -86,10 +100,23 @@ case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
+      val sortedPerKey = heaps.iterator.map { case (_, heap) =>
         val arr = heap.toArray(new Array[UnsafeRow](heap.size))
         java.util.Arrays.sort(arr, rowOrdering)
-        arr.iterator
+        arr
+      }
+      if (!emitRank) sortedPerKey.flatMap(_.iterator)
+      else {
+        // append the 1-based emit position within the key as the rank
+        val proj = UnsafeProjection.create(outputAttrs, childOutput ++ rankAttr)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        sortedPerKey.flatMap { arr =>
+          arr.iterator.zipWithIndex.map { case (row, i) =>
+            rankRow.update(0, (i + 1).toLong)
+            proj(joined(row, rankRow))
+          }
+        }
       }
     }, preservesPartitioning = true)
   }

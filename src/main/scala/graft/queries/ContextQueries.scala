@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Gazetteer
+
+/** The reference's context-UF scoring chain, end to end:
+  *
+  *  - q56: gazetteer primary selection with per-sentence context-UF
+  *    adjustment (signals.py `_extract_context_uf` + aggregator.py
+  *    `_context_adjust` +-0.3/0.7 with the max(0,·) clamp) and the FULL
+  *    6-step tie-break chain including step 4 "menor quantidade de
+  *    conflitos de UF" (aggregator.py:232);
+  *  - q57: the suppression audit trail — why each losing candidate was
+  *    dropped (aggregator.py:173 `_register_suppression`);
+  *  - q58: state (UF) mention extraction with the real Brazilian state
+  *    table (normalization.py:31 `_STATE_NAMES` / `_STATE_ABBREVIATIONS`
+  *    / `_ESTADO_DE_PATTERN`) over deterministically synthesized
+  *    state-bearing text. The "estado do XX" pattern is subsumed by the
+  *    standalone-abbreviation rule (both engines treat the UF inside it
+  *    as a word-bounded token), mirroring the reference where rule 4's
+  *    matches are a subset of rule 3's case-insensitive \bUF\b scan.
+  */
+object ContextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared SQL fragments (must mirror TextFunctions exactly) ----
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+  private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
+
+  /** Shared oracle CTE: tokenized docs -> sentence ids -> per-sentence
+    * context UF -> per-match adjusted confidence -> per-(doc, keyword)
+    * aggregation. Mirrors Gazetteer.contextMatches expression by
+    * expression so DuckDB computes identical integers. */
+  private def ctxCteSql: String =
+    s"""toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |sent AS (SELECT doc_id, t, tok, i,
+       |    coalesce(SUM(CASE WHEN tok = '${Gazetteer.SentenceBreakToken}' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id
+       |  FROM pos),
+       |ctx AS (SELECT doc_id, sent_id, MIN(uf) AS ctx_uf
+       |  FROM sent JOIN ${Gazetteer.statesValuesSql} ON tok = state_word
+       |  GROUP BY doc_id, sent_id),
+       |sig AS (SELECT doc_id, sent_id, tok,
+       |    coalesce(t[i+1] IN ${Gazetteer.adminListSql}, false)
+       |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
+       |    sent_id = 0 AS in_title
+       |  FROM sent),
+       |mr AS (SELECT s.doc_id, s.sent_id, kw_id, keyword, admin_adj, in_title, c.ctx_uf, u.city_uf,
+       |    weight_milli + (CASE WHEN in_title THEN ${Gazetteer.TitleBoostMilli} ELSE 0 END)
+       |      + (CASE WHEN admin_adj THEN ${Gazetteer.AdminMarkerMilli} ELSE 0 END) AS conf_milli
+       |  FROM sig s
+       |  JOIN ${Gazetteer.catalogValuesSql} ON s.tok = keyword
+       |  JOIN ${Gazetteer.keywordUfValuesSql} u ON kw_id = u.uf_kw_id
+       |  LEFT JOIN ctx c ON s.doc_id = c.doc_id AND s.sent_id = c.sent_id),
+       |adj AS (SELECT *,
+       |    CASE WHEN ctx_uf IS NULL THEN conf_milli
+       |         WHEN ctx_uf = city_uf THEN conf_milli + ${Gazetteer.ContextMatchBonusMilli}
+       |         ELSE greatest(0, conf_milli - ${Gazetteer.ContextMismatchPenaltyMilli}) END AS adjusted_milli,
+       |    (ctx_uf IS NOT NULL AND ctx_uf = city_uf) AS ctx_match,
+       |    (ctx_uf IS NOT NULL AND ctx_uf <> city_uf) AS ctx_mismatch
+       |  FROM mr),
+       |aggd AS (SELECT doc_id, kw_id, keyword,
+       |    CAST(SUM(adjusted_milli) AS BIGINT) AS score_milli,
+       |    COUNT(*) AS occurrences,
+       |    CAST(SUM(CASE WHEN admin_adj THEN 1 ELSE 0 END) AS BIGINT) AS admin_markers,
+       |    CAST(SUM(CASE WHEN in_title THEN ${Gazetteer.TitleBoostMilli} ELSE 0 END) AS BIGINT) AS title_boost_milli,
+       |    CAST(SUM(CASE WHEN ctx_match THEN 1 ELSE 0 END) AS BIGINT) AS context_matches,
+       |    CAST(SUM(CASE WHEN ctx_mismatch THEN 1 ELSE 0 END) AS BIGINT) AS context_mismatches
+       |  FROM adj GROUP BY doc_id, kw_id, keyword)""".stripMargin
+
+  /** q56: context-adjusted gazetteer primary pick (6-step chain). */
+  def contextGazetteer(s: SparkSession, dir: String): DataFrame =
+    Gazetteer
+      .primaryWithContext(
+        Gazetteer.contextMatches(Tables.documents(s, dir), s, "text", "doc_id"), "doc_id")
+      .select(col("doc_id"), col("kw_id"), col("keyword").as("primary_kw"),
+        col("score_milli"), col("occurrences"), col("admin_markers"),
+        col("title_boost_milli"), col("context_matches"), col("context_mismatches"))
+      .orderBy(col("doc_id"))
+
+  val contextGazetteerSql: String =
+    s"""WITH $ctxCteSql
+       |SELECT doc_id, kw_id, keyword AS primary_kw, score_milli, occurrences,
+       |  admin_markers, title_boost_milli, context_matches, context_mismatches
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_milli DESC, admin_markers DESC, title_boost_milli DESC,
+       |      context_mismatches ASC, occurrences DESC, kw_id) AS rn
+       |  FROM aggd)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** q57: suppression audit — first selection step that dropped each
+    * losing candidate. */
+  def suppressionAudit(s: SparkSession, dir: String): DataFrame =
+    Gazetteer
+      .suppressions(
+        Gazetteer.contextMatches(Tables.documents(s, dir), s, "text", "doc_id"), "doc_id")
+      .orderBy(col("doc_id"), col("kw_id"))
+
+  val suppressionAuditSql: String =
+    s"""WITH $ctxCteSql,
+       |w1 AS (SELECT *, MAX(score_milli) OVER (PARTITION BY doc_id) AS m1 FROM aggd),
+       |w2 AS (SELECT *, MAX(CASE WHEN score_milli = m1 THEN admin_markers END)
+       |    OVER (PARTITION BY doc_id) AS m2 FROM w1),
+       |w3 AS (SELECT *, MAX(CASE WHEN score_milli = m1 AND admin_markers = m2 THEN title_boost_milli END)
+       |    OVER (PARTITION BY doc_id) AS m3 FROM w2),
+       |w4 AS (SELECT *, MIN(CASE WHEN score_milli = m1 AND admin_markers = m2 AND title_boost_milli = m3
+       |      THEN context_mismatches END) OVER (PARTITION BY doc_id) AS m4 FROM w3),
+       |w5 AS (SELECT *, MAX(CASE WHEN score_milli = m1 AND admin_markers = m2 AND title_boost_milli = m3
+       |      AND context_mismatches = m4 THEN occurrences END) OVER (PARTITION BY doc_id) AS m5 FROM w4),
+       |w6 AS (SELECT *, MIN(CASE WHEN score_milli = m1 AND admin_markers = m2 AND title_boost_milli = m3
+       |      AND context_mismatches = m4 AND occurrences = m5 THEN kw_id END)
+       |    OVER (PARTITION BY doc_id) AS m6 FROM w5),
+       |labeled AS (SELECT *,
+       |    CASE WHEN score_milli <> m1 THEN 'score'
+       |         WHEN admin_markers <> m2 THEN 'admin_marker'
+       |         WHEN title_boost_milli <> m3 THEN 'title_boost'
+       |         WHEN context_mismatches <> m4 THEN 'context_uf'
+       |         WHEN occurrences <> m5 THEN 'occurrences'
+       |         WHEN kw_id <> m6 THEN 'city_id' END AS rule
+       |  FROM w6)
+       |SELECT doc_id, kw_id, keyword, score_milli, occurrences,
+       |  CASE WHEN rule = 'score' THEN 'lower_score' ELSE 'tie_break' END AS reason, rule
+       |FROM labeled WHERE rule IS NOT NULL
+       |ORDER BY doc_id, kw_id""".stripMargin
+
+  // ---- q58: Brazilian state mention extraction ----
+
+  /** (display name, folded name, UF) — the reference's `_STATE_NAMES`
+    * (normalization.py:31), public IBGE data. */
+  val States: Seq[(String, String, String)] = Seq(
+    ("Acre", "acre", "AC"), ("Alagoas", "alagoas", "AL"),
+    ("Amapá", "amapa", "AP"), ("Amazonas", "amazonas", "AM"),
+    ("Bahia", "bahia", "BA"), ("Ceará", "ceara", "CE"),
+    ("Distrito Federal", "distrito federal", "DF"),
+    ("Espírito Santo", "espirito santo", "ES"), ("Goiás", "goias", "GO"),
+    ("Maranhão", "maranhao", "MA"), ("Mato Grosso", "mato grosso", "MT"),
+    ("Mato Grosso do Sul", "mato grosso do sul", "MS"),
+    ("Minas Gerais", "minas gerais", "MG"), ("Pará", "para", "PA"),
+    ("Paraíba", "paraiba", "PB"), ("Paraná", "parana", "PR"),
+    ("Pernambuco", "pernambuco", "PE"), ("Piauí", "piaui", "PI"),
+    ("Rio de Janeiro", "rio de janeiro", "RJ"),
+    ("Rio Grande do Norte", "rio grande do norte", "RN"),
+    ("Rio Grande do Sul", "rio grande do sul", "RS"),
+    ("Rondônia", "rondonia", "RO"), ("Roraima", "roraima", "RR"),
+    ("Santa Catarina", "santa catarina", "SC"), ("São Paulo", "sao paulo", "SP"),
+    ("Sergipe", "sergipe", "SE"), ("Tocantins", "tocantins", "TO"))
+
+  /** Word-boundary analog for the \bUF\b abbreviation scan: tokens of
+    * the uppercased text split on anything outside A-Z/À-Ÿ/0-9. */
+  private val UpperSepRegex = "[^A-ZÀ-Ÿ0-9]+"
+
+  /** Deterministic state-bearing surface synthesized around each doc
+    * (the corpus itself mentions no states): an accented state name, a
+    * parenthesised abbreviation, and an "estado do XX" form, each keyed
+    * off doc_id with multiplicative mixing (integer-exact on both
+    * engines — no division). */
+  private def surfaceCol: org.apache.spark.sql.Column = {
+    val nameArr = array(States.map(t => lit(t._1)): _*)
+    val ufArr = array(States.map(t => lit(t._3)): _*)
+    concat(col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" visita a "), element_at(nameArr, (col("doc_id") % 27 + 1).cast("int"))))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" ("), element_at(ufArr, ((col("doc_id") * 11 + 5) % 27 + 1).cast("int")), lit(")")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" no estado do "), element_at(ufArr, ((col("doc_id") * 17 + 2) % 27 + 1).cast("int"))))
+        .otherwise(lit("")))
+  }
+
+  /** q58: extract_state_mentions (normalization.py:146) — folded-name
+    * substring scan plus standalone-abbreviation token scan, emitted as
+    * (doc_id, uf) rows. The broadcast states side is 27 rows; the doc
+    * side stays embarrassingly parallel. */
+  def stateMentions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val states = broadcast(States.toDF("name", "folded", "uf"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), surfaceCol.as("surface"))
+      .crossJoin(states)
+      .filter(
+        fold(col("surface")).contains(col("folded")) ||
+          array_contains(split(upper(col("surface")), UpperSepRegex), col("uf")))
+      .select(col("doc_id"), col("uf"))
+      .distinct()
+      .orderBy(col("doc_id"), col("uf"))
+  }
+
+  val stateMentionsSql: String = {
+    val nameList = States.map(t => s"'${t._1}'").mkString("[", ", ", "]")
+    val ufList = States.map(t => s"'${t._3}'").mkString("[", ", ", "]")
+    val statesValues = States.map { case (n, f, u) => s"('$n', '$f', '$u')" }
+      .mkString("(VALUES ", ", ", ") AS states(name, folded, uf)")
+    s"""WITH surf AS (SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 3 <> 0 THEN ' visita a ' || ($nameList)[CAST(doc_id % 27 + 1 AS INT)] ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 0 THEN ' (' || ($ufList)[CAST((doc_id * 11 + 5) % 27 + 1 AS INT)] || ')' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' no estado do ' || ($ufList)[CAST((doc_id * 17 + 2) % 27 + 1 AS INT)] ELSE '' END
+       |    AS surface
+       |  FROM documents)
+       |SELECT DISTINCT doc_id, uf
+       |FROM surf CROSS JOIN $statesValues
+       |WHERE contains(lower(strip_accents(translate(surface, '-‐‑‒–—―­', '       '))), folded)
+       |   OR list_contains(string_split_regex(upper(surface), '$UpperSepRegex'), uf)
+       |ORDER BY doc_id, uf""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q56_context_gazetteer" -> (contextGazetteer _),
+    "q57_suppression_audit" -> (suppressionAudit _),
+    "q58_state_mentions" -> (stateMentions _))
+
+  val oracles: Map[String, String] = Map(
+    "q56_context_gazetteer" -> contextGazetteerSql,
+    "q57_suppression_audit" -> suppressionAuditSql,
+    "q58_state_mentions" -> stateMentionsSql)
+}

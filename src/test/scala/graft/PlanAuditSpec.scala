@@ -43,6 +43,11 @@ class PlanAuditSpec extends SparkSpec {
   test("q26 ANN broadcasts the query set; the corpus is never shuffled for scoring") {
     val p = plan(SimilarityQueries.annBruteforce(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // ranking runs through the bounded-heap custom operator, not a
+    // row_number window (which would shuffle every scored row into
+    // <= n_queries partitions)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("column pruning: token count reads only the needed columns") {
