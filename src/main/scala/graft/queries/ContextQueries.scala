@@ -52,12 +52,12 @@ object ContextQueries {
        |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
        |    sent_id = 0 AS in_title
        |  FROM sent),
-       |mr AS (SELECT s.doc_id, s.sent_id, kw_id, keyword, admin_adj, in_title, c.ctx_uf, u.city_uf,
+       |mr AS (SELECT s.doc_id, s.sent_id, kw_id, keyword, admin_adj, in_title, c.ctx_uf, ufcat.city_uf,
        |    weight_milli + (CASE WHEN in_title THEN ${Gazetteer.TitleBoostMilli} ELSE 0 END)
        |      + (CASE WHEN admin_adj THEN ${Gazetteer.AdminMarkerMilli} ELSE 0 END) AS conf_milli
        |  FROM sig s
        |  JOIN ${Gazetteer.catalogValuesSql} ON s.tok = keyword
-       |  JOIN ${Gazetteer.keywordUfValuesSql} u ON kw_id = u.uf_kw_id
+       |  JOIN ${Gazetteer.keywordUfValuesSql} ON kw_id = ufcat.uf_kw_id
        |  LEFT JOIN ctx c ON s.doc_id = c.doc_id AND s.sent_id = c.sent_id),
        |adj AS (SELECT *,
        |    CASE WHEN ctx_uf IS NULL THEN conf_milli

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Gazetteer
+import graft.queries.ContextQueries
+
+/** The context-UF scoring chain (signals.py / aggregator.py):
+  * per-sentence context extraction, the +-300/700 milli adjustment with
+  * its max(0, ·) clamp, the 6-step tie-break chain, and the suppression
+  * audit trail — each on hand-crafted inputs where the expected values
+  * are computable by eye. */
+class ContextGazetteerSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("context match adds +300 milli; mismatch subtracts 700 with a clamp at 0") {
+    val docs = docsDf(
+      (1L, "spark data"), // title sentence, ctx DT == spark's UF -> match
+      (2L, "spark row"), // ctx RW != DT -> mismatch
+      (3L, "the batch hash row")) // hash (UF DT) in sentence 1 w/ ctx RW: conf 350 -> clamped to 0
+    val m = Gazetteer.contextMatches(docs, spark, "text", "doc_id")
+      .select("doc_id", "keyword", "score_milli", "context_matches", "context_mismatches")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // spark: weight 950 + title 400 + bonus 300
+    assert(m((1L, "spark")) == (1650L, 1L, 0L))
+    // spark: 950 + 400 - 700
+    assert(m((2L, "spark")) == (650L, 0L, 1L))
+    // hash: weight 350, sentence 1 (no title), mismatch -> max(0, 350-700)
+    assert(m((3L, "hash")) == (0L, 0L, 1L))
+    // batch (the sentence terminator is itself a catalog keyword) sits in
+    // sentence 0 with no state word there: unadjusted 700 + 400
+    assert(m((3L, "batch")) == (1100L, 0L, 0L))
+  }
+
+  test("tie-break steps 4-6 and the suppression audit label losers at the first failing step") {
+    import spark.implicits._
+    val aggd = Seq(
+      // (doc, kw_id, keyword, score, occ, admin, title, ctx_m, ctx_mm)
+      (1L, 1, "a", 100L, 3L, 2L, 400L, 0L, 0L), // the primary
+      (1L, 2, "b", 100L, 5L, 2L, 400L, 0L, 2L), // loses at context_uf
+      (1L, 3, "c", 100L, 2L, 2L, 400L, 0L, 0L), // loses at occurrences
+      (1L, 4, "d", 100L, 3L, 2L, 400L, 0L, 0L), // loses at city_id
+      (1L, 5, "e", 100L, 9L, 1L, 400L, 0L, 0L), // loses at admin_marker
+      (1L, 6, "f", 90L, 9L, 9L, 900L, 0L, 0L), // loses at score
+      (1L, 7, "g", 100L, 9L, 2L, 300L, 0L, 0L)) // loses at title_boost
+      .toDF("doc_id", "kw_id", "keyword", "score_milli", "occurrences",
+        "admin_markers", "title_boost_milli", "context_matches", "context_mismatches")
+    val primary = Gazetteer.primaryWithContext(aggd, "doc_id").collect()
+    assert(primary.length == 1 && primary.head.getAs[Int]("kw_id") == 1)
+    val sup = Gazetteer.suppressions(aggd, "doc_id")
+      .collect().map(r => r.getAs[Int]("kw_id") -> (r.getAs[String]("reason"), r.getAs[String]("rule"))).toMap
+    assert(sup(2) == ("tie_break", "context_uf"))
+    assert(sup(3) == ("tie_break", "occurrences"))
+    assert(sup(4) == ("tie_break", "city_id"))
+    assert(sup(5) == ("tie_break", "admin_marker"))
+    assert(sup(6) == ("lower_score", "score"))
+    assert(sup(7) == ("tie_break", "title_boost"))
+    assert(!sup.contains(1), "the primary must not appear in the audit")
+  }
+
+  test("q58 state extraction finds injected names and standalone abbreviations") {
+    val rows = ContextQueries.stateMentions(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 2: name Amapa -> AP; abbreviation index (2*11+5)%27 = 0 -> AC
+    assert(Set("AP", "AC").subsetOf(byDoc(2L)), byDoc(2L).toString)
+    // doc 1: name Alagoas only (odd id: no abbreviation, 1%7 != 0)
+    assert(byDoc(1L) == Set("AL"), byDoc(1L).toString)
+    // every extracted UF is one of the 27 real codes
+    val valid = ContextQueries.States.map(_._3).toSet
+    assert(rows.map(_._2).forall(valid.contains))
+  }
+
+  test("q56/q57 shapes: one primary per doc; audit rows only for losers") {
+    val q56 = ContextQueries.contextGazetteer(spark, sfDir)
+    val nDocs = q56.select("doc_id").distinct().count()
+    assert(q56.count() == nDocs)
+    val q57 = ContextQueries.suppressionAudit(spark, sfDir)
+    val joined = q57.join(q56, Seq("doc_id", "kw_id"), "inner")
+    assert(joined.count() == 0, "no suppressed row may also be the primary")
+  }
+}
