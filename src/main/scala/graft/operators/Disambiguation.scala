@@ -44,32 +44,48 @@ object Disambiguation {
     Catalog.toDF("surface", "cand_id", "ctx")
   }
 
-  /** Resolve every mention of a catalog surface in the corpus. */
+  /** Resolve every mention of a catalog surface in the corpus.
+    *
+    * Context signals are scoped to the SENTENCE containing the mention
+    * (signals.py computes context per sentence via
+    * find_sentence_containing, not per document) — sentence ids follow
+    * the q40 convention shared with Gazetteer.contextMatches. The flag
+    * aggregate filters to context-word tokens BEFORE grouping, so the
+    * aggregated volume is the ctx-word hits, not the whole corpus. */
   def resolve(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
     val ctxAny = CtxWords.map(x => x: Any)
     val surfAny = Surfaces.map(x => x: Any)
 
+    val wSent = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val toks = docs
       .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
       .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("sent_id",
+        coalesce(sum(when(col("tok") === Gazetteer.SentenceBreakToken, 1L).otherwise(0L))
+          .over(wSent), lit(0L)))
 
-    // document-level context flags (one row per doc)
+    // per-sentence context flags, aggregated over ctx-word hits only
     val flagCols = CtxWords.map(w => max(when(col("tok") === w, 1L).otherwise(0L)).as(s"has_$w"))
-    val ctxFlags = toks.groupBy(col(idCol)).agg(flagCols.head, flagCols.tail: _*)
+    val ctxFlags = toks
+      .filter(col("tok").isin(ctxAny: _*))
+      .groupBy(col(idCol), col("sent_id"))
+      .agg(flagCols.head, flagCols.tail: _*)
 
     // mentions with the optional explicit next-token hint
     val mentions = toks
       .filter(col("tok").isin(surfAny: _*))
       .withColumn("hint",
         when(get(col("toks"), col("pos") + 1).isin(ctxAny: _*), get(col("toks"), col("pos") + 1)))
-      .select(col(idCol), col("pos"), col("tok").as("surface"), col("hint"))
+      .select(col(idCol), col("sent_id"), col("pos"), col("tok").as("surface"), col("hint"))
 
     val withCands = mentions
       .join(broadcast(catalogDf(s)), Seq("surface"))
-      .join(ctxFlags, Seq(idCol))
+      .join(ctxFlags, Seq(idCol, "sent_id"), "left")
       .withColumn("hint_match", col("hint").isNotNull && col("ctx") === col("hint"))
       .withColumn("ctx_match",
-        CtxWords.map(w => col("ctx") === w && col(s"has_$w") === 1L).reduce(_ || _))
+        coalesce(CtxWords.map(w => col("ctx") === w && col(s"has_$w") === 1L).reduce(_ || _),
+          lit(false)))
       .withColumn("both_match", col("hint_match") && col("ctx_match"))
 
     val agg = withCands

@@ -124,10 +124,66 @@ object Similarity {
       .select(col("q_vec_id"), col("rank"), col("vec_id"), col("centroid_id"), col("cos_e6"))
   }
 
+  // ---- multi-band LSH near-dup (candidate generation + exact rescore) ----
+
+  val NeardupBands = 4
+  val NeardupBandPlanes = 8 // band b uses planes 8b..8b+7 of the shared family
+
+  /** 8-bit signature of band `b` (planes 8b..8b+7). */
+  private def neardupBandCol(embCol: String, b: Int) = {
+    (0 until NeardupBandPlanes).map { i =>
+      val p = NeardupBandPlanes * b + i
+      val plane = array(planeVector(p).map(v => lit(v.toFloat)): _*)
+      when(dot(col(embCol), plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB expression for the same band signature. */
+  def neardupBandSql(emb: String, b: Int): String =
+    (0 until NeardupBandPlanes).map { i =>
+      val p = NeardupBandPlanes * b + i
+      val dotP = graft.functions.VectorFunctions.dotSql(emb, s"(${planeSqlLiteral(p)})", Dim)
+      s"(CASE WHEN ($dotP) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Near-dup pairs >= `threshold` via multi-band LSH candidates with
+    * EXACT cosine rescoring — the scale-safe replacement for an
+    * all-pairs crossJoin: pair generation is a self-join on
+    * (band_id, band_val), so work is Sum(band bucket^2) not n^2, and
+    * every candidate is rescored exactly. Recall per pair at angle
+    * theta is 1-(1-(1-theta/pi)^8)^4 — banding trades the guaranteed
+    * completeness of the quadratic scan (impossible at 100 TB) for
+    * bounded work, the standard LSH contract (same shape as q23's
+    * MinHash bands). */
+  def cosinePairsLsh(vecs: DataFrame, threshold: Double): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("embedding")).withColumn("nrm", norm(col("embedding")))
+    val bandStructs = (0 until NeardupBands).map(b =>
+      struct(lit(b).as("band_id"), neardupBandCol("embedding", b).as("band_val")))
+    val banded = base
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id"), col("band.band_val"))
+    val cand = banded.select(col("vec_id").as("vec_id_a"), col("band_id"), col("band_val"))
+      .join(banded.select(col("vec_id").as("vec_id_b"), col("band_id"), col("band_val")),
+        Seq("band_id", "band_val"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("norm_a")), Seq("vec_id_a"))
+      .join(base.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("norm_b")), Seq("vec_id_b"))
+      .withColumn("cos", cosineFrom(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), e6(col("cos")).as("cos_e6"))
+  }
+
   /** All pairs above a cosine threshold within a bounded id range —
-    * the exact near-dup check run on exact-dedup survivors. The float
-    * threshold compare is engine-safe because both engines compute the
-    * identical double. */
+    * exact, complete, and quadratic BY NATURE: full-recall all-pairs
+    * cannot beat n^2 comparisons. Library-only utility for reranking a
+    * small, already-filtered set (never run against a raw corpus — the
+    * corpus path is cosinePairsLsh). The float threshold compare is
+    * engine-safe because both engines compute the identical double. */
   def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
     val base = vecs.select(col("vec_id"), col("embedding")).withColumn("nrm", norm(col("embedding")))
     val a = base.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))

@@ -7,7 +7,8 @@ import graft.Tables
 import graft.operators.Disambiguation
 
 /** q38: the reference disambiguation decision tree over every mention
-  * of an ambiguous catalog surface (see operators.Disambiguation). */
+  * of an ambiguous catalog surface, with SENTENCE-scoped context
+  * signals (see operators.Disambiguation). */
 object DisambiguationQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -28,22 +29,26 @@ object DisambiguationQueries {
       .map(w => s"CAST(MAX(CASE WHEN tok = '$w' THEN 1 ELSE 0 END) AS BIGINT) AS has_$w")
       .mkString(",\n    ")
     val ctxMatch = Disambiguation.CtxWords
-      .map(w => s"(ctx = '$w' AND has_$w = 1)")
+      .map(w => s"(ctx = '$w' AND coalesce(has_$w, 0) = 1)")
       .mkString(" OR ")
     s"""WITH toks AS (SELECT doc_id, $toksE AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
-       |ctxf AS (SELECT doc_id,
+       |sent AS (SELECT doc_id, t, tok, i,
+       |    coalesce(SUM(CASE WHEN tok = '${graft.operators.Gazetteer.SentenceBreakToken}' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id
+       |  FROM pos),
+       |ctxf AS (SELECT doc_id, sent_id,
        |    $hasCols
-       |  FROM pos GROUP BY doc_id),
-       |mentions AS (SELECT doc_id, i - 1 AS pos, tok AS surface,
+       |  FROM sent WHERE tok IN $ctxIn GROUP BY doc_id, sent_id),
+       |mentions AS (SELECT doc_id, sent_id, i - 1 AS pos, tok AS surface,
        |    CASE WHEN t[i+1] IN $ctxIn THEN t[i+1] END AS hint
-       |  FROM pos WHERE tok IN $surfIn),
+       |  FROM sent WHERE tok IN $surfIn),
        |cand AS (SELECT m.doc_id, m.pos, m.surface, m.hint, cat.cand_id,
        |    (m.hint IS NOT NULL AND cat.ctx = m.hint) AS hint_match,
        |    ($ctxMatch) AS ctx_match
        |  FROM mentions m
        |  JOIN $catVals ON m.surface = cat.surface
-       |  JOIN ctxf f ON m.doc_id = f.doc_id),
+       |  LEFT JOIN ctxf f ON m.doc_id = f.doc_id AND m.sent_id = f.sent_id),
        |agg AS (SELECT doc_id, pos, surface, hint,
        |    COUNT(*) AS n_cand,
        |    CAST(SUM(CASE WHEN hint_match THEN 1 ELSE 0 END) AS BIGINT) AS n_hint,

@@ -15,26 +15,37 @@ object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val Dim = 64
-  /** Bound for the exact pairwise near-dup check so the verify pass
-    * stays O(bound^2); the LSH/bucketed paths are the at-scale story. */
-  val PairBound = 500
   val NearDupThreshold = 0.4
 
-  /** q25: exact embedding-cosine near-dup pairs over a bounded corpus. */
+  /** q25: embedding-cosine near-dup pairs over the FULL corpus —
+    * multi-band LSH candidate generation (4 bands x 8 hyperplanes) with
+    * exact cosine rescoring. No bound, no cartesian: pair work is
+    * Sum(band bucket^2). Complements q42 (single 8-plane signature
+    * bucket join): the banded form trades precision of the bucket for
+    * 4 independent chances to collide, the higher-recall near-dup
+    * shape. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(
-      Tables.embeddings(s, dir).filter(col("vec_id") < PairBound), NearDupThreshold)
+    Similarity.cosinePairsLsh(Tables.embeddings(s, dir), NearDupThreshold)
       .orderBy(col("vec_id_a"), col("vec_id_b"))
 
   val embedNearDupSql: String = {
-    val dotAB = dotSql("a.embedding", "b.embedding", Dim)
-    s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm
-       |  FROM embeddings WHERE vec_id < $PairBound),
-       |scored AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       |    ($dotAB) / (a.nrm * b.nrm) AS cos
-       |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+    val dotAB = dotSql("a.emb_a", "b.emb_b", Dim)
+    val bandSelects = (0 until Similarity.NeardupBands).map { b =>
+      s"SELECT vec_id, $b AS band_id, ${Similarity.neardupBandSql("embedding", b)} AS band_val FROM base"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm FROM embeddings),
+       |banded AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT vec_id_a, vec_id_b,
+       |    ($dotAB) / (a.norm_a * b.norm_b) AS cos
+       |  FROM cand
+       |  JOIN (SELECT vec_id AS vec_id_a, embedding AS emb_a, nrm AS norm_a FROM base) a USING (vec_id_a)
+       |  JOIN (SELECT vec_id AS vec_id_b, embedding AS emb_b, nrm AS norm_b FROM base) b USING (vec_id_b))
        |SELECT vec_id_a, vec_id_b, ${e6Sql("cos")} AS cos_e6
-       |FROM scored WHERE cos >= $NearDupThreshold
+       |FROM pairs WHERE cos >= $NearDupThreshold
        |ORDER BY vec_id_a, vec_id_b""".stripMargin
   }
 

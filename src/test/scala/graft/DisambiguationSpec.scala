@@ -27,6 +27,17 @@ class DisambiguationSpec extends SparkSpec {
     assert(m._2 == "resolved" && m._3 == Some(201))
   }
 
+  test("context is sentence-scoped: a ctx word in another sentence does not resolve") {
+    // 'batch' terminates sentence 0; 'join' lives in sentence 1, so the
+    // mention of 'merge' (sentence 0) must stay ambiguous
+    val rs = resolveOne("a merge b batch join c")
+    val m = rs.find(_._1 == "merge").get
+    assert(m._2 == "ambiguous" && m._3.isEmpty && m._4 == 500L)
+    // same words, same sentence -> resolved (control)
+    val ctl = resolveOne("a merge b join c").find(_._1 == "merge").get
+    assert(ctl._2 == "resolved" && ctl._3 == Some(201))
+  }
+
   test("explicit hint wins; a hint matching no candidate is unknown_ctx at 0.4") {
     // hint 'stream' right after 'merge' -> 202 even though 'join' also present
     val hinted = resolveOne("a merge stream b join c")

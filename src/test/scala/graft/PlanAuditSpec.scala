@@ -50,6 +50,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q25 near-dup has no cartesian product — candidates come from the band join") {
+    val p = plan(SimilarityQueries.embedNearDup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("column pruning: token count reads only the needed columns") {
     val df = TextQueries.tokenCount(spark, sfDir)
     val p = plan(df)
