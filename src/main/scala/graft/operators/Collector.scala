@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,6 +13,14 @@ import org.apache.spark.sql.functions._
   * on page N), so the LOOP lives on the driver — but each page payload
   * is a distributed DataFrame and the new-vs-seen check is a
   * distributed anti-join; nothing row-level ever touches the driver.
+  *
+  * Each page is FETCHED EXACTLY ONCE: the fetch is eagerly
+  * materialized before anything consumes it, the fresh rows are
+  * materialized once before being counted and buffered, and the seen
+  * key set is re-checkpointed per page so its lineage never re-executes
+  * earlier fetches. (The naive form — an iterative union re-evaluated
+  * by every later page's count and anti-join — re-fetches O(P^2) pages
+  * against the remote portal.)
   */
 object Collector {
 
@@ -25,28 +35,35 @@ object Collector {
     */
   def collectAll(fetchPage: Int => DataFrame, keyCols: Seq[String],
                  startPage: Int = 1, maxPages: Int = 100): Sweep = {
-    var seen: Option[DataFrame] = None
+    val fresh = mutable.Buffer.empty[DataFrame]
+    var seenKeys: Option[DataFrame] = None
     var page = startPage
-    var pages = 0
+    var totalNew = 0L
     var done = false
-    while (!done && pages < maxPages) {
-      val batch = fetchPage(page)
-      val fresh = seen match {
-        case Some(s) => batch.join(s.select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti")
+    while (!done && fresh.size < maxPages) {
+      // materialize the fetch once; every later use reads the checkpoint
+      val batch = fetchPage(page).localCheckpoint(true)
+      val newRows = (seenKeys match {
+        case Some(k) => batch.join(k, keyCols, "left_anti")
         case None => batch
-      }
-      // one small action per page decides loop continuation — the same
-      // count the reference logs as "N novas"
-      val nNew = fresh.count()
+      }).localCheckpoint(true)
+      // the same count the reference logs as "N novas" — served from the
+      // materialized checkpoint, no recompute
+      val nNew = newRows.count()
       if (nNew == 0) done = true
       else {
-        seen = Some(seen.map(_.unionByName(fresh)).getOrElse(fresh))
-        pages += 1
+        fresh += newRows
+        totalNew += nNew
+        val pageKeys = newRows.select(keyCols.map(col): _*).distinct()
+        seenKeys = Some((seenKeys match {
+          case Some(k) => k.unionByName(pageKeys)
+          case None => pageKeys
+        }).localCheckpoint(true)) // truncate lineage every page
         page += 1
       }
     }
-    val out = seen.getOrElse(fetchPage(startPage).limit(0))
-    Sweep(out, pages, seen.map(_ => out.count()).getOrElse(0L))
+    val out = fresh.reduceOption(_.unionByName(_))
+      .getOrElse(fetchPage(startPage).limit(0))
+    Sweep(out, fresh.size, totalNew)
   }
 }

@@ -28,6 +28,32 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Spark conf key: when set to a directory, self-join inputs are
+    * staged as parquet there instead of localCheckpoint. */
+  val StagingDirConf = "spark.graft.stagingDir"
+
+  /** Materialization point for DataFrames feeding multiple consumers
+    * (self-join sides + size aggregates): plan reuse does not fire
+    * across joins, so without this the tokenize/explode pipeline runs
+    * once per consumer.
+    *
+    *  - default: `localCheckpoint` — fast, executor-local, NOT
+    *    fault-tolerant (a lost executor loses its partitions and fails
+    *    the job at 1000-node scale);
+    *  - with `spark.graft.stagingDir` set: a staging parquet write +
+    *    read-back — the reliable production form (any executor can
+    *    re-read lost partitions from shared storage). */
+  def stage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(StagingDirConf) match {
+      case Some(dir) =>
+        val path = s"$dir/stage_${java.util.UUID.randomUUID()}"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(false)
+    }
+  }
+
   /** Exact dedup: keep the smallest id per content hash. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("content_key"))
@@ -63,7 +89,7 @@ object Dedup {
     // the shingle set feeds three consumers (sizes + both join sides);
     // materialize it once instead of recomputing the tokenize/explode
     // pipeline three times (plan reuse doesn't fire across the joins)
-    val capped = cappedPlan.localCheckpoint(false)
+    val capped = stage(cappedPlan)
     val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val a = capped.select(col(idCol).as("doc_a"), col("shingle"))
     val b = capped.select(col(idCol).as("doc_b"), col("shingle"))
@@ -103,7 +129,7 @@ object Dedup {
 
   /** Candidate pairs sharing >=1 LSH band, with the band-agreement count. */
   def minhashCandidates(sig: DataFrame, idCol: String): DataFrame = {
-    val bands = minhashBands(sig, idCol).localCheckpoint(false)
+    val bands = stage(minhashBands(sig, idCol))
     val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_val"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_val"))
     a.join(b, Seq("band_id", "band_val"))
@@ -147,10 +173,9 @@ object Dedup {
     val bandStructs = (0 until SimhashBandCount).map(b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_val")))
-    val banded = values.select(col("simhash"), col("n_docs"), col("min_doc"),
+    val banded = stage(values.select(col("simhash"), col("n_docs"), col("min_doc"),
       explode(array(bandStructs: _*)).as("band"))
-      .select(col("simhash"), col("n_docs"), col("min_doc"), col("band.band_id"), col("band.band_val"))
-      .localCheckpoint(false)
+      .select(col("simhash"), col("n_docs"), col("min_doc"), col("band.band_id"), col("band.band_val")))
     val a = banded.select(col("simhash").as("sim_a"), col("n_docs").as("n_docs_a"),
       col("min_doc").as("min_doc_a"), col("band_id"), col("band_val"))
     val b = banded.select(col("simhash").as("sim_b"), col("n_docs").as("n_docs_b"),

@@ -37,5 +37,17 @@ class ArticleStoreSpec extends SparkSpec {
     // pruning reaches the scan: partition filters present in the plan
     val plan = listed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("portal_name"), plan)
+
+    // city secondary index: listByCity prunes on the city partition
+    // instead of scanning the store with array_contains
+    val byCity = ArticleStore.listByCity(spark, dir, "cityA", "2024-05-01", "2024-05-02")
+    assert(byCity.select("url").as[String].collect().sorted.toSeq == Seq("u1", "u3"))
+    val cityPlan = byCity.queryExecution.executedPlan.toString
+    assert(cityPlan.contains("PartitionFilters") && cityPlan.contains("city"), cityPlan)
+    assert(!cityPlan.contains("array_contains"), cityPlan)
+
+    // full-row variant returns the same articles via the semi join
+    val fullRows = ArticleStore.listArticlesByCity(spark, dir, "cityA", "2024-05-01", "2024-05-02")
+    assert(fullRows.select("url").as[String].collect().sorted.toSeq == Seq("u1", "u3"))
   }
 }

@@ -22,6 +22,17 @@ class CollectorSpec extends SparkSpec {
     assert(urls == Seq("u1", "u2", "u3"))
   }
 
+  test("each page is fetched exactly once (no O(P^2) refetch)") {
+    val fetches = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    def counted(n: Int): DataFrame = { fetches(n) += 1; page(n) }
+    val sweep = Collector.collectAll(counted, Seq("portal_name", "url"))
+    // force full consumption of the result AFTER the sweep — the
+    // buffered pages are materialized, so this must not refetch
+    assert(sweep.articles.count() == 3)
+    assert(sweep.articles.count() == 3)
+    assert(fetches.toMap == Map(1 -> 1, 2 -> 1, 3 -> 1), fetches.toString)
+  }
+
   test("maxPages bounds the sweep") {
     def endless(n: Int): DataFrame =
       Seq(("p", s"u$n", "x")).toDF("portal_name", "url", "body")

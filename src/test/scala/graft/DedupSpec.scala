@@ -30,6 +30,21 @@ class DedupSpec extends SparkSpec {
     assert(p.getLong(2) == 5L && p.getLong(3) == 7L)
   }
 
+  test("staging-parquet mode produces identical pairs and writes staging files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    val defaultPairs = Dedup.jaccardPairs(Dedup.shingles(reps, "text", "doc_id"), "doc_id")
+      .select("doc_a", "doc_b", "intersect_n", "union_n").collect().map(_.toSeq).toSet
+    spark.conf.set(Dedup.StagingDirConf, dir)
+    try {
+      val stagedPairs = Dedup.jaccardPairs(Dedup.shingles(reps, "text", "doc_id"), "doc_id")
+        .select("doc_a", "doc_b", "intersect_n", "union_n").collect().map(_.toSeq).toSet
+      assert(stagedPairs == defaultPairs)
+      val staged = new java.io.File(dir).list()
+      assert(staged != null && staged.exists(_.startsWith("stage_")), s"no staging write in $dir")
+    } finally spark.conf.unset(Dedup.StagingDirConf)
+  }
+
   test("minhash candidates include the true near-dup pair") {
     val reps = Dedup.exact(docs, "text", "doc_id")
     val cands = Dedup.minhashCandidates(
