@@ -183,12 +183,18 @@ object ContextQueries {
   def stateMentions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val states = broadcast(States.toDF("name", "folded", "uf"))
-    Tables.documents(s, dir)
+    // fold + token-split ONCE per document BEFORE the 27x state
+    // expansion — inside the join they would be recomputed per state
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), surfaceCol.as("surface"))
+      .select(col("doc_id"),
+        fold(col("surface")).as("folded_surface"),
+        split(upper(col("surface")), UpperSepRegex).as("upper_toks"))
+    docs
       .crossJoin(states)
       .filter(
-        fold(col("surface")).contains(col("folded")) ||
-          array_contains(split(upper(col("surface")), UpperSepRegex), col("uf")))
+        col("folded_surface").contains(col("folded")) ||
+          array_contains(col("upper_toks"), col("uf")))
       .select(col("doc_id"), col("uf"))
       .distinct()
       .orderBy(col("doc_id"), col("uf"))
@@ -205,11 +211,15 @@ object ContextQueries {
        |    || CASE WHEN doc_id % 2 = 0 THEN ' (' || ($ufList)[CAST((doc_id * 11 + 5) % 27 + 1 AS INT)] || ')' ELSE '' END
        |    || CASE WHEN doc_id % 7 = 0 THEN ' no estado do ' || ($ufList)[CAST((doc_id * 17 + 2) % 27 + 1 AS INT)] ELSE '' END
        |    AS surface
-       |  FROM documents)
+       |  FROM documents),
+       |prepped AS (SELECT doc_id,
+       |    lower(strip_accents(translate(surface, '-‐‑‒–—―­', '       '))) AS folded_surface,
+       |    string_split_regex(upper(surface), '$UpperSepRegex') AS upper_toks
+       |  FROM surf)
        |SELECT DISTINCT doc_id, uf
-       |FROM surf CROSS JOIN $statesValues
-       |WHERE contains(lower(strip_accents(translate(surface, '-‐‑‒–—―­', '       '))), folded)
-       |   OR list_contains(string_split_regex(upper(surface), '$UpperSepRegex'), uf)
+       |FROM prepped CROSS JOIN $statesValues
+       |WHERE contains(folded_surface, folded)
+       |   OR list_contains(upper_toks, uf)
        |ORDER BY doc_id, uf""".stripMargin
   }
 
