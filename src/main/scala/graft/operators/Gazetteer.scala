@@ -228,30 +228,29 @@ object Gazetteer {
   /** Suppression audit trail (aggregator.py:173 `_register_suppression`):
     * each losing candidate is recorded at the FIRST selection step that
     * eliminated it — reason "lower_score" at step 1, reason "tie_break"
-    * with the step's rule name after that. Expressed as staged window
-    * maxima over the doc partition (all six windows share one hash
-    * partitioning, so this is ONE exchange, not six). */
+    * with the step's rule name after that.
+    *
+    * The six staged conditional extrema ("max admin among max score",
+    * "max title among those", ...) are all fields of ONE lexicographic
+    * struct max: struct ordering compares field-by-field, so the max
+    * tuple fixes each prefix and its k-th field IS the step-k
+    * conditional extremum. Minimized fields (context mismatches, kw id)
+    * enter negated. One window aggregate, one exchange, one pass. */
   def suppressions(ctxMatches: DataFrame, idCol: String): DataFrame = {
     val wd = Window.partitionBy(col(idCol))
-    val s1 = col("score_milli") === col("m1")
-    val s2 = s1 && col("admin_markers") === col("m2")
-    val s3 = s2 && col("title_boost_milli") === col("m3")
-    val s4 = s3 && col("context_mismatches") === col("m4")
-    val s5 = s4 && col("occurrences") === col("m5")
+    val chain = struct(
+      col("score_milli"), col("admin_markers"), col("title_boost_milli"),
+      (-col("context_mismatches")).as("neg_ctx"), col("occurrences"),
+      (-col("kw_id")).as("neg_kw"))
     ctxMatches
-      .withColumn("m1", max(col("score_milli")).over(wd))
-      .withColumn("m2", max(when(s1, col("admin_markers"))).over(wd))
-      .withColumn("m3", max(when(s2, col("title_boost_milli"))).over(wd))
-      .withColumn("m4", min(when(s3, col("context_mismatches"))).over(wd))
-      .withColumn("m5", max(when(s4, col("occurrences"))).over(wd))
-      .withColumn("m6", min(when(s5, col("kw_id"))).over(wd))
+      .withColumn("best", max(chain).over(wd))
       .withColumn("rule",
-        when(!s1, "score")
-          .when(!s2, "admin_marker")
-          .when(!s3, "title_boost")
-          .when(!s4, "context_uf")
-          .when(!s5, "occurrences")
-          .when(col("kw_id") =!= col("m6"), "city_id"))
+        when(col("score_milli") =!= col("best.score_milli"), "score")
+          .when(col("admin_markers") =!= col("best.admin_markers"), "admin_marker")
+          .when(col("title_boost_milli") =!= col("best.title_boost_milli"), "title_boost")
+          .when(-col("context_mismatches") =!= col("best.neg_ctx"), "context_uf")
+          .when(col("occurrences") =!= col("best.occurrences"), "occurrences")
+          .when(-col("kw_id") =!= col("best.neg_kw"), "city_id"))
       .filter(col("rule").isNotNull)
       .withColumn("reason",
         when(col("rule") === "score", "lower_score").otherwise("tie_break"))
