@@ -28,6 +28,29 @@ object TextFunctions {
   def fold(c: Column): Column =
     lower(stripAccents(translate(c, HyphenChars, HyphenRepl)))
 
+  /** Per-character fold result for ONE character: hyphen variants ->
+    * space, soft hyphen -> deleted (empty), else lower+de-accent. The
+    * per-char mapping composes to exactly `fold` over the whole string. */
+  private def foldChar(ch: Column): Column =
+    when(ch.isin(HyphenChars.dropRight(1).map(_.toString): _*), lit(" "))
+      .when(ch === "\u00AD", lit("")) // soft hyphen: deleted
+      .otherwise(lower(stripAccents(ch)))
+
+  /** `normalize_text_with_offsets` (normalization.py:191) — the folded
+    * text PLUS the offsets array mapping each folded character back to
+    * the index of its originating character, so dictionary matches on
+    * the folded form can be projected onto the original text. Pure
+    * higher-order column functions: per-char map, join, and an offset
+    * flatten (a char contributes its index once per emitted char, zero
+    * times when deleted). Returns struct(folded, offsets). */
+  def foldWithOffsets(c: Column): Column = {
+    val cs = split(c, "")
+    val mapped = transform(cs, ch => foldChar(ch))
+    val offsets = flatten(zip_with(mapped, sequence(lit(0), size(cs) - 1),
+      (m, i) => array_repeat(i, length(m))))
+    struct(array_join(mapped, "").as("folded"), offsets.as("offsets"))
+  }
+
   /** Boilerplate-line removal + whitespace collapse
     * (reference: normalization.py:77 `normalize_article_text`).
     * Pattern avoids Java-only regex features so the DuckDB (RE2) oracle

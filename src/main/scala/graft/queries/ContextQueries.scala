@@ -223,13 +223,66 @@ object ContextQueries {
        |ORDER BY doc_id, uf""".stripMargin
   }
 
+  // ---- q59: fold with offsets ----
+
+  /** Accented / hyphen-variant / soft-hyphen decorations appended to a
+    * text prefix so the offset mapping is exercised on every rule
+    * (the corpus itself is plain ASCII). U+2011 non-breaking hyphen in
+    * "pré-história", em dash in "São—Paulo", soft hyphen in "trena". */
+  private val Decor = Seq(
+    "Ação-Física", "coração útil", "pré‑história", "São—Paulo", "tr­ena")
+
+  /** q59: normalize_text_with_offsets (normalization.py:191) — the
+    * matching-normalized text plus the folded-char -> original-char
+    * offset map (needed to project dictionary matches back onto the
+    * original text). Offsets are emitted CSV-joined so the driver's
+    * cell compare stays scalar. */
+  def foldOffsets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), lit(" "),
+          element_at(array(Decor.map(lit): _*), (col("doc_id") % 5 + 1).cast("int"))).as("surface"))
+      .select(col("doc_id"), foldWithOffsets(col("surface")).as("fo"))
+      .select(col("doc_id"),
+        col("fo.folded").as("folded"),
+        size(col("fo.offsets")).cast("long").as("n_out"),
+        array_join(transform(col("fo.offsets"), x => x.cast("string")), ",").as("offsets_csv"))
+      .orderBy(col("doc_id"))
+
+  val foldOffsetsSql: String = {
+    val decorList = Decor.map {
+      case d if d.contains("­") =>
+        val Array(a, b) = d.split("­", 2); s"'$a' || chr(173) || '$b'"
+      case d => s"'$d'"
+    }.mkString("[", ", ", "]")
+    s"""WITH surf AS (SELECT doc_id,
+       |    substring(text, 1, 40) || ' ' || ($decorList)[CAST(doc_id % 5 + 1 AS INT)] AS surface
+       |  FROM documents),
+       |m AS (SELECT doc_id, list_transform(string_split(surface, ''), c ->
+       |    CASE WHEN c IN ('-', '‐', '‑', '‒', '–', '—', '―') THEN ' '
+       |         WHEN c = chr(173) THEN ''
+       |         ELSE lower(strip_accents(c)) END) AS mapped
+       |  FROM surf),
+       |o AS (SELECT doc_id, mapped,
+       |    flatten(list_transform(mapped, (mm, i) ->
+       |      CASE WHEN mm = '' THEN [] ELSE list_transform(string_split(mm, ''), c2 -> i - 1) END)) AS offs
+       |  FROM m)
+       |SELECT doc_id,
+       |  array_to_string(mapped, '') AS folded,
+       |  CAST(len(offs) AS BIGINT) AS n_out,
+       |  array_to_string(offs, ',') AS offsets_csv
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_context_gazetteer" -> (contextGazetteer _),
     "q57_suppression_audit" -> (suppressionAudit _),
-    "q58_state_mentions" -> (stateMentions _))
+    "q58_state_mentions" -> (stateMentions _),
+    "q59_fold_offsets" -> (foldOffsets _))
 
   val oracles: Map[String, String] = Map(
     "q56_context_gazetteer" -> contextGazetteerSql,
     "q57_suppression_audit" -> suppressionAuditSql,
-    "q58_state_mentions" -> stateMentionsSql)
+    "q58_state_mentions" -> stateMentionsSql,
+    "q59_fold_offsets" -> foldOffsetsSql)
 }

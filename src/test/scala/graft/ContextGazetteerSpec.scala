@@ -75,6 +75,22 @@ class ContextGazetteerSpec extends SparkSpec {
     assert(rows.map(_._2).forall(valid.contains))
   }
 
+  test("foldWithOffsets maps folded chars back to source indices") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{fold, foldWithOffsets}
+    // "Ação-X" -> folded "acao x": 'ç' (idx 2) keeps its index, the
+    // hyphen (idx 4) becomes the space, soft hyphen (in "tr­ena")
+    // is deleted so its index never appears
+    val df = Seq((1L, "Ação-X"), (2L, "tr­ena")).toDF("id", "t")
+      .select(col("id"), fold(col("t")).as("whole"), foldWithOffsets(col("t")).as("fo"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getStruct(2).getString(0), r.getStruct(2).getSeq[Int](1))).toMap
+    assert(df(1L)._2 == "acao x" && df(1L)._2 == df(1L)._1)
+    assert(df(1L)._3 == Seq(0, 1, 2, 3, 4, 5))
+    assert(df(2L)._2 == "trena" && df(2L)._2 == df(2L)._1)
+    assert(df(2L)._3 == Seq(0, 1, 3, 4, 5)) // index 2 (soft hyphen) skipped
+  }
+
   test("q56/q57 shapes: one primary per doc; audit rows only for losers") {
     val q56 = ContextQueries.contextGazetteer(spark, sfDir)
     val nDocs = q56.select("doc_id").distinct().count()
