@@ -56,36 +56,34 @@ object Disambiguation {
     val ctxAny = CtxWords.map(x => x: Any)
     val surfAny = Surfaces.map(x => x: Any)
 
-    val wSent = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // SINGLE-PASS: one scan + explode; sentence ids, the next-token
+    // hint and the per-sentence context flags are all windows over the
+    // same stream (no second scan, no sentence-keyed shuffle join)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wSentPrefix = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val wSent = Window.partitionBy(col(idCol), col("sent_id"))
     val toks = docs
-      .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
-      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col(idCol), posexplode(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
       .withColumn("sent_id",
         coalesce(sum(when(col("tok") === Gazetteer.SentenceBreakToken, 1L).otherwise(0L))
-          .over(wSent), lit(0L)))
-
-    // per-sentence context flags, aggregated over ctx-word hits only
-    val flagCols = CtxWords.map(w => max(when(col("tok") === w, 1L).otherwise(0L)).as(s"has_$w"))
-    val ctxFlags = toks
-      .filter(col("tok").isin(ctxAny: _*))
-      .groupBy(col(idCol), col("sent_id"))
-      .agg(flagCols.head, flagCols.tail: _*)
+          .over(wSentPrefix), lit(0L)))
+      .withColumn("next_tok", lead(col("tok"), 1).over(wDoc))
+    val flagged = CtxWords.foldLeft(toks) { (df, w) =>
+      df.withColumn(s"has_$w", max(when(col("tok") === w, 1L).otherwise(0L)).over(wSent))
+    }
 
     // mentions with the optional explicit next-token hint
-    val mentions = toks
+    val mentions = flagged
       .filter(col("tok").isin(surfAny: _*))
-      .withColumn("hint",
-        when(get(col("toks"), col("pos") + 1).isin(ctxAny: _*), get(col("toks"), col("pos") + 1)))
-      .select(col(idCol), col("sent_id"), col("pos"), col("tok").as("surface"), col("hint"))
+      .withColumn("hint", when(col("next_tok").isin(ctxAny: _*), col("next_tok")))
+      .select(col(idCol) +: col("pos") +: col("tok").as("surface") +: col("hint") +:
+        CtxWords.map(w => col(s"has_$w")): _*)
 
     val withCands = mentions
       .join(broadcast(catalogDf(s)), Seq("surface"))
-      .join(ctxFlags, Seq(idCol, "sent_id"), "left")
       .withColumn("hint_match", col("hint").isNotNull && col("ctx") === col("hint"))
       .withColumn("ctx_match",
-        coalesce(CtxWords.map(w => col("ctx") === w && col(s"has_$w") === 1L).reduce(_ || _),
-          lit(false)))
+        CtxWords.map(w => col("ctx") === w && col(s"has_$w") === 1L).reduce(_ || _))
       .withColumn("both_match", col("hint_match") && col("ctx_match"))
 
     val agg = withCands

@@ -161,37 +161,54 @@ object Gazetteer {
   /** Per-(doc, keyword) aggregation with the full context chain:
     * occurrences, admin_markers, title_boost_milli, score_milli (sum of
     * per-match context-adjusted confidences), context_matches,
-    * context_mismatches. One shuffle keyed on the doc id for the
-    * sentence window, one for the sentence-context join, one for the
-    * final per-(doc, kw) aggregate — no step is ever per-document
-    * sequential. */
+    * context_mismatches.
+    *
+    * SINGLE-PASS over the corpus: the document is scanned, folded and
+    * exploded exactly once. Everything the reference derives by
+    * re-walking the text — token neighbors for admin adjacency, the
+    * sentence's context UF — is a window function over that same
+    * exploded stream:
+    *
+    *  - `lag`/`lead` replace the carried token array (each exploded row
+    *    stays a few bytes wide instead of duplicating the whole doc);
+    *  - the per-sentence context UF is `min(state_uf)` over
+    *    (doc, sent_id) — the reference's sorted(mentions)[0] — computed
+    *    in-stream instead of a second scan + aggregate + shuffle join.
+    *
+    * Physical shape: one parquet scan, one exchange on the doc id (the
+    * (doc, sent_id) window reuses it: hash(doc) clusters sentences),
+    * one final exchange for the per-(doc, kw) aggregate. */
   def contextMatches(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
     val admin = AdminWords.map(x => x: Any)
-    val wSent = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wSentPrefix = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val wSent = Window.partitionBy(col(idCol), col("sent_id"))
+    // tok -> home UF of the state word, null for non-state tokens; the
+    // 6-entry table inlines as a codegen'd CASE chain
+    val stateUf = StateWords
+      .foldLeft(when(lit(false), lit(null).cast("string"))) {
+        case (acc, (w, uf)) => acc.when(col("tok") === w, uf)
+      }
     val toks = docs
-      .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
-      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col(idCol), posexplode(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
       .withColumn("sent_id",
-        coalesce(sum(when(col("tok") === SentenceBreakToken, 1L).otherwise(0L)).over(wSent), lit(0L)))
-    // alphabetically-first state mentioned in each sentence
-    val ctx = toks
-      .join(broadcast(statesDf(s)), col("tok") === col("state_word"))
-      .groupBy(col(idCol), col("sent_id"))
-      .agg(min(col("uf")).as("ctx_uf"))
+        coalesce(sum(when(col("tok") === SentenceBreakToken, 1L).otherwise(0L)).over(wSentPrefix), lit(0L)))
+      .withColumn("prev_tok", lag(col("tok"), 1).over(wDoc))
+      .withColumn("next_tok", lead(col("tok"), 1).over(wDoc))
     val sig = toks
+      // alphabetically-first state mentioned in the row's sentence,
+      // null when the sentence mentions none (min skips nulls)
+      .withColumn("ctx_uf", min(stateUf).over(wSent))
       .withColumn("admin_adj",
-        coalesce(get(col("toks"), col("pos") + 1).isin(admin: _*), lit(false)) ||
-          coalesce(get(col("toks"), col("pos") - 1).isin(admin: _*), lit(false)))
+        coalesce(col("next_tok").isin(admin: _*), lit(false)) ||
+          coalesce(col("prev_tok").isin(admin: _*), lit(false)))
       .withColumn("in_title", col("sent_id") === 0L)
-      .drop("toks")
     val conf = col("weight_milli") +
       when(col("in_title"), TitleBoostMilli).otherwise(0L) +
       when(col("admin_adj"), AdminMarkerMilli).otherwise(0L)
     val matchRows = sig
       .join(broadcast(catalog(s)), col("tok") === col("keyword"))
       .join(broadcast(keywordUfDf(s)), Seq("kw_id"))
-      .join(ctx, Seq(idCol, "sent_id"), "left")
       .withColumn("conf_milli", conf)
       .withColumn("adjusted_milli",
         when(col("ctx_uf").isNull, col("conf_milli"))

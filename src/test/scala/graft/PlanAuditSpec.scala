@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{ContextQueries, DisambiguationQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Plan-shape audit: asserts the physical-plan properties the 100 TB
   * design depends on — filters reaching the parquet scan, small dims
@@ -54,6 +54,24 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(SimilarityQueries.embedNearDup(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(_.contains("Scan parquet"))
+
+  test("q38 disambiguation scans the corpus exactly once (single-pass token stream)") {
+    val p = plan(DisambiguationQueries.disambiguation(spark, sfDir))
+    assert(scanCount(p) == 1, p)
+  }
+
+  test("q56 context gazetteer scans the corpus exactly once (ctx-UF via in-stream window)") {
+    val p = plan(ContextQueries.contextGazetteer(spark, sfDir))
+    assert(scanCount(p) == 1, p)
+  }
+
+  test("q57 suppression audit scans the corpus exactly once") {
+    val p = plan(ContextQueries.suppressionAudit(spark, sfDir))
+    assert(scanCount(p) == 1, p)
   }
 
   test("column pruning: token count reads only the needed columns") {
