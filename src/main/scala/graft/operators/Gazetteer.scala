@@ -30,7 +30,11 @@ import graft.functions.TextFunctions._
 object Gazetteer {
 
   /** (kwId, keyword, category, weightMilli) — the catalog plays the role
-    * of the IBGE municipality gazetteer (data/municipios_br_v1.json). */
+    * of the IBGE municipality gazetteer (data/municipios_br_v1.json).
+    * Keywords 15+ are MULTI-TOKEN, the analog of multi-word municipality
+    * names ("rio de janeiro") the reference's char-level automaton
+    * matches as units (city_matching/matcher.py:89 keys are whole
+    * normalized names, not tokens). */
   val DefaultCatalog: Seq[(Int, String, String, Long)] = Seq(
     (1, "spark", "engine", 950L),
     (2, "join", "op", 900L),
@@ -45,7 +49,37 @@ object Gazetteer {
     (11, "table", "noun", 450L),
     (12, "scan", "op", 400L),
     (13, "hash", "op", 350L),
-    (14, "group", "op", 300L))
+    (14, "group", "op", 300L),
+    (15, "hash join", "op", 980L),
+    (16, "sort merge join", "op", 990L),
+    (17, "stream filter", "op", 720L),
+    (18, "query window", "noun", 520L))
+
+  /** Alternate surface forms resolving to the same keyword id — the
+    * catalog's `alt_names` (city_matching/catalog.py; matcher.py:69
+    * inserts every variant under the same city_id, keeping the
+    * canonical name on the match). Variants are pre-folded, exactly as
+    * matcher.py:75 normalizes each variant before insertion. */
+  val AltNames: Seq[(Int, String)] = Seq(
+    2 -> "merge join",
+    15 -> "hash merge",
+    18 -> "query vector")
+
+  /** Longest keyword variant, in tokens. */
+  val MaxKeywordTokens: Int =
+    (DefaultCatalog.map(_._2) ++ AltNames.map(_._2)).map(_.split(" ").length).max
+
+  /** (variant, kw_id, keyword, category, weight_milli): one row per
+    * surface form; `keyword` is the canonical name (aggregation and
+    * tie-breaks run on canonical identity, never on the variant). */
+  val Variants: Seq[(String, Int, String, String, Long)] = {
+    val byId = DefaultCatalog.map(e => e._1 -> e).toMap
+    DefaultCatalog.map(e => (e._2, e._1, e._2, e._3, e._4)) ++
+      AltNames.map { case (id, alt) =>
+        val (_, name, cat, w) = (byId(id)._1, byId(id)._2, byId(id)._3, byId(id)._4)
+        (alt, id, name, cat, w)
+      }
+  }
 
   /** Modifier words whose adjacency boosts a match — the analog of the
     * reference's admin markers "prefeito/governador/..." near a city
@@ -56,27 +90,45 @@ object Gazetteer {
   val TitleBoostMilli = 400L // signals.py:22 TITLE_BOOST_WEIGHT = 0.4
   val AdminMarkerMilli = 600L // signals.py:23 ADMIN_MARKER_WEIGHT = 0.6
 
-  def catalog(s: SparkSession): DataFrame = {
+  def variantsDf(s: SparkSession): DataFrame = {
     import s.implicits._
-    DefaultCatalog.toDF("kw_id", "keyword", "category", "weight_milli")
+    Variants.toDF("variant", "kw_id", "keyword", "category", "weight_milli")
   }
 
+  /** Candidate n-grams (n = 1..MaxKeywordTokens) anchored at each token
+    * position, built from the carried token array: struct(n, gram),
+    * gram null when it would run off the array. The explode multiplies
+    * the stream by MaxKeywordTokens map-side only — the broadcast
+    * variant join immediately collapses it to actual matches. This is
+    * the Spark form of the automaton emitting every keyword ending at
+    * each char (matcher.py:138): token-anchored grams inherit the
+    * word-boundary guarantee (matcher.py:116 `_boundary_ok`) for free. */
+  private def gramStructs: Seq[Column] =
+    (1 to MaxKeywordTokens).map { n =>
+      val parts = col("tok") +: (1 until n).map(k => get(col("toks"), col("pos") + k))
+      struct(lit(n).as("n"),
+        when(col("pos") + n <= size(col("toks")), concat_ws(" ", parts: _*)).as("gram"))
+    }
+
   /** Per-(doc, keyword) aggregated match payload: occurrences,
-    * admin_markers, title_boost_sum, score_milli. */
-  def matches(docs: DataFrame, cat: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * admin_markers, title_boost_sum, score_milli. Multi-token variants
+    * match as units; a match's admin adjacency looks at the token
+    * BEFORE the match and the token AFTER its last token. */
+  def matches(docs: DataFrame, variants: DataFrame, textCol: String, idCol: String): DataFrame = {
     val admin = AdminWords.map(x => x: Any)
     val toks = docs
       .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
       .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
-    // neighbors via 0-based get() (null-safe out of bounds); pos is 0-based
-    val withSignals = toks
+    val cands = toks
+      .withColumn("g", explode(array(gramStructs: _*)))
+      .filter(col("g.gram").isNotNull)
       .withColumn("admin_adj",
-        coalesce(get(col("toks"), col("pos") + 1).isin(admin: _*), lit(false)) ||
+        coalesce(get(col("toks"), col("pos") + col("g.n")).isin(admin: _*), lit(false)) ||
           coalesce(get(col("toks"), col("pos") - 1).isin(admin: _*), lit(false)))
       .withColumn("in_title_zone", col("pos") < TitleZoneTokens)
-      .drop("toks")
-    withSignals
-      .join(broadcast(cat), col("tok") === col("keyword"))
+      .select(col(idCol), col("g.gram").as("gram"), col("admin_adj"), col("in_title_zone"))
+    cands
+      .join(broadcast(variants), col("gram") === col("variant"))
       .groupBy(col(idCol), col("kw_id"), col("keyword"), col("weight_milli"))
       .agg(
         count(lit(1)).as("occurrences"),
@@ -86,6 +138,19 @@ object Gazetteer {
         col("occurrences") * col("weight_milli") +
           col("admin_markers") * AdminMarkerMilli + col("title_boost_milli"))
   }
+
+  /** Match-level detail rows (doc, start pos, token span, variant,
+    * canonical keyword) — the automaton's raw CityMatch feed
+    * (matcher.py:148: city_id + canonical name + the matched surface). */
+  def matchDetails(docs: DataFrame, variants: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("g", explode(array(gramStructs: _*)))
+      .filter(col("g.gram").isNotNull)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("g.n").cast("long").as("n_toks"), col("g.gram").as("gram"))
+      .join(broadcast(variants), col("gram") === col("variant"))
 
   /** Primary keyword per document via the reference's tie-break chain
     * (aggregator.py:193 primary_city_selection). */
@@ -99,11 +164,22 @@ object Gazetteer {
       .drop("rn")
   }
 
-  /** The catalog as a DuckDB VALUES clause for oracle SQL. */
-  def catalogValuesSql: String =
-    DefaultCatalog
-      .map { case (id, kw, cat, w) => s"($id, '$kw', '$cat', CAST($w AS BIGINT))" }
-      .mkString("(VALUES ", ", ", ") AS catalog(kw_id, keyword, category, weight_milli)")
+  /** The variant table as a DuckDB VALUES clause for oracle SQL. */
+  def variantsValuesSql: String =
+    Variants
+      .map { case (v, id, kw, cat, w) => s"('$v', $id, '$kw', '$cat', CAST($w AS BIGINT))" }
+      .mkString("(VALUES ", ", ", ") AS variants(variant, kw_id, keyword, category, weight_milli)")
+
+  /** Guarded n-gram candidate CTE body over a token CTE exposing
+    * (doc_id, t, tok, i [1-based], ...extraCols): one UNION ALL branch
+    * per n. Mirrors `gramStructs` exactly (DuckDB t[i+k] is null-safe
+    * past the end, but the explicit len guard keeps rows null-free). */
+  def gramsCteSql(fromCte: String, extraCols: String = ""): String =
+    (1 to MaxKeywordTokens).map { n =>
+      val parts = "tok" +: (1 until n).map(k => s"t[i+$k]")
+      val guard = if (n == 1) "" else s" WHERE i + ${n - 1} <= len(t)"
+      s"SELECT doc_id, t, i$extraCols, $n AS n, ${parts.mkString(" || ' ' || ")} AS gram FROM $fromCte$guard"
+    }.mkString("\n  UNION ALL ")
 
   def adminListSql: String = AdminWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -142,7 +218,7 @@ object Gazetteer {
   val KeywordUf: Seq[(Int, String)] = Seq(
     1 -> "DT", 2 -> "RW", 3 -> "LN", 4 -> "CL", 5 -> "VC", 6 -> "KY",
     7 -> "DT", 8 -> "RW", 9 -> "LN", 10 -> "CL", 11 -> "VC", 12 -> "KY",
-    13 -> "DT", 14 -> "RW")
+    13 -> "DT", 14 -> "RW", 15 -> "CL", 16 -> "VC", 17 -> "KY", 18 -> "LN")
 
   val ContextMatchBonusMilli = 300L // aggregator.py:11 CONTEXT_MATCH_BONUS = 0.3
   val ContextMismatchPenaltyMilli = 700L // aggregator.py:12 CONTEXT_MISMATCH_PENALTY = 0.7
@@ -194,20 +270,41 @@ object Gazetteer {
       .withColumn("sent_id",
         coalesce(sum(when(col("tok") === SentenceBreakToken, 1L).otherwise(0L)).over(wSentPrefix), lit(0L)))
       .withColumn("prev_tok", lag(col("tok"), 1).over(wDoc))
-      .withColumn("next_tok", lead(col("tok"), 1).over(wDoc))
-    val sig = toks
+    // next_1..next_MaxN: the gram-building lookahead (and the
+    // token-after-the-match for admin adjacency), still the same
+    // single window sort — no token array is ever carried
+    val withNext = (1 to MaxKeywordTokens).foldLeft(toks) { (df, k) =>
+      df.withColumn(s"next_$k", lead(col("tok"), k).over(wDoc))
+    }
+    // candidate n-grams anchored at this row; null when they would run
+    // past the document end (lead is null past the partition)
+    val gramCols = (1 to MaxKeywordTokens).map { n =>
+      val gram =
+        if (n == 1) col("tok")
+        else when(col(s"next_${n - 1}").isNotNull,
+          concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"next_$k")): _*))
+      struct(lit(n).as("n"), gram.as("gram"))
+    }
+    // token following the matched span: next_n for an n-token match
+    val afterTok = (1 to MaxKeywordTokens)
+      .foldLeft(when(lit(false), lit(null).cast("string"))) { (acc, k) =>
+        acc.when(col("g.n") === k, col(s"next_$k"))
+      }
+    val sig = withNext
       // alphabetically-first state mentioned in the row's sentence,
       // null when the sentence mentions none (min skips nulls)
       .withColumn("ctx_uf", min(stateUf).over(wSent))
-      .withColumn("admin_adj",
-        coalesce(col("next_tok").isin(admin: _*), lit(false)) ||
-          coalesce(col("prev_tok").isin(admin: _*), lit(false)))
       .withColumn("in_title", col("sent_id") === 0L)
+      .withColumn("g", explode(array(gramCols: _*)))
+      .filter(col("g.gram").isNotNull)
+      .withColumn("admin_adj",
+        coalesce(afterTok.isin(admin: _*), lit(false)) ||
+          coalesce(col("prev_tok").isin(admin: _*), lit(false)))
     val conf = col("weight_milli") +
       when(col("in_title"), TitleBoostMilli).otherwise(0L) +
       when(col("admin_adj"), AdminMarkerMilli).otherwise(0L)
     val matchRows = sig
-      .join(broadcast(catalog(s)), col("tok") === col("keyword"))
+      .join(broadcast(variantsDf(s)), col("g.gram") === col("variant"))
       .join(broadcast(keywordUfDf(s)), Seq("kw_id"))
       .withColumn("conf_milli", conf)
       .withColumn("adjusted_milli",

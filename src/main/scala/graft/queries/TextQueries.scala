@@ -76,7 +76,7 @@ object TextQueries {
     * CityMatcher scan, matcher.py:44). */
   def keywordMentions(s: SparkSession, dir: String): DataFrame =
     Gazetteer
-      .matches(Tables.documents(s, dir), Gazetteer.catalog(s), "text", "doc_id")
+      .matches(Tables.documents(s, dir), Gazetteer.variantsDf(s), "text", "doc_id")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("occurrences")).as("n_mentions"),
@@ -87,16 +87,17 @@ object TextQueries {
   private def matchesCteSql: String =
     s"""toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
-       |sig AS (SELECT doc_id, tok,
-       |    coalesce(t[i+1] IN ${Gazetteer.adminListSql}, false)
+       |grams AS (${Gazetteer.gramsCteSql("pos")}),
+       |sig AS (SELECT doc_id, gram,
+       |    coalesce(t[i+n] IN ${Gazetteer.adminListSql}, false)
        |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
        |    i <= ${Gazetteer.TitleZoneTokens} AS in_title
-       |  FROM pos),
+       |  FROM grams),
        |m AS (SELECT doc_id, kw_id, keyword, weight_milli,
        |    COUNT(*) AS occurrences,
        |    CAST(SUM(CASE WHEN admin_adj THEN 1 ELSE 0 END) AS BIGINT) AS admin_markers,
        |    CAST(SUM(CASE WHEN in_title THEN ${Gazetteer.TitleBoostMilli} ELSE 0 END) AS BIGINT) AS title_boost_milli
-       |  FROM sig JOIN ${Gazetteer.catalogValuesSql} ON tok = keyword
+       |  FROM sig JOIN ${Gazetteer.variantsValuesSql} ON gram = variant
        |  GROUP BY doc_id, kw_id, keyword, weight_milli),
        |scored AS (SELECT *,
        |    occurrences * weight_milli + admin_markers * ${Gazetteer.AdminMarkerMilli} + title_boost_milli AS score_milli
@@ -115,7 +116,7 @@ object TextQueries {
   def gazetteerPrimary(s: SparkSession, dir: String): DataFrame =
     Gazetteer
       .primary(
-        Gazetteer.matches(Tables.documents(s, dir), Gazetteer.catalog(s), "text", "doc_id"),
+        Gazetteer.matches(Tables.documents(s, dir), Gazetteer.variantsDf(s), "text", "doc_id"),
         "doc_id")
       .select(col("doc_id"), col("keyword").as("primary_kw"), col("score_milli"),
         col("occurrences"), col("admin_markers"), col("title_boost_milli"))
