@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.TextFunctions._
 
@@ -104,10 +104,16 @@ object Gazetteer {
     * each char (matcher.py:138): token-anchored grams inherit the
     * word-boundary guarantee (matcher.py:116 `_boundary_ok`) for free. */
   private def gramStructs: Seq[Column] =
+    gramStructsFor(col("toks"), col("pos"), col("tok"))
+
+  /** The same anchored-gram construction over any carried token array —
+    * reused by callers that gram-match inside a sub-unit (q50 scores
+    * per-sentence token arrays rather than whole documents). */
+  def gramStructsFor(toks: Column, pos: Column, tok: Column): Seq[Column] =
     (1 to MaxKeywordTokens).map { n =>
-      val parts = col("tok") +: (1 until n).map(k => get(col("toks"), col("pos") + k))
+      val parts = tok +: (1 until n).map(k => get(toks, pos + k))
       struct(lit(n).as("n"),
-        when(col("pos") + n <= size(col("toks")), concat_ws(" ", parts: _*)).as("gram"))
+        when(pos + n <= size(toks), concat_ws(" ", parts: _*)).as("gram"))
     }
 
   /** Per-(doc, keyword) aggregated match payload: occurrences,

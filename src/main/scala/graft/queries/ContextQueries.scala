@@ -34,9 +34,13 @@ object ContextQueries {
   private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
 
   /** Shared oracle CTE: tokenized docs -> sentence ids -> per-sentence
-    * context UF -> per-match adjusted confidence -> per-(doc, keyword)
-    * aggregation. Mirrors Gazetteer.contextMatches expression by
-    * expression so DuckDB computes identical integers. */
+    * context UF -> anchored n-gram candidates over multi-token variants
+    * -> per-match adjusted confidence -> per-(doc, keyword) aggregation.
+    * Mirrors Gazetteer.contextMatches expression by expression so DuckDB
+    * computes identical integers: the gram inherits sent_id / in_title /
+    * ctx_uf from its ANCHOR token, and admin adjacency looks at the
+    * token before the match (t[i-1]) and the token after its LAST token
+    * (t[i+n]) — Gazetteer.scala afterTok/prev_tok. */
   private def ctxCteSql: String =
     s"""toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
@@ -47,16 +51,17 @@ object ContextQueries {
        |ctx AS (SELECT doc_id, sent_id, MIN(uf) AS ctx_uf
        |  FROM sent JOIN ${Gazetteer.statesValuesSql} ON tok = state_word
        |  GROUP BY doc_id, sent_id),
-       |sig AS (SELECT doc_id, sent_id, tok,
-       |    coalesce(t[i+1] IN ${Gazetteer.adminListSql}, false)
+       |grams AS (${Gazetteer.gramsCteSql("sent", ", sent_id")}),
+       |sig AS (SELECT doc_id, sent_id, gram,
+       |    coalesce(t[i+n] IN ${Gazetteer.adminListSql}, false)
        |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
        |    sent_id = 0 AS in_title
-       |  FROM sent),
+       |  FROM grams),
        |mr AS (SELECT s.doc_id, s.sent_id, kw_id, keyword, admin_adj, in_title, c.ctx_uf, ufcat.city_uf,
        |    weight_milli + (CASE WHEN in_title THEN ${Gazetteer.TitleBoostMilli} ELSE 0 END)
        |      + (CASE WHEN admin_adj THEN ${Gazetteer.AdminMarkerMilli} ELSE 0 END) AS conf_milli
        |  FROM sig s
-       |  JOIN ${Gazetteer.catalogValuesSql} ON s.tok = keyword
+       |  JOIN ${Gazetteer.variantsValuesSql} ON s.gram = variant
        |  JOIN ${Gazetteer.keywordUfValuesSql} ON kw_id = ufcat.uf_kw_id
        |  LEFT JOIN ctx c ON s.doc_id = c.doc_id AND s.sent_id = c.sent_id),
        |adj AS (SELECT *,

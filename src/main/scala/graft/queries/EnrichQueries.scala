@@ -28,7 +28,11 @@ object EnrichQueries {
     "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
 
   /** q50: per doc, the sentence with the highest keyword-weight sum.
-    * Sentences are the ' batch '->'. ' segmentation of q40. */
+    * Sentences are the ' batch '->'. ' segmentation of q40. Scoring
+    * gram-matches multi-token variants WITHIN each sentence (grams are
+    * anchored in the sentence's own token array, so a variant never
+    * matches across a sentence boundary — the automaton restarted per
+    * sentence). */
   def summarize(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.fold
     val sents = Tables.documents(s, dir)
@@ -36,10 +40,15 @@ object EnrichQueries {
       .select(col("doc_id"),
         posexplode(split(col("punct"), "\\. ")).as(Seq("sent_idx", "sentence")))
     val toks = sents
-      .select(col("doc_id"), col("sent_idx"), col("sentence"),
-        explode(split(col("sentence"), " ")).as("tok"))
-    val scored = toks
-      .join(broadcast(Gazetteer.catalog(s)), col("tok") === col("keyword"))
+      .withColumn("stoks", split(trim(col("sentence")), "\\s+"))
+      .select(col("doc_id"), col("sent_idx"), col("sentence"), col("stoks"),
+        posexplode(col("stoks")).as(Seq("pos", "tok")))
+    val grams = toks
+      .withColumn("g",
+        explode(array(Gazetteer.gramStructsFor(col("stoks"), col("pos"), col("tok")): _*)))
+      .filter(col("g.gram").isNotNull)
+    val scored = grams
+      .join(broadcast(Gazetteer.variantsDf(s)), col("g.gram") === col("variant"))
       .groupBy(col("doc_id"), col("sent_idx"), col("sentence"))
       .agg(sum(col("weight_milli")).as("sent_score_milli"))
     val w = Window.partitionBy(col("doc_id"))
@@ -56,10 +65,12 @@ object EnrichQueries {
        |sents AS (SELECT doc_id, generate_subscripts(string_split(punct, '. '), 1) - 1 AS sent_idx,
        |    unnest(string_split(punct, '. ')) AS sentence
        |  FROM p),
-       |toks AS (SELECT doc_id, sent_idx, sentence, unnest(string_split(sentence, ' ')) AS tok FROM sents),
+       |stoks AS (SELECT doc_id, sent_idx, sentence, string_split_regex(trim(sentence), '\\s+') AS t FROM sents),
+       |pos AS (SELECT doc_id, sent_idx, sentence, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM stoks),
+       |grams AS (${Gazetteer.gramsCteSql("pos", ", sent_idx, sentence")}),
        |scored AS (SELECT doc_id, sent_idx, sentence,
        |    CAST(SUM(weight_milli) AS BIGINT) AS sent_score_milli
-       |  FROM toks JOIN ${Gazetteer.catalogValuesSql} ON tok = keyword
+       |  FROM grams JOIN ${Gazetteer.variantsValuesSql} ON gram = variant
        |  GROUP BY doc_id, sent_idx, sentence)
        |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence AS summary, sent_score_milli
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -69,8 +80,11 @@ object EnrichQueries {
 
   /** q51: classification = argmax catalog category by mention weight. */
   def classify(s: SparkSession, dir: String): DataFrame = {
-    val m = Gazetteer.matches(Tables.documents(s, dir), Gazetteer.catalog(s), "text", "doc_id")
-      .join(broadcast(Gazetteer.catalog(s).select(col("kw_id"), col("category"))), Seq("kw_id"))
+    import s.implicits._
+    val cats = broadcast(
+      Gazetteer.DefaultCatalog.map(e => (e._1, e._3)).toDF("kw_id", "category"))
+    val m = Gazetteer.matches(Tables.documents(s, dir), Gazetteer.variantsDf(s), "text", "doc_id")
+      .join(cats, Seq("kw_id"))
     val perCat = m.groupBy(col("doc_id"), col("category"))
       .agg(sum(col("occurrences") * col("weight_milli")).as("cat_score_milli"))
     val w = Window.partitionBy(col("doc_id"))
@@ -87,9 +101,11 @@ object EnrichQueries {
 
   val classifySql: String = {
     val toksE = s"string_split_regex(trim($FoldSql), '\\s+')"
-    s"""WITH toks AS (SELECT doc_id, unnest($toksE) AS tok FROM documents),
+    s"""WITH toks AS (SELECT doc_id, $toksE AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |grams AS (${Gazetteer.gramsCteSql("pos")}),
        |m AS (SELECT doc_id, category, keyword, weight_milli, COUNT(*) AS occurrences
-       |  FROM toks JOIN ${Gazetteer.catalogValuesSql} ON tok = keyword
+       |  FROM grams JOIN ${Gazetteer.variantsValuesSql} ON gram = variant
        |  GROUP BY doc_id, category, keyword, weight_milli),
        |perCat AS (SELECT doc_id, category,
        |    CAST(SUM(occurrences * weight_milli) AS BIGINT) AS cat_score_milli

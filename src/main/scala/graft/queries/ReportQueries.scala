@@ -20,7 +20,7 @@ object ReportQueries {
   def reportExport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val mentions = Gazetteer
-      .matches(docs, Gazetteer.catalog(s), "text", "doc_id")
+      .matches(docs, Gazetteer.variantsDf(s), "text", "doc_id")
       .select(col("doc_id"), col("keyword"), col("occurrences"), col("score_milli"))
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(mentions, Seq("doc_id"), "left")
@@ -32,21 +32,23 @@ object ReportQueries {
   }
 
   val reportExportSql: String = {
-    // mention scoring mirrors TextQueries.matchesCteSql
+    // mention scoring mirrors TextQueries.matchesCteSql (gram CTE over
+    // multi-token variants, all-overlaps semantics — matcher.py:137)
     val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
     val toks = s"string_split_regex(trim($fold), '\\s+')"
     s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
-       |sig AS (SELECT doc_id, tok,
-       |    coalesce(t[i+1] IN ${Gazetteer.adminListSql}, false)
+       |grams AS (${Gazetteer.gramsCteSql("pos")}),
+       |sig AS (SELECT doc_id, gram,
+       |    coalesce(t[i+n] IN ${Gazetteer.adminListSql}, false)
        |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
        |    i <= ${Gazetteer.TitleZoneTokens} AS in_title
-       |  FROM pos),
+       |  FROM grams),
        |m AS (SELECT doc_id, kw_id, keyword, weight_milli,
        |    COUNT(*) AS occurrences,
        |    CAST(SUM(CASE WHEN admin_adj THEN 1 ELSE 0 END) AS BIGINT) AS admin_markers,
        |    CAST(SUM(CASE WHEN in_title THEN ${Gazetteer.TitleBoostMilli} ELSE 0 END) AS BIGINT) AS title_boost_milli
-       |  FROM sig JOIN ${Gazetteer.catalogValuesSql} ON tok = keyword
+       |  FROM sig JOIN ${Gazetteer.variantsValuesSql} ON gram = variant
        |  GROUP BY doc_id, kw_id, keyword, weight_milli),
        |scored AS (SELECT doc_id, keyword, occurrences,
        |    occurrences * weight_milli + admin_markers * ${Gazetteer.AdminMarkerMilli} + title_boost_milli AS score_milli

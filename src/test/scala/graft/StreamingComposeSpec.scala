@@ -17,7 +17,7 @@ class StreamingComposeSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
-    val mentions = Gazetteer.matches(docs, Gazetteer.catalog(spark), "text", "doc_id")
+    val mentions = Gazetteer.matches(docs, Gazetteer.variantsDf(spark), "text", "doc_id")
     val q = mentions.writeStream.format("memory").queryName("gaz_stream")
       .outputMode("update").start()
     try {
