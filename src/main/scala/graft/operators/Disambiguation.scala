@@ -33,11 +33,19 @@ object Disambiguation {
     ("sort", 205, "batch"))
 
   val CtxWords: Seq[String] = Seq("join", "stream", "batch", "window")
+
+  /** Mention surfaces with NO catalog candidates — the analog of a
+    * foreign city name the gazetteer recognizes as a mention but holds
+    * no municipality record for (disambiguation.py:114 empty-candidate
+    * branch -> status "foreign"). */
+  val ForeignSurfaces: Seq[String] = Seq("agg", "hash")
   val Surfaces: Seq[String] = Catalog.map(_._1).distinct
+  val AllSurfaces: Seq[String] = Surfaces ++ ForeignSurfaces
 
   val ConfResolved = 950L // disambiguation.py:41 _CONFIDENCE_RESOLVED
   val ConfAmbiguous = 500L // :42 _CONFIDENCE_AMBIGUOUS
   val ConfUnknown = 400L // :43 _CONFIDENCE_UNKNOWN_UF
+  val ConfForeign = 200L // :44 _CONFIDENCE_FOREIGN
 
   def catalogDf(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -54,7 +62,7 @@ object Disambiguation {
     * aggregated volume is the ctx-word hits, not the whole corpus. */
   def resolve(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
     val ctxAny = CtxWords.map(x => x: Any)
-    val surfAny = Surfaces.map(x => x: Any)
+    val surfAny = AllSurfaces.map(x => x: Any)
 
     // SINGLE-PASS: one scan + explode; sentence ids, the next-token
     // hint and the per-sentence context flags are all windows over the
@@ -79,8 +87,11 @@ object Disambiguation {
       .select(col(idCol) +: col("pos") +: col("tok").as("surface") +: col("hint") +:
         CtxWords.map(w => col(s"has_$w")): _*)
 
+    // LEFT join: foreign surfaces keep one all-null candidate row, so
+    // n_cand (count of non-null cand_id) lands at 0 for them — the
+    // reference's empty candidate_list (disambiguation.py:113)
     val withCands = mentions
-      .join(broadcast(catalogDf(s)), Seq("surface"))
+      .join(broadcast(catalogDf(s)), Seq("surface"), "left")
       .withColumn("hint_match", col("hint").isNotNull && col("ctx") === col("hint"))
       .withColumn("ctx_match",
         CtxWords.map(w => col("ctx") === w && col(s"has_$w") === 1L).reduce(_ || _))
@@ -89,7 +100,7 @@ object Disambiguation {
     val agg = withCands
       .groupBy(col(idCol), col("pos"), col("surface"), col("hint"))
       .agg(
-        count(lit(1)).as("n_cand"),
+        count(col("cand_id")).as("n_cand"),
         sum(when(col("hint_match"), 1L).otherwise(0L)).as("n_hint"),
         sum(when(col("ctx_match"), 1L).otherwise(0L)).as("n_ctx"),
         sum(when(col("both_match"), 1L).otherwise(0L)).as("n_both"),
@@ -107,13 +118,18 @@ object Disambiguation {
         when(col("n_hint") > 1 && col("n_both") > 0, col("id_both")).otherwise(col("id_hint")))
 
     agg
+      // "foreign" is decided FIRST — before the hint path — exactly as
+      // disambiguation.py:113 checks `if not candidate_list` before
+      // touching uf_surface
       .withColumn("status",
-        when(col("hint").isNotNull && col("n_hint") === 0, "unknown_ctx")
+        when(col("n_cand") === 0, "foreign")
+          .when(col("hint").isNotNull && col("n_hint") === 0, "unknown_ctx")
           .when(finalN === 1, "resolved")
           .otherwise("ambiguous"))
       .withColumn("resolved_id", when(col("status") === "resolved", id1))
       .withColumn("confidence_milli",
-        when(col("status") === "resolved", ConfResolved)
+        when(col("status") === "foreign", ConfForeign)
+          .when(col("status") === "resolved", ConfResolved)
           .when(col("status") === "ambiguous", ConfAmbiguous)
           .otherwise(ConfUnknown))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("surface"), col("hint"),

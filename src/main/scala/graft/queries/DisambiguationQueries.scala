@@ -21,7 +21,7 @@ object DisambiguationQueries {
     val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
     val toksE = s"string_split_regex(trim($fold), '\\s+')"
     val ctxIn = Disambiguation.CtxWords.map(w => s"'$w'").mkString("(", ", ", ")")
-    val surfIn = Disambiguation.Surfaces.map(w => s"'$w'").mkString("(", ", ", ")")
+    val surfIn = Disambiguation.AllSurfaces.map(w => s"'$w'").mkString("(", ", ", ")")
     val catVals = Disambiguation.Catalog
       .map { case (sf, id, cx) => s"('$sf', $id, '$cx')" }
       .mkString("(VALUES ", ", ", ") AS cat(surface, cand_id, ctx)")
@@ -47,10 +47,10 @@ object DisambiguationQueries {
        |    (m.hint IS NOT NULL AND cat.ctx = m.hint) AS hint_match,
        |    ($ctxMatch) AS ctx_match
        |  FROM mentions m
-       |  JOIN $catVals ON m.surface = cat.surface
+       |  LEFT JOIN $catVals ON m.surface = cat.surface
        |  LEFT JOIN ctxf f ON m.doc_id = f.doc_id AND m.sent_id = f.sent_id),
        |agg AS (SELECT doc_id, pos, surface, hint,
-       |    COUNT(*) AS n_cand,
+       |    COUNT(cand_id) AS n_cand,
        |    CAST(SUM(CASE WHEN hint_match THEN 1 ELSE 0 END) AS BIGINT) AS n_hint,
        |    CAST(SUM(CASE WHEN ctx_match THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx,
        |    CAST(SUM(CASE WHEN hint_match AND ctx_match THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
@@ -68,13 +68,16 @@ object DisambiguationQueries {
        |    END AS id1
        |  FROM agg)
        |SELECT doc_id, pos, surface, hint, n_cand,
-       |  CASE WHEN hint IS NOT NULL AND n_hint = 0 THEN 'unknown_ctx'
+       |  CASE WHEN n_cand = 0 THEN 'foreign'
+       |       WHEN hint IS NOT NULL AND n_hint = 0 THEN 'unknown_ctx'
        |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN 'resolved'
        |       ELSE 'ambiguous' END AS status,
-       |  CASE WHEN hint IS NOT NULL AND n_hint = 0 THEN NULL
+       |  CASE WHEN n_cand = 0 THEN NULL
+       |       WHEN hint IS NOT NULL AND n_hint = 0 THEN NULL
        |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN id1
        |       END AS resolved_id,
-       |  CAST(CASE WHEN hint IS NOT NULL AND n_hint = 0 THEN ${Disambiguation.ConfUnknown}
+       |  CAST(CASE WHEN n_cand = 0 THEN ${Disambiguation.ConfForeign}
+       |       WHEN hint IS NOT NULL AND n_hint = 0 THEN ${Disambiguation.ConfUnknown}
        |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN ${Disambiguation.ConfResolved}
        |       ELSE ${Disambiguation.ConfAmbiguous} END AS BIGINT) AS confidence_milli
        |FROM decided ORDER BY doc_id, pos""".stripMargin

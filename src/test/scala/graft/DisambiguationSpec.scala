@@ -38,6 +38,16 @@ class DisambiguationSpec extends SparkSpec {
     assert(ctl._2 == "resolved" && ctl._3 == Some(201))
   }
 
+  test("a surface with no catalog candidates is foreign at 0.2") {
+    // disambiguation.py:113-119: empty candidate list -> "foreign", 0.2
+    val Array(r) = resolveOne("x agg y")
+    assert(r == (("agg", "foreign", None, 200L)))
+    // the empty-candidate check runs BEFORE the hint path, so a hint
+    // next to a foreign surface still yields foreign, not unknown_ctx
+    val Array(h) = resolveOne("x hash join y")
+    assert(h._1 == "hash" && h._2 == "foreign" && h._3.isEmpty && h._4 == 200L)
+  }
+
   test("explicit hint wins; a hint matching no candidate is unknown_ctx at 0.4") {
     // hint 'stream' right after 'merge' -> 202 even though 'join' also present
     val hinted = resolveOne("a merge stream b join c")
