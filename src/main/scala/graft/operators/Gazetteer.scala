@@ -89,6 +89,7 @@ object Gazetteer {
   val TitleZoneTokens = 5
   val TitleBoostMilli = 400L // signals.py:22 TITLE_BOOST_WEIGHT = 0.4
   val AdminMarkerMilli = 600L // signals.py:23 ADMIN_MARKER_WEIGHT = 0.6
+  val AdminWindowChars = 48L // signals.py:66 +-48-char marker window
 
   def variantsDf(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -251,20 +252,32 @@ object Gazetteer {
     * sentence's context UF — is a window function over that same
     * exploded stream:
     *
-    *  - `lag`/`lead` replace the carried token array (each exploded row
+    *  - `lead` replaces the carried token array (each exploded row
     *    stays a few bytes wide instead of duplicating the whole doc);
     *  - the per-sentence context UF is `min(state_uf)` over
     *    (doc, sent_id) — the reference's sorted(mentions)[0] — computed
-    *    in-stream instead of a second scan + aggregate + shuffle join.
+    *    in-stream instead of a second scan + aggregate + shuffle join;
+    *  - admin markers follow the reference's CHAR-window form
+    *    (signals.py:65-69 `_detect_admin_marker`: the +-48-char slice
+    *    around the match span, substring-scanned), not token adjacency.
+    *    Each token carries its char offset in the space-joined stream
+    *    (running sum of len+1); the first admin occurrence starting
+    *    at-or-after `match_start - 48` is found with one RANGE window
+    *    on that char axis. Admin occurrences are non-overlapping and
+    *    ordered, so that first candidate is the only one that can fit
+    *    inside the window — `first.end <= match_end + 48` decides.
     *
     * Physical shape: one parquet scan, one exchange on the doc id (the
-    * (doc, sent_id) window reuses it: hash(doc) clusters sentences),
-    * one final exchange for the per-(doc, kw) aggregate. */
+    * char-axis RANGE window and the (doc, sent_id) window reuse it:
+    * hash(doc) clusters both), one final exchange for the per-(doc, kw)
+    * aggregate. */
   def contextMatches(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
     val admin = AdminWords.map(x => x: Any)
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val wSentPrefix = wDoc.rowsBetween(Window.unboundedPreceding, -1)
     val wSent = Window.partitionBy(col(idCol), col("sent_id"))
+    val wAdmin = Window.partitionBy(col(idCol)).orderBy(col("tok_start"))
+      .rangeBetween(-AdminWindowChars, Window.unboundedFollowing)
     // tok -> home UF of the state word, null for non-state tokens; the
     // 6-entry table inlines as a codegen'd CASE chain
     val stateUf = StateWords
@@ -275,11 +288,22 @@ object Gazetteer {
       .select(col(idCol), posexplode(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
       .withColumn("sent_id",
         coalesce(sum(when(col("tok") === SentenceBreakToken, 1L).otherwise(0L)).over(wSentPrefix), lit(0L)))
-      .withColumn("prev_tok", lag(col("tok"), 1).over(wDoc))
-    // next_1..next_MaxN: the gram-building lookahead (and the
-    // token-after-the-match for admin adjacency), still the same
+      // char offset of this token in the space-joined stream (the
+      // normalized_text the reference slices its +-48 window from)
+      .withColumn("tok_start",
+        coalesce(sum(length(col("tok")).cast("long") + 1L).over(wSentPrefix), lit(0L)))
+    // first admin occurrence whose char start is >= tok_start - 48:
+    // one RANGE window; min start and min end come from the same
+    // occurrence because occurrences are disjoint and ordered
+    val withAdmin = toks
+      .withColumn("fa_start",
+        min(when(col("tok").isin(admin: _*), col("tok_start"))).over(wAdmin))
+      .withColumn("fa_end",
+        min(when(col("tok").isin(admin: _*),
+          col("tok_start") + length(col("tok")).cast("long"))).over(wAdmin))
+    // next_1..next_MaxN: the gram-building lookahead, still the same
     // single window sort — no token array is ever carried
-    val withNext = (1 to MaxKeywordTokens).foldLeft(toks) { (df, k) =>
+    val withNext = (1 to MaxKeywordTokens).foldLeft(withAdmin) { (df, k) =>
       df.withColumn(s"next_$k", lead(col("tok"), k).over(wDoc))
     }
     // candidate n-grams anchored at this row; null when they would run
@@ -291,11 +315,6 @@ object Gazetteer {
           concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"next_$k")): _*))
       struct(lit(n).as("n"), gram.as("gram"))
     }
-    // token following the matched span: next_n for an n-token match
-    val afterTok = (1 to MaxKeywordTokens)
-      .foldLeft(when(lit(false), lit(null).cast("string"))) { (acc, k) =>
-        acc.when(col("g.n") === k, col(s"next_$k"))
-      }
     val sig = withNext
       // alphabetically-first state mentioned in the row's sentence,
       // null when the sentence mentions none (min skips nulls)
@@ -303,9 +322,12 @@ object Gazetteer {
       .withColumn("in_title", col("sent_id") === 0L)
       .withColumn("g", explode(array(gramCols: _*)))
       .filter(col("g.gram").isNotNull)
+      // match span in chars: [tok_start, tok_start + len(gram)); the
+      // window's left clamp at 0 and right clamp at text length are
+      // free (occurrence starts are >= 0, ends <= length)
       .withColumn("admin_adj",
-        coalesce(afterTok.isin(admin: _*), lit(false)) ||
-          coalesce(col("prev_tok").isin(admin: _*), lit(false)))
+        col("fa_start").isNotNull &&
+          col("fa_end") <= col("tok_start") + length(col("g.gram")).cast("long") + AdminWindowChars)
     val conf = col("weight_milli") +
       when(col("in_title"), TitleBoostMilli).otherwise(0L) +
       when(col("admin_adj"), AdminMarkerMilli).otherwise(0L)

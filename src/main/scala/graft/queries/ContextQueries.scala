@@ -38,23 +38,34 @@ object ContextQueries {
     * -> per-match adjusted confidence -> per-(doc, keyword) aggregation.
     * Mirrors Gazetteer.contextMatches expression by expression so DuckDB
     * computes identical integers: the gram inherits sent_id / in_title /
-    * ctx_uf from its ANCHOR token, and admin adjacency looks at the
-    * token before the match (t[i-1]) and the token after its LAST token
-    * (t[i+n]) — Gazetteer.scala afterTok/prev_tok. */
+    * ctx_uf from its ANCHOR token; admin markers use the reference's
+    * +-48-CHAR window (signals.py:65-69) — each token carries its char
+    * offset in the space-joined stream, and the first admin occurrence
+    * starting at-or-after (match_start - 48) decides via
+    * `first.end <= match_end + 48` (occurrences are disjoint+ordered,
+    * so no later occurrence can fit if the first cannot). */
   private def ctxCteSql: String =
     s"""toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
        |sent AS (SELECT doc_id, t, tok, i,
        |    coalesce(SUM(CASE WHEN tok = '${Gazetteer.SentenceBreakToken}' THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id
+       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id,
+       |    CAST(coalesce(SUM(CAST(length(tok) AS BIGINT) + 1)
+       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
        |  FROM pos),
        |ctx AS (SELECT doc_id, sent_id, MIN(uf) AS ctx_uf
        |  FROM sent JOIN ${Gazetteer.statesValuesSql} ON tok = state_word
        |  GROUP BY doc_id, sent_id),
-       |grams AS (${Gazetteer.gramsCteSql("sent", ", sent_id")}),
+       |adm AS (SELECT doc_id, t, tok, i, sent_id, tok_start,
+       |    MIN(CASE WHEN tok IN ${Gazetteer.adminListSql} THEN tok_start END) OVER w48 AS fa_s,
+       |    MIN(CASE WHEN tok IN ${Gazetteer.adminListSql} THEN tok_start + CAST(length(tok) AS BIGINT) END) OVER w48 AS fa_e
+       |  FROM sent
+       |  WINDOW w48 AS (PARTITION BY doc_id ORDER BY tok_start
+       |    RANGE BETWEEN ${Gazetteer.AdminWindowChars} PRECEDING AND UNBOUNDED FOLLOWING)),
+       |grams AS (${Gazetteer.gramsCteSql("adm", ", sent_id, tok_start, fa_s, fa_e")}),
        |sig AS (SELECT doc_id, sent_id, gram,
-       |    coalesce(t[i+n] IN ${Gazetteer.adminListSql}, false)
-       |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
+       |    (fa_s IS NOT NULL
+       |      AND fa_e <= tok_start + CAST(length(gram) AS BIGINT) + ${Gazetteer.AdminWindowChars}) AS admin_adj,
        |    sent_id = 0 AS in_title
        |  FROM grams),
        |mr AS (SELECT s.doc_id, s.sent_id, kw_id, keyword, admin_adj, in_title, c.ctx_uf, ufcat.city_uf,

@@ -36,6 +36,21 @@ class ContextGazetteerSpec extends SparkSpec {
     assert(m((3L, "batch")) == (1100L, 0L, 0L))
   }
 
+  test("admin markers use the +-48-char window, not token adjacency") {
+    // near: 'fast' is 4 tokens from 'spark' but chars [12,16) sit inside
+    // [0-48, 5+48) -> marker (old +-1-token adjacency would miss it).
+    // far: 8 five-char fillers push 'fast' to chars [54,58), past
+    // match_end+48 = 53 -> no marker.
+    val near = "spark a b c fast"
+    val far = "spark " + Seq.fill(8)("wwwww").mkString(" ") + " fast"
+    val m = Gazetteer.contextMatches(docsDf((1L, near), (2L, far)), spark, "text", "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("keyword")) ->
+        (r.getAs[Long]("admin_markers"), r.getAs[Long]("score_milli"))).toMap
+    assert(m((1L, "spark")) == (1L, 1950L)) // 950 + title 400 + admin 600
+    assert(m((2L, "spark")) == (0L, 1350L)) // 950 + title 400
+  }
+
   test("tie-break steps 4-6 and the suppression audit label losers at the first failing step") {
     import spark.implicits._
     val aggd = Seq(
