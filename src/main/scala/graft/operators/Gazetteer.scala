@@ -159,6 +159,59 @@ object Gazetteer {
         col("g.n").cast("long").as("n_toks"), col("g.gram").as("gram"))
       .join(broadcast(variants), col("gram") === col("variant"))
 
+  /** Match details projected onto the ORIGINAL text (matcher.py:144-146:
+    * `orig_start = offsets[start]; orig_end = offsets[end-1] + 1;
+    * surface = text[orig_start:orig_end]`) via the
+    * normalize_text_with_offsets offsets array (q59 /
+    * TextFunctions.foldWithOffsets).
+    *
+    * Char starts of tokens are recovered from the folded string itself
+    * (a token starts at a non-space char whose predecessor is space or
+    * the text edge), so spans are exact under runs of whitespace — and
+    * a multi-token gram is admitted ONLY when its folded span is
+    * contiguous single-spaced (`fold_end - fold_start == len(gram)`),
+    * which is precisely the char-automaton's matching condition: the
+    * keyword "hash join" never matches "hash  join". Map-only per doc;
+    * the only join is the broadcast variant table. */
+  def matchSpans(docs: DataFrame, variants: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), col(textCol).as("src"), foldWithOffsets(col(textCol)).as("fo"))
+      .select(col(idCol), col("src"),
+        col("fo.folded").as("folded"), col("fo.offsets").as("offsets"))
+      .withColumn("chars", split(col("folded"), ""))
+      .withColumn("starts",
+        filter(sequence(lit(0), size(col("chars")) - 1), p => {
+          val prev = when(p === 0, lit(" ")).otherwise(element_at(col("chars"), p))
+          !element_at(col("chars"), p + 1).rlike("^\\s$") && prev.rlike("^\\s$")
+        }))
+      .withColumn("toks", tokens(col("folded")))
+      .drop("chars", "folded")
+    val exploded = base
+      .select(col(idCol), col("src"), col("offsets"), col("starts"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("g", explode(array(gramStructs: _*)))
+      .filter(col("g.gram").isNotNull)
+      .withColumn("fold_start", get(col("starts"), col("pos")))
+      .withColumn("fold_end",
+        get(col("starts"), col("pos") + col("g.n") - 1) +
+          length(get(col("toks"), col("pos") + col("g.n") - 1)))
+      // contiguity: the folded span must read exactly as the gram
+      .filter(col("fold_end") - col("fold_start") === length(col("g.gram")))
+      .withColumn("orig_start", get(col("offsets"), col("fold_start")))
+      .withColumn("orig_end", get(col("offsets"), col("fold_end") - 1) + 1)
+      .withColumn("orig_surface",
+        col("src").substr(col("orig_start") + 1, col("orig_end") - col("orig_start")))
+    exploded
+      .join(broadcast(variants), col("g.gram") === col("variant"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("g.n").cast("long").as("n_toks"), col("variant"), col("kw_id"), col("keyword"),
+        col("fold_start").cast("long").as("fold_start"),
+        col("fold_end").cast("long").as("fold_end"),
+        col("orig_start").cast("long").as("orig_start"),
+        col("orig_end").cast("long").as("orig_end"),
+        col("orig_surface"))
+  }
+
   /** Primary keyword per document via the reference's tie-break chain
     * (aggregator.py:193 primary_city_selection). */
   def primary(matchesDf: DataFrame, idCol: String): DataFrame = {

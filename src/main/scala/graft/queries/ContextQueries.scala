@@ -290,15 +290,98 @@ object ContextQueries {
        |FROM o ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q61: match spans projected onto the original text ----
+
+  /** Catalog-word decorations whose folding SHIFTS or REMAPS offsets:
+    * accented variants, unicode hyphens folding to the space inside a
+    * multi-token variant ("hash‑join" -> "hash join"), em dashes inside
+    * a 3-token variant, and a soft hyphen deletion inside "filter"
+    * (offsets shrink by one). The 40-char corpus prefix adds plain
+    * identity-offset matches alongside. */
+  private val SpanDecor = Seq(
+    "Jöin spärk", "hash‑join merge", "sort—merge—join", "fil­ter scan", "Qüery wïndow")
+
+  /** q61: dictionary matches with original-char spans
+    * (matcher.py:144-146 via signals.py:55 `_get_normalized_span`'s
+    * offsets array) — each match row carries (fold_start, fold_end) in
+    * the folded text AND (orig_start, orig_end, orig_surface) on the
+    * raw text, asserting the round-trip. */
+  def matchSpans(s: SparkSession, dir: String): DataFrame =
+    Gazetteer.matchSpans(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40), lit(" "),
+            element_at(array(SpanDecor.map(lit): _*), (col("doc_id") % 5 + 1).cast("int"))).as("surface")),
+      Gazetteer.variantsDf(s), "surface", "doc_id")
+      .orderBy(col("doc_id"), col("pos"), col("kw_id"), col("n_toks"))
+
+  val matchSpansSql: String = {
+    val decorList = SpanDecor.map {
+      case d if d.contains("­") =>
+        val Array(a, b) = d.split("­", 2); s"'$a' || chr(173) || '$b'"
+      case d => s"'$d'"
+    }.mkString("[", ", ", "]")
+    val gramBranches = (1 to Gazetteer.MaxKeywordTokens).map { n =>
+      val parts = "tok" +: (1 until n).map(k => s"t[i+$k]")
+      val guard = if (n == 1) "" else s" WHERE i + ${n - 1} <= len(t)"
+      s"SELECT doc_id, src, offs, starts, t, i, $n AS n, ${parts.mkString(" || ' ' || ")} AS gram FROM pos$guard"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH surf AS (SELECT doc_id,
+       |    substring(text, 1, 40) || ' ' || ($decorList)[CAST(doc_id % 5 + 1 AS INT)] AS src
+       |  FROM documents),
+       |m AS (SELECT doc_id, src, list_transform(string_split(src, ''), c ->
+       |    CASE WHEN c IN ('-', '‐', '‑', '‒', '–', '—', '―') THEN ' '
+       |         WHEN c = chr(173) THEN ''
+       |         ELSE lower(strip_accents(c)) END) AS mapped
+       |  FROM surf),
+       |f AS (SELECT doc_id, src,
+       |    array_to_string(mapped, '') AS folded,
+       |    flatten(list_transform(mapped, (mm, ix) ->
+       |      CASE WHEN mm = '' THEN [] ELSE list_transform(string_split(mm, ''), c2 -> ix - 1) END)) AS offs
+       |  FROM m),
+       |ch AS (SELECT doc_id, src, offs,
+       |    string_split(folded, '') AS chars,
+       |    string_split_regex(trim(folded), '\\s+') AS t
+       |  FROM f),
+       |st AS (SELECT doc_id, src, offs, t,
+       |    list_filter(range(0, len(chars)), p ->
+       |      NOT regexp_matches(chars[p+1], '^\\s$$')
+       |      AND (p = 0 OR regexp_matches(chars[p], '^\\s$$'))) AS starts
+       |  FROM ch),
+       |pos AS (SELECT doc_id, src, offs, starts, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM st),
+       |grams AS ($gramBranches),
+       |spans AS (SELECT doc_id, src, offs, i, n, gram,
+       |    starts[i] AS fold_start,
+       |    starts[i+n-1] + length(t[i+n-1]) AS fold_end
+       |  FROM grams),
+       |ok AS (SELECT * FROM spans WHERE fold_end - fold_start = length(gram)),
+       |proj AS (SELECT doc_id, i, n, gram,
+       |    fold_start, fold_end,
+       |    offs[fold_start+1] AS orig_start,
+       |    offs[fold_end] + 1 AS orig_end,
+       |    substring(src, CAST(offs[fold_start+1] AS INT) + 1,
+       |      CAST(offs[fold_end] + 1 - offs[fold_start+1] AS INT)) AS orig_surface
+       |  FROM ok)
+       |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, CAST(n AS BIGINT) AS n_toks,
+       |  variant, kw_id, keyword,
+       |  CAST(fold_start AS BIGINT) AS fold_start, CAST(fold_end AS BIGINT) AS fold_end,
+       |  CAST(orig_start AS BIGINT) AS orig_start, CAST(orig_end AS BIGINT) AS orig_end,
+       |  orig_surface
+       |FROM proj JOIN ${Gazetteer.variantsValuesSql} ON gram = variant
+       |ORDER BY doc_id, pos, kw_id, n_toks""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_context_gazetteer" -> (contextGazetteer _),
     "q57_suppression_audit" -> (suppressionAudit _),
     "q58_state_mentions" -> (stateMentions _),
-    "q59_fold_offsets" -> (foldOffsets _))
+    "q59_fold_offsets" -> (foldOffsets _),
+    "q61_match_spans" -> (matchSpans _))
 
   val oracles: Map[String, String] = Map(
     "q56_context_gazetteer" -> contextGazetteerSql,
     "q57_suppression_audit" -> suppressionAuditSql,
     "q58_state_mentions" -> stateMentionsSql,
-    "q59_fold_offsets" -> foldOffsetsSql)
+    "q59_fold_offsets" -> foldOffsetsSql,
+    "q61_match_spans" -> matchSpansSql)
 }

@@ -229,23 +229,19 @@ object TextQueries {
        |  ${Hashing.polyHashSql(FoldSql)} AS poly_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q20: person-name canonicalization (normalization.py:118
-    * normalize_person_name) exercised over synthesized surfaces. */
-  def nameNormalize(s: SparkSession, dir: String): DataFrame =
-    Tables.part(s, dir)
-      .withColumn("surface",
-        when(col("p_partkey") % 4 === 0, concat(lit("dr. "), col("p_name")))
-          .when(col("p_partkey") % 4 === 1, concat(lit("EX-"), col("p_name")))
-          .when(col("p_partkey") % 4 === 2, upper(col("p_name")))
-          .otherwise(col("p_name")))
-      .select(col("p_partkey"), col("surface"),
-        normalizePersonName(col("surface")).as("canonical"))
-      .orderBy(col("p_partkey"))
+  /** Synthesized person surfaces over part names (dr./EX-/upper
+    * decorations keyed off the part key) — shared by q20 and q60. */
+  private def personSurface = when(col("p_partkey") % 4 === 0, concat(lit("dr. "), col("p_name")))
+    .when(col("p_partkey") % 4 === 1, concat(lit("EX-"), col("p_name")))
+    .when(col("p_partkey") % 4 === 2, upper(col("p_name")))
+    .otherwise(col("p_name"))
 
-  val nameNormalizeSql: String = {
+  /** CTE chain yielding canon(p_partkey, surface, canonical) — the
+    * DuckDB mirror of personSurface + normalizePersonName. */
+  private val personCanonCteSql: String = {
     val conn = inList(Seq("da", "de", "dos", "das", "do", "e"))
     val honor = "(?i)\\b(deputad[ao]a?|ministr[ao]a?|presidente|governador[ae]?|prefeit[ao]a?|vereador[ae]?|senador[ae]?|dra|dr|dep)\\b"
-    s"""WITH surf AS (SELECT p_partkey,
+    s"""surf AS (SELECT p_partkey,
        |    CASE WHEN p_partkey % 4 = 0 THEN 'dr. ' || p_name
        |         WHEN p_partkey % 4 = 1 THEN 'EX-' || p_name
        |         WHEN p_partkey % 4 = 2 THEN upper(p_name)
@@ -258,14 +254,58 @@ object TextQueries {
        |        '(?i)^ex[\\s-]+', '', 'g'),
        |        '^[^\\wÀ-ÿ]+', '', 'g'),
        |      '\\s+', ' ', 'g')) AS c
-       |  FROM surf)
-       |SELECT p_partkey, surface,
+       |  FROM surf),
+       |canon AS (SELECT p_partkey, surface,
        |  array_to_string(list_transform(string_split_regex(trim(c), '\\s+'), t ->
        |    CASE WHEN t = upper(t) AND t <> lower(t) AND length(t) <= 3 AND lower(t) NOT IN $conn THEN t
        |         ELSE array_to_string(list_transform(string_split(t, '-'),
        |                p -> upper(p[1]) || lower(p[2:])), '-') END), ' ') AS canonical
-       |FROM cleaned ORDER BY p_partkey""".stripMargin
+       |  FROM cleaned)""".stripMargin
   }
+
+  /** q20: person-name canonicalization (normalization.py:118
+    * normalize_person_name) exercised over synthesized surfaces. */
+  def nameNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumn("surface", personSurface)
+      .select(col("p_partkey"), col("surface"),
+        normalizePersonName(col("surface")).as("canonical"))
+      .orderBy(col("p_partkey"))
+
+  val nameNormalizeSql: String =
+    s"""WITH $personCanonCteSql
+       |SELECT p_partkey, surface, canonical FROM canon ORDER BY p_partkey""".stripMargin
+
+  /** q60: person identity + occurrence aggregation (extraction/
+    * service.py:111-135): a stable person id per canonical name — the
+    * `ensure_person` content key (md5 of the canonical) plus the
+    * first-created ordinal (min part key) — with per-person occurrence
+    * and distinct-surface counts; empty canonicals are skipped exactly
+    * as service.py:114 `continue`s on them. */
+  def personOccurrences(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumn("surface", personSurface)
+      .withColumn("canonical", normalizePersonName(col("surface")))
+      .filter(length(col("canonical")) > 0)
+      .groupBy(col("canonical"))
+      .agg(
+        min(col("p_partkey")).as("person_key"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("surface")).as("n_surfaces"),
+        min(col("surface")).as("first_surface"))
+      .select(md5(col("canonical")).as("person_id"), col("canonical"),
+        col("person_key"), col("n_occurrences"), col("n_surfaces"), col("first_surface"))
+      .orderBy(col("canonical"))
+
+  val personOccurrencesSql: String =
+    s"""WITH $personCanonCteSql
+       |SELECT md5(canonical) AS person_id, canonical,
+       |  MIN(p_partkey) AS person_key,
+       |  COUNT(*) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT surface) AS BIGINT) AS n_surfaces,
+       |  MIN(surface) AS first_surface
+       |FROM canon WHERE length(canonical) > 0
+       |GROUP BY canonical ORDER BY canonical""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q12_normalize_text" -> (normalizeText _),
@@ -276,7 +316,8 @@ object TextQueries {
     "q17_lang_id" -> (langId _),
     "q18_quality_score" -> (qualityScore _),
     "q19_fingerprint" -> (fingerprint _),
-    "q20_name_normalize" -> (nameNormalize _))
+    "q20_name_normalize" -> (nameNormalize _),
+    "q60_person_occurrences" -> (personOccurrences _))
 
   val oracles: Map[String, String] = Map(
     "q12_normalize_text" -> normalizeTextSql,
@@ -287,5 +328,6 @@ object TextQueries {
     "q17_lang_id" -> langIdSql,
     "q18_quality_score" -> qualityScoreSql,
     "q19_fingerprint" -> fingerprintSql,
-    "q20_name_normalize" -> nameNormalizeSql)
+    "q20_name_normalize" -> nameNormalizeSql,
+    "q60_person_occurrences" -> personOccurrencesSql)
 }

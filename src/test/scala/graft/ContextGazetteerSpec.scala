@@ -106,6 +106,27 @@ class ContextGazetteerSpec extends SparkSpec {
     assert(df(2L)._3 == Seq(0, 1, 3, 4, 5)) // index 2 (soft hyphen) skipped
   }
 
+  test("q61 match spans project folded matches back onto the raw text") {
+    import org.apache.spark.sql.functions.col
+    // U+2011 hyphen folds to the space of 2-token "hash join" (1:1
+    // chars); the soft hyphen in "fil­ter" is DELETED, so orig spans
+    // are one char wider than folded spans past it
+    val docs = docsDf((1L, "hash‑join x"), (2L, "fil­ter a"))
+    val rows = Gazetteer.matchSpans(docs, Gazetteer.variantsDf(spark), "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("variant")) ->
+        (r.getAs[Long]("orig_start"), r.getAs[Long]("orig_end"), r.getAs[String]("orig_surface"))).toMap
+    assert(rows((1L, "hash join")) == (0L, 9L, "hash‑join"))
+    assert(rows((1L, "hash")) == (0L, 4L, "hash"))
+    assert(rows((1L, "join")) == (5L, 9L, "join"))
+    assert(rows((2L, "filter")) == (0L, 7L, "fil­ter"))
+    // contiguity guard: "hash  join" (double space) is NOT the keyword
+    // "hash join" — the char automaton would not match it either
+    val none = Gazetteer.matchSpans(docsDf((3L, "hash  join")),
+      Gazetteer.variantsDf(spark), "text", "doc_id")
+      .filter(col("variant") === "hash join")
+    assert(none.count() == 0)
+  }
+
   test("q56/q57 shapes: one primary per doc; audit rows only for losers") {
     val q56 = ContextQueries.contextGazetteer(spark, sfDir)
     val nDocs = q56.select("doc_id").distinct().count()
