@@ -280,6 +280,60 @@ object RelationalQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  val NerVersion = "ner-v2"
+  val GazVersion = "gaz-v3"
+
+  /** q62: hash/version-gated incremental re-extraction
+    * (city_extraction_job.py:145-166 + the extraction service's
+    * fetch_pending(ner_version, gazetteer_version)): a doc is pending
+    * when it has no extraction record, its recorded (ner_version,
+    * gazetteer_version) differ from current, or its recorded payload
+    * hash differs from the current content hash. The store is
+    * synthesized deterministically per doc: %5==0 never processed,
+    * %5==2 stale hash, %5==3 old NER version, %5==4 old gazetteer
+    * version, %5==1 fully current (the only SKIPPED class). Reason
+    * precedence mirrors the job: missing record first, then versions
+    * (fetch_pending fires before the hash compare), then the hash. */
+  def versionedReextract(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"), md5(col("text")).as("content_hash"))
+    val store = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 2, md5(concat(lit("stale:"), col("text"))))
+          .otherwise(md5(col("text"))).as("stored_hash"),
+        when(col("doc_id") % 5 === 3, lit("ner-v1")).otherwise(lit(NerVersion)).as("stored_ner"),
+        when(col("doc_id") % 5 === 4, lit("gaz-v2")).otherwise(lit(GazVersion)).as("stored_gaz"))
+    docs
+      .join(store, Seq("doc_id"), "left")
+      .filter(col("stored_hash").isNull ||
+        col("stored_ner") =!= NerVersion || col("stored_gaz") =!= GazVersion ||
+        col("stored_hash") =!= col("content_hash"))
+      .withColumn("reason",
+        when(col("stored_hash").isNull, "new")
+          .when(col("stored_ner") =!= NerVersion, "ner_stale")
+          .when(col("stored_gaz") =!= GazVersion, "gazetteer_stale")
+          .otherwise("content_changed"))
+      .select(col("doc_id"), col("lang"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val versionedReextractSql: String =
+    s"""WITH docs AS (SELECT doc_id, lang, text, md5(text) AS content_hash FROM documents),
+       |store AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 2 THEN md5('stale:' || text) ELSE md5(text) END AS stored_hash,
+       |    CASE WHEN doc_id % 5 = 3 THEN 'ner-v1' ELSE '$NerVersion' END AS stored_ner,
+       |    CASE WHEN doc_id % 5 = 4 THEN 'gaz-v2' ELSE '$GazVersion' END AS stored_gaz
+       |  FROM docs WHERE doc_id % 5 <> 0)
+       |SELECT d.doc_id, d.lang,
+       |  CASE WHEN s.stored_hash IS NULL THEN 'new'
+       |       WHEN s.stored_ner <> '$NerVersion' THEN 'ner_stale'
+       |       WHEN s.stored_gaz <> '$GazVersion' THEN 'gazetteer_stale'
+       |       ELSE 'content_changed' END AS reason
+       |FROM docs d LEFT JOIN store s USING (doc_id)
+       |WHERE s.stored_hash IS NULL OR s.stored_ner <> '$NerVersion'
+       |   OR s.stored_gaz <> '$GazVersion' OR s.stored_hash <> d.content_hash
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> (pricingAgg _),
     "q02_date_range" -> (dateRange _),
@@ -290,7 +344,8 @@ object RelationalQueries {
     "q07_tiebreak_rank" -> (tiebreakRank _),
     "q08_distinct_count" -> (distinctCount _),
     "q09_dedup_ingest" -> (dedupIngest _),
-    "q10_incremental_upsert" -> (incrementalUpsert _))
+    "q10_incremental_upsert" -> (incrementalUpsert _),
+    "q62_versioned_reextract" -> (versionedReextract _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_agg" -> pricingAggSql,
@@ -302,5 +357,6 @@ object RelationalQueries {
     "q07_tiebreak_rank" -> tiebreakRankSql,
     "q08_distinct_count" -> distinctCountSql,
     "q09_dedup_ingest" -> dedupIngestSql,
-    "q10_incremental_upsert" -> incrementalUpsertSql)
+    "q10_incremental_upsert" -> incrementalUpsertSql,
+    "q62_versioned_reextract" -> versionedReextractSql)
 }
