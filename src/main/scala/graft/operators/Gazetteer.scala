@@ -16,9 +16,10 @@ import graft.functions.TextFunctions._
   *    broadcast join, embarrassingly parallel over documents, with the
   *    only shuffle keyed on doc_id for re-aggregation.
   *  - signal enrichment (city_matching/signals.py:24): title boost for
-  *    matches in the leading token zone, admin-marker detection in a
-  *    +-1-token window -> positional explode + element_at, no second
-  *    join.
+  *    matches in the leading token zone, admin-marker detection in the
+  *    reference's +-48-char window around the match span
+  *    (signals.py:65-69) -> carried char offsets + interval test, no
+  *    second join.
   *  - aggregation + primary selection (city_matching/aggregator.py:92,
   *    :193): per-(doc, keyword) score sums and the deterministic
   *    tie-break chain score -> admin markers -> title boost ->
@@ -119,19 +120,37 @@ object Gazetteer {
 
   /** Per-(doc, keyword) aggregated match payload: occurrences,
     * admin_markers, title_boost_sum, score_milli. Multi-token variants
-    * match as units; a match's admin adjacency looks at the token
-    * BEFORE the match and the token AFTER its last token. */
+    * match as units; admin markers use the reference's +-48-CHAR window
+    * around the match span (signals.py:65-69), computed map-only: the
+    * per-token char offsets (space-joined geometry) come from one
+    * prefix-scan over the carried token array, and the window test is
+    * an `exists` over the doc's few admin-occurrence intervals — no
+    * shuffle is added, the broadcast-join-then-aggregate shape stands.
+    * (The stream form of the same window lives in contextMatches.) */
   def matches(docs: DataFrame, variants: DataFrame, textCol: String, idCol: String): DataFrame = {
     val admin = AdminWords.map(x => x: Any)
     val toks = docs
       .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
-      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      // starts(i) = char offset of token i in concat_ws(" ", toks);
+      // n+1 entries, O(n^2/2) element copies — same cost class as the
+      // carried toks array itself, bounded by article length
+      .withColumn("starts",
+        aggregate(col("toks"), array(lit(0L)),
+          (acc, t) => concat(acc, array(element_at(acc, -1) + length(t).cast("long") + 1L))))
+      .withColumn("admins", filter(
+        zip_with(col("toks"), slice(col("starts"), lit(1), size(col("toks"))),
+          (t, st) => struct(st.as("s"), (st + length(t).cast("long")).as("e"), t.as("tok"))),
+        a => a.getField("tok").isin(admin: _*)))
+      .select(col(idCol), col("toks"), col("starts"), col("admins"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
     val cands = toks
       .withColumn("g", explode(array(gramStructs: _*)))
       .filter(col("g.gram").isNotNull)
-      .withColumn("admin_adj",
-        coalesce(get(col("toks"), col("pos") + col("g.n")).isin(admin: _*), lit(false)) ||
-          coalesce(get(col("toks"), col("pos") - 1).isin(admin: _*), lit(false)))
+      .withColumn("m_start", element_at(col("starts"), col("pos") + 1))
+      .withColumn("m_end", col("m_start") + length(col("g.gram")).cast("long"))
+      .withColumn("admin_adj", exists(col("admins"),
+        a => a.getField("s") >= col("m_start") - AdminWindowChars &&
+          a.getField("e") <= col("m_end") + AdminWindowChars))
       .withColumn("in_title_zone", col("pos") < TitleZoneTokens)
       .select(col(idCol), col("g.gram").as("gram"), col("admin_adj"), col("in_title_zone"))
     cands
@@ -242,6 +261,26 @@ object Gazetteer {
     }.mkString("\n  UNION ALL ")
 
   def adminListSql: String = AdminWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** `off` + `adm` CTE pair shared by every oracle needing the
+    * +-48-char admin window: char offsets in the space-joined geometry
+    * (prefix SUM window) and the first-fit admin occurrence columns
+    * (fa_s, fa_e) via a RANGE window on the char axis. `fromCte` must
+    * expose (doc_id, t, tok, i, ...extraCols). A gram row then tests
+    * `fa_s IS NOT NULL AND fa_e <= tok_start + length(gram) + 48` —
+    * equivalent to "exists an occurrence inside the window" because
+    * occurrences are disjoint and ordered. */
+  def adminCharCteSql(fromCte: String, extraCols: String = ""): String =
+    s"""off AS (SELECT doc_id, t, tok, i$extraCols,
+       |    CAST(coalesce(SUM(CAST(length(tok) AS BIGINT) + 1)
+       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM $fromCte),
+       |adm AS (SELECT doc_id, t, tok, i$extraCols, tok_start,
+       |    MIN(CASE WHEN tok IN $adminListSql THEN tok_start END) OVER w48 AS fa_s,
+       |    MIN(CASE WHEN tok IN $adminListSql THEN tok_start + CAST(length(tok) AS BIGINT) END) OVER w48 AS fa_e
+       |  FROM off
+       |  WINDOW w48 AS (PARTITION BY doc_id ORDER BY tok_start
+       |    RANGE BETWEEN $AdminWindowChars PRECEDING AND UNBOUNDED FOLLOWING))""".stripMargin
 
   // --------------------------------------------------------------------
   // Context-UF scoring chain — the reference's full per-match adjustment

@@ -46,22 +46,15 @@ object ContextQueries {
     * so no later occurrence can fit if the first cannot). */
   private def ctxCteSql: String =
     s"""toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
-       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
-       |sent AS (SELECT doc_id, t, tok, i,
+       |pos0 AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |pos AS (SELECT doc_id, t, tok, i,
        |    coalesce(SUM(CASE WHEN tok = '${Gazetteer.SentenceBreakToken}' THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id,
-       |    CAST(coalesce(SUM(CAST(length(tok) AS BIGINT) + 1)
-       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-       |  FROM pos),
+       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id
+       |  FROM pos0),
        |ctx AS (SELECT doc_id, sent_id, MIN(uf) AS ctx_uf
-       |  FROM sent JOIN ${Gazetteer.statesValuesSql} ON tok = state_word
+       |  FROM pos JOIN ${Gazetteer.statesValuesSql} ON tok = state_word
        |  GROUP BY doc_id, sent_id),
-       |adm AS (SELECT doc_id, t, tok, i, sent_id, tok_start,
-       |    MIN(CASE WHEN tok IN ${Gazetteer.adminListSql} THEN tok_start END) OVER w48 AS fa_s,
-       |    MIN(CASE WHEN tok IN ${Gazetteer.adminListSql} THEN tok_start + CAST(length(tok) AS BIGINT) END) OVER w48 AS fa_e
-       |  FROM sent
-       |  WINDOW w48 AS (PARTITION BY doc_id ORDER BY tok_start
-       |    RANGE BETWEEN ${Gazetteer.AdminWindowChars} PRECEDING AND UNBOUNDED FOLLOWING)),
+       |${Gazetteer.adminCharCteSql("pos", ", sent_id")},
        |grams AS (${Gazetteer.gramsCteSql("adm", ", sent_id, tok_start, fa_s, fa_e")}),
        |sig AS (SELECT doc_id, sent_id, gram,
        |    (fa_s IS NOT NULL

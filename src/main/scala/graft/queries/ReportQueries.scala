@@ -38,10 +38,11 @@ object ReportQueries {
     val toks = s"string_split_regex(trim($fold), '\\s+')"
     s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
-       |grams AS (${Gazetteer.gramsCteSql("pos")}),
+       |${Gazetteer.adminCharCteSql("pos")},
+       |grams AS (${Gazetteer.gramsCteSql("adm", ", tok_start, fa_s, fa_e")}),
        |sig AS (SELECT doc_id, gram,
-       |    coalesce(t[i+n] IN ${Gazetteer.adminListSql}, false)
-       |      OR coalesce(t[i-1] IN ${Gazetteer.adminListSql}, false) AS admin_adj,
+       |    (fa_s IS NOT NULL
+       |      AND fa_e <= tok_start + CAST(length(gram) AS BIGINT) + ${Gazetteer.AdminWindowChars}) AS admin_adj,
        |    i <= ${Gazetteer.TitleZoneTokens} AS in_title
        |  FROM grams),
        |m AS (SELECT doc_id, kw_id, keyword, weight_milli,

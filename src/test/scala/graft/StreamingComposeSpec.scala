@@ -26,9 +26,9 @@ class StreamingComposeSpec extends SparkSpec {
       val rows = spark.sql(
         "SELECT doc_id, keyword, score_milli FROM gaz_stream ORDER BY doc_id, keyword")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      // doc 1: join (900 + title 400; 'fast' is not adjacent) and
-      // spark (950 + title 400)
-      assert(rows.toSeq == Seq((1L, "join", 1300L), (1L, "spark", 1350L)))
+      // doc 1: 'fast' (chars [20,24)) is inside the +-48-char admin
+      // window of both matches: join 900+400+600, spark 950+400+600
+      assert(rows.toSeq == Seq((1L, "join", 1900L), (1L, "spark", 1950L)))
     } finally q.stop()
   }
 }
