@@ -142,9 +142,12 @@ object Gazetteer {
           (t, st) => struct(st.as("s"), (st + length(t).cast("long")).as("e"), t.as("tok"))),
         a => a.getField("tok").isin(admin: _*)))
       .select(col(idCol), col("toks"), col("starts"), col("admins"),
-        posexplode(col("toks")).as(Seq("pos", "tok")))
+        posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+    // outer explodes: stop Catalyst from inferring isnotnull/size>0 on
+    // the exploded arrays and pushing them to the scan, which would
+    // inline (and re-evaluate per row) the fold/starts/admins chain
     val cands = toks
-      .withColumn("g", explode(array(gramStructs: _*)))
+      .withColumn("g", explode_outer(array(gramStructs: _*)))
       .filter(col("g.gram").isNotNull)
       .withColumn("m_start", element_at(col("starts"), col("pos") + 1))
       .withColumn("m_end", col("m_start") + length(col("g.gram")).cast("long"))
@@ -171,8 +174,8 @@ object Gazetteer {
   def matchDetails(docs: DataFrame, variants: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
       .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
-      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("g", explode(array(gramStructs: _*)))
+      .select(col(idCol), col("toks"), posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("g", explode_outer(array(gramStructs: _*)))
       .filter(col("g.gram").isNotNull)
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("g.n").cast("long").as("n_toks"), col("g.gram").as("gram"))
@@ -205,27 +208,42 @@ object Gazetteer {
         }))
       .withColumn("toks", tokens(col("folded")))
       .drop("chars", "folded")
+    // Plan-shape care, measured 23 s -> ~1 s at sf0.1: (a) OUTER
+    // explodes — non-outer Generate makes Catalyst infer isnotnull/
+    // size>0 filters on the exploded array and push them to the scan,
+    // inlining the whole per-char fold pipeline into a scan Filter
+    // that re-evaluates it per row; (b) fold_start/fold_end live
+    // INSIDE the gram struct, so the contiguity filter references only
+    // generated g.* fields — a filter on projected derived columns
+    // would be constraint-inferred and pushed below the projections,
+    // again inlining the expensive expressions. The arrays are never
+    // empty and null rows die at the g.gram filter, so outer is
+    // semantically identical.
+    val spanGrams = (1 to MaxKeywordTokens).map { n =>
+      val parts = col("tok") +: (1 until n).map(k => get(col("toks"), col("pos") + k))
+      struct(lit(n).as("n"),
+        when(col("pos") + n <= size(col("toks")), concat_ws(" ", parts: _*)).as("gram"),
+        get(col("starts"), col("pos")).as("fold_start"),
+        (get(col("starts"), col("pos") + n - 1) +
+          length(get(col("toks"), col("pos") + n - 1))).as("fold_end"))
+    }
     val exploded = base
       .select(col(idCol), col("src"), col("offsets"), col("starts"), col("toks"),
-        posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("g", explode(array(gramStructs: _*)))
-      .filter(col("g.gram").isNotNull)
-      .withColumn("fold_start", get(col("starts"), col("pos")))
-      .withColumn("fold_end",
-        get(col("starts"), col("pos") + col("g.n") - 1) +
-          length(get(col("toks"), col("pos") + col("g.n") - 1)))
+        posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("g", explode_outer(array(spanGrams: _*)))
       // contiguity: the folded span must read exactly as the gram
-      .filter(col("fold_end") - col("fold_start") === length(col("g.gram")))
-      .withColumn("orig_start", get(col("offsets"), col("fold_start")))
-      .withColumn("orig_end", get(col("offsets"), col("fold_end") - 1) + 1)
+      .filter(col("g.gram").isNotNull &&
+        col("g.fold_end") - col("g.fold_start") === length(col("g.gram")))
+      .withColumn("orig_start", get(col("offsets"), col("g.fold_start")))
+      .withColumn("orig_end", get(col("offsets"), col("g.fold_end") - 1) + 1)
       .withColumn("orig_surface",
         col("src").substr(col("orig_start") + 1, col("orig_end") - col("orig_start")))
     exploded
       .join(broadcast(variants), col("g.gram") === col("variant"))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("g.n").cast("long").as("n_toks"), col("variant"), col("kw_id"), col("keyword"),
-        col("fold_start").cast("long").as("fold_start"),
-        col("fold_end").cast("long").as("fold_end"),
+        col("g.fold_start").cast("long").as("fold_start"),
+        col("g.fold_end").cast("long").as("fold_end"),
         col("orig_start").cast("long").as("orig_start"),
         col("orig_end").cast("long").as("orig_end"),
         col("orig_surface"))
