@@ -30,7 +30,16 @@ object Disambiguation {
   val Catalog: Seq[(String, Int, String)] = Seq(
     ("merge", 201, "join"), ("merge", 202, "stream"),
     ("scan", 203, "batch"), ("scan", 204, "window"),
-    ("sort", 205, "batch"))
+    ("sort", 205, "batch"), ("filter", 206, "window"))
+
+  /** Surfaces marked ambiguous-out-of-context (disambiguation.py:33
+    * `_AMBIGUOUS_SURFACES`): even with a single surviving candidate,
+    * the mention needs a reinforcing signal — the explicit hint naming
+    * one of the required ctx words, the candidate's own ctx mentioned
+    * in the sentence, or any required ctx word mentioned — else it is
+    * downgraded to unknown_ctx at 0.4 (disambiguation.py:142-153
+    * `_has_reliable_context` + the len==1 branch). */
+  val AmbiguousSurfaces: Map[String, Seq[String]] = Map("sort" -> Seq("batch"))
 
   val CtxWords: Seq[String] = Seq("join", "stream", "batch", "window")
 
@@ -97,17 +106,19 @@ object Disambiguation {
         CtxWords.map(w => col("ctx") === w && col(s"has_$w") === 1L).reduce(_ || _))
       .withColumn("both_match", col("hint_match") && col("ctx_match"))
 
+    val aggCols = Seq(
+      count(col("cand_id")).as("n_cand"),
+      sum(when(col("hint_match"), 1L).otherwise(0L)).as("n_hint"),
+      sum(when(col("ctx_match"), 1L).otherwise(0L)).as("n_ctx"),
+      sum(when(col("both_match"), 1L).otherwise(0L)).as("n_both"),
+      min(col("cand_id")).as("id_all"),
+      min(when(col("hint_match"), col("cand_id"))).as("id_hint"),
+      min(when(col("ctx_match"), col("cand_id"))).as("id_ctx"),
+      min(when(col("both_match"), col("cand_id"))).as("id_both")) ++
+      CtxWords.map(w => max(col(s"has_$w")).as(s"has_$w"))
     val agg = withCands
       .groupBy(col(idCol), col("pos"), col("surface"), col("hint"))
-      .agg(
-        count(col("cand_id")).as("n_cand"),
-        sum(when(col("hint_match"), 1L).otherwise(0L)).as("n_hint"),
-        sum(when(col("ctx_match"), 1L).otherwise(0L)).as("n_ctx"),
-        sum(when(col("both_match"), 1L).otherwise(0L)).as("n_both"),
-        min(col("cand_id")).as("id_all"),
-        min(when(col("hint_match"), col("cand_id"))).as("id_hint"),
-        min(when(col("ctx_match"), col("cand_id"))).as("id_ctx"),
-        min(when(col("both_match"), col("cand_id"))).as("id_both"))
+      .agg(aggCols.head, aggCols.tail: _*)
 
     val n1 = when(col("hint").isNull, col("n_cand")).otherwise(col("n_hint"))
     val m1 = when(col("hint").isNull, col("n_ctx")).otherwise(col("n_both"))
@@ -116,14 +127,27 @@ object Disambiguation {
       when(col("n_cand") > 1 && col("n_ctx") > 0, col("id_ctx")).otherwise(col("id_all")))
       .otherwise(
         when(col("n_hint") > 1 && col("n_both") > 0, col("id_both")).otherwise(col("id_hint")))
+    // _has_reliable_context, per marked surface: hint names a required
+    // ctx word (rule 1), the surviving candidate's own ctx is mentioned
+    // in the sentence (rule 2 — for a single survivor that is exactly
+    // m1 >= 1), or any required ctx word is mentioned (rule 3)
+    val unreliable = AmbiguousSurfaces.map { case (surf, req) =>
+      val reqAny = req.map(x => x: Any)
+      col("surface") === surf &&
+        !(coalesce(col("hint").isin(reqAny: _*), lit(false)) ||
+          m1 >= 1 ||
+          req.map(r => col(s"has_$r") === 1L).reduce(_ || _))
+    }.reduce(_ || _)
 
     agg
       // "foreign" is decided FIRST — before the hint path — exactly as
       // disambiguation.py:113 checks `if not candidate_list` before
-      // touching uf_surface
+      // touching uf_surface; the reliable-context downgrade sits inside
+      // the single-survivor branch (disambiguation.py:142-153)
       .withColumn("status",
         when(col("n_cand") === 0, "foreign")
           .when(col("hint").isNotNull && col("n_hint") === 0, "unknown_ctx")
+          .when(finalN === 1 && unreliable, "unknown_ctx")
           .when(finalN === 1, "resolved")
           .otherwise("ambiguous"))
       .withColumn("resolved_id", when(col("status") === "resolved", id1))

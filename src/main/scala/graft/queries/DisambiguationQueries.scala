@@ -31,6 +31,18 @@ object DisambiguationQueries {
     val ctxMatch = Disambiguation.CtxWords
       .map(w => s"(ctx = '$w' AND coalesce(has_$w, 0) = 1)")
       .mkString(" OR ")
+    val carryHas = Disambiguation.CtxWords
+      .map(w => s"coalesce(f.has_$w, 0) AS has_$w").mkString(", ")
+    val aggHas = Disambiguation.CtxWords
+      .map(w => s"CAST(MAX(has_$w) AS BIGINT) AS has_$w").mkString(", ")
+    // _has_reliable_context negation per marked surface (rule 1: hint
+    // names a required ctx; rule 2: single survivor's ctx mentioned ->
+    // m1 >= 1; rule 3: any required ctx mentioned)
+    val unreliableSql = Disambiguation.AmbiguousSurfaces.map { case (surf, req) =>
+      val reqIn = req.map(r => s"'$r'").mkString("(", ", ", ")")
+      val reqHas = req.map(r => s"has_$r = 1").mkString(" OR ")
+      s"(surface = '$surf' AND NOT (coalesce(hint IN $reqIn, false) OR m1 >= 1 OR $reqHas))"
+    }.mkString(" OR ")
     s"""WITH toks AS (SELECT doc_id, $toksE AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
        |sent AS (SELECT doc_id, t, tok, i,
@@ -45,7 +57,8 @@ object DisambiguationQueries {
        |  FROM sent WHERE tok IN $surfIn),
        |cand AS (SELECT m.doc_id, m.pos, m.surface, m.hint, cat.cand_id,
        |    (m.hint IS NOT NULL AND cat.ctx = m.hint) AS hint_match,
-       |    ($ctxMatch) AS ctx_match
+       |    ($ctxMatch) AS ctx_match,
+       |    $carryHas
        |  FROM mentions m
        |  LEFT JOIN $catVals ON m.surface = cat.surface
        |  LEFT JOIN ctxf f ON m.doc_id = f.doc_id AND m.sent_id = f.sent_id),
@@ -57,7 +70,8 @@ object DisambiguationQueries {
        |    MIN(cand_id) AS id_all,
        |    MIN(CASE WHEN hint_match THEN cand_id END) AS id_hint,
        |    MIN(CASE WHEN ctx_match THEN cand_id END) AS id_ctx,
-       |    MIN(CASE WHEN hint_match AND ctx_match THEN cand_id END) AS id_both
+       |    MIN(CASE WHEN hint_match AND ctx_match THEN cand_id END) AS id_both,
+       |    $aggHas
        |  FROM cand GROUP BY doc_id, pos, surface, hint),
        |decided AS (SELECT *,
        |    CASE WHEN hint IS NULL THEN n_cand ELSE n_hint END AS n1,
@@ -66,21 +80,25 @@ object DisambiguationQueries {
        |         THEN CASE WHEN n_cand > 1 AND n_ctx > 0 THEN id_ctx ELSE id_all END
        |         ELSE CASE WHEN n_hint > 1 AND n_both > 0 THEN id_both ELSE id_hint END
        |    END AS id1
-       |  FROM agg)
+       |  FROM agg),
+       |flagged AS (SELECT *, ($unreliableSql) AS unreliable FROM decided)
        |SELECT doc_id, pos, surface, hint, n_cand,
        |  CASE WHEN n_cand = 0 THEN 'foreign'
        |       WHEN hint IS NOT NULL AND n_hint = 0 THEN 'unknown_ctx'
+       |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 AND unreliable THEN 'unknown_ctx'
        |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN 'resolved'
        |       ELSE 'ambiguous' END AS status,
        |  CASE WHEN n_cand = 0 THEN NULL
        |       WHEN hint IS NOT NULL AND n_hint = 0 THEN NULL
+       |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 AND unreliable THEN NULL
        |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN id1
        |       END AS resolved_id,
        |  CAST(CASE WHEN n_cand = 0 THEN ${Disambiguation.ConfForeign}
        |       WHEN hint IS NOT NULL AND n_hint = 0 THEN ${Disambiguation.ConfUnknown}
+       |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 AND unreliable THEN ${Disambiguation.ConfUnknown}
        |       WHEN (CASE WHEN n1 > 1 AND m1 > 0 THEN m1 ELSE n1 END) = 1 THEN ${Disambiguation.ConfResolved}
        |       ELSE ${Disambiguation.ConfAmbiguous} END AS BIGINT) AS confidence_milli
-       |FROM decided ORDER BY doc_id, pos""".stripMargin
+       |FROM flagged ORDER BY doc_id, pos""".stripMargin
   }
 
   val queries: Map[String, Q] = Map("q38_disambiguation" -> (disambiguation _))

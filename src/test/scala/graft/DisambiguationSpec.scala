@@ -11,8 +11,24 @@ class DisambiguationSpec extends SparkSpec {
         Option(r.getAs[Any]("resolved_id")), r.getAs[Long]("confidence_milli")))
 
   test("unambiguous surface resolves at 0.95") {
-    val Array(r) = resolveOne("x sort y")
-    assert(r == (("sort", "resolved", Some(205), 950L)))
+    val Array(r) = resolveOne("x filter y")
+    assert(r == (("filter", "resolved", Some(206), 950L)))
+  }
+
+  test("ambiguous-marked surface needs reinforcing context (reliable-context rule)") {
+    // 'sort' is in AmbiguousSurfaces (requires 'batch'): alone it is
+    // downgraded to unknown_ctx at 0.4 despite the single candidate
+    val Array(lone) = resolveOne("x sort y")
+    assert(lone == (("sort", "unknown_ctx", None, 400L)))
+    // rule 1: the explicit hint names the required ctx -> resolved
+    val hinted = resolveOne("x sort batch y").find(_._1 == "sort").get
+    assert(hinted == (("sort", "resolved", Some(205), 950L)))
+    // rules 2/3: the required ctx mentioned in the SAME sentence
+    val sameSent = resolveOne("sort a b batch").find(_._1 == "sort").get
+    assert(sameSent == (("sort", "resolved", Some(205), 950L)))
+    // ctx in a PREVIOUS sentence does not help (sentence-scoped)
+    val otherSent = resolveOne("a batch sort c").find(_._1 == "sort").get
+    assert(otherSent == (("sort", "unknown_ctx", None, 400L)))
   }
 
   test("ambiguous surface without context stays ambiguous at 0.5") {
