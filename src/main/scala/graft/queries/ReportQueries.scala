@@ -62,6 +62,53 @@ object ReportQueries {
        |ORDER BY doc_id, keyword""".stripMargin
   }
 
+  /** q63: per-article city-mention rollup — the article_cities payload
+    * of extraction/service.py:205-278 `_aggregate_city_mentions` via
+    * `update_article_cities`: occurrences grouped under their resolved
+    * id, id-less occurrences (unresolved NER spans) adopted into the
+    * label's resolved entry, labels that never resolve DROPPED
+    * (service.py:266 `if not data.get("city_id"): continue`), with the
+    * set of contributing extraction methods. Our variants catalog keys
+    * labels 1:1 to ids, so the reference's label->id remap reduces to
+    * one aggregation per (doc, keyword); `pos % 7 == 0` synthesizes
+    * the unresolved spans, multi-token grams play the "pattern"
+    * method and single tokens the "automaton" (service.py methods). */
+  def cityMentionRollup(s: SparkSession, dir: String): DataFrame = {
+    val m = Gazetteer
+      .matchDetails(Tables.documents(s, dir), Gazetteer.variantsDf(s), "text", "doc_id")
+      .withColumn("method", when(col("n_toks") > 1, "pattern").otherwise("automaton"))
+      .withColumn("city_id", when(col("pos") % 7 === 0, lit(null)).otherwise(col("kw_id")))
+    m.groupBy(col("doc_id"), col("keyword"))
+      .agg(
+        max(col("city_id")).as("city_id"),
+        count(lit(1)).as("occurrences"),
+        sum(when(col("city_id").isNull, 1L).otherwise(0L)).as("n_unresolved"),
+        array_join(array_sort(collect_set(col("method"))), ",").as("sources"))
+      .filter(col("city_id").isNotNull)
+      .select(col("doc_id"), col("city_id"), col("keyword").as("label"),
+        col("occurrences"), col("n_unresolved"), col("sources"))
+      .orderBy(col("doc_id"), col("city_id"))
+  }
+
+  val cityMentionRollupSql: String = {
+    val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+    val toks = s"string_split_regex(trim($fold), '\\s+')"
+    s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |grams AS (${Gazetteer.gramsCteSql("pos")}),
+       |m AS (SELECT doc_id, kw_id, keyword,
+       |    CASE WHEN n > 1 THEN 'pattern' ELSE 'automaton' END AS method,
+       |    CASE WHEN (i - 1) % 7 = 0 THEN NULL ELSE kw_id END AS city_id
+       |  FROM grams JOIN ${Gazetteer.variantsValuesSql} ON gram = variant)
+       |SELECT doc_id, MAX(city_id) AS city_id, keyword AS label,
+       |  COUNT(*) AS occurrences,
+       |  CAST(SUM(CASE WHEN city_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unresolved,
+       |  array_to_string(list_sort(list_distinct(list(method))), ',') AS sources
+       |FROM m GROUP BY doc_id, keyword
+       |HAVING MAX(city_id) IS NOT NULL
+       |ORDER BY doc_id, city_id""".stripMargin
+  }
+
   /** q36: daily report matrix — orders per day with per-priority
     * conditional-aggregation columns (pivot as stable-schema SUM(CASE)). */
   def dailyReport(s: SparkSession, dir: String): DataFrame = {
@@ -106,10 +153,12 @@ object ReportQueries {
   val queries: Map[String, Q] = Map(
     "q35_report_export" -> (reportExport _),
     "q36_daily_report" -> (dailyReport _),
-    "q37_approx_distinct" -> (approxDistinct _))
+    "q37_approx_distinct" -> (approxDistinct _),
+    "q63_city_mention_rollup" -> (cityMentionRollup _))
 
   /** q37 intentionally omitted: HLL sketches are not oracle-comparable. */
   val oracles: Map[String, String] = Map(
     "q35_report_export" -> reportExportSql,
-    "q36_daily_report" -> dailyReportSql)
+    "q36_daily_report" -> dailyReportSql,
+    "q63_city_mention_rollup" -> cityMentionRollupSql)
 }
