@@ -1,8 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.Money.cents
@@ -17,61 +16,68 @@ object LangNgramQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** (lang, trigram) profiles — tiny literal catalogs, broadcast. */
+  /** (lang, trigram) profiles. Every trigram is self-overlap-free
+    * (first char != last char), so the non-overlapping `replace` count
+    * equals the sliding-window occurrence count — the property that
+    * lets q46 count occurrences with 20 codegen'd string ops instead
+    * of a per-char explode + join. */
   val TrigramProfiles: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "ing", "en" -> "and", "en" -> "ion", "en" -> "ter",
     "de" -> "sch", "de" -> "der", "de" -> "ein", "de" -> "ich", "de" -> "und",
     "es" -> "que", "es" -> "los", "es" -> "ent", "es" -> "ado", "es" -> "cio",
-    "pt" -> "cao", "pt" -> "nho", "pt" -> "ada", "pt" -> "ent", "pt" -> "dos")
+    "pt" -> "cao", "pt" -> "nho", "pt" -> "nte", "pt" -> "ent", "pt" -> "dos")
 
+  private val Langs: Seq[String] = TrigramProfiles.map(_._1).distinct.sorted
+
+  /** q46 — NO-EXPLODE form: per doc, each language's hit count is the
+    * sum of its trigrams' occurrence counts computed as
+    * (len(f) - len(replace(f, tri, ''))) / 3 — one codegen'd pass per
+    * trigram, entirely map-side; the argmax (ties alphabetical, zero
+    * hits -> 'und') is a CASE chain. No explode, no join, no shuffle
+    * but the final presentation sort. At 100 TB this is a pure scan. */
   def langIdNgram(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val prof = TrigramProfiles.toDF("cand_lang", "tri")
     val docs = Tables.documents(s, dir)
-    // char trigrams of the folded text via positional substring
-    // build the trigram array in one expression, then explode small
-    // strings — exploding per-char rows would duplicate the full
-    // folded text into every row
-    val grams = docs
       .select(col("doc_id"), fold(col("text")).as("f"))
+    val langHits: Seq[(String, Column)] = Langs.map { lang =>
+      lang -> TrigramProfiles.filter(_._1 == lang)
+        .map { case (_, tri) => expr(s"(length(f) - length(replace(f, '$tri', ''))) div 3") }
+        .reduce(_ + _).cast("long")
+    }
+    val withHits = langHits.foldLeft(docs) { case (df, (lang, c)) =>
+      df.withColumn(s"hits_$lang", c)
+    }
+    val best = greatest(Langs.map(l => col(s"hits_$l")): _*)
+    val chain = Langs.foldLeft(when(lit(false), lit(""))) { (acc, l) =>
+      acc.when(col(s"hits_$l") === best, l)
+    }.otherwise("und")
+    withHits
       .select(col("doc_id"),
-        explode(expr(
-          "CASE WHEN length(f) >= 3 THEN transform(sequence(1, length(f) - 2), i -> substring(f, i, 3)) ELSE array() END"))
-          .as("tri"))
-    val hits = grams
-      .join(broadcast(prof), Seq("tri"))
-      .groupBy(col("doc_id"), col("cand_lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand_lang"))
-    val picked = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    docs.select(col("doc_id"))
-      .join(picked.select(col("doc_id"), col("cand_lang"), col("hits")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cand_lang"), lit("und")).as("lang_pred"),
-        coalesce(col("hits"), lit(0L)).as("tri_hits"))
+        when(best === 0, "und").otherwise(chain).as("lang_pred"),
+        when(best === 0, 0L).otherwise(best).as("tri_hits"))
       .orderBy(col("doc_id"))
   }
 
   val langIdNgramSql: String = {
     val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
-    val values = TrigramProfiles.map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
-    s"""WITH prof(cand_lang, tri) AS (VALUES $values),
-       |f AS (SELECT doc_id, $fold AS f FROM documents),
-       |grams AS (SELECT doc_id, substring(f, i, 3) AS tri
-       |  FROM (SELECT doc_id, f, generate_subscripts(string_split(f, ''), 1) AS i,
-       |               unnest(string_split(f, '')) AS ch
-       |        FROM f)
-       |  WHERE i + 3 <= length(f) + 1),
-       |hits AS (SELECT doc_id, cand_lang, COUNT(*) AS hits
-       |  FROM grams JOIN prof USING (tri) GROUP BY doc_id, cand_lang),
-       |picked AS (SELECT doc_id, cand_lang, hits,
-       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
-       |  FROM hits)
-       |SELECT d.doc_id,
-       |  coalesce(p.cand_lang, 'und') AS lang_pred,
-       |  coalesce(p.hits, 0) AS tri_hits
-       |FROM documents d LEFT JOIN (SELECT * FROM picked WHERE rn = 1) p USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+    val hitCols = Langs.map { lang =>
+      val sum = TrigramProfiles.filter(_._1 == lang)
+        .map { case (_, tri) => s"(length(f) - length(replace(f, '$tri', ''))) // 3" }
+        .mkString(" + ")
+      s"CAST($sum AS BIGINT) AS hits_$lang"
+    }.mkString(",\n    ")
+    val bestSql = Langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val chain = Langs.map(l => s"WHEN hits_$l = best THEN '$l'").mkString("\n       ")
+    s"""WITH f AS (SELECT doc_id, $fold AS f FROM documents),
+       |h AS (SELECT doc_id,
+       |    $hitCols
+       |  FROM f),
+       |b AS (SELECT *, $bestSql AS best FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN best = 0 THEN 'und'
+       |       $chain
+       |       ELSE 'und' END AS lang_pred,
+       |  CAST(CASE WHEN best = 0 THEN 0 ELSE best END AS BIGINT) AS tri_hits
+       |FROM b ORDER BY doc_id""".stripMargin
   }
 
   /** q47: top-5 orders per market segment executed by the custom
