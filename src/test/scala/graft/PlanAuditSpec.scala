@@ -74,6 +74,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanCount(p) == 1, p)
   }
 
+  test("q46 lang-id is a pure scan: no explode, no join, no shuffle but the sort") {
+    val p = plan(graft.queries.LangNgramQueries.langIdNgram(spark, sfDir))
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    // only the presentation-sort range exchange remains
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("gazetteer explodes do not leak expensive expressions into scan filters") {
+    // regression guard for the Catalyst inferred-filter pushdown bug:
+    // isnotnull/size>0 predicates on derived arrays must NOT be pushed
+    // below the projections (which would inline and re-evaluate the
+    // fold/offsets/starts chain per row at the scan — measured 14x on
+    // q61). The outer explodes + struct-carried span fields keep every
+    // Filter above its Generate, so no scan-level DataFilter may
+    // mention the fold machinery.
+    for (df <- Seq(
+        TextQueries.keywordMentions(spark, sfDir),
+        ContextQueries.matchSpans(spark, sfDir))) {
+      val scanLines = plan(df).linesIterator.filter(_.contains("Scan parquet")).mkString("\n")
+      assert(!scanLines.contains("aggregate("), scanLines)
+      assert(!scanLines.contains("strip_accents"), scanLines)
+    }
+  }
+
   test("column pruning: token count reads only the needed columns") {
     val df = TextQueries.tokenCount(spark, sfDir)
     val p = plan(df)
