@@ -80,7 +80,7 @@ object Disambiguation {
     val wSentPrefix = wDoc.rowsBetween(Window.unboundedPreceding, -1)
     val wSent = Window.partitionBy(col(idCol), col("sent_id"))
     val toks = docs
-      .select(col(idCol), posexplode(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
+      .select(col(idCol), posexplode_outer(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
       .withColumn("sent_id",
         coalesce(sum(when(col("tok") === Gazetteer.SentenceBreakToken, 1L).otherwise(0L))
           .over(wSentPrefix), lit(0L)))

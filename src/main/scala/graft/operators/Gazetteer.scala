@@ -341,6 +341,28 @@ object Gazetteer {
   val ContextMismatchPenaltyMilli = 700L // aggregator.py:12 CONTEXT_MISMATCH_PENALTY = 0.7
   val SentenceBreakToken = "batch" // q40's synthesized sentence terminator
 
+  /** Lead columns + the anchored-gram explode over a doc-ordered token
+    * stream exposing (pos, tok, ...) — the single-window-sort gram
+    * builder shared by contextMatches and the occurrence-sentence
+    * view. No token array is ever carried: grams come from lead()
+    * lookahead, null past the partition end. OUTER explode — see
+    * matches() on inferred-filter pushdown. */
+  def explodeStreamGrams(df: DataFrame, wDoc: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val withNext = (1 to MaxKeywordTokens).foldLeft(df) { (d, k) =>
+      d.withColumn(s"next_$k", lead(col("tok"), k).over(wDoc))
+    }
+    val gramCols = (1 to MaxKeywordTokens).map { n =>
+      val gram =
+        if (n == 1) col("tok")
+        else when(col(s"next_${n - 1}").isNotNull,
+          concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"next_$k")): _*))
+      struct(lit(n).as("n"), gram.as("gram"))
+    }
+    withNext
+      .withColumn("g", explode_outer(array(gramCols: _*)))
+      .filter(col("g.gram").isNotNull)
+  }
+
   def statesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     StateWords.toDF("state_word", "uf")
@@ -395,7 +417,7 @@ object Gazetteer {
         case (acc, (w, uf)) => acc.when(col("tok") === w, uf)
       }
     val toks = docs
-      .select(col(idCol), posexplode(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
+      .select(col(idCol), posexplode_outer(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
       .withColumn("sent_id",
         coalesce(sum(when(col("tok") === SentenceBreakToken, 1L).otherwise(0L)).over(wSentPrefix), lit(0L)))
       // char offset of this token in the space-joined stream (the
@@ -411,27 +433,13 @@ object Gazetteer {
       .withColumn("fa_end",
         min(when(col("tok").isin(admin: _*),
           col("tok_start") + length(col("tok")).cast("long"))).over(wAdmin))
-    // next_1..next_MaxN: the gram-building lookahead, still the same
-    // single window sort — no token array is ever carried
-    val withNext = (1 to MaxKeywordTokens).foldLeft(withAdmin) { (df, k) =>
-      df.withColumn(s"next_$k", lead(col("tok"), k).over(wDoc))
-    }
-    // candidate n-grams anchored at this row; null when they would run
-    // past the document end (lead is null past the partition)
-    val gramCols = (1 to MaxKeywordTokens).map { n =>
-      val gram =
-        if (n == 1) col("tok")
-        else when(col(s"next_${n - 1}").isNotNull,
-          concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"next_$k")): _*))
-      struct(lit(n).as("n"), gram.as("gram"))
-    }
-    val sig = withNext
-      // alphabetically-first state mentioned in the row's sentence,
-      // null when the sentence mentions none (min skips nulls)
-      .withColumn("ctx_uf", min(stateUf).over(wSent))
-      .withColumn("in_title", col("sent_id") === 0L)
-      .withColumn("g", explode(array(gramCols: _*)))
-      .filter(col("g.gram").isNotNull)
+    val sig = explodeStreamGrams(
+      withAdmin
+        // alphabetically-first state mentioned in the row's sentence,
+        // null when the sentence mentions none (min skips nulls)
+        .withColumn("ctx_uf", min(stateUf).over(wSent))
+        .withColumn("in_title", col("sent_id") === 0L),
+      wDoc)
       // match span in chars: [tok_start, tok_start + len(gram)); the
       // window's left clamp at 0 and right clamp at text length are
       // free (occurrence starts are >= 0, ends <= length)

@@ -364,17 +364,66 @@ object ContextQueries {
        |ORDER BY doc_id, pos, kw_id, n_toks""".stripMargin
   }
 
+  // ---- q64: occurrence rows with their containing sentence ----
+
+  /** q64: each dictionary match with the SENTENCE containing it — the
+    * `sentence` context field the reference attaches to every
+    * occurrence (normalization.py:132 `find_sentence_containing`,
+    * consumed at service.py:122-131 for PersonOccurrence /
+    * CityOccurrence). Single pass: sentence ids from the in-stream
+    * prefix count, the sentence text as an ordered full-frame
+    * collect_list over (doc, sent_id) — no second scan, no carried
+    * arrays; grams via the shared lead() builder. The sentence is the
+    * folded token stream of the anchor's sentence (terminator
+    * included), our analog of the reference's trimmed raw sentence. */
+  def occurrenceSentences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrefix = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val wSentAll = Window.partitionBy(col("doc_id"), col("sent_id"))
+      .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode_outer(tokens(fold(col("text")))).as(Seq("pos", "tok")))
+      .withColumn("sent_id",
+        coalesce(sum(when(col("tok") === Gazetteer.SentenceBreakToken, 1L).otherwise(0L))
+          .over(wPrefix), lit(0L)))
+      .withColumn("sentence", array_join(collect_list(col("tok")).over(wSentAll), " "))
+    Gazetteer.explodeStreamGrams(toks, wDoc)
+      .join(broadcast(Gazetteer.variantsDf(s)), col("g.gram") === col("variant"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("kw_id"), col("keyword"), col("sent_id"), col("sentence"))
+      .orderBy(col("doc_id"), col("pos"), col("kw_id"))
+  }
+
+  val occurrenceSentencesSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos0 AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |pos AS (SELECT doc_id, t, tok, i,
+       |    CAST(coalesce(SUM(CASE WHEN tok = '${Gazetteer.SentenceBreakToken}' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sent_id
+       |  FROM pos0),
+       |sentxt AS (SELECT doc_id, t, tok, i, sent_id,
+       |    string_agg(tok, ' ') OVER (PARTITION BY doc_id, sent_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sentence
+       |  FROM pos),
+       |grams AS (${Gazetteer.gramsCteSql("sentxt", ", sent_id, sentence")})
+       |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, kw_id, keyword, sent_id, sentence
+       |FROM grams JOIN ${Gazetteer.variantsValuesSql} ON gram = variant
+       |ORDER BY doc_id, pos, kw_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q56_context_gazetteer" -> (contextGazetteer _),
     "q57_suppression_audit" -> (suppressionAudit _),
     "q58_state_mentions" -> (stateMentions _),
     "q59_fold_offsets" -> (foldOffsets _),
-    "q61_match_spans" -> (matchSpans _))
+    "q61_match_spans" -> (matchSpans _),
+    "q64_occurrence_sentences" -> (occurrenceSentences _))
 
   val oracles: Map[String, String] = Map(
     "q56_context_gazetteer" -> contextGazetteerSql,
     "q57_suppression_audit" -> suppressionAuditSql,
     "q58_state_mentions" -> stateMentionsSql,
     "q59_fold_offsets" -> foldOffsetsSql,
-    "q61_match_spans" -> matchSpansSql)
+    "q61_match_spans" -> matchSpansSql,
+    "q64_occurrence_sentences" -> occurrenceSentencesSql)
 }
