@@ -44,7 +44,7 @@ object ContextQueries {
     * starting at-or-after (match_start - 48) decides via
     * `first.end <= match_end + 48` (occurrences are disjoint+ordered,
     * so no later occurrence can fit if the first cannot). */
-  private def ctxCteSql: String =
+  private[queries] def ctxCteSql: String =
     s"""toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
        |pos0 AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
        |pos AS (SELECT doc_id, t, tok, i,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.Geo
+import graft.operators.{Gazetteer, Geo}
 
 /** Layer H of SURVEY.md §2: haversine + geo-enrichment join
   * (reference: city_matching/geoutils.py, geo_enrichment_job.py).
@@ -69,11 +69,69 @@ object GeoQueries {
        |ORDER BY c_custkey""".stripMargin
   }
 
+  /** Stable integer key per UF for synthetic capital coordinates. */
+  private val UfIndex: Seq[(String, Int)] =
+    Gazetteer.KeywordUf.map(_._2).distinct.sorted.zipWithIndex.map { case (u, i) => (u, i + 1) }
+
+  /** q65: the `aggregate_with_primary_city` payload
+    * (aggregator.py:334-380 + test_aggregator
+    * `aggregate_with_primary_city_enriches_context`): the context-chain
+    * primary pick per document enriched with its home-UF geo context —
+    * the distance from the primary city to its state capital
+    * (aggregator.py:374 `distance_from_state_capital_km`). Composes
+    * two existing operators (contextMatches/primaryWithContext + the
+    * haversine column math) with two broadcast dims; the heavy side is
+    * the q56 single-pass stream, the enrichment adds no shuffle. */
+  def primaryEnriched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ufIdx = broadcast(UfIndex.toDF("city_uf", "uf_idx"))
+    Gazetteer
+      .primaryWithContext(
+        Gazetteer.contextMatches(Tables.documents(s, dir), s, "text", "doc_id"), "doc_id")
+      .join(broadcast(Gazetteer.keywordUfDf(s)), Seq("kw_id"))
+      .join(ufIdx, Seq("city_uf"))
+      .withColumn("k_lat", Geo.synthLat(col("kw_id"), 19L))
+      .withColumn("k_lon", Geo.synthLon(col("kw_id"), 23L))
+      .withColumn("u_lat", Geo.synthLat(col("uf_idx"), 11L))
+      .withColumn("u_lon", Geo.synthLon(col("uf_idx"), 17L))
+      .select(col("doc_id"), col("kw_id"), col("keyword").as("primary_kw"),
+        col("city_uf"), col("score_milli"),
+        Geo.metersOf(Geo.haversineKm(col("k_lat"), col("k_lon"), col("u_lat"), col("u_lon")))
+          .as("capital_dist_m"))
+      .orderBy(col("doc_id"))
+  }
+
+  val primaryEnrichedSql: String = {
+    val ufVals = UfIndex.map { case (u, i) => s"('$u', $i)" }
+      .mkString("(VALUES ", ", ", ") AS ufidx(idx_uf, uf_idx)")
+    val kLat = Geo.synthLatSql("kw_id", 19L)
+    val kLon = Geo.synthLonSql("kw_id", 23L)
+    val uLat = Geo.synthLatSql("uf_idx", 11L)
+    val uLon = Geo.synthLonSql("uf_idx", 17L)
+    s"""WITH ${ContextQueries.ctxCteSql},
+       |picked AS (SELECT doc_id, kw_id, keyword, score_milli
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_milli DESC, admin_markers DESC, title_boost_milli DESC,
+       |        context_mismatches ASC, occurrences DESC, kw_id) AS rn
+       |    FROM aggd)
+       |  WHERE rn = 1),
+       |geo AS (SELECT p.doc_id, p.kw_id, p.keyword, p.score_milli, ufcat.city_uf, ufidx.uf_idx
+       |  FROM picked p
+       |  JOIN ${Gazetteer.keywordUfValuesSql} ON p.kw_id = ufcat.uf_kw_id
+       |  JOIN $ufVals ON ufcat.city_uf = ufidx.idx_uf),
+       |pts AS (SELECT *, $kLat AS k_lat, $kLon AS k_lon, $uLat AS u_lat, $uLon AS u_lon FROM geo)
+       |SELECT doc_id, kw_id, keyword AS primary_kw, city_uf, score_milli,
+       |  CAST(ROUND((${Geo.haversineKmSql("k_lat", "k_lon", "u_lat", "u_lon")}) * 1000.0) AS BIGINT) AS capital_dist_m
+       |FROM pts ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_haversine" -> (haversine _),
-    "q34_geo_enrich" -> (geoEnrich _))
+    "q34_geo_enrich" -> (geoEnrich _),
+    "q65_primary_enriched" -> (primaryEnriched _))
 
   val oracles: Map[String, String] = Map(
     "q33_haversine" -> haversineSql,
-    "q34_geo_enrich" -> geoEnrichSql)
+    "q34_geo_enrich" -> geoEnrichSql,
+    "q65_primary_enriched" -> primaryEnrichedSql)
 }
