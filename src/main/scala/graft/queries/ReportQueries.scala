@@ -109,6 +109,39 @@ object ReportQueries {
        |ORDER BY doc_id, city_id""".stripMargin
   }
 
+  /** q66: the audit of what q63 drops — mention labels whose every
+    * occurrence is unresolved are suppressed with reason
+    * "missing_candidate" (aggregator.py's unresolved-candidate path,
+    * test_aggregator_c6: entries with city_id None are excluded from
+    * primary selection and recorded in the suppression trail). */
+  def unresolvedAudit(s: SparkSession, dir: String): DataFrame = {
+    val m = Gazetteer
+      .matchDetails(Tables.documents(s, dir), Gazetteer.variantsDf(s), "text", "doc_id")
+      .withColumn("city_id", when(col("pos") % 7 === 0, lit(null)).otherwise(col("kw_id")))
+    m.groupBy(col("doc_id"), col("keyword"))
+      .agg(max(col("city_id")).as("any_id"), count(lit(1)).as("occurrences"))
+      .filter(col("any_id").isNull)
+      .select(col("doc_id"), col("keyword").as("label"), col("occurrences"),
+        lit("missing_candidate").as("reason"))
+      .orderBy(col("doc_id"), col("label"))
+  }
+
+  val unresolvedAuditSql: String = {
+    val fold = "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+    val toks = s"string_split_regex(trim($fold), '\\s+')"
+    s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |grams AS (${Gazetteer.gramsCteSql("pos")}),
+       |m AS (SELECT doc_id, keyword,
+       |    CASE WHEN (i - 1) % 7 = 0 THEN NULL ELSE kw_id END AS city_id
+       |  FROM grams JOIN ${Gazetteer.variantsValuesSql} ON gram = variant)
+       |SELECT doc_id, keyword AS label, COUNT(*) AS occurrences,
+       |  'missing_candidate' AS reason
+       |FROM m GROUP BY doc_id, keyword
+       |HAVING MAX(city_id) IS NULL
+       |ORDER BY doc_id, label""".stripMargin
+  }
+
   /** q36: daily report matrix — orders per day with per-priority
     * conditional-aggregation columns (pivot as stable-schema SUM(CASE)). */
   def dailyReport(s: SparkSession, dir: String): DataFrame = {
@@ -154,11 +187,13 @@ object ReportQueries {
     "q35_report_export" -> (reportExport _),
     "q36_daily_report" -> (dailyReport _),
     "q37_approx_distinct" -> (approxDistinct _),
-    "q63_city_mention_rollup" -> (cityMentionRollup _))
+    "q63_city_mention_rollup" -> (cityMentionRollup _),
+    "q66_unresolved_audit" -> (unresolvedAudit _))
 
   /** q37 intentionally omitted: HLL sketches are not oracle-comparable. */
   val oracles: Map[String, String] = Map(
     "q35_report_export" -> reportExportSql,
     "q36_daily_report" -> dailyReportSql,
-    "q63_city_mention_rollup" -> cityMentionRollupSql)
+    "q63_city_mention_rollup" -> cityMentionRollupSql,
+    "q66_unresolved_audit" -> unresolvedAuditSql)
 }
