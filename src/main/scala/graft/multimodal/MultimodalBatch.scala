@@ -71,4 +71,45 @@ object MultimodalBatch {
       it.grouped(DecodeBatchSize).flatMap(batch => FakeCodec.decode(batch))
     }
   }
+
+  /** One sampled frame of a (fake-)video asset. */
+  case class Frame(
+      asset_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      brightness_milli: Long)
+
+  /** Frame sampling: every asset yields `min(k, n_frames)` frame rows —
+    * the one→many row-explosion plumbing a video pipeline needs. Frames
+    * are evenly spaced over the asset's frame count (index
+    * `i * n_frames / k`, the standard uniform-stride sampler); the
+    * per-frame decode is the same STUB (deterministic from the payload
+    * bytes + frame index). Batched like decodeFeatures, still one pass. */
+  def sampleFrames(assets: Dataset[Asset], k: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        FakeCodec.decode(batch).flatMap { f =>
+          val take = math.min(k, f.n_frames)
+          (0 until take).map { i =>
+            val idx = i * f.n_frames / math.max(take, 1)
+            Frame(f.asset_id, idx, f.width, f.height,
+              (f.brightness_milli * 31 + idx * 131) % 1000)
+          }
+        }
+      }
+    }
+  }
+
+  /** Resize: pure column arithmetic over decoded features — the
+    * aspect-preserving fit into a (maxW, maxH) box every image pipeline
+    * ships. No UDF, no shuffle; stays in whole-stage codegen. */
+  def resizeTo(features: Dataset[AssetFeatures], maxW: Int, maxH: Int): DataFrame = {
+    val scaleNum = least(lit(maxW) * col("height"), lit(maxH) * col("width"))
+    val scaleDen = col("width") * col("height")
+    features.toDF()
+      .withColumn("out_w", greatest(lit(1), (col("width") * scaleNum / scaleDen).cast("int")))
+      .withColumn("out_h", greatest(lit(1), (col("height") * scaleNum / scaleDen).cast("int")))
+  }
 }

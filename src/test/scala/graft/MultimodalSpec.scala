@@ -17,6 +17,46 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.asset_id).toSeq == again.sortBy(_.asset_id).toSeq)
   }
 
+  test("frame sampling emits min(k, n_frames) evenly-strided frames per asset") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val assets = MultimodalBatch.assetsFromDocuments(spark, docs)
+    val feats = MultimodalBatch.decodeFeatures(assets).collect()
+      .map(f => f.asset_id -> f.n_frames).toMap
+    val frames = MultimodalBatch.sampleFrames(assets, 3).collect()
+    val byAsset = frames.groupBy(_.asset_id)
+    assert(byAsset.keySet == feats.keySet)
+    byAsset.foreach { case (id, fs) =>
+      assert(fs.length == math.min(3, feats(id)), s"asset $id")
+      // strided indices are strictly increasing and inside the clip
+      val idxs = fs.map(_.frame_idx).sorted.toSeq
+      assert(idxs == fs.map(_.frame_idx).toSeq.sorted && idxs.distinct == idxs)
+      assert(idxs.forall(i => i >= 0 && i < feats(id)))
+    }
+    // deterministic across runs
+    val again = MultimodalBatch.sampleFrames(assets, 3).collect()
+    assert(frames.sortBy(f => (f.asset_id, f.frame_idx)).toSeq ==
+      again.sortBy(f => (f.asset_id, f.frame_idx)).toSeq)
+  }
+
+  test("resize fits features into the box, preserves aspect, stays codegen") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val feats = MultimodalBatch.decodeFeatures(MultimodalBatch.assetsFromDocuments(spark, docs))
+    val resized = MultimodalBatch.resizeTo(feats, 32, 24)
+    val rows = resized.select("width", "height", "out_w", "out_h").collect()
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(ow <= 32 && oh <= 24 && ow >= 1 && oh >= 1, s"($w,$h)->($ow,$oh)")
+      // exact fit math: dims scaled by min(maxW/w, maxH/h), floored
+      val num = math.min(32L * h, 24L * w).toDouble
+      val den = (w.toLong * h).toDouble
+      assert(ow == math.max(1, (w * num / den).toInt), s"($w,$h)->($ow,$oh)")
+      assert(oh == math.max(1, (h * num / den).toInt), s"($w,$h)->($ow,$oh)")
+    }
+    // pure column math: no Generate / mapPartitions in the plan tail
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("payload is genuine binary with byte-accurate length") {
     import spark.implicits._
     val df = Seq((1L, "héllo")).toDF("doc_id", "text")
