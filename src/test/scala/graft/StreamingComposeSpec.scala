@@ -31,4 +31,34 @@ class StreamingComposeSpec extends SparkSpec {
       assert(rows.toSeq == Seq((1L, "join", 1900L), (1L, "spark", 1950L)))
     } finally q.stop()
   }
+
+  test("city-mention rollup aggregation runs on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // the q63 shape: matchDetails -> per-(doc, label) aggregation with
+    // collect_set sources; update mode re-emits groups as they grow
+    val m = Gazetteer.matchDetails(docs, Gazetteer.variantsDf(spark), "text", "doc_id")
+      .withColumn("method", when(col("n_toks") > 1, "pattern").otherwise("automaton"))
+    val rollup = m.groupBy(col("doc_id"), col("keyword"))
+      .agg(count(lit(1)).as("occurrences"),
+        array_join(array_sort(collect_set(col("method"))), ",").as("sources"))
+    val q = rollup.writeStream.format("memory").queryName("rollup_stream")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "spark hash join on the spark table"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT keyword, occurrences, sources FROM rollup_stream ORDER BY keyword")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      // "hash join" matches the 2-token variant (pattern) AND its parts
+      assert(rows.toSeq == Seq(
+        ("hash", 1L, "automaton"),
+        ("hash join", 1L, "pattern"),
+        ("join", 1L, "automaton"),
+        ("spark", 2L, "automaton"),
+        ("table", 1L, "automaton")))
+    } finally q.stop()
+  }
 }
