@@ -25,6 +25,29 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("foldWithOffsets invariants hold on random mixed-unicode text") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.{fold, foldWithOffsets}
+    import spark.implicits._
+    val palette = "abc XY9 çéÃü-‐‑–—―­"
+    def randomMixed(): String =
+      (0 until rng.nextInt(40)).map(_ => palette(rng.nextInt(palette.length))).mkString
+    val samples = (1L to 200L).map(i => (i, randomMixed()))
+    val rows = samples.toDF("id", "s")
+      .select(col("id"), fold(col("s")).as("whole"), foldWithOffsets(col("s")).as("fo"))
+      .collect()
+      .map(r => (r.getString(1), r.getStruct(2).getString(0), r.getStruct(2).getSeq[Int](1)))
+    rows.foreach { case (whole, folded, offsets) =>
+      // per-char fold composes to the whole-string fold
+      assert(folded == whole, s"'$folded' != '$whole'")
+      // one offset per folded char, each a valid source index,
+      // weakly increasing (deleted chars skip indices, never reorder)
+      assert(offsets.length == folded.length)
+      assert(offsets.forall(_ >= 0))
+      assert(offsets.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("stripAccents is a no-op on ascii and idempotent on accented text") {
     (1 to 500).foreach { _ =>
       val s = randomAscii()
