@@ -188,4 +188,42 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over near-dup pairs: every doc in a pair gets
+    * the MINIMUM doc id of its component as `cluster_id` — how a
+    * training-data pipeline turns pairwise near-dup hits into dedup
+    * groups with one kept representative per group.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow).
+    * Each round is fully distributed (one join + one aggregate);
+    * `localCheckpoint` truncates the growing lineage — the standard
+    * Spark iterative-algorithm pattern — and the driver only evaluates
+    * a scalar convergence count, never row data. `maxIter` bounds the
+    * worst case (a path graph). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nbr_lab"))
+      val updated = labels
+        .join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), col("lab"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("new_lab"))
+        .localCheckpoint()
+      converged = updated.filter(col("new_lab") < col("lab")).isEmpty
+      labels = updated.select(col("node"), col("new_lab").as("lab"))
+      iter += 1
+    }
+    labels
+  }
 }

@@ -149,15 +149,67 @@ object DedupQueries {
        |ORDER BY sim_a, sim_b""".stripMargin
   }
 
+  /** q67: near-dup CLUSTERING — the q22 Jaccard pairs closed into
+    * connected components, labeled by the component's min doc id, with
+    * cluster sizes and the kept representative flagged. This is the
+    * step that turns pairwise near-dup hits into dedup groups (keep
+    * one per group) in a training-data pipeline. The oracle computes
+    * the same components via a recursive transitive-closure CTE
+    * (UNION-dedup, terminates; near-dup components are tiny). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id",
+      dfCap = Some(JaccardDfCap))
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $RepsCte,
+       |$ShinglesCte,
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $JaccardDfCap),
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |near AS (SELECT doc_a, doc_b
+       |  FROM cand JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE intersect_n * 2 >= sa.set_size + sb.set_size - intersect_n),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM near),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sized AS (SELECT doc_id, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM lab)
+       |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  doc_id = cluster_id AS keep
+       |FROM sized ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q21_dedup_exact" -> (dedupExact _),
     "q22_ngram_jaccard" -> (ngramJaccard _),
     "q23_minhash_lsh" -> (minhashLsh _),
-    "q24_simhash" -> (simhashPairs _))
+    "q24_simhash" -> (simhashPairs _),
+    "q67_dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> dedupExactSql,
     "q22_ngram_jaccard" -> ngramJaccardSql,
     "q23_minhash_lsh" -> minhashLshSql,
-    "q24_simhash" -> simhashPairsSql)
+    "q24_simhash" -> simhashPairsSql,
+    "q67_dedup_clusters" -> dedupClustersSql)
 }

@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(4L)) > 6)
   }
 
+  test("connectedComponents labels every component with its min doc id") {
+    // chain 5-6-9-12 needs the min to travel 3 hops (multi-iteration);
+    // star 2-{1,3}, 3-7 merges through a hub; 10-11 is a plain pair
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 7L),
+      (10L, 11L),
+      (5L, 6L), (6L, 9L), (9L, 12L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      5L -> 5L, 6L -> 5L, 9L -> 5L, 12L -> 5L))
+  }
+
   test("lsh bucket assignment is deterministic and brute-force topk ranks by cos_e6") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => (i % 7).toFloat / 7f)),
