@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Layers D(q25)+E of SURVEY.md §2: embedding near-dup and ANN search
   * over the `embeddings` table (64-dim float vectors).
@@ -207,17 +207,61 @@ object SimilarityQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** q68: SEMANTIC dedup clusters — the q42 embedding near-dup pairs
+    * closed into connected components (min-vec-id labels, kept rep),
+    * the same grouping step q67 applies to lexical pairs. One
+    * representative per semantic cluster is what an embedding-dedup
+    * stage keeps in a training-data pipeline. */
+  def embedClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = embedNearDupLsh(s, dir).select(col("vec_id_a"), col("vec_id_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    Dedup.connectedComponents(pairs, "vec_id_a", "vec_id_b")
+      .select(col("node").as("vec_id"), col("lab").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedClustersSql: String = {
+    val dotAB = dotSql("a.embedding", "b.embedding", Dim)
+    s"""WITH RECURSIVE bucketed AS (SELECT vec_id, embedding,
+       |    ${normSql("embedding", Dim)} AS nrm, ${bucketExprSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |    ($dotAB) / (a.nrm * b.nrm) AS cos
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |near AS (SELECT vec_id_a, vec_id_b FROM scored WHERE cos >= $NearDupThreshold),
+       |edges AS (SELECT vec_id_a AS src, vec_id_b AS dst FROM near
+       |  UNION SELECT vec_id_b AS src, vec_id_a AS dst FROM near),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sized AS (SELECT vec_id, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM lab)
+       |SELECT vec_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  vec_id = cluster_id AS keep
+       |FROM sized ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
     "q27_ann_lsh" -> (annLsh _),
     "q42_embed_neardup_lsh" -> (embedNearDupLsh _),
-    "q45_ann_ivf" -> (annIvf _))
+    "q45_ann_ivf" -> (annIvf _),
+    "q68_embed_clusters" -> (embedClusters _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
     "q26_ann_bruteforce" -> annBruteforceSql,
     "q27_ann_lsh" -> annLshSql,
     "q42_embed_neardup_lsh" -> embedNearDupLshSql,
-    "q45_ann_ivf" -> annIvfSql)
+    "q45_ann_ivf" -> annIvfSql,
+    "q68_embed_clusters" -> embedClustersSql)
 }
