@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -193,5 +193,59 @@ object Similarity {
       .withColumn("cos", cosineFrom(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"), e6(col("cos")).as("cos_e6"))
+  }
+
+  // --------------------------------------------------------------------
+  // Exact-integer k-means (Lloyd) — the centroid TRAINING step an IVF
+  // index needs (q45 uses a fixed coarse quantizer; this learns one).
+  // All arithmetic is integer so every engine and every parallelism
+  // produces the SAME clustering:
+  //  - vectors are scaled to micro-ints (round(x * 1e6));
+  //  - distances are exact integer squared L2 (fits a long: diffs are
+  //    <= ~4e12 per dim, x 64 dims << 2^63);
+  //  - centroid updates are floor(sum / count) per dim, computed via
+  //    double (sums < 2^53, so the division is exact) — integer sums
+  //    are associative, so the mean is order-independent.
+  // Ties pick the lowest centroid id. Empty clusters simply drop out
+  // of the next round, exactly as the grouped update produces them.
+  // --------------------------------------------------------------------
+
+  /** Micro-int vector column from a float-array embedding. */
+  def microVec(embCol: Column): Column =
+    transform(embCol, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact integer squared L2 between two micro-int vectors. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Assign each vector to its nearest centroid (lowest id on ties).
+    * Centroids broadcast; the corpus is never shuffled for scoring. */
+  def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist(col("m"), col("cm")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("m"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+        col("best.dist").as("dist"), col("best.m").as("m"))
+
+  /** Per-cluster floor-mean centroids from an assignment. */
+  def kmeansUpdate(assigned: DataFrame, dim: Int): DataFrame =
+    assigned.groupBy(col("cluster").as("cid"))
+      .agg(array((0 until dim).map { d =>
+        floor(sum(element_at(col("m"), d + 1)).cast("double") / count(lit(1))).cast("long")
+      }: _*).as("cm"))
+
+  /** `iters` Lloyd rounds from deterministic seeds (the first k vector
+    * ids), returning the final assignment (vec_id, cluster, dist). */
+  def kmeans(vecs: DataFrame, k: Int, dim: Int, iters: Int): DataFrame = {
+    val base = vecs.select(col("vec_id"), microVec(col("embedding")).as("m"))
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("m").as("cm"))
+    var assigned = kmeansAssign(base, cents)
+    (2 to iters).foreach { _ =>
+      cents = kmeansUpdate(assigned, dim)
+      assigned = kmeansAssign(base, cents)
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("dist"))
   }
 }

@@ -249,13 +249,56 @@ object SimilarityQueries {
        |FROM sized ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q69: exact-integer k-means (IVF centroid training) ----
+
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** q69: the centroid-training step q45's IVF index presumes — `iters`
+    * Lloyd rounds in exact integer arithmetic (micro-int vectors,
+    * integer squared L2, floor-mean updates), so the clustering is
+    * identical on any engine at any parallelism. Seeds are the first k
+    * vector ids; output is the final (vec_id, cluster, dist)
+    * assignment. The oracle unrolls the same two rounds. */
+  def kmeansIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      KmeansK, Dim, KmeansIters)
+      .orderBy(col("vec_id"))
+
+  val kmeansIvfSql: String = {
+    def distExpr(cm: String) =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> (v.m[i] - $cm[i]) * (v.m[i] - $cm[i])), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, m AS cm FROM v WHERE vec_id < $KmeansK),
+       |d1 AS (SELECT v.vec_id, v.m, c.cid, ${distExpr("c.cm")} AS dist
+       |  FROM v CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, m, cid, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u1 AS (SELECT cid, generate_subscripts(m, 1) AS d, unnest(m) AS val FROM a1),
+       |c1d AS (SELECT cid, d,
+       |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM u1 GROUP BY cid, d),
+       |c1 AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c1d GROUP BY cid),
+       |d2 AS (SELECT v.vec_id, c.cid, ${distExpr("c.cm")} AS dist
+       |  FROM v CROSS JOIN c1 c),
+       |a2 AS (SELECT vec_id, cid, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+       |  WHERE rn = 1)
+       |SELECT vec_id, cid AS cluster, dist FROM a2 ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
     "q27_ann_lsh" -> (annLsh _),
     "q42_embed_neardup_lsh" -> (embedNearDupLsh _),
     "q45_ann_ivf" -> (annIvf _),
-    "q68_embed_clusters" -> (embedClusters _))
+    "q68_embed_clusters" -> (embedClusters _),
+    "q69_kmeans_ivf" -> (kmeansIvf _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -263,5 +306,6 @@ object SimilarityQueries {
     "q27_ann_lsh" -> annLshSql,
     "q42_embed_neardup_lsh" -> embedNearDupLshSql,
     "q45_ann_ivf" -> annIvfSql,
-    "q68_embed_clusters" -> embedClustersSql)
+    "q68_embed_clusters" -> embedClustersSql,
+    "q69_kmeans_ivf" -> kmeansIvfSql)
 }
