@@ -235,17 +235,67 @@ object Similarity {
         floor(sum(element_at(col("m"), d + 1)).cast("double") / count(lit(1))).cast("long")
       }: _*).as("cm"))
 
-  /** `iters` Lloyd rounds from deterministic seeds (the first k vector
-    * ids), returning the final assignment (vec_id, cluster, dist). */
-  def kmeans(vecs: DataFrame, k: Int, dim: Int, iters: Int): DataFrame = {
+  /** `iters` Lloyd rounds from deterministic seeds (the k lowest vector
+    * ids of the input). Returns (final assignment incl. the micro
+    * vector, centroids refreshed from that assignment) — the trained
+    * quantizer an IVF index searches against. */
+  def kmeansFit(vecs: DataFrame, k: Int, dim: Int, iters: Int): (DataFrame, DataFrame) = {
     val base = vecs.select(col("vec_id"), microVec(col("embedding")).as("m"))
-    var cents = base.filter(col("vec_id") < k)
+    var cents = base.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("m").as("cm"))
     var assigned = kmeansAssign(base, cents)
     (2 to iters).foreach { _ =>
       cents = kmeansUpdate(assigned, dim)
       assigned = kmeansAssign(base, cents)
     }
-    assigned.select(col("vec_id"), col("cluster"), col("dist"))
+    (assigned, kmeansUpdate(assigned, dim))
+  }
+
+  /** Final assignment only: (vec_id, cluster, dist). */
+  def kmeans(vecs: DataFrame, k: Int, dim: Int, iters: Int): DataFrame =
+    kmeansFit(vecs, k, dim, iters)._1.select(col("vec_id"), col("cluster"), col("dist"))
+
+  /** Exact integer dot of micro-int vectors (products <= ~1e12, x dim
+    * << 2^63). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /** Euclidean norm of a micro-int vector, via the exact integer
+    * sum-of-squares (the only float op is the final sqrt — identical
+    * on every engine). */
+  def microNorm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0L), _ + _).cast("double"))
+
+  /** Search an IVF index built on a TRAINED quantizer (`kmeansFit._2`):
+    * corpus vectors are assigned to their nearest trained centroid —
+    * the inverted lists an index build materializes ONCE (one corpus
+    * shuffle; centroids broadcast) — then queries probe their `nprobe`
+    * nearest lists and exact integer-cosine rescoring runs only inside
+    * probed lists. Probe ranking is exact integer squared L2 and
+    * result ranking is (cos_e6, vec_id), so list membership, probe
+    * choice and top-k are all engine-reproducible. At 100 TB the
+    * lists are a partitioned table built once and incrementally
+    * appended; the per-query work is Sum(probed list sizes). */
+  def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val lists = kmeansAssign(
+      corpus.select(col("vec_id"), microVec(col("embedding")).as("m")), cents)
+      .select(col("cluster"), col("vec_id"), col("m"), microNorm(col("m")).as("nrm"))
+    val qm = queries.select(col("vec_id").as("q_vec_id"), microVec(col("embedding")).as("qm"))
+    val probeScored = qm.crossJoin(broadcast(cents))
+      .withColumn("p_dist", sqDist(col("qm"), col("cm")))
+      .select(col("q_vec_id"), col("qm"), col("cid"), col("p_dist"))
+    val probes = Plans.topKPerKeyRanked(probeScored, Seq(probeScored("q_vec_id")),
+      Seq((probeScored("p_dist"), false), (probeScored("cid"), false)), nprobe, "p_rank")
+      .select(col("cid").as("cluster"), col("q_vec_id"), col("qm"),
+        microNorm(col("qm")).as("q_nrm"))
+    val scored = lists.join(broadcast(probes), Seq("cluster"))
+      .withColumn("cos_e6",
+        e6(intDot(col("qm"), col("m")).cast("double") / (col("q_nrm") * col("nrm"))))
+      .select(col("q_vec_id"), col("vec_id"), col("cluster"), col("cos_e6"))
+    Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+      Seq((scored("cos_e6"), true), (scored("vec_id"), false)), k, "rank")
+      .select(col("q_vec_id"), col("rank"), col("vec_id"),
+        col("cluster").as("centroid_id"), col("cos_e6"))
   }
 }

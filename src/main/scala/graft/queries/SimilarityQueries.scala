@@ -291,6 +291,84 @@ object SimilarityQueries {
        |SELECT vec_id, cid AS cluster, dist FROM a2 ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q70: IVF search against the TRAINED quantizer ----
+
+  val TrainedNprobe = 2
+
+  /** q70: the full IVF story end to end — train the coarse quantizer
+    * with q69's exact-integer k-means, build the inverted lists by
+    * assigning every corpus vector to its nearest TRAINED centroid,
+    * then answer queries by probing their 2 nearest lists with exact
+    * integer-cosine rescoring inside the probed lists only. Completes
+    * q45 (which used a fixed deterministic quantizer) with the learned
+    * one. The oracle unrolls the same two Lloyd rounds plus the final
+    * centroid refresh, then replays the probe + rescore. */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansFit(emb, KmeansK, Dim, KmeansIters)._2
+    Similarity.ivfTrainedTopK(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound),
+      cents, TrainedNprobe, LshTopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("centroid_id"), col("cos_e6"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annIvfTrainedSql: String = {
+    def distExpr(m: String, cm: String) =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($m[i] - $cm[i]) * ($m[i] - $cm[i])), (x, y) -> x + y)"
+    def ssq(m: String) =
+      s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
+    val intDot =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> p.qm[i] * l.m[i]), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, m AS cm FROM v WHERE vec_id < $KmeansK),
+       |d1 AS (SELECT v.vec_id, v.m, c.cid, ${distExpr("v.m", "c.cm")} AS dist
+       |  FROM v CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, m, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u1 AS (SELECT cid, generate_subscripts(m, 1) AS d, unnest(m) AS val FROM a1),
+       |c1d AS (SELECT cid, d,
+       |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM u1 GROUP BY cid, d),
+       |c1 AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c1d GROUP BY cid),
+       |d2 AS (SELECT v.vec_id, v.m, c.cid, ${distExpr("v.m", "c.cm")} AS dist
+       |  FROM v CROSS JOIN c1 c),
+       |a2 AS (SELECT vec_id, m, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |u2 AS (SELECT cid, generate_subscripts(m, 1) AS d, unnest(m) AS val FROM a2),
+       |c2d AS (SELECT cid, d,
+       |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM u2 GROUP BY cid, d),
+       |cent AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c2d GROUP BY cid),
+       |lists AS (SELECT vec_id, cid AS cluster, m FROM (
+       |    SELECT v.vec_id, v.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id >= $QuerySetBound)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_vec_id, cid AS cluster, m AS qm FROM (
+       |    SELECT v.vec_id, v.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id < $QuerySetBound)
+       |  WHERE rn <= $TrainedNprobe),
+       |scored AS (SELECT p.q_vec_id, l.vec_id, l.cluster AS centroid_id,
+       |    CAST(ROUND(CAST($intDot AS DOUBLE)
+       |      / (SQRT(CAST(${ssq("p.qm")} AS DOUBLE)) * SQRT(CAST(${ssq("l.m")} AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM lists l JOIN probes p USING (cluster))
+       |SELECT q_vec_id, rnk, vec_id, centroid_id, cos_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |    ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $LshTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
@@ -298,7 +376,8 @@ object SimilarityQueries {
     "q42_embed_neardup_lsh" -> (embedNearDupLsh _),
     "q45_ann_ivf" -> (annIvf _),
     "q68_embed_clusters" -> (embedClusters _),
-    "q69_kmeans_ivf" -> (kmeansIvf _))
+    "q69_kmeans_ivf" -> (kmeansIvf _),
+    "q70_ann_ivf_trained" -> (annIvfTrained _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -307,5 +386,6 @@ object SimilarityQueries {
     "q42_embed_neardup_lsh" -> embedNearDupLshSql,
     "q45_ann_ivf" -> annIvfSql,
     "q68_embed_clusters" -> embedClustersSql,
-    "q69_kmeans_ivf" -> kmeansIvfSql)
+    "q69_kmeans_ivf" -> kmeansIvfSql,
+    "q70_ann_ivf_trained" -> annIvfTrainedSql)
 }
