@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.e6
+
+/** Training-data curation operators a 100 TB pipeline runs between
+  * ingest and tokenization: repetition-based quality signals, PII
+  * scrubbing, eval-set decontamination, and per-domain stratified
+  * downsampling. Everything is a declarative column/agg plan —
+  * codegen'd regexes and hash-agg chains, no UDFs, no driver loops —
+  * and every emitted ratio is an integer (`*_e6`) so results are
+  * engine-exact.
+  */
+object Curation {
+
+  // ---- PII scrubbing -------------------------------------------------
+
+  /** RE2-safe (no lookaround, no \b) so the DuckDB oracle compiles the
+    * identical pattern. Email first, then phone-like digit runs. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Scrubbed text: emails then phone-like runs replaced by tags. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRegex, "<EMAIL>"), PhoneRegex, "<PHONE>")
+
+  def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(EmailRegex), lit(0)))
+
+  /** Phone matches are counted AFTER email removal (an email's digits
+    * must not double-count), mirroring the scrub order. */
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(regexp_replace(c, EmailRegex, "<EMAIL>"), lit(PhoneRegex), lit(0)))
+
+  // ---- repetition signals (Gopher-style quality filtering) -----------
+
+  /** Per-document word-level repetition signals on the folded token
+    * stream: token/distinct counts, most-frequent-token share,
+    * most-frequent-bigram share, duplicate-token share (all e6
+    * integers). Two hash-agg chains (token, bigram) joined on doc id —
+    * each is a partial-agg shuffle of (doc, gram) pairs, nothing
+    * quadratic, no windows over the corpus. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toked = df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+    val tokStats = toked
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("cnt")).as("top_tok_cnt"))
+    val bgStats = toked
+      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") + 1 < size(col("toks")))
+      .select(col(idCol),
+        concat_ws(" ", col("tok"), get(col("toks"), col("pos") + 1)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(max(col("cnt")).as("top_bg_cnt"))
+    tokStats.join(bgStats, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"), col("n_distinct_tokens"),
+        e6(col("top_tok_cnt").cast("double") / col("n_tokens")).as("top_token_e6"),
+        e6(coalesce(col("top_bg_cnt"), lit(0L)).cast("double")
+          / greatest(col("n_tokens") - 1, lit(1L))).as("top_bigram_e6"),
+        e6((col("n_tokens") - col("n_distinct_tokens")).cast("double")
+          / col("n_tokens")).as("dup_token_e6"))
+  }
+
+  // ---- eval-set decontamination --------------------------------------
+
+  /** For each training doc, how many of its distinct 3-gram shingles
+    * appear anywhere in the (small, broadcast) eval set. The flag uses
+    * the integer predicate 2*hits >= shingles — no float compare.
+    * `evalPred` selects the held-out docs. */
+  def contamination(df: DataFrame, textCol: String, idCol: String,
+      evalPred: Column): DataFrame = {
+    val sh = Dedup.shingles(df, textCol, idCol)
+    val evalSh = sh.filter(evalPred).select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(!evalPred)
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        e6(col("n_contaminated").cast("double") / col("n_shingles")).as("contamination_e6"),
+        (col("n_contaminated") * 2 >= col("n_shingles")).as("contaminated"))
+  }
+
+  // ---- per-domain stratified downsampling ----------------------------
+
+  /** Exact per-stratum quota sample: rank rows inside each stratum by a
+    * deterministic content hash and keep the first ceil(n/denom) —
+    * pure integer quota, reproducible everywhere. The ranking is a
+    * per-stratum sort; when strata are huge and the quota needn't be
+    * exact, the scale relaxation is a hash-threshold filter
+    * (keep iff md5 < p — map-only, no window), same hash, same
+    * ordering semantics. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      denom: Int): DataFrame = {
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val rk = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("stratum_n", count(lit(1)).over(byStratum))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .withColumn("quota", expr(s"(stratum_n + ${denom - 1}) div $denom"))
+      .filter(col("rk") <= col("quota"))
+  }
+}

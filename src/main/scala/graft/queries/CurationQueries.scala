@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Curation
+
+/** Training-data curation layer (SURVEY.md §2 D′): repetition-signal
+  * quality filtering, PII scrubbing, eval-set decontamination, and
+  * per-domain stratified downsampling — the steps between ingest and
+  * tokenization in an LLM data pipeline.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared oracle fragments (folded whitespace tokens, as DedupQueries)
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+  private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
+  private def e6Sql(e: String) = s"CAST(ROUND(($e) * 1000000.0) AS BIGINT)"
+
+  // ---- q71: repetition / quality signals ----
+
+  /** q71: Gopher-style word-level repetition signals per document —
+    * token and distinct-token counts, most-frequent-token share,
+    * most-frequent-bigram share, duplicate-token share (e6 integers).
+    * Two (doc, gram) hash-agg chains, no windows, nothing quadratic. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStats(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val repetitionStatsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM pos GROUP BY doc_id, tok),
+       |toka AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct_tokens, MAX(cnt) AS top_tok_cnt
+       |  FROM tokc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b FROM pos WHERE i + 1 <= len(t)),
+       |bgc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY doc_id, b),
+       |bga AS (SELECT doc_id, MAX(cnt) AS top_bg_cnt FROM bgc GROUP BY doc_id)
+       |SELECT toka.doc_id, n_tokens, n_distinct_tokens,
+       |  ${e6Sql("CAST(top_tok_cnt AS DOUBLE) / n_tokens")} AS top_token_e6,
+       |  ${e6Sql("CAST(COALESCE(top_bg_cnt, 0) AS DOUBLE) / GREATEST(n_tokens - 1, 1)")} AS top_bigram_e6,
+       |  ${e6Sql("CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens")} AS dup_token_e6
+       |FROM toka LEFT JOIN bga ON toka.doc_id = bga.doc_id
+       |ORDER BY toka.doc_id""".stripMargin
+
+  // ---- q72: PII scrubbing ----
+
+  /** q72: regex PII scrub + per-segment redaction accounting. The
+    * corpus has no natural PII, so each customer row derives a
+    * deterministic contact line (same expression in the oracle) and
+    * the operator under test is the scrub chain: email tag, then
+    * phone-like digit runs, with counts taken in scrub order. Results
+    * aggregate per market segment. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(col("c_name"), lit(" reach me at user"), col("c_custkey"),
+      lit("@ex"), col("c_nationkey"), lit(".example.com or +55 (11) 9"),
+      lpad((col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0"))
+    Tables.customer(s, dir)
+      .withColumn("contact", contact)
+      .withColumn("scrubbed", Curation.scrubPii(col("contact")))
+      .withColumn("n_emails", Curation.emailCount(col("contact")).cast("long"))
+      .withColumn("n_phones", Curation.phoneCount(col("contact")).cast("long"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_emails")).as("emails_redacted"),
+        sum(col("n_phones")).as("phones_redacted"),
+        sum(length(col("contact")) - length(col("scrubbed"))).cast("long").as("chars_removed"))
+      .orderBy(col("segment"))
+  }
+
+  val piiScrubSql: String = {
+    val contact = "c_name || ' reach me at user' || c_custkey || '@ex' || c_nationkey || " +
+      "'.example.com or +55 (11) 9' || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0')"
+    val email = Curation.EmailRegex
+    val phone = Curation.PhoneRegex
+    s"""WITH base AS (SELECT c_mktsegment AS segment, $contact AS contact FROM customer),
+       |scr AS (SELECT segment, contact,
+       |    regexp_replace(regexp_replace(contact, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS scrubbed,
+       |    len(regexp_extract_all(contact, '$email')) AS n_emails,
+       |    len(regexp_extract_all(regexp_replace(contact, '$email', '<EMAIL>', 'g'), '$phone')) AS n_phones
+       |  FROM base)
+       |SELECT segment, COUNT(*) AS n_rows,
+       |  CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+       |  CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+       |  CAST(SUM(len(contact) - len(scrubbed)) AS BIGINT) AS chars_removed
+       |FROM scr GROUP BY segment ORDER BY segment""".stripMargin
+  }
+
+  // ---- q73: eval-set decontamination ----
+
+  val EvalMod = 97
+
+  /** q73: benchmark-contamination check — docs with
+    * doc_id % 97 == 0 form the held-out eval set; every training doc
+    * reports how many of its distinct 3-gram shingles appear anywhere
+    * in the eval set (broadcast eval shingles, integer flag
+    * predicate). The decontamination step a pretraining corpus runs
+    * against its eval suites. */
+  def contamination(s: SparkSession, dir: String): DataFrame =
+    Curation.contamination(Tables.documents(s, dir), "text", "doc_id",
+      col("doc_id") % EvalMod === 0)
+      .orderBy(col("doc_id"))
+
+  val contaminationSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM pos WHERE i + 2 <= len(t)),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalMod = 0),
+       |tr AS (SELECT doc_id, sh.shingle, CASE WHEN ev.shingle IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM sh LEFT JOIN ev ON sh.shingle = ev.shingle
+       |  WHERE doc_id % $EvalMod <> 0)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+       |  ${e6Sql("CAST(SUM(hit) AS DOUBLE) / COUNT(*)")} AS contamination_e6,
+       |  CAST(SUM(hit) AS BIGINT) * 2 >= COUNT(*) AS contaminated
+       |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q74: per-domain stratified downsampling ----
+
+  val SampleDenom = 5 // keep ceil(n/5) per source = a 20% quota
+
+  /** q74: deterministic per-source quota sample — rank inside each
+    * stratum by md5(doc_id) and keep the first ceil(n/5). Exact
+    * integer quota; the hash makes the pick content-independent and
+    * reproducible on any engine (the scale relaxation — hash-threshold
+    * filter, no window — is noted on the operator). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(Tables.documents(s, dir), "source", "doc_id", SampleDenom)
+      .select(col("doc_id"), col("source"), col("rk"),
+        col("stratum_n").cast("long").as("stratum_n"), col("quota"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    s"""WITH ranked AS (SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS stratum_n
+       |  FROM documents)
+       |SELECT doc_id, source, rk, stratum_n, (stratum_n + ${SampleDenom - 1}) // $SampleDenom AS quota
+       |FROM ranked WHERE rk <= (stratum_n + ${SampleDenom - 1}) // $SampleDenom
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q71_repetition_stats" -> (repetitionStats _),
+    "q72_pii_scrub" -> (piiScrub _),
+    "q73_contamination" -> (contamination _),
+    "q74_stratified_sample" -> (stratifiedSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q71_repetition_stats" -> repetitionStatsSql,
+    "q72_pii_scrub" -> piiScrubSql,
+    "q73_contamination" -> contaminationSql,
+    "q74_stratified_sample" -> stratifiedSampleSql)
+}

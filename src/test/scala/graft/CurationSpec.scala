@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def scrub(input: String): (String, Int, Int) = {
+    val df = spark.createDataFrame(Seq(Tuple1(input))).toDF("text")
+    df.select(Curation.scrubPii(col("text")).as("s"),
+      Curation.emailCount(col("text")).as("e"),
+      Curation.phoneCount(col("text")).as("p")).collect() match {
+      case Array(Row(s: String, e: Int, p: Int)) => (s, e, p)
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("scrubPii masks emails and phone-like runs, in that order") {
+    val (s, e, p) = scrub("mail a.b+c@sub.example.org or call +55 (11) 91234-5678 now")
+    assert(s == "mail <EMAIL> or call <PHONE> now")
+    assert(e == 1 && p == 1)
+  }
+
+  test("scrubPii does not double-count an email's digits as a phone") {
+    val (s, e, p) = scrub("user12345678@example.com")
+    assert(s == "<EMAIL>" && e == 1 && p == 0)
+  }
+
+  test("scrubPii leaves clean text alone") {
+    val (s, e, p) = scrub("no contact data here, just words")
+    assert(s == "no contact data here, just words" && e == 0 && p == 0)
+  }
+
+  test("repetitionStats counts a fully repeated doc as maximally duplicated") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "all tokens here differ fully"))).toDF("doc_id", "text")
+    val rows = Curation.repetitionStats(df, "text", "doc_id")
+      .orderBy(col("doc_id")).collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("n_tokens") == 4 && r1.getAs[Long]("n_distinct_tokens") == 1)
+    assert(r1.getAs[Long]("top_token_e6") == 1000000L)
+    assert(r1.getAs[Long]("top_bigram_e6") == 1000000L)
+    assert(r1.getAs[Long]("dup_token_e6") == 750000L)
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("dup_token_e6") == 0L && r2.getAs[Long]("top_token_e6") == 200000L)
+  }
+
+  test("stratifiedSample keeps an exact ceil(n/denom) quota per stratum") {
+    val df = spark.createDataFrame(
+      (1L to 23L).map(i => (i, if (i <= 17) "a" else "b"))).toDF("doc_id", "source")
+    val kept = Curation.stratifiedSample(df, "source", "doc_id", 5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 4L, "b" -> 2L)) // ceil(17/5)=4, ceil(6/5)=2
+    // deterministic: same pick on a rerun
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Curation.stratifiedSample(df, "source", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("contamination flags a doc sharing most shingles with the eval set") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma delta epsilon"), // eval doc (id % 2 == 0... use pred)
+      (1L, "alpha beta gamma delta zeta"), // 3 of 3 shingles? no: 3 shared of 3? compute below
+      (3L, "one two three four five"))).toDF("doc_id", "text")
+    val out = Curation.contamination(df, "text", "doc_id", col("doc_id") === 0)
+      .orderBy(col("doc_id")).collect()
+    // doc 1 shingles: "alpha beta gamma","beta gamma delta","gamma delta zeta";
+    // first two appear in eval doc 0 -> 2/3 contaminated, flagged.
+    assert(out(0).getAs[Long]("n_shingles") == 3 && out(0).getAs[Long]("n_contaminated") == 2)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Long]("n_contaminated") == 0 && !out(1).getAs[Boolean]("contaminated"))
+  }
+}
