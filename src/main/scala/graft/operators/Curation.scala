@@ -44,19 +44,24 @@ object Curation {
     * each is a partial-agg shuffle of (doc, gram) pairs, nothing
     * quadratic, no windows over the corpus. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // OUTER explodes over pre-built gram lists: no isnotnull/size>0
+    // predicate is inferred on the fold chain, so nothing expensive
+    // lands in the scan filter (the q15/q61 pushdown-recompute trap).
     val toked = df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
     val tokStats = toked
-      .select(col(idCol), explode(col("toks")).as("tok"))
+      .select(col(idCol), explode_outer(col("toks")).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(
         sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_distinct_tokens"),
         max(col("cnt")).as("top_tok_cnt"))
+    val bgList = when(size(col("toks")) >= 2,
+      transform(sequence(lit(0), size(col("toks")) - 2), i =>
+        concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1))))
     val bgStats = toked
-      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .filter(col("pos") + 1 < size(col("toks")))
-      .select(col(idCol),
-        concat_ws(" ", col("tok"), get(col("toks"), col("pos") + 1)).as("bg"))
+      .select(col(idCol), explode_outer(bgList).as("bg"))
+      .filter(col("bg").isNotNull)
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(max(col("cnt")).as("top_bg_cnt"))
     tokStats.join(bgStats, Seq(idCol), "left")

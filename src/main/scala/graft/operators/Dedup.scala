@@ -63,16 +63,22 @@ object Dedup {
       .drop("keep_id")
   }
 
-  /** Distinct (id, shingle) pairs of `n`-token shingles over folded text. */
+  /** Distinct (id, shingle) pairs of `n`-token shingles over folded
+    * text. The shingle list is built BEFORE an OUTER explode (fewer-
+    * than-n-token docs yield null, dropped by a filter on the
+    * generated attribute), so no `isnotnull`/`size>0` predicate is
+    * inferred on the fold chain and nothing expensive is pushed into
+    * the scan filter (see q43's identical guard). */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     require(n == 3, "shingle builder currently materializes 3-grams")
+    val sh = when(size(col("toks")) >= n,
+      transform(sequence(lit(0), size(col("toks")) - n), i =>
+        concat_ws(" ", get(col("toks"), i),
+          get(col("toks"), i + 1),
+          get(col("toks"), i + 2))))
     df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
-      .select(col(idCol), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .filter(col("pos") + 2 < size(col("toks")))
-      .select(col(idCol),
-        concat_ws(" ", col("tok"),
-          get(col("toks"), col("pos") + 1),
-          get(col("toks"), col("pos") + 2)).as("shingle"))
+      .select(col(idCol), explode_outer(sh).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .distinct()
   }
 
