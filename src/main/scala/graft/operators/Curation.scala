@@ -114,4 +114,51 @@ object Curation {
       .withColumn("quota", expr(s"(stratum_n + ${denom - 1}) div $denom"))
       .filter(col("rk") <= col("quota"))
   }
+
+  // ---- context-window sequence packing ------------------------------
+
+  /** Deterministic packing layout: stream each shard's docs in id
+    * order, place every doc at the shard's running token offset, and
+    * slice fixed `ctxLen` windows from the concatenation. seq_id /
+    * offset_in_seq are integer div/mod of the exclusive cumsum; docs
+    * crossing a window boundary are flagged. One cumulative-sum
+    * window per shard — shards pack independently and in parallel,
+    * there is no global coordination (the 100 TB shape: the shard
+    * column is the output file grain). Token counts here are
+    * whitespace tokens; swap in q41's BPE pre-tokens for byte-accurate
+    * budgets. */
+  def sequencePack(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, ctxLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(shardCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col(shardCol), col("n_tokens"), col("cum_tokens"),
+        expr(s"cum_tokens div $ctxLen").as("seq_id"),
+        (col("cum_tokens") % ctxLen).as("offset_in_seq"),
+        (col("cum_tokens") % ctxLen + col("n_tokens") > ctxLen).as("straddles"))
+  }
+
+  // ---- characteristic terms (integer tf/df ranking) -----------------
+
+  /** Top-k characteristic terms per document, ranked by
+    * (tf desc, df asc, term asc) — document frequency IS the idf
+    * ordering, so no engine-variant `ln` enters the comparison and the
+    * pick is bit-reproducible. tf is a (doc, tok) hash agg; df
+    * aggregates the same pairs once more by tok; the per-doc top-k
+    * runs through TopKPerKeyExec (bounded heaps), not a window. */
+  def topTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val tf = df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+      .select(col(idCol), explode_outer(col("toks")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .select(col(idCol), col("tok"), col("tf"), col("df"))
+    graft.plans.Plans.topKPerKeyRanked(scored, Seq(scored(idCol)),
+      Seq((scored("tf"), true), (scored("df"), false), (scored("tok"), false)), k, "rnk")
+      .select(col(idCol), col("rnk").cast("long").as("rnk"), col("tok"),
+        col("tf"), col("df"))
+  }
 }

@@ -146,15 +146,74 @@ object CurationQueries {
        |FROM ranked WHERE rk <= (stratum_n + ${SampleDenom - 1}) // $SampleDenom
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q75: context-window sequence packing ----
+
+  val CtxLen = 512
+
+  /** q75: deterministic sequence packing — the "concatenate docs with
+    * an EOD token, slice fixed context windows" step of a pretraining
+    * writer. Docs are streamed per source shard in doc_id order; each
+    * doc starts at its shard's running token offset, and seq_id /
+    * offset are that cumsum divided/modded by the context length
+    * (docs straddling a boundary are flagged). One cumulative-sum
+    * window per shard — shards pack in parallel, nothing global. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    Curation.sequencePack(Tables.documents(s, dir), "text", "doc_id", "source", CtxLen)
+      .orderBy(col("doc_id"))
+
+  val sequencePackSql: String =
+    s"""WITH counted AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (SELECT doc_id, source, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+       |  FROM counted)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  cum_tokens // $CtxLen AS seq_id,
+       |  cum_tokens % $CtxLen AS offset_in_seq,
+       |  cum_tokens % $CtxLen + n_tokens > $CtxLen AS straddles
+       |FROM cum ORDER BY doc_id""".stripMargin
+
+  // ---- q76: characteristic terms (integer tf/df ranking) ----
+
+  val TopTerms = 3
+
+  /** q76: per-document characteristic terms — the tf-idf keyword
+    * extraction step, ranked entirely with integers ((tf desc, df asc,
+    * term asc) — df IS the idf ordering, no engine-variant log) so the
+    * pick is bit-reproducible. tf from a (doc, tok) hash agg; df from
+    * a tok-level agg of the same pairs; ranked via TopKPerKeyExec. */
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    Curation.topTerms(Tables.documents(s, dir), "text", "doc_id", TopTerms)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  val topTermsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM pos GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |ranked AS (SELECT doc_id, tok, tf.tf, df.df,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf.tf DESC, df.df, tok) AS rn
+       |  FROM tf JOIN df USING (tok))
+       |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, tok,
+       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+       |FROM ranked WHERE rn <= $TopTerms
+       |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q71_repetition_stats" -> (repetitionStats _),
     "q72_pii_scrub" -> (piiScrub _),
     "q73_contamination" -> (contamination _),
-    "q74_stratified_sample" -> (stratifiedSample _))
+    "q74_stratified_sample" -> (stratifiedSample _),
+    "q75_sequence_pack" -> (sequencePack _),
+    "q76_top_terms" -> (topTerms _))
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
     "q72_pii_scrub" -> piiScrubSql,
     "q73_contamination" -> contaminationSql,
-    "q74_stratified_sample" -> stratifiedSampleSql)
+    "q74_stratified_sample" -> stratifiedSampleSql,
+    "q75_sequence_pack" -> sequencePackSql,
+    "q76_top_terms" -> topTermsSql)
 }

@@ -62,6 +62,32 @@ class CurationSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("sequencePack lays docs at running offsets and flags straddlers") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "s", "a b c d"), // 4 toks at offset 0
+      (2L, "s", (1 to 7).map(_ => "w").mkString(" ")), // 7 toks at offset 4, crosses 8
+      (3L, "s", "x y"))) // 2 toks at offset 11 -> seq 1, offset 3
+      .toDF("doc_id", "source", "text")
+    val out = Curation.sequencePack(df, "text", "doc_id", "source", 8)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("offset_in_seq"),
+      r.getAs[Boolean]("straddles"))).toSeq ==
+      Seq((0L, 0L, false), (0L, 4L, true), (1L, 3L, false)))
+  }
+
+  test("topTerms ranks by tf desc then rarity (df) then term") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "rare rare common unique"),
+      (2L, "common common other"))).toDF("doc_id", "text")
+    val out = Curation.topTerms(df, "text", "doc_id", 2)
+      .orderBy(col("doc_id"), col("rnk")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"), r.getAs[String]("tok")))
+    // doc1: rare tf=2 first; then df tie at tf=1 broken by df: unique(df1) < common(df2)
+    // doc2: common tf=2; then other
+    assert(out.toSeq == Seq((1L, 1L, "rare"), (1L, 2L, "unique"),
+      (2L, 1L, "common"), (2L, 2L, "other")))
+  }
+
   test("contamination flags a doc sharing most shingles with the eval set") {
     val df = spark.createDataFrame(Seq(
       (0L, "alpha beta gamma delta epsilon"), // eval doc (id % 2 == 0... use pred)
