@@ -47,6 +47,38 @@ object Streaming {
 
   val GapMicros: Long = 30L * 60 * 1000000
 
+  case class PackDoc(doc_id: Long, source: String, n_tokens: Long)
+  case class PackState(cumTokens: Long)
+  case class PackOut(doc_id: Long, source: String, n_tokens: Long,
+                     cum_tokens: Long, seq_id: Long, offset_in_seq: Long,
+                     straddles: Boolean)
+
+  /** Streaming form of `Curation.sequencePack`: each source shard
+    * carries ONE running token offset as state, so an endless document
+    * stream packs into fixed context windows incrementally — the
+    * micro-batch form of the pretraining writer. Docs are laid out in
+    * doc_id order within a batch; across batches the stream is
+    * expected in id order per shard (the batch operator's ORDER BY
+    * doc_id contract). State is one counter per shard: bounded. */
+  def packStream(docs: Dataset[PackDoc], ctxLen: Int): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val off = cum % ctxLen
+            val o = PackOut(d.doc_id, source, d.n_tokens, cum,
+              cum / ctxLen, off, off + d.n_tokens > ctxLen)
+            cum += d.n_tokens
+            o
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   /** Stateful gap sessionizer via flatMapGroupsWithState: emits a
     * closed session whenever the gap is exceeded (or the group times
     * out), keeps exactly one small state record per active user.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Gazetteer
+import graft.streaming.Streaming
 
 /** Batch operators compose unchanged onto unbounded sources: the
   * gazetteer match stage (tokenize + broadcast join + aggregate) runs
@@ -59,6 +60,35 @@ class StreamingComposeSpec extends SparkSpec {
         ("join", 1L, "automaton"),
         ("spark", 2L, "automaton"),
         ("table", 1L, "automaton")))
+    } finally q.stop()
+  }
+
+  test("streaming packer matches the batch sequence-pack layout across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Streaming.PackDoc(1L, "s", 4L), Streaming.PackDoc(2L, "s", 7L),
+      Streaming.PackDoc(3L, "s", 2L), Streaming.PackDoc(4L, "t", 3L),
+      Streaming.PackDoc(5L, "s", 6L), Streaming.PackDoc(6L, "t", 9L))
+    val input = MemoryStream[Streaming.PackDoc]
+    val q = Streaming.packStream(input.toDS(), ctxLen = 8)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(4): _*) // ids 1-4
+      q.processAllAvailable()
+      input.addData(docs.drop(4): _*) // ids 5-6: state carries the offsets
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, seq_id, offset_in_seq, straddles FROM pack_stream ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      val batchDf = docs.map(d => (d.doc_id, d.source, (1L to d.n_tokens).map(_ => "w").mkString(" ")))
+        .toDF("doc_id", "source", "text")
+      val batch = graft.operators.Curation.sequencePack(batchDf, "text", "doc_id", "source", 8)
+        .orderBy(col("doc_id"))
+        .select("doc_id", "seq_id", "offset_in_seq", "straddles")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(streamed == batch)
     } finally q.stop()
   }
 }
