@@ -140,6 +140,37 @@ object Curation {
         (col("cum_tokens") % ctxLen + col("n_tokens") > ctxLen).as("straddles"))
   }
 
+  // ---- data-mix allocation (largest-remainder quotas) ---------------
+
+  /** Allocate a fixed document budget across strata to hit target
+    * ppm shares, by largest-remainder rounding — all integer: raw
+    * quota = (budget*share) div 1e6, and the leftover goes to the
+    * largest (budget*share) mod 1e6 fractions (ties by key). Quotas
+    * cap at availability; the shortfall column says what the mix is
+    * missing. `counts` is an already-aggregated (key, n_docs) dim —
+    * strata counts, not the corpus — so the windows here run over a
+    * handful of rows by construction. */
+  def mixAllocation(counts: DataFrame, keyCol: String,
+      targets: Seq[(String, Long)], budget: Long): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF(keyCol, "share_ppm")
+    val all = Window.partitionBy(lit(1))
+    val byFrac = Window.partitionBy(lit(1))
+      .orderBy(col("frac").desc, col(keyCol))
+    counts.join(tgt, Seq(keyCol))
+      .withColumn("raw_quota", expr(s"($budget * share_ppm) div 1000000"))
+      .withColumn("frac", expr(s"($budget * share_ppm) % 1000000"))
+      .withColumn("remainder", lit(budget) - sum(col("raw_quota")).over(all))
+      .withColumn("rk", row_number().over(byFrac))
+      .withColumn("quota",
+        col("raw_quota") + when(col("rk") <= col("remainder"), 1L).otherwise(0L))
+      .withColumn("alloc", least(col("quota"), col("n_docs")))
+      .select(col(keyCol), col("n_docs"), col("share_ppm"), col("quota"),
+        col("alloc"), (col("quota") - col("alloc")).as("shortfall"),
+        e6(col("alloc").cast("double") / col("n_docs")).as("rate_e6"))
+  }
+
   // ---- characteristic terms (integer tf/df ranking) -----------------
 
   /** Top-k characteristic terms per document, ranked by

@@ -201,13 +201,104 @@ object CurationQueries {
        |FROM ranked WHERE rn <= $TopTerms
        |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- q77: data-mix allocation ----
+
+  /** Target language shares in ppm (sums to 1e6) and the doc budget.
+    * Chosen so the largest-remainder step and the availability cap are
+    * both exercised (fr's quota exceeds its corpus count). */
+  val MixTargets: Seq[(String, Long)] = Seq(
+    "de" -> 170000L, "en" -> 370000L, "es" -> 170000L,
+    "fr" -> 170000L, "zh" -> 120000L)
+  val MixBudget = 397L
+
+  /** q77: the data-mixing step — allocate a fixed sequence budget
+    * across languages to hit target shares, with integer
+    * largest-remainder rounding and availability caps. The windows run
+    * over the 5-row language dim, not the corpus. */
+  def mixAllocation(s: SparkSession, dir: String): DataFrame =
+    Curation.mixAllocation(
+      Tables.documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+      "lang", MixTargets, MixBudget)
+      .orderBy(col("lang"))
+
+  val mixAllocationSql: String = {
+    val values = MixTargets.map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(", ")
+    s"""WITH tgt(lang, share_ppm) AS (VALUES $values),
+       |counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |j AS (SELECT c.lang, c.n_docs, t.share_ppm,
+       |    ($MixBudget * t.share_ppm) // 1000000 AS raw_quota,
+       |    ($MixBudget * t.share_ppm) % 1000000 AS frac
+       |  FROM counts c JOIN tgt t ON c.lang = t.lang),
+       |w AS (SELECT *, $MixBudget - SUM(raw_quota) OVER () AS remainder,
+       |    ROW_NUMBER() OVER (ORDER BY frac DESC, lang) AS rk
+       |  FROM j),
+       |q AS (SELECT lang, n_docs, share_ppm,
+       |    raw_quota + (CASE WHEN rk <= remainder THEN 1 ELSE 0 END) AS quota
+       |  FROM w)
+       |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, share_ppm, CAST(quota AS BIGINT) AS quota,
+       |  CAST(LEAST(quota, n_docs) AS BIGINT) AS alloc,
+       |  CAST(quota - LEAST(quota, n_docs) AS BIGINT) AS shortfall,
+       |  ${e6Sql("CAST(LEAST(quota, n_docs) AS DOUBLE) / n_docs")} AS rate_e6
+       |FROM q ORDER BY lang""".stripMargin
+  }
+
+  // ---- q78: composite quality filter ----
+
+  val MinTokens = 20L
+  val MaxDupE6 = 650000L
+  val MaxBigramE6 = 60000L
+  val MaxTokenE6 = 130000L
+
+  /** q78: the keep/drop decision a quality-filtering stage makes,
+    * with machine-readable reason codes in fixed order — the composite
+    * over q71's repetition signals plus a minimum-length gate. All
+    * comparisons are integer (e6 thresholds). */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val stats = Curation.repetitionStats(Tables.documents(s, dir), "text", "doc_id")
+    stats
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_tokens") < MinTokens, "too_short"),
+        when(col("dup_token_e6") >= MaxDupE6, "repetitive"),
+        when(col("top_bigram_e6") >= MaxBigramE6, "dominant_bigram"),
+        when(col("top_token_e6") >= MaxTokenE6, "dominant_token")))
+      .withColumn("keep", col("reasons") === "")
+      .select(col("doc_id"), col("n_tokens"), col("keep"), col("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM pos GROUP BY doc_id, tok),
+       |toka AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct_tokens, MAX(cnt) AS top_tok_cnt
+       |  FROM tokc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b FROM pos WHERE i + 1 <= len(t)),
+       |bgc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY doc_id, b),
+       |bga AS (SELECT doc_id, MAX(cnt) AS top_bg_cnt FROM bgc GROUP BY doc_id),
+       |stats AS (SELECT toka.doc_id, n_tokens,
+       |    ${e6Sql("CAST(top_tok_cnt AS DOUBLE) / n_tokens")} AS top_token_e6,
+       |    ${e6Sql("CAST(COALESCE(top_bg_cnt, 0) AS DOUBLE) / GREATEST(n_tokens - 1, 1)")} AS top_bigram_e6,
+       |    ${e6Sql("CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens")} AS dup_token_e6
+       |  FROM toka LEFT JOIN bga ON toka.doc_id = bga.doc_id),
+       |flagged AS (SELECT doc_id, n_tokens, concat_ws(',',
+       |    CASE WHEN n_tokens < $MinTokens THEN 'too_short' END,
+       |    CASE WHEN dup_token_e6 >= $MaxDupE6 THEN 'repetitive' END,
+       |    CASE WHEN top_bigram_e6 >= $MaxBigramE6 THEN 'dominant_bigram' END,
+       |    CASE WHEN top_token_e6 >= $MaxTokenE6 THEN 'dominant_token' END) AS reasons
+       |  FROM stats)
+       |SELECT doc_id, n_tokens, reasons = '' AS keep, reasons
+       |FROM flagged ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q71_repetition_stats" -> (repetitionStats _),
     "q72_pii_scrub" -> (piiScrub _),
     "q73_contamination" -> (contamination _),
     "q74_stratified_sample" -> (stratifiedSample _),
     "q75_sequence_pack" -> (sequencePack _),
-    "q76_top_terms" -> (topTerms _))
+    "q76_top_terms" -> (topTerms _),
+    "q77_mix_allocation" -> (mixAllocation _),
+    "q78_quality_filter" -> (qualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
@@ -215,5 +306,7 @@ object CurationQueries {
     "q73_contamination" -> contaminationSql,
     "q74_stratified_sample" -> stratifiedSampleSql,
     "q75_sequence_pack" -> sequencePackSql,
-    "q76_top_terms" -> topTermsSql)
+    "q76_top_terms" -> topTermsSql,
+    "q77_mix_allocation" -> mixAllocationSql,
+    "q78_quality_filter" -> qualityFilterSql)
 }

@@ -88,6 +88,19 @@ class CurationSpec extends SparkSpec {
       (2L, 1L, "common"), (2L, 2L, "other")))
   }
 
+  test("mixAllocation distributes the remainder by largest fraction and caps at availability") {
+    val counts = spark.createDataFrame(Seq(("a", 100L), ("b", 2L), ("c", 100L)))
+      .toDF("key", "n_docs")
+    // budget 10: raw = floor(10*share) = 3/3/2, fracs .5/.5/.9 -> remainder 2
+    // goes to c (.9) then a (tie .5, key order) => 4/3/3; b capped at 2.
+    val out = Curation.mixAllocation(counts, "key",
+      Seq("a" -> 350000L, "b" -> 350000L, "c" -> 290000L), 10L)
+      .orderBy(col("key")).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("quota"),
+        r.getAs[Long]("alloc"), r.getAs[Long]("shortfall")))
+    assert(out.toSeq == Seq(("a", 4L, 4L, 0L), ("b", 3L, 2L, 1L), ("c", 3L, 3L, 0L)))
+  }
+
   test("contamination flags a doc sharing most shingles with the eval set") {
     val df = spark.createDataFrame(Seq(
       (0L, "alpha beta gamma delta epsilon"), // eval doc (id % 2 == 0... use pred)
