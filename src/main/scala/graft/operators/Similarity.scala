@@ -266,6 +266,54 @@ object Similarity {
   def microNorm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0L), _ + _).cast("double"))
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ): compress each vector to `PqBlocks` small
+  // codes and answer queries by asymmetric distance (ADC) — the scan
+  // reads 8 longs per vector instead of 64 floats, which is the point
+  // at 100 TB: the codes table is ~32x narrower than the raw corpus.
+  // All distances are exact integer squared L2 on micro-int subvectors,
+  // so encoding and ranking are engine-reproducible.
+  // --------------------------------------------------------------------
+
+  val PqBlocks = 8
+  val PqSub: Int = Dim / PqBlocks
+
+  /** (vec_id, block, sub): the micro-int subvector of each block. */
+  def pqSubvectors(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      explode_outer(transform(sequence(lit(0), lit(PqBlocks - 1)), b =>
+        struct(b.as("block"), slice(col("m"), b * PqSub + 1, lit(PqSub)).as("sub")))).as("bs"))
+      .select(col("vec_id"), col("bs.block").as("block"), col("bs.sub").as("sub"))
+
+  /** PQ encode: per (vector, block), the nearest codeword id (integer
+    * L2, ties to the lowest code). Codebook is tiny and broadcast; the
+    * corpus is aggregated once per block — one shuffle, then the codes
+    * table IS the index. */
+  def pqEncode(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), Seq("block"))
+      .withColumn("d", sqDist(col("sub"), col("cw")))
+      .groupBy(col("vec_id"), col("block"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("block"), col("best.code").as("code"))
+
+  /** ADC search: build each query's (block, code) -> distance table
+    * (|queries| x blocks x codes rows, broadcast), join it to the codes
+    * table, and sum per (query, vector) — a linear scan of the
+    * COMPRESSED index, never the raw vectors. Ranking keys are
+    * integers. */
+  def pqSearch(querySubs: DataFrame, corpusCodes: DataFrame,
+      codebook: DataFrame, k: Int): DataFrame = {
+    val adc = querySubs.join(broadcast(codebook), Seq("block"))
+      .select(col("vec_id").as("q_vec_id"), col("block"), col("code"),
+        sqDist(col("sub"), col("cw")).as("d"))
+    val scored = corpusCodes.join(broadcast(adc), Seq("block", "code"))
+      .groupBy(col("q_vec_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+      Seq((scored("adc_dist"), false), (scored("vec_id"), false)), k, "rank")
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
   /** Search an IVF index built on a TRAINED quantizer (`kmeansFit._2`):
     * corpus vectors are assigned to their nearest trained centroid —
     * the inverted lists an index build materializes ONCE (one corpus

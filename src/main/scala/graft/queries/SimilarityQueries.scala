@@ -369,6 +369,66 @@ object SimilarityQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  // ---- q79: product-quantization ANN (encode + ADC scan) ----
+
+  val PqCodes = 16
+
+  /** q79: PQ — each corpus vector compresses to 8 block codes against
+    * a deterministic per-block codebook (the micro subvectors of
+    * corpus vectors 10..25, the q45 fixed-quantizer trick; q69/q70
+    * already demonstrate TRAINED quantizers), and queries scan the
+    * compressed codes table via an asymmetric-distance (ADC) lookup
+    * join. The scan reads 8 longs per vector, not 64 floats — the
+    * 32x-narrower index that makes billion-scale ANN affordable. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val subs = Similarity.pqSubvectors(
+      emb.select(col("vec_id"), Similarity.microVec(col("embedding")).as("m")))
+    val codebook = subs
+      .filter(col("vec_id") >= QuerySetBound && col("vec_id") < QuerySetBound + PqCodes)
+      .select((col("vec_id") - QuerySetBound).as("code"), col("block"), col("sub").as("cw"))
+    val corpusCodes = Similarity.pqEncode(subs.filter(col("vec_id") >= QuerySetBound), codebook)
+    Similarity.pqSearch(subs.filter(col("vec_id") < QuerySetBound), corpusCodes,
+      codebook, LshTopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annPqSql: String = {
+    val sub = Similarity.PqSub
+    def distExpr(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val cbMax = QuerySetBound + PqCodes
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |blocks AS (SELECT unnest(range(0, ${Similarity.PqBlocks})) AS block),
+       |sub AS (SELECT vec_id, block,
+       |    list_transform(range(1, ${sub + 1}), i -> m[$sub * block + i]) AS sub
+       |  FROM v CROSS JOIN blocks),
+       |cb AS (SELECT vec_id - $QuerySetBound AS code, block, sub AS cw
+       |  FROM sub WHERE vec_id >= $QuerySetBound AND vec_id < $cbMax),
+       |enc AS (SELECT vec_id, block, code FROM (
+       |    SELECT s.vec_id, s.block, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.block
+       |        ORDER BY ${distExpr("s.sub", "c.cw")}, c.code) AS rn
+       |    FROM sub s JOIN cb c USING (block) WHERE s.vec_id >= $QuerySetBound)
+       |  WHERE rn = 1),
+       |adc AS (SELECT s.vec_id AS q_vec_id, s.block, c.code,
+       |    ${distExpr("s.sub", "c.cw")} AS d
+       |  FROM sub s JOIN cb c USING (block) WHERE s.vec_id < $QuerySetBound),
+       |scored AS (SELECT a.q_vec_id, e.vec_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+       |  FROM enc e JOIN adc a ON e.block = a.block AND e.code = a.code
+       |  GROUP BY a.q_vec_id, e.vec_id)
+       |SELECT q_vec_id, rnk, vec_id, adc_dist FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |    ORDER BY adc_dist, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $LshTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
@@ -377,7 +437,8 @@ object SimilarityQueries {
     "q45_ann_ivf" -> (annIvf _),
     "q68_embed_clusters" -> (embedClusters _),
     "q69_kmeans_ivf" -> (kmeansIvf _),
-    "q70_ann_ivf_trained" -> (annIvfTrained _))
+    "q70_ann_ivf_trained" -> (annIvfTrained _),
+    "q79_ann_pq" -> (annPq _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -387,5 +448,6 @@ object SimilarityQueries {
     "q45_ann_ivf" -> annIvfSql,
     "q68_embed_clusters" -> embedClustersSql,
     "q69_kmeans_ivf" -> kmeansIvfSql,
-    "q70_ann_ivf_trained" -> annIvfTrainedSql)
+    "q70_ann_ivf_trained" -> annIvfTrainedSql,
+    "q79_ann_pq" -> annPqSql)
 }
