@@ -278,23 +278,27 @@ object Similarity {
   val PqBlocks = 8
   val PqSub: Int = Dim / PqBlocks
 
-  /** (vec_id, block, sub): the micro-int subvector of each block. */
-  def pqSubvectors(vecs: DataFrame): DataFrame =
-    vecs.select(col("vec_id"),
+  /** (vec_id, [carry...,] block, sub): the micro-int subvector of each
+    * block, with `carry` columns (e.g. the IVF cluster) threaded
+    * through the explode. */
+  def pqSubvectors(vecs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    vecs.select(col("vec_id") +: carry.map(col) :+
       explode_outer(transform(sequence(lit(0), lit(PqBlocks - 1)), b =>
-        struct(b.as("block"), slice(col("m"), b * PqSub + 1, lit(PqSub)).as("sub")))).as("bs"))
-      .select(col("vec_id"), col("bs.block").as("block"), col("bs.sub").as("sub"))
+        struct(b.as("block"), slice(col("m"), b * PqSub + 1, lit(PqSub)).as("sub")))).as("bs"): _*)
+      .select(col("vec_id") +: carry.map(col) :+
+        col("bs.block").as("block") :+ col("bs.sub").as("sub"): _*)
 
   /** PQ encode: per (vector, block), the nearest codeword id (integer
     * L2, ties to the lowest code). Codebook is tiny and broadcast; the
     * corpus is aggregated once per block — one shuffle, then the codes
     * table IS the index. */
-  def pqEncode(subs: DataFrame, codebook: DataFrame): DataFrame =
+  def pqEncode(subs: DataFrame, codebook: DataFrame, carry: Seq[String] = Nil): DataFrame =
     subs.join(broadcast(codebook), Seq("block"))
       .withColumn("d", sqDist(col("sub"), col("cw")))
-      .groupBy(col("vec_id"), col("block"))
+      .groupBy(col("vec_id") +: carry.map(col) :+ col("block"): _*)
       .agg(min(struct(col("d"), col("code"))).as("best"))
-      .select(col("vec_id"), col("block"), col("best.code").as("code"))
+      .select(col("vec_id") +: carry.map(col) :+ col("block") :+
+        col("best.code").as("code"): _*)
 
   /** ADC search: build each query's (block, code) -> distance table
     * (|queries| x blocks x codes rows, broadcast), join it to the codes
@@ -312,6 +316,46 @@ object Similarity {
     Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
       Seq((scored("adc_dist"), false), (scored("vec_id"), false)), k, "rank")
       .select(col("q_vec_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  /** IVF-PQ — the billion-scale composition: corpus vectors are
+    * assigned to their nearest trained centroid, PQ-encoded on the
+    * RESIDUAL (vector minus its centroid), and queries probe `nprobe`
+    * lists scoring only compressed codes via a per-(query, probed
+    * list) ADC table. One corpus shuffle for the assignment, one for
+    * the block encode; search touches 8 longs per candidate. All
+    * distances are exact integer squared L2, so every stage is
+    * engine-reproducible. `codebook` maps (block, code) -> residual
+    * codeword. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      codebookOf: DataFrame => DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val assigned = kmeansAssign(
+      corpus.select(col("vec_id"), microVec(col("embedding")).as("m")), cents)
+    val resid = assigned
+      .join(broadcast(cents.select(col("cid").as("cluster"), col("cm"))), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("m"), col("cm"), (x, y) => x - y).as("m"))
+    val rsubs = pqSubvectors(resid, carry = Seq("cluster"))
+    val codebook = codebookOf(rsubs)
+    val codes = pqEncode(rsubs, codebook, carry = Seq("cluster"))
+    val qm = queries.select(col("vec_id").as("q_vec_id"), microVec(col("embedding")).as("qm"))
+    val probeScored = qm.crossJoin(broadcast(cents))
+      .withColumn("p_dist", sqDist(col("qm"), col("cm")))
+    val probes = Plans.topKPerKeyRanked(probeScored, Seq(probeScored("q_vec_id")),
+      Seq((probeScored("p_dist"), false), (probeScored("cid"), false)), nprobe, "p_rank")
+      .select(col("q_vec_id").as("vec_id"), col("cid").as("cluster"),
+        zip_with(col("qm"), col("cm"), (x, y) => x - y).as("m"))
+    val adc = pqSubvectors(probes, carry = Seq("cluster"))
+      .join(broadcast(codebook), Seq("block"))
+      .select(col("vec_id").as("q_vec_id"), col("cluster"), col("block"), col("code"),
+        sqDist(col("sub"), col("cw")).as("d"))
+    val scored = codes.join(broadcast(adc), Seq("cluster", "block", "code"))
+      .groupBy(col("q_vec_id"), col("vec_id"), col("cluster"))
+      .agg(sum(col("d")).as("adc_dist"))
+    Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+      Seq((scored("adc_dist"), false), (scored("vec_id"), false)), k, "rank")
+      .select(col("q_vec_id"), col("rank"), col("vec_id"),
+        col("cluster").as("centroid_id"), col("adc_dist"))
   }
 
   /** Search an IVF index built on a TRAINED quantizer (`kmeansFit._2`):

@@ -315,14 +315,15 @@ object SimilarityQueries {
       .orderBy(col("q_vec_id"), col("rnk"))
   }
 
-  val annIvfTrainedSql: String = {
-    def distExpr(m: String, cm: String) =
-      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($m[i] - $cm[i]) * ($m[i] - $cm[i])), (x, y) -> x + y)"
-    def ssq(m: String) =
-      s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
-    val intDot =
-      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> p.qm[i] * l.m[i]), (x, y) -> x + y)"
-    s"""WITH v AS (SELECT vec_id,
+  /** Integer squared-L2 between two micro-int list expressions. */
+  private def distExpr(m: String, cm: String) =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($m[i] - $cm[i]) * ($m[i] - $cm[i])), (x, y) -> x + y)"
+
+  /** The q69/q70 training unrolled: two exact-integer Lloyd rounds plus
+    * the final refresh, ending in `cent(cid, cm)` — shared by the
+    * trained-IVF (q70) and IVF-PQ (q80) oracles. Also defines `v`. */
+  private def trainedCentCtes: String =
+    s"""v AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, m AS cm FROM v WHERE vec_id < $KmeansK),
@@ -345,7 +346,14 @@ object SimilarityQueries {
        |c2d AS (SELECT cid, d,
        |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
        |  FROM u2 GROUP BY cid, d),
-       |cent AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c2d GROUP BY cid),
+       |cent AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c2d GROUP BY cid)""".stripMargin
+
+  val annIvfTrainedSql: String = {
+    def ssq(m: String) =
+      s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
+    val intDot =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> p.qm[i] * l.m[i]), (x, y) -> x + y)"
+    s"""WITH $trainedCentCtes,
        |lists AS (SELECT vec_id, cid AS cluster, m FROM (
        |    SELECT v.vec_id, v.m, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
@@ -369,9 +377,85 @@ object SimilarityQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
-  // ---- q79: product-quantization ANN (encode + ADC scan) ----
+  // ---- q80: IVF-PQ (trained coarse quantizer + residual PQ + ADC) ----
 
+  /** Codewords per PQ block (q79 and q80). Declared above both oracle
+    * vals — a forward reference in object init would silently read 0. */
   val PqCodes = 16
+
+  /** q80: the billion-scale composition end to end — q69's trained
+    * centroids as the coarse quantizer, corpus vectors PQ-encoded on
+    * their RESIDUAL (vector minus centroid), queries probing nprobe=2
+    * lists and scoring only the compressed codes through a broadcast
+    * per-(query, list) ADC table. The search reads 8 longs per
+    * candidate; the raw vectors never leave the encode stage. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansFit(emb, KmeansK, Dim, KmeansIters)._2
+    Similarity.ivfPqTopK(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound),
+      cents,
+      rsubs => rsubs
+        .filter(col("vec_id") >= QuerySetBound && col("vec_id") < QuerySetBound + PqCodes)
+        .select((col("vec_id") - QuerySetBound).as("code"), col("block"), col("sub").as("cw")),
+      TrainedNprobe, LshTopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("centroid_id"), col("adc_dist"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annIvfPqSql: String = {
+    val sub = Similarity.PqSub
+    def sdist(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val cbMax = QuerySetBound + PqCodes
+    s"""WITH $trainedCentCtes,
+       |lists AS (SELECT vec_id, cid AS cluster, m FROM (
+       |    SELECT v.vec_id, v.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id >= $QuerySetBound)
+       |  WHERE rn = 1),
+       |resid AS (SELECT l.vec_id, l.cluster,
+       |    list_transform(range(1, ${Dim + 1}), i -> l.m[i] - c.cm[i]) AS rm
+       |  FROM lists l JOIN cent c ON l.cluster = c.cid),
+       |blocks AS (SELECT unnest(range(0, ${Similarity.PqBlocks})) AS block),
+       |rsub AS (SELECT vec_id, cluster, block,
+       |    list_transform(range(1, ${sub + 1}), i -> rm[$sub * block + i]) AS sub
+       |  FROM resid CROSS JOIN blocks),
+       |cb AS (SELECT vec_id - $QuerySetBound AS code, block, sub AS cw
+       |  FROM rsub WHERE vec_id >= $QuerySetBound AND vec_id < $cbMax),
+       |enc AS (SELECT vec_id, cluster, block, code FROM (
+       |    SELECT r.vec_id, r.cluster, r.block, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.block
+       |        ORDER BY ${sdist("r.sub", "c.cw")}, c.code) AS rn
+       |    FROM rsub r JOIN cb c USING (block))
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_vec_id, cid AS cluster,
+       |    list_transform(range(1, ${Dim + 1}), i -> m[i] - cm[i]) AS rm
+       |  FROM (
+       |    SELECT v.vec_id, v.m, c.cid, c.cm,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id < $QuerySetBound)
+       |  WHERE rn <= $TrainedNprobe),
+       |qsub AS (SELECT q_vec_id, cluster, block,
+       |    list_transform(range(1, ${sub + 1}), i -> rm[$sub * block + i]) AS sub
+       |  FROM probes CROSS JOIN blocks),
+       |adc AS (SELECT q.q_vec_id, q.cluster, q.block, c.code, ${sdist("q.sub", "c.cw")} AS d
+       |  FROM qsub q JOIN cb c USING (block)),
+       |scored AS (SELECT a.q_vec_id, e.vec_id, e.cluster AS centroid_id,
+       |    CAST(SUM(a.d) AS BIGINT) AS adc_dist
+       |  FROM enc e JOIN adc a ON e.cluster = a.cluster AND e.block = a.block AND e.code = a.code
+       |  GROUP BY a.q_vec_id, e.vec_id, e.cluster)
+       |SELECT q_vec_id, rnk, vec_id, centroid_id, adc_dist FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |    ORDER BY adc_dist, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $LshTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
+  // ---- q79: product-quantization ANN (encode + ADC scan) ----
 
   /** q79: PQ — each corpus vector compresses to 8 block codes against
     * a deterministic per-block codebook (the micro subvectors of
@@ -438,7 +522,8 @@ object SimilarityQueries {
     "q68_embed_clusters" -> (embedClusters _),
     "q69_kmeans_ivf" -> (kmeansIvf _),
     "q70_ann_ivf_trained" -> (annIvfTrained _),
-    "q79_ann_pq" -> (annPq _))
+    "q79_ann_pq" -> (annPq _),
+    "q80_ann_ivf_pq" -> (annIvfPq _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -449,5 +534,6 @@ object SimilarityQueries {
     "q68_embed_clusters" -> embedClustersSql,
     "q69_kmeans_ivf" -> kmeansIvfSql,
     "q70_ann_ivf_trained" -> annIvfTrainedSql,
-    "q79_ann_pq" -> annPqSql)
+    "q79_ann_pq" -> annPqSql,
+    "q80_ann_ivf_pq" -> annIvfPqSql)
 }
