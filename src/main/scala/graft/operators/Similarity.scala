@@ -241,14 +241,20 @@ object Similarity {
     * quantizer an IVF index searches against. */
   def kmeansFit(vecs: DataFrame, k: Int, dim: Int, iters: Int): (DataFrame, DataFrame) = {
     val base = vecs.select(col("vec_id"), microVec(col("embedding")).as("m"))
+    // Each round's centroids are localCheckpoint-materialized: the k-row
+    // model is computed ONCE per round (one corpus pass) instead of its
+    // whole training lineage re-executing for every downstream consumer
+    // (assignment, residuals, probes all broadcast it). Standard
+    // iterative-algorithm lineage truncation — the data stays
+    // distributed, nothing is collected to the driver.
     var cents = base.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("m").as("cm"))
+      .select(col("vec_id").as("cid"), col("m").as("cm")).localCheckpoint()
     var assigned = kmeansAssign(base, cents)
     (2 to iters).foreach { _ =>
-      cents = kmeansUpdate(assigned, dim)
+      cents = kmeansUpdate(assigned, dim).localCheckpoint()
       assigned = kmeansAssign(base, cents)
     }
-    (assigned, kmeansUpdate(assigned, dim))
+    (assigned, kmeansUpdate(assigned, dim).localCheckpoint())
   }
 
   /** Final assignment only: (vec_id, cluster, dist). */
