@@ -99,6 +99,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q79/q80 PQ search plans: broadcast ADC join, heap ranking, no cartesian, no window") {
+    for (df <- Seq(
+        SimilarityQueries.annPq(spark, sfDir),
+        SimilarityQueries.annIvfPq(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("TopKPerKey"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Window"), p)
+    }
+  }
+
   test("column pruning: token count reads only the needed columns") {
     val df = TextQueries.tokenCount(spark, sfDir)
     val p = plan(df)
