@@ -70,4 +70,51 @@ class PropertiesSpec extends SparkSpec {
     }
     assert((0 until 8).map(k => (Hashing.hashA(k), Hashing.hashB(k))).distinct.size == 8)
   }
+
+  test("sequencePack invariants hold on random corpora") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (1L to 300L).map { i =>
+      val n = 1 + rng.nextInt(40)
+      (i, s"src${rng.nextInt(5)}", (1 to n).map(_ => "w").mkString(" "))
+    }
+    val ctx = 64
+    val rows = graft.operators.Curation
+      .sequencePack(docs.toDF("doc_id", "source", "text"), "text", "doc_id", "source", ctx)
+      .orderBy(col("source"), col("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("offset_in_seq"),
+        r.getAs[Boolean]("straddles")))
+    assert(rows.length == docs.length) // every doc is placed exactly once
+    rows.groupBy(_._1).values.foreach { shard =>
+      // within a shard: offsets chain exactly (cum = prev cum + prev n)
+      shard.sliding(2).foreach {
+        case Array((_, _, n0, c0, _, _, _), (_, _, _, c1, _, _, _)) => assert(c1 == c0 + n0)
+        case _ =>
+      }
+      assert(shard.head._4 == 0L) // each shard starts at offset 0
+      shard.foreach { case (_, _, n, cum, seq, off, straddles) =>
+        assert(seq == cum / ctx && off == cum % ctx) // layout is pure div/mod
+        assert(straddles == (off + n > ctx))
+      }
+    }
+  }
+
+  test("stratifiedSample quota is exact and keeps a deterministic subset") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"s${rng.nextInt(7)}"))
+    val df = docs.toDF("doc_id", "source")
+    val strata = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    for (denom <- Seq(2, 5, 9)) {
+      val kept = graft.operators.Curation.stratifiedSample(df, "source", "doc_id", denom)
+        .select(col("source"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val bySrc = kept.groupBy(_._1).view.mapValues(_.length).toMap
+      strata.foreach { case (s, n) =>
+        assert(bySrc(s) == (n + denom - 1) / denom, s"stratum $s denom $denom")
+      }
+    }
+  }
 }
