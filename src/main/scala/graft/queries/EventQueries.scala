@@ -96,13 +96,48 @@ object EventQueries {
       |GROUP BY user_id, first_signup_us
       |ORDER BY user_id""".stripMargin
 
+  /** q83: per-user rolling 7-day features — the feature-engineering
+    * window pattern (spend and activity over a trailing week, gap
+    * aware). Day is an integer epoch-day, the frame is a RANGE over
+    * that axis (missing days shrink the window, exactly as a
+    * calendar-true trailing week must), and every output is an
+    * integer. One shuffle on user_id, then per-user ordered frames. */
+  def rollingFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("daily_cents"), count(lit(1)).as("n_events"))
+    val w7 = Window.partitionBy(col("user_id")).orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7_cents", sum(col("daily_cents")).over(w7))
+      .withColumn("days_active_7", count(lit(1)).over(w7))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val rollingFeaturesSql: String =
+    """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS daily_cents,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, daily_cents, n_events,
+      |  CAST(SUM(daily_cents) OVER (PARTITION BY user_id ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_cents,
+      |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_active_7
+      |FROM daily
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_tumbling_agg" -> (tumblingAgg _),
     "q31_sessionize" -> (sessionize _),
-    "q32_funnel" -> (funnel _))
+    "q32_funnel" -> (funnel _),
+    "q83_rolling_features" -> (rollingFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q30_tumbling_agg" -> tumblingAggSql,
     "q31_sessionize" -> sessionizeSql,
-    "q32_funnel" -> funnelSql)
+    "q32_funnel" -> funnelSql,
+    "q83_rolling_features" -> rollingFeaturesSql)
 }
