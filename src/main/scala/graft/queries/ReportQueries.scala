@@ -183,17 +183,44 @@ object ReportQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** q84: multi-level subtotal report — GROUP BY ROLLUP over
+    * (priority, status): leaf rows, per-priority subtotals and the
+    * grand total in ONE aggregation pass (Spark expands the grouping
+    * sets map-side; no second scan per level). Subtotal markers
+    * coalesce to 'ALL' — both key columns are non-null by schema, so
+    * the marker is unambiguous. */
+  def rollupReport(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.functions.Money.cents(col("o_totalprice"))).as("total_cents"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_cents"))
+      .orderBy(col("priority"), col("status"))
+
+  val rollupReportSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q35_report_export" -> (reportExport _),
     "q36_daily_report" -> (dailyReport _),
     "q37_approx_distinct" -> (approxDistinct _),
     "q63_city_mention_rollup" -> (cityMentionRollup _),
-    "q66_unresolved_audit" -> (unresolvedAudit _))
+    "q66_unresolved_audit" -> (unresolvedAudit _),
+    "q84_rollup_report" -> (rollupReport _))
 
   /** q37 intentionally omitted: HLL sketches are not oracle-comparable. */
   val oracles: Map[String, String] = Map(
     "q35_report_export" -> reportExportSql,
     "q36_daily_report" -> dailyReportSql,
     "q63_city_mention_rollup" -> cityMentionRollupSql,
-    "q66_unresolved_audit" -> unresolvedAuditSql)
+    "q66_unresolved_audit" -> unresolvedAuditSql,
+    "q84_rollup_report" -> rollupReportSql)
 }
