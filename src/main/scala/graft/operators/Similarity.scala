@@ -364,6 +364,29 @@ object Similarity {
         col("cluster").as("centroid_id"), col("adc_dist"))
   }
 
+  /** Two-stage retrieval: the IVF-PQ compressed scan produces a cheap
+    * per-query SHORTLIST (`shortlist` candidates by ADC distance), and
+    * only those few (query, vector) pairs load raw vectors for an
+    * exact integer-cosine rescore — the standard refine step that buys
+    * back PQ's quantization error while still reading full vectors for
+    * shortlist-many rows per query instead of list-many. */
+  def ivfPqRefinedTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      codebookOf: DataFrame => DataFrame, nprobe: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    val short = ivfPqTopK(queries, corpus, cents, codebookOf, nprobe, shortlist)
+      .select(col("q_vec_id"), col("vec_id"))
+    val cm = corpus.select(col("vec_id"), microVec(col("embedding")).as("m"))
+    val qm = queries.select(col("vec_id").as("q_vec_id"), microVec(col("embedding")).as("qm"))
+    val rescored = cm.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qm), Seq("q_vec_id"))
+      .withColumn("cos_e6", e6(intDot(col("qm"), col("m")).cast("double") /
+        (microNorm(col("qm")) * microNorm(col("m")))))
+      .select(col("q_vec_id"), col("vec_id"), col("cos_e6"))
+    Plans.topKPerKeyRanked(rescored, Seq(rescored("q_vec_id")),
+      Seq((rescored("cos_e6"), true), (rescored("vec_id"), false)), k, "rank")
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("cos_e6"))
+  }
+
   /** Search an IVF index built on a TRAINED quantizer (`kmeansFit._2`):
     * corpus vectors are assigned to their nearest trained centroid —
     * the inverted lists an index build materializes ONCE (one corpus

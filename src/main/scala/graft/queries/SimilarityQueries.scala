@@ -405,12 +405,15 @@ object SimilarityQueries {
       .orderBy(col("q_vec_id"), col("rnk"))
   }
 
-  val annIvfPqSql: String = {
+  /** The q80 CTE chain through `scored` (ADC distances per candidate),
+    * shared by the plain IVF-PQ top-k (q80) and the refined two-stage
+    * search (q87). */
+  private def ivfPqScoredCtes: String = {
     val sub = Similarity.PqSub
     def sdist(a: String, b: String) =
       s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
     val cbMax = QuerySetBound + PqCodes
-    s"""WITH $trainedCentCtes,
+    s"""$trainedCentCtes,
        |lists AS (SELECT vec_id, cid AS cluster, m FROM (
        |    SELECT v.vec_id, v.m, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
@@ -446,11 +449,65 @@ object SimilarityQueries {
        |scored AS (SELECT a.q_vec_id, e.vec_id, e.cluster AS centroid_id,
        |    CAST(SUM(a.d) AS BIGINT) AS adc_dist
        |  FROM enc e JOIN adc a ON e.cluster = a.cluster AND e.block = a.block AND e.code = a.code
-       |  GROUP BY a.q_vec_id, e.vec_id, e.cluster)
+       |  GROUP BY a.q_vec_id, e.vec_id, e.cluster)""".stripMargin
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH $ivfPqScoredCtes
        |SELECT q_vec_id, rnk, vec_id, centroid_id, adc_dist FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
        |    ORDER BY adc_dist, vec_id) AS rnk
        |  FROM scored)
+       |WHERE rnk <= $LshTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
+  // ---- q87: two-stage IVF-PQ + exact rescore ----
+
+  val RefineShortlist = 8
+
+  /** q87: the production retrieval shape — q80's compressed ADC scan
+    * shortlists 8 candidates per query, and only those pairs load raw
+    * vectors for the exact integer-cosine rerank. Quantization error
+    * is bought back at the cost of shortlist-many (not list-many)
+    * full-vector reads per query. */
+  def annIvfPqRefined(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansFit(emb, KmeansK, Dim, KmeansIters)._2
+    Similarity.ivfPqRefinedTopK(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound),
+      cents,
+      rsubs => rsubs
+        .filter(col("vec_id") >= QuerySetBound && col("vec_id") < QuerySetBound + PqCodes)
+        .select((col("vec_id") - QuerySetBound).as("code"), col("block"), col("sub").as("cw")),
+      TrainedNprobe, RefineShortlist, LshTopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("cos_e6"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annIvfPqRefinedSql: String = {
+    val intDot =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> qv.m[i] * cv.m[i]), (x, y) -> x + y)"
+    def ssq(m: String) =
+      s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
+    s"""WITH $ivfPqScoredCtes,
+       |short AS (SELECT q_vec_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY adc_dist, vec_id) AS srn
+       |    FROM scored)
+       |  WHERE srn <= $RefineShortlist),
+       |resc AS (SELECT s.q_vec_id, s.vec_id,
+       |    CAST(ROUND(CAST($intDot AS DOUBLE)
+       |      / (SQRT(CAST(${ssq("qv.m")} AS DOUBLE)) * SQRT(CAST(${ssq("cv.m")} AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM short s
+       |  JOIN v qv ON s.q_vec_id = qv.vec_id
+       |  JOIN v cv ON s.vec_id = cv.vec_id)
+       |SELECT q_vec_id, rnk, vec_id, cos_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |    ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |  FROM resc)
        |WHERE rnk <= $LshTopK
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
@@ -523,7 +580,8 @@ object SimilarityQueries {
     "q69_kmeans_ivf" -> (kmeansIvf _),
     "q70_ann_ivf_trained" -> (annIvfTrained _),
     "q79_ann_pq" -> (annPq _),
-    "q80_ann_ivf_pq" -> (annIvfPq _))
+    "q80_ann_ivf_pq" -> (annIvfPq _),
+    "q87_ann_refined" -> (annIvfPqRefined _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -535,5 +593,6 @@ object SimilarityQueries {
     "q69_kmeans_ivf" -> kmeansIvfSql,
     "q70_ann_ivf_trained" -> annIvfTrainedSql,
     "q79_ann_pq" -> annPqSql,
-    "q80_ann_ivf_pq" -> annIvfPqSql)
+    "q80_ann_ivf_pq" -> annIvfPqSql,
+    "q87_ann_refined" -> annIvfPqRefinedSql)
 }
