@@ -364,6 +364,46 @@ object Similarity {
         col("cluster").as("centroid_id"), col("adc_dist"))
   }
 
+  /** One Lloyd assignment over every PQ block at once: blocks ride in
+    * the group key, so 8 independent per-subspace clusterings are one
+    * aggregation (broadcast codebook, exact integer subspace L2, ties
+    * to the lowest codeword id). */
+  def pqAssignTrained(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("block"))
+      .withColumn("d", sqDist(col("sub"), col("cw")))
+      .groupBy(col("vec_id"), col("block"))
+      .agg(min(struct(col("d"), col("cid"), col("sub"))).as("best"))
+      .select(col("vec_id"), col("block"), col("best.cid").as("code"),
+        col("best.d").as("dist"), col("best.sub").as("sub"))
+
+  /** Per-block floor-mean codeword refresh (q69's update with block in
+    * the key). */
+  def pqUpdateCodebooks(assigned: DataFrame, subDim: Int): DataFrame =
+    assigned.groupBy(col("block"), col("code").as("cid"))
+      .agg(array((0 until subDim).map { d =>
+        floor(sum(element_at(col("sub"), d + 1)).cast("double") / count(lit(1))).cast("long")
+      }: _*).as("cw"))
+
+  /** Learn per-block PQ codebooks with exact-integer Lloyd — q69's
+    * training applied independently in every subspace, executed as ONE
+    * chained aggregation per round (block in all keys). Seeds are the
+    * k lowest vector ids' subvectors. Returns (final assignment incl.
+    * dist, trained codebooks). */
+  def pqTrainCodebooks(subs: DataFrame, k: Int, subDim: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val seedIds = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+    var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("block"), col("sub").as("cw"))
+      .localCheckpoint()
+    var assigned = pqAssignTrained(subs, cb)
+    (2 to iters).foreach { _ =>
+      cb = pqUpdateCodebooks(assigned, subDim).localCheckpoint()
+      assigned = pqAssignTrained(subs, cb)
+    }
+    (assigned, pqUpdateCodebooks(assigned, subDim).localCheckpoint())
+  }
+
   /** Two-stage retrieval: the IVF-PQ compressed scan produces a cheap
     * per-query SHORTLIST (`shortlist` candidates by ADC distance), and
     * only those few (query, vector) pairs load raw vectors for an

@@ -512,6 +512,54 @@ object SimilarityQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  // ---- q88: per-block TRAINED PQ codebooks ----
+
+  /** q88: the codebook-learning step q79/q80 presume — exact-integer
+    * Lloyd independently in every 8-dim subspace, run as ONE chained
+    * aggregation per round with block in every key. Seeds are the 16
+    * lowest vector ids' subvectors; the output is the final
+    * per-(vector, block) code assignment with its exact distance. The
+    * oracle unrolls the same two rounds across all blocks at once. */
+  def pqTrainedCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val subs = Similarity.pqSubvectors(
+      emb.select(col("vec_id"), Similarity.microVec(col("embedding")).as("m")))
+    Similarity.pqTrainCodebooks(subs, PqCodes, Similarity.PqSub, KmeansIters)._1
+      .select(col("vec_id"), col("block").cast("long").as("block"),
+        col("code"), col("dist"))
+      .orderBy(col("vec_id"), col("block"))
+  }
+
+  val pqTrainedCodebooksSql: String = {
+    val sub = Similarity.PqSub
+    def sdist(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |blocks AS (SELECT unnest(range(0, ${Similarity.PqBlocks})) AS block),
+       |sub AS (SELECT vec_id, block,
+       |    list_transform(range(1, ${sub + 1}), i -> m[$sub * block + i]) AS s
+       |  FROM v CROSS JOIN blocks),
+       |c0 AS (SELECT vec_id AS cid, block, s AS cw FROM sub WHERE vec_id < $PqCodes),
+       |d1 AS (SELECT su.vec_id, su.block, su.s, c.cid, ${sdist("su.s", "c.cw")} AS dist
+       |  FROM sub su JOIN c0 c USING (block)),
+       |a1 AS (SELECT vec_id, block, s, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u1 AS (SELECT block, cid, generate_subscripts(s, 1) AS d, unnest(s) AS val FROM a1),
+       |c1d AS (SELECT block, cid, d,
+       |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM u1 GROUP BY block, cid, d),
+       |c1 AS (SELECT block, cid, list(cv ORDER BY d) AS cw FROM c1d GROUP BY block, cid),
+       |d2 AS (SELECT su.vec_id, su.block, c.cid, ${sdist("su.s", "c.cw")} AS dist
+       |  FROM sub su JOIN c1 c USING (block)),
+       |a2 AS (SELECT vec_id, block, cid, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block ORDER BY dist, cid) AS rn FROM d2)
+       |  WHERE rn = 1)
+       |SELECT vec_id, block, cid AS code, dist FROM a2 ORDER BY vec_id, block""".stripMargin
+  }
+
   // ---- q79: product-quantization ANN (encode + ADC scan) ----
 
   /** q79: PQ — each corpus vector compresses to 8 block codes against
@@ -581,7 +629,8 @@ object SimilarityQueries {
     "q70_ann_ivf_trained" -> (annIvfTrained _),
     "q79_ann_pq" -> (annPq _),
     "q80_ann_ivf_pq" -> (annIvfPq _),
-    "q87_ann_refined" -> (annIvfPqRefined _))
+    "q87_ann_refined" -> (annIvfPqRefined _),
+    "q88_pq_codebooks" -> (pqTrainedCodebooks _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -594,5 +643,6 @@ object SimilarityQueries {
     "q70_ann_ivf_trained" -> annIvfTrainedSql,
     "q79_ann_pq" -> annPqSql,
     "q80_ann_ivf_pq" -> annIvfPqSql,
-    "q87_ann_refined" -> annIvfPqRefinedSql)
+    "q87_ann_refined" -> annIvfPqRefinedSql,
+    "q88_pq_codebooks" -> pqTrainedCodebooksSql)
 }
