@@ -111,6 +111,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q90 listing pushes the portal predicate to every documents scan") {
+    val p = plan(graft.queries.ListingQueries.cityFilterListing(spark, sfDir))
+    // the mention chain runs on the FILTERED slice: each corpus scan
+    // carries the portal pushdown, so at 100 TB the listing reads one
+    // portal's partition, never the whole collection
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("EqualTo(source,src3)")), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the 2-row param dim
+  }
+
   test("column pruning: token count reads only the needed columns") {
     val df = TextQueries.tokenCount(spark, sfDir)
     val p = plan(df)
