@@ -45,15 +45,25 @@ object Bench {
     catch { case _: Throwable => () }
 
     // optional comma-separated filter for local profiling runs; the
-    // driver never sets it, so the shipped bench always covers all
+    // driver never sets it, so the shipped bench always covers all.
+    // An active filter is echoed into the JSON (so a subset run can
+    // never pass as a full one) and unknown names fail fast.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      System.err.println(s"WARNING: bench filtered to ${o.size} queries via SPARK_GRAFT_ONLY")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val filterKey = only.fold("")(o =>
+      "\"filter\":\"" + o.toSeq.sorted.mkString(",") + "\",")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$filterKey"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,11 +10,13 @@ import graft.operators.Gazetteer
 /** q89: the per-article field-extraction payload of
   * `extract_cities_from_article` (city_matching/extractor.py:30):
   *
-  *  - fields_to_process (extractor.py:46-55): `title` whenever
-  *    non-empty, then `body`; when body is missing/empty the `content`
-  *    field substitutes with note "used_content_field"; when neither
-  *    exists the doc is noted "missing_body_and_content" and only the
-  *    title (if any) is scanned;
+  *  - fields_to_process (extractor.py:44-55): `title` whenever
+  *    non-empty, then `body`; the `content` field is fetched ONLY when
+  *    body is None (extractor.py:44) and substitutes with note
+  *    "used_content_field" — a present-but-empty body means no content
+  *    lookup at all, noted "missing_body_and_content"; the same note
+  *    applies when neither field exists, and only the title (if any)
+  *    is scanned;
   *  - every processed field runs the full dictionary matcher
   *    independently; match rows carry their field name and the method
   *    tag (automaton for single tokens, pattern for multi-token
@@ -45,21 +47,24 @@ object ExtractorQueries {
     val content = when(col("doc_id") % 10 === 0, lit(null).cast("string"))
       .otherwise(substring(col("text"), 41, 120))
     val bodyok = col("body").isNotNull && col("body") =!= ""
-    val contentok = col("content").isNotNull && col("content") =!= ""
-    // fields_to_process: title when truthy; body, else content
-    // (extractor.py:46-52). The struct's field name is null when
-    // neither body nor content exists — filtered with the empty title.
+    val useContent = col("body").isNull &&
+      col("content").isNotNull && col("content") =!= ""
+    // fields_to_process: title when truthy; body, else content — but
+    // content is fetched only when body is None (extractor.py:44), so
+    // an empty-string body blocks the fallback. The struct's field
+    // name is null when neither applies — filtered with the empty
+    // title.
     val flagged = docs
       .select(col("doc_id"), title.as("title"), body.as("body"), content.as("content"))
       .withColumn("notes",
-        when(bodyok, lit("")).when(contentok, lit("used_content_field"))
+        when(bodyok, lit("")).when(useContent, lit("used_content_field"))
           .otherwise(lit("missing_body_and_content")))
       .withColumn("fields", filter(
         array(
           struct(lit("title").as("field"), col("title").as("ftext")),
           struct(
-            when(bodyok, "body").when(contentok, "content").as("field"),
-            when(bodyok, col("body")).when(contentok, col("content")).as("ftext"))),
+            when(bodyok, "body").when(useContent, "content").as("field"),
+            when(bodyok, col("body")).when(useContent, col("content")).as("ftext"))),
         f => f.getField("field").isNotNull &&
           f.getField("ftext").isNotNull && f.getField("ftext") =!= ""))
     // outer explodes throughout — see Gazetteer.matches on inferred-
@@ -92,9 +97,9 @@ object ExtractorQueries {
        |  FROM documents),
        |flag AS (SELECT *,
        |    (body IS NOT NULL AND body <> '') AS bodyok,
-       |    (content IS NOT NULL AND content <> '') AS contentok,
+       |    (body IS NULL AND content IS NOT NULL AND content <> '') AS usecontent,
        |    CASE WHEN (body IS NOT NULL AND body <> '') THEN ''
-       |         WHEN (content IS NOT NULL AND content <> '') THEN 'used_content_field'
+       |         WHEN (body IS NULL AND content IS NOT NULL AND content <> '') THEN 'used_content_field'
        |         ELSE 'missing_body_and_content' END AS notes
        |  FROM base),
        |fields AS (
@@ -103,7 +108,7 @@ object ExtractorQueries {
        |  SELECT doc_id, notes,
        |    CASE WHEN bodyok THEN 'body' ELSE 'content' END AS field,
        |    CASE WHEN bodyok THEN body ELSE content END AS ftext
-       |  FROM flag WHERE bodyok OR contentok),
+       |  FROM flag WHERE bodyok OR usecontent),
        |toks AS (SELECT doc_id, field, notes,
        |    string_split_regex(trim($fold), '\\s+') AS t FROM fields),
        |pos AS (SELECT doc_id, field, notes, t, unnest(t) AS tok,

@@ -17,17 +17,17 @@ class ExtractorSpec extends SparkSpec {
     assert(titleDocs.forall(_ % 11 != 0), "doc_id % 11 == 0 has an empty title")
   }
 
-  test("content substitutes only when body is missing, with the note") {
+  test("content substitutes only when body is NULL, with the note") {
     val byField = rows.groupBy(_.getAs[String]("field"))
     val contentRows = byField.getOrElse("content", Array.empty)
     assert(contentRows.nonEmpty)
-    // content rows only when content exists (doc_id % 10 != 0); the
-    // body may be NULL (doc_id % 5 < 2) or present-but-EMPTY (text
-    // shorter than the body substring start — the reference's
-    // `if body_text:` truthiness, extractor.py:49)
+    // content rows only when body is NULL (doc_id % 5 < 2) AND content
+    // exists (doc_id % 10 != 0) — extractor.py:44 fetches content only
+    // for `body is None`, so a present-but-EMPTY body (text shorter
+    // than the body substring start) gets no fallback
     assert(contentRows.forall { r =>
       val id = r.getAs[Long]("doc_id")
-      id % 10 != 0 && r.getAs[String]("notes") == "used_content_field"
+      id % 5 < 2 && id % 10 != 0 && r.getAs[String]("notes") == "used_content_field"
     })
     // body rows never carry a note
     assert(byField.getOrElse("body", Array.empty).forall(_.getAs[String]("notes") == ""))
@@ -40,8 +40,13 @@ class ExtractorSpec extends SparkSpec {
   test("missing_body_and_content note surfaces on title-only docs") {
     val noted = rows.filter(_.getAs[String]("notes") == "missing_body_and_content")
     assert(noted.nonEmpty)
+    // noted docs scan only their title: either body is NULL and
+    // content is too (doc_id % 10 == 0), or the body is present but
+    // EMPTY (short text) which blocks the content fallback entirely
+    assert(noted.forall(_.getAs[String]("field") == "title"))
     assert(noted.forall { r =>
-      r.getAs[String]("field") == "title" && r.getAs[Long]("doc_id") % 10 == 0
+      val id = r.getAs[Long]("doc_id")
+      id % 10 == 0 || id % 5 >= 2
     })
   }
 
@@ -52,10 +57,15 @@ class ExtractorSpec extends SparkSpec {
         r.getAs[Long]("n_toks"), r.getAs[Int]("kw_id")))
       assert(keys.sameElements(keys.sorted), "rows not in (field, start) order")
     }
-    // body/content sort BEFORE title (extractor.py:81 string sort)
-    val firstFields = perDoc.values.map(_.head.getAs[String]("field")).toSet
-    assert(!firstFields.contains("title") || perDoc.values.exists(rs =>
-      rs.map(_.getAs[String]("field")).distinct.length == 1))
+    // body/content sort BEFORE title (extractor.py:81 string sort):
+    // every doc with both a title row and a body/content row must NOT
+    // lead with title
+    val multiField = perDoc.values.filter(rs =>
+      rs.map(_.getAs[String]("field")).distinct.length > 1)
+    assert(multiField.nonEmpty, "no multi-field doc exercises the ordering")
+    multiField.foreach(rs =>
+      assert(rs.head.getAs[String]("field") != "title",
+        s"title sorted first in doc ${rs.head.getAs[Long]("doc_id")}"))
   }
 
   test("method tags: multi-token grams are pattern, single automaton") {
