@@ -95,6 +95,29 @@ object Curation {
         (col("n_contaminated") * 2 >= col("n_shingles")).as("contaminated"))
   }
 
+  /** Per-doc duplicated-n-gram share against the WHOLE corpus — the
+    * exact-substring-dedup signal ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022, applied at gram
+    * granularity): a gram is duplicated when its document frequency is
+    * >= 2, and a doc whose grams are mostly duplicated elsewhere is a
+    * near-dup candidate. Shape: distinct (doc, gram) pairs feed one
+    * gram-keyed df aggregation, joined back on gram (both sides
+    * already hash-partitioned on the key) — no windows (a hot gram
+    * would put its whole df count on one reducer), no pairs, nothing
+    * quadratic; work is linear in corpus grams at any scale. */
+  def dupNgrams(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val sh = Dedup.stage(Dedup.shingles(df, textCol, idCol, n))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gram_df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") > 1, 1L).otherwise(0L)).as("n_dup_grams"),
+        max(col("gram_df")).as("max_gram_df"))
+      .select(col(idCol), col("n_grams"), col("n_dup_grams"), col("max_gram_df"),
+        e6(col("n_dup_grams").cast("double") / col("n_grams")).as("dup_share_e6"),
+        (col("n_dup_grams") * 2 >= col("n_grams")).as("near_dup"))
+  }
+
   // ---- per-domain stratified downsampling ----------------------------
 
   /** Exact per-stratum quota sample: rank rows inside each stratum by a

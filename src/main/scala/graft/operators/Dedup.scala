@@ -70,12 +70,9 @@ object Dedup {
     * inferred on the fold chain and nothing expensive is pushed into
     * the scan filter (see q43's identical guard). */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    require(n == 3, "shingle builder currently materializes 3-grams")
     val sh = when(size(col("toks")) >= n,
       transform(sequence(lit(0), size(col("toks")) - n), i =>
-        concat_ws(" ", get(col("toks"), i),
-          get(col("toks"), i + 1),
-          get(col("toks"), i + 2))))
+        concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))
     df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
       .select(col(idCol), explode_outer(sh).as("shingle"))
       .filter(col("shingle").isNotNull)

@@ -290,6 +290,36 @@ object CurationQueries {
        |SELECT doc_id, n_tokens, reasons = '' AS keep, reasons
        |FROM flagged ORDER BY doc_id""".stripMargin
 
+  // ---- q91: cross-doc duplicated n-grams (exact-substring dedup) ----
+
+  val DupGramN = 5
+
+  /** q91: the exact-substring-dedup signal — for each doc, how many of
+    * its distinct 5-gram shingles occur in ANY other document (gram
+    * document-frequency >= 2), the duplicated share, and the near-dup
+    * flag. This is the corpus-wide complement of q73 (which checks
+    * overlap against a small eval set): one gram-keyed aggregation
+    * plus a co-partitioned join back, linear in corpus grams. */
+  def dupNgrams(s: SparkSession, dir: String): DataFrame =
+    Curation.dupNgrams(Tables.documents(s, dir), "text", "doc_id", DupGramN)
+      .orderBy(col("doc_id"))
+
+  val dupNgramsSql: String = {
+    val gram = (0 until DupGramN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, $gram AS shingle
+       |  FROM pos WHERE i + ${DupGramN - 1} <= len(t)),
+       |dfq AS (SELECT shingle, COUNT(*) AS gram_df FROM sh GROUP BY shingle)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  CAST(MAX(gram_df) AS BIGINT) AS max_gram_df,
+       |  ${e6Sql("CAST(SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS dup_share_e6,
+       |  CAST(SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 2 >= COUNT(*) AS near_dup
+       |FROM sh JOIN dfq USING (shingle)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_repetition_stats" -> (repetitionStats _),
     "q72_pii_scrub" -> (piiScrub _),
@@ -298,7 +328,8 @@ object CurationQueries {
     "q75_sequence_pack" -> (sequencePack _),
     "q76_top_terms" -> (topTerms _),
     "q77_mix_allocation" -> (mixAllocation _),
-    "q78_quality_filter" -> (qualityFilter _))
+    "q78_quality_filter" -> (qualityFilter _),
+    "q91_dup_ngrams" -> (dupNgrams _))
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
@@ -308,5 +339,6 @@ object CurationQueries {
     "q75_sequence_pack" -> sequencePackSql,
     "q76_top_terms" -> topTermsSql,
     "q77_mix_allocation" -> mixAllocationSql,
-    "q78_quality_filter" -> qualityFilterSql)
+    "q78_quality_filter" -> qualityFilterSql,
+    "q91_dup_ngrams" -> dupNgramsSql)
 }

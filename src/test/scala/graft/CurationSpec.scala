@@ -114,4 +114,19 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getAs[Boolean]("contaminated"))
     assert(out(1).getAs[Long]("n_contaminated") == 0 && !out(1).getAs[Boolean]("contaminated"))
   }
+
+  test("dupNgrams marks grams shared across docs and flags mostly-duplicated docs") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "a b c d e f"), //  grams: "a b c d e", "b c d e f" — both shared with doc 1
+      (1L, "a b c d e f g"), // shares both of doc 0's grams, has one unique
+      (2L, "p q r s t u"))).toDF("doc_id", "text")
+    val out = Curation.dupNgrams(df, "text", "doc_id", 5)
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getAs[Long]("n_grams") == 2 && out(0).getAs[Long]("n_dup_grams") == 2)
+    assert(out(0).getAs[Boolean]("near_dup"))
+    assert(out(1).getAs[Long]("n_grams") == 3 && out(1).getAs[Long]("n_dup_grams") == 2)
+    assert(out(1).getAs[Boolean]("near_dup")) // 2*2 >= 3
+    assert(out(2).getAs[Long]("n_dup_grams") == 0 && !out(2).getAs[Boolean]("near_dup"))
+    assert(out(0).getAs[Long]("max_gram_df") == 2)
+  }
 }
