@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
+import graft.sources.PortalCatalog
 
 /** The scraper's parse stage (infrastructure/scraper.py: fetch HTML,
   * select title/body, drop boilerplate nodes) as column expressions.
@@ -107,13 +108,73 @@ object ScrapeQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q92: malformed-selector auto-repair ----
+
+  /** q92: the scraper's selector auto-repair char fold
+    * (scraper.py:522-554 `_normalize_selector_query`, exercised by
+    * test_scraper_selector_normalization.py's four shapes) over
+    * selectors synthesized from the part catalog: complete,
+    * missing `]`, missing `'` + `]`, and missing `'` only. The fold
+    * closes an open quote (before a following `]` when present) and
+    * appends missing brackets; a well-formed selector passes through
+    * unchanged. Map-only — the fold is a per-row column expression. */
+  def selectorRepair(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("meta[property='article:"),
+      regexp_replace(lower(col("p_type")), " ", "-"))
+    val raw = when(col("p_partkey") % 4 === 0, concat(base, lit("']")))
+      .when(col("p_partkey") % 4 === 1, concat(base, lit("'")))
+      .when(col("p_partkey") % 4 === 2, base)
+      .otherwise(concat(base, lit("]")))
+    Tables.part(s, dir)
+      .select(col("p_partkey").as("sel_id"), raw.as("raw_query"))
+      .withColumn("fixed_query", PortalCatalog.repairSelectorQuery(col("raw_query")))
+      .withColumn("repaired", col("fixed_query") =!= col("raw_query"))
+      .orderBy(col("sel_id"))
+  }
+
+  val selectorRepairSql: String = {
+    // The fold is a RECURSIVE CTE advancing one char per step, NOT a
+    // list_reduce lambda: DuckDB 1.0's lambda execution corrupts
+    // struct accumulators over dictionary-encoded parquet vectors
+    // (identical raw_query rows folded to different results).
+    // chr(39) = ', chr(34) = " — avoids SQL quote-escaping of quotes.
+    val isQuote = "(c = chr(39) OR c = chr(34))"
+    val q1 = s"(CASE WHEN $isQuote AND q IS NULL THEN c" +
+      s" WHEN $isQuote AND q = c THEN NULL ELSE q END)"
+    s"""WITH RECURSIVE sels AS (SELECT p_partkey AS sel_id,
+       |    'meta[property=' || chr(39) || 'article:' || replace(lower(p_type), ' ', '-') ||
+       |    CASE WHEN p_partkey % 4 = 0 THEN chr(39) || ']'
+       |         WHEN p_partkey % 4 = 1 THEN chr(39)
+       |         WHEN p_partkey % 4 = 2 THEN ''
+       |         ELSE ']' END AS raw_query
+       |  FROM part),
+       |step AS (
+       |  SELECT sel_id, raw_query, 0 AS pos, '' AS res, 0 AS bal, CAST(NULL AS VARCHAR) AS q
+       |  FROM sels
+       |  UNION ALL
+       |  SELECT sel_id, raw_query, pos + 1,
+       |    CASE WHEN c = ']' AND q1 IS NOT NULL THEN res || q1 || c ELSE res || c END,
+       |    CASE WHEN c = '[' AND q1 IS NULL THEN bal + 1
+       |         WHEN c = ']' AND bal > 0 THEN bal - 1 ELSE bal END,
+       |    CASE WHEN c = ']' THEN CAST(NULL AS VARCHAR) ELSE q1 END
+       |  FROM (SELECT *, $q1 AS q1 FROM
+       |        (SELECT *, raw_query[pos + 1] AS c FROM step WHERE pos < len(raw_query)))),
+       |folded AS (SELECT * FROM step WHERE pos = len(raw_query))
+       |SELECT sel_id, raw_query,
+       |  res || COALESCE(q, '') || repeat(']', GREATEST(bal, 0)) AS fixed_query,
+       |  res || COALESCE(q, '') || repeat(']', GREATEST(bal, 0)) <> raw_query AS repaired
+       |FROM folded ORDER BY sel_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_html_extract" -> (htmlExtract _),
     "q40_sentences" -> (sentences _),
-    "q41_bpe_tokens" -> (bpeTokens _))
+    "q41_bpe_tokens" -> (bpeTokens _),
+    "q92_selector_repair" -> (selectorRepair _))
 
   val oracles: Map[String, String] = Map(
     "q39_html_extract" -> htmlExtractSql,
     "q40_sentences" -> sentencesSql,
-    "q41_bpe_tokens" -> bpeTokensSql)
+    "q41_bpe_tokens" -> bpeTokensSql,
+    "q92_selector_repair" -> selectorRepairSql)
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Portal-configuration catalog — the registration surface of the
   * reference (domain/entities/portal.py, servico_registro_portal.py,
@@ -74,4 +74,41 @@ object PortalCatalog {
         regexp_replace(
           regexp_replace(col("listing_path_template"), "\\{date\\}", dateStr),
           "^/+", "")))
+
+  /** The scraper's malformed-CSS-selector auto-repair
+    * (scraper.py:522-554 `_normalize_selector_query`): a single
+    * left-to-right char fold tracking open-quote state and bracket
+    * balance — an unclosed quote is closed (before a `]` if one
+    * follows, else at the end), and missing closing brackets are
+    * appended. Expressed as a higher-order `aggregate` over the char
+    * array with a (result, balance, quote) struct accumulator — pure
+    * column math, no UDF, embarrassingly parallel. */
+  def repairSelectorQuery(query: Column): Column = {
+    val chars = split(query, "")
+    val zero = struct(lit("").as("res"), lit(0).as("bal"),
+      lit(null).cast("string").as("q"))
+    aggregate(chars, zero,
+      (acc, c) => {
+        val q0 = acc.getField("q")
+        val isQuote = c === "'" || c === "\""
+        // quote state updates FIRST (scraper.py:530-534), then the
+        // bracket logic sees the updated state
+        val q1 = when(isQuote && q0.isNull, c)
+          .when(isQuote && q0 === c, lit(null).cast("string"))
+          .otherwise(q0)
+        val bal0 = acc.getField("bal")
+        val bal1 = when(c === "[" && q1.isNull, bal0 + 1)
+          .when(c === "]" && bal0 > 0, bal0 - 1)
+          .otherwise(bal0)
+        // a `]` inside an open quote closes the quote first
+        val res1 = when(c === "]" && q1.isNotNull,
+          concat(acc.getField("res"), q1, c))
+          .otherwise(concat(acc.getField("res"), c))
+        val q2 = when(c === "]", lit(null).cast("string")).otherwise(q1)
+        struct(res1.as("res"), bal1.as("bal"), q2.as("q"))
+      },
+      acc => concat(acc.getField("res"),
+        coalesce(acc.getField("q"), lit("")),
+        lit("]]]]]]]]]]]]]]]]").substr(lit(1), greatest(acc.getField("bal"), lit(0)))))
+  }
 }

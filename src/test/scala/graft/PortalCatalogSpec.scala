@@ -46,4 +46,22 @@ class PortalCatalogSpec extends SparkSpec {
     assert(df.collect().head.getAs[String]("listing_url") ==
       "https://example.com/news/2024-05-01")
   }
+
+  test("repairSelectorQuery fixes the reference's malformed-selector shapes") {
+    import org.apache.spark.sql.functions.col
+    // the four cases of test_scraper_selector_normalization.py, plus
+    // a double-quote variant and a no-op plain selector
+    val cases = Seq(
+      "meta[property='article:published_time']" -> "meta[property='article:published_time']",
+      "meta[property='article:published_time'" -> "meta[property='article:published_time']",
+      "meta[property='article:published_time" -> "meta[property='article:published_time']",
+      "meta[property='article:published_time]" -> "meta[property='article:published_time']",
+      "meta[name=\"og:title" -> "meta[name=\"og:title\"]",
+      "div.content > p" -> "div.content > p")
+    val df = spark.createDataFrame(cases.map { case (raw, _) => Tuple1(raw) }).toDF("q")
+    val out = df.select(PortalCatalog.repairSelectorQuery(col("q"))).collect().map(_.getString(0))
+    cases.zip(out).foreach { case ((raw, expected), got) =>
+      assert(got == expected, s"repair of '$raw'")
+    }
+  }
 }
