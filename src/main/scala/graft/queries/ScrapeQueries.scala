@@ -166,15 +166,79 @@ object ScrapeQueries {
        |FROM folded ORDER BY sel_id""".stripMargin
   }
 
+  // ---- q93: listing-URL resolution (urljoin) + canonical parts ----
+
+  /** q93: `_extract_url` (scraper.py:471-473) resolves every scraped
+    * href against the portal base with `urljoin`, and a crawl pipeline
+    * canonicalizes the result for URL-level dedup. The urljoin subset
+    * for http(s) hrefs: absolute stays, protocol-relative takes the
+    * base scheme, path-absolute replaces the path, empty keeps the
+    * base, relative replaces the last path segment then resolves
+    * single-level `..` dot-segments. Canonical parts: lowercase
+    * authority, path, and a fragment-stripped canonical URL. Map-only
+    * regex/CASE column math — identical expressions in the oracle. */
+  def urlResolve(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("https://"), col("source"), lit(".example.com/news/2024/index.html"))
+    val href = when(col("doc_id") % 6 === 0,
+        concat(lit("http://mirror.example.org/m/"), col("doc_id"), lit(".html")))
+      .when(col("doc_id") % 6 === 1, concat(lit("//cdn.example.org/c/"), col("doc_id")))
+      .when(col("doc_id") % 6 === 2, concat(lit("/arts/item"), col("doc_id"), lit(".html#top")))
+      .when(col("doc_id") % 6 === 3, concat(lit("sub/item"), col("doc_id"), lit(".html")))
+      .when(col("doc_id") % 6 === 4, concat(lit("../arch/item"), col("doc_id"), lit(".html")))
+      .otherwise(lit(""))
+    val bu = col("base_url")
+    val hf = col("href")
+    val authority = regexp_extract(bu, "^https?://([^/]+)", 1)
+    val baseDir = regexp_replace(bu, "[^/]*$", "")
+    val joined = when(hf.rlike("^https?://"), hf)
+      .when(hf.startsWith("//"), concat(lit("https:"), hf))
+      .when(hf.startsWith("/"), concat(lit("https://"), authority, hf))
+      .when(hf === "", bu)
+      .otherwise(regexp_replace(concat(baseDir, hf), "/[^/]+/\\.\\./", "/"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), base.as("base_url"), href.as("href"))
+      .withColumn("resolved", joined)
+      .withColumn("canonical", regexp_replace(lower(col("resolved")), "#.*$", ""))
+      .withColumn("domain", regexp_extract(col("canonical"), "^https?://([^/]+)", 1))
+      .withColumn("path", regexp_extract(col("canonical"), "^https?://[^/]+(/[^#]*)?", 1))
+      .orderBy(col("doc_id"))
+  }
+
+  val urlResolveSql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |    'https://' || source || '.example.com/news/2024/index.html' AS base_url,
+       |    CASE WHEN doc_id % 6 = 0 THEN 'http://mirror.example.org/m/' || doc_id || '.html'
+       |         WHEN doc_id % 6 = 1 THEN '//cdn.example.org/c/' || doc_id
+       |         WHEN doc_id % 6 = 2 THEN '/arts/item' || doc_id || '.html#top'
+       |         WHEN doc_id % 6 = 3 THEN 'sub/item' || doc_id || '.html'
+       |         WHEN doc_id % 6 = 4 THEN '../arch/item' || doc_id || '.html'
+       |         ELSE '' END AS href
+       |  FROM documents),
+       |r AS (SELECT doc_id, base_url, href,
+       |    CASE WHEN regexp_matches(href, '^https?://') THEN href
+       |         WHEN href LIKE '//%' THEN 'https:' || href
+       |         WHEN href LIKE '/%' THEN 'https://' || regexp_extract(base_url, '^https?://([^/]+)', 1) || href
+       |         WHEN href = '' THEN base_url
+       |         ELSE regexp_replace(regexp_replace(base_url, '[^/]*$$', '') || href,
+       |           '/[^/]+/\\.\\./', '/') END AS resolved
+       |  FROM b),
+       |c AS (SELECT *, regexp_replace(lower(resolved), '#.*$$', '') AS canonical FROM r)
+       |SELECT doc_id, base_url, href, resolved, canonical,
+       |  regexp_extract(canonical, '^https?://([^/]+)', 1) AS domain,
+       |  regexp_extract(canonical, '^https?://[^/]+(/[^#]*)?', 1) AS path
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_html_extract" -> (htmlExtract _),
     "q40_sentences" -> (sentences _),
     "q41_bpe_tokens" -> (bpeTokens _),
-    "q92_selector_repair" -> (selectorRepair _))
+    "q92_selector_repair" -> (selectorRepair _),
+    "q93_url_resolve" -> (urlResolve _))
 
   val oracles: Map[String, String] = Map(
     "q39_html_extract" -> htmlExtractSql,
     "q40_sentences" -> sentencesSql,
     "q41_bpe_tokens" -> bpeTokensSql,
-    "q92_selector_repair" -> selectorRepairSql)
+    "q92_selector_repair" -> selectorRepairSql,
+    "q93_url_resolve" -> urlResolveSql)
 }
