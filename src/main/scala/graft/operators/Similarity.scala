@@ -412,9 +412,19 @@ object Similarity {
     * shortlist-many rows per query instead of list-many. */
   def ivfPqRefinedTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
       codebookOf: DataFrame => DataFrame, nprobe: Int, shortlist: Int,
+      k: Int): DataFrame =
+    exactRescoreTopK(
+      ivfPqTopK(queries, corpus, cents, codebookOf, nprobe, shortlist)
+        .select(col("q_vec_id"), col("vec_id")),
+      queries, corpus, k)
+
+  /** The refine stage on its own: given a (q_vec_id, vec_id) shortlist
+    * from ANY compressed first stage, load raw vectors for just those
+    * pairs and rank by exact integer cosine. The shortlist and query
+    * sets are tiny relative to the corpus, so both broadcast — the
+    * corpus is filtered by a broadcast hash join, never shuffled. */
+  def exactRescoreTopK(short: DataFrame, queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
-    val short = ivfPqTopK(queries, corpus, cents, codebookOf, nprobe, shortlist)
-      .select(col("q_vec_id"), col("vec_id"))
     val cm = corpus.select(col("vec_id"), microVec(col("embedding")).as("m"))
     val qm = queries.select(col("vec_id").as("q_vec_id"), microVec(col("embedding")).as("qm"))
     val rescored = cm.join(broadcast(short), Seq("vec_id"))

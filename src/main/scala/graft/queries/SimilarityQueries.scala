@@ -584,12 +584,15 @@ object SimilarityQueries {
       .orderBy(col("q_vec_id"), col("rnk"))
   }
 
-  val annPqSql: String = {
+  /** The q79 CTE chain through `scored` (plain-PQ ADC distances per
+    * candidate), shared by the ADC top-k (q79) and its refined
+    * two-stage form (q94). */
+  private def pqScoredCtes: String = {
     val sub = Similarity.PqSub
     def distExpr(a: String, b: String) =
       s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
     val cbMax = QuerySetBound + PqCodes
-    s"""WITH v AS (SELECT vec_id,
+    s"""v AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
        |  FROM embeddings),
        |blocks AS (SELECT unnest(range(0, ${Similarity.PqBlocks})) AS block),
@@ -609,11 +612,67 @@ object SimilarityQueries {
        |  FROM sub s JOIN cb c USING (block) WHERE s.vec_id < $QuerySetBound),
        |scored AS (SELECT a.q_vec_id, e.vec_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
        |  FROM enc e JOIN adc a ON e.block = a.block AND e.code = a.code
-       |  GROUP BY a.q_vec_id, e.vec_id)
+       |  GROUP BY a.q_vec_id, e.vec_id)""".stripMargin
+  }
+
+  val annPqSql: String =
+    s"""WITH $pqScoredCtes
        |SELECT q_vec_id, rnk, vec_id, adc_dist FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
        |    ORDER BY adc_dist, vec_id) AS rnk
        |  FROM scored)
+       |WHERE rnk <= $LshTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
+  // ---- q94: two-stage plain PQ (ADC shortlist + exact rescore) ----
+
+  /** q94: q87's refine step without the IVF stage — the whole corpus
+    * is ADC-scanned through the compressed codes (no list pruning),
+    * the 8-candidate shortlist loads raw vectors, and the final
+    * ranking is exact integer cosine. The PQ-only production shape
+    * for mid-size corpora where coarse quantization isn't worth its
+    * training step. */
+  def annPqRefined(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val subs = Similarity.pqSubvectors(
+      emb.select(col("vec_id"), Similarity.microVec(col("embedding")).as("m")))
+    val codebook = subs
+      .filter(col("vec_id") >= QuerySetBound && col("vec_id") < QuerySetBound + PqCodes)
+      .select((col("vec_id") - QuerySetBound).as("code"), col("block"), col("sub").as("cw"))
+    val corpusCodes = Similarity.pqEncode(subs.filter(col("vec_id") >= QuerySetBound), codebook)
+    val short = Similarity.pqSearch(subs.filter(col("vec_id") < QuerySetBound),
+      corpusCodes, codebook, RefineShortlist)
+      .select(col("q_vec_id"), col("vec_id"))
+    Similarity.exactRescoreTopK(short,
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound), LshTopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("cos_e6"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val annPqRefinedSql: String = {
+    val intDot =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> qv.m[i] * cv.m[i]), (x, y) -> x + y)"
+    def ssq(m: String) =
+      s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
+    s"""WITH $pqScoredCtes,
+       |short AS (SELECT q_vec_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY adc_dist, vec_id) AS srn
+       |    FROM scored)
+       |  WHERE srn <= $RefineShortlist),
+       |resc AS (SELECT s.q_vec_id, s.vec_id,
+       |    CAST(ROUND(CAST($intDot AS DOUBLE)
+       |      / (SQRT(CAST(${ssq("qv.m")} AS DOUBLE)) * SQRT(CAST(${ssq("cv.m")} AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM short s
+       |  JOIN v qv ON s.q_vec_id = qv.vec_id
+       |  JOIN v cv ON s.vec_id = cv.vec_id)
+       |SELECT q_vec_id, rnk, vec_id, cos_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |    ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |  FROM resc)
        |WHERE rnk <= $LshTopK
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
@@ -630,7 +689,8 @@ object SimilarityQueries {
     "q79_ann_pq" -> (annPq _),
     "q80_ann_ivf_pq" -> (annIvfPq _),
     "q87_ann_refined" -> (annIvfPqRefined _),
-    "q88_pq_codebooks" -> (pqTrainedCodebooks _))
+    "q88_pq_codebooks" -> (pqTrainedCodebooks _),
+    "q94_pq_refined" -> (annPqRefined _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -644,5 +704,6 @@ object SimilarityQueries {
     "q79_ann_pq" -> annPqSql,
     "q80_ann_ivf_pq" -> annIvfPqSql,
     "q87_ann_refined" -> annIvfPqRefinedSql,
-    "q88_pq_codebooks" -> pqTrainedCodebooksSql)
+    "q88_pq_codebooks" -> pqTrainedCodebooksSql,
+    "q94_pq_refined" -> annPqRefinedSql)
 }
