@@ -348,13 +348,14 @@ object SimilarityQueries {
        |  FROM u2 GROUP BY cid, d),
        |cent AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c2d GROUP BY cid)""".stripMargin
 
-  val annIvfTrainedSql: String = {
+  /** The q70 probe/list/score CTE segment (follows `trainedCentCtes`),
+    * shared by the trained-IVF top-k (q70) and the recall eval (q95). */
+  private def trainedScoredCtes: String = {
     def ssq(m: String) =
       s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
     val intDot =
       s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> p.qm[i] * l.m[i]), (x, y) -> x + y)"
-    s"""WITH $trainedCentCtes,
-       |lists AS (SELECT vec_id, cid AS cluster, m FROM (
+    s"""lists AS (SELECT vec_id, cid AS cluster, m FROM (
        |    SELECT v.vec_id, v.m, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
        |    FROM v CROSS JOIN cent c WHERE v.vec_id >= $QuerySetBound)
@@ -368,14 +369,18 @@ object SimilarityQueries {
        |    CAST(ROUND(CAST($intDot AS DOUBLE)
        |      / (SQRT(CAST(${ssq("p.qm")} AS DOUBLE)) * SQRT(CAST(${ssq("l.m")} AS DOUBLE)))
        |      * 1000000.0) AS BIGINT) AS cos_e6
-       |  FROM lists l JOIN probes p USING (cluster))
+       |  FROM lists l JOIN probes p USING (cluster))""".stripMargin
+  }
+
+  val annIvfTrainedSql: String =
+    s"""WITH $trainedCentCtes,
+       |$trainedScoredCtes
        |SELECT q_vec_id, rnk, vec_id, centroid_id, cos_e6 FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
        |    ORDER BY cos_e6 DESC, vec_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= $LshTopK
        |ORDER BY q_vec_id, rnk""".stripMargin
-  }
 
   // ---- q80: IVF-PQ (trained coarse quantizer + residual PQ + ADC) ----
 
@@ -677,6 +682,60 @@ object SimilarityQueries {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  // ---- q95: ANN recall evaluation (trained IVF vs exact) ----
+
+  /** q95: the eval harness every ANN deployment needs — recall@k of
+    * the trained-IVF search (q70's ranking) against the exact
+    * brute-force top-k ground truth (q26's ranking), per query. Both
+    * sides are deterministic rankings, so the recall fractions are
+    * engine-exact integers. At scale the ground truth runs on a small
+    * SAMPLED query set (it is a full-scan per query by nature) while
+    * the index serves the rest — the operator shape is the same. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < QuerySetBound)
+    val corpus = emb.filter(col("vec_id") >= QuerySetBound)
+    val exact = Similarity.bruteForceTopK(qs, corpus, LshTopK)
+      .select(col("q_vec_id"), col("vec_id"))
+    val cents = Similarity.kmeansFit(emb, KmeansK, Dim, KmeansIters)._2
+    val approx = Similarity.ivfTrainedTopK(qs, corpus, cents, TrainedNprobe, LshTopK)
+      .select(col("q_vec_id"), col("vec_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("q_vec_id", "vec_id"), "left")
+      .groupBy(col("q_vec_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_vec_id"), col("k"), col("n_hits"),
+        e6(col("n_hits").cast("double") / col("k")).as("recall_e6"))
+      .orderBy(col("q_vec_id"))
+  }
+
+  val annRecallSql: String = {
+    val dotQC = dotSql("q_emb", "embedding", Dim)
+    s"""WITH $trainedCentCtes,
+       |$trainedScoredCtes,
+       |atop AS (SELECT q_vec_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $LshTopK),
+       |eq AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, ${normSql("embedding", Dim)} AS q_norm
+       |  FROM embeddings WHERE vec_id < $QuerySetBound),
+       |ec AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS c_norm
+       |  FROM embeddings WHERE vec_id >= $QuerySetBound),
+       |escored AS (SELECT q_vec_id, vec_id,
+       |    ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} AS cos_e6
+       |  FROM ec, eq),
+       |etop AS (SELECT q_vec_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |    FROM escored)
+       |  WHERE rnk <= $LshTopK)
+       |SELECT e.q_vec_id, COUNT(*) AS k,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+       |  ${e6Sql("CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)")} AS recall_e6
+       |FROM etop e LEFT JOIN atop a ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
+       |GROUP BY e.q_vec_id ORDER BY e.q_vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
@@ -690,7 +749,8 @@ object SimilarityQueries {
     "q80_ann_ivf_pq" -> (annIvfPq _),
     "q87_ann_refined" -> (annIvfPqRefined _),
     "q88_pq_codebooks" -> (pqTrainedCodebooks _),
-    "q94_pq_refined" -> (annPqRefined _))
+    "q94_pq_refined" -> (annPqRefined _),
+    "q95_ann_recall" -> (annRecall _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -705,5 +765,6 @@ object SimilarityQueries {
     "q80_ann_ivf_pq" -> annIvfPqSql,
     "q87_ann_refined" -> annIvfPqRefinedSql,
     "q88_pq_codebooks" -> pqTrainedCodebooksSql,
-    "q94_pq_refined" -> annPqRefinedSql)
+    "q94_pq_refined" -> annPqRefinedSql,
+    "q95_ann_recall" -> annRecallSql)
 }
