@@ -128,4 +128,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanLine.contains("doc_id") && scanLine.contains("text"), scanLine)
     assert(!scanLine.contains("lang") && !scanLine.contains("source"), scanLine)
   }
+
+  test("q91 dup-ngram signal: hash-agg joins, no window on the gram key") {
+    // a window over partitionBy(shingle) would put a hot gram's whole
+    // count on one reducer; the df side must be an aggregate + join
+    val p = plan(graft.queries.CurationQueries.dupNgrams(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q92/q93 scraper column math is map-only (no shuffle but the presentation sort)") {
+    for (df <- Seq(
+        graft.queries.ScrapeQueries.selectorRepair(spark, sfDir),
+        graft.queries.ScrapeQueries.urlResolve(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("hashpartitioning"), p)
+    }
+  }
+
+  test("q94/q95 retrieval plans: no cartesian, heap ranking, no ranking window") {
+    for (df <- Seq(
+        SimilarityQueries.annPqRefined(spark, sfDir),
+        SimilarityQueries.annRecall(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Window"), p)
+    }
+  }
 }
