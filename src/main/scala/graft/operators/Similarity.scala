@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -402,6 +403,52 @@ object Similarity {
       assigned = pqAssignTrained(subs, cb)
     }
     (assigned, pqUpdateCodebooks(assigned, subDim).localCheckpoint())
+  }
+
+  /** One Lloyd assignment with LOCAL (per-cluster) codebooks: the
+    * cluster rides in the join key next to the block, so every
+    * (cluster, block) subspace clusters independently in one
+    * aggregation. Codebooks stay tiny (clusters x blocks x codes) and
+    * broadcast; the residual stream is never shuffled for scoring. */
+  def pqAssignLocal(rsubs: DataFrame, cb: DataFrame): DataFrame =
+    rsubs.join(broadcast(cb), Seq("cluster", "block"))
+      .withColumn("d", sqDist(col("sub"), col("cw")))
+      .groupBy(col("vec_id"), col("cluster"), col("block"))
+      .agg(min(struct(col("d"), col("cid"), col("sub"))).as("best"))
+      .select(col("vec_id"), col("cluster"), col("block"),
+        col("best.cid").as("code"), col("best.d").as("dist"),
+        col("best.sub").as("sub"))
+
+  /** Per-(cluster, block) floor-mean codeword refresh. */
+  def pqUpdateLocalCodebooks(assigned: DataFrame, subDim: Int): DataFrame =
+    assigned.groupBy(col("cluster"), col("block"), col("code").as("cid"))
+      .agg(array((0 until subDim).map { d =>
+        floor(sum(element_at(col("sub"), d + 1)).cast("double") / count(lit(1))).cast("long")
+      }: _*).as("cw"))
+
+  /** Learn per-(cluster, block) residual codebooks with exact-integer
+    * Lloyd — the full FAISS-style IVF-PQ training recipe: each
+    * inverted list gets codebooks fitted to ITS residual distribution
+    * instead of sharing one global set, which is where the quantizer
+    * quality comes from at scale. Seeds are each cluster's k lowest
+    * member ids' subvectors (code = rank-1 within the cluster).
+    * `rsubs`: (vec_id, cluster, block, sub) residual subvectors.
+    * Returns (final assignment incl. dist, trained codebooks). */
+  def pqTrainLocalCodebooks(rsubs: DataFrame, k: Int, subDim: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val byCluster = Window.partitionBy(col("cluster")).orderBy(col("vec_id"))
+    val seedIds = rsubs.select(col("cluster"), col("vec_id")).distinct()
+      .withColumn("cid", (row_number().over(byCluster) - 1).cast("long"))
+      .filter(col("cid") < k)
+    var cb = rsubs.join(broadcast(seedIds), Seq("cluster", "vec_id"))
+      .select(col("cid"), col("cluster"), col("block"), col("sub").as("cw"))
+      .localCheckpoint()
+    var assigned = pqAssignLocal(rsubs, cb)
+    (2 to iters).foreach { _ =>
+      cb = pqUpdateLocalCodebooks(assigned, subDim).localCheckpoint()
+      assigned = pqAssignLocal(rsubs, cb)
+    }
+    (assigned, pqUpdateLocalCodebooks(assigned, subDim).localCheckpoint())
   }
 
   /** Two-stage retrieval: the IVF-PQ compressed scan produces a cheap

@@ -410,16 +410,13 @@ object SimilarityQueries {
       .orderBy(col("q_vec_id"), col("rnk"))
   }
 
-  /** The q80 CTE chain through `scored` (ADC distances per candidate),
-    * shared by the plain IVF-PQ top-k (q80) and the refined two-stage
-    * search (q87). */
-  private def ivfPqScoredCtes: String = {
+  /** The corpus residual-subvector CTE segment (follows
+    * `trainedCentCtes`; yields `lists`, `resid`, `blocks`, `rsub`) —
+    * shared by the IVF-PQ searches (q80/q87) and the local-codebook
+    * training (q96). */
+  private def residSubCtes: String = {
     val sub = Similarity.PqSub
-    def sdist(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
-    val cbMax = QuerySetBound + PqCodes
-    s"""$trainedCentCtes,
-       |lists AS (SELECT vec_id, cid AS cluster, m FROM (
+    s"""lists AS (SELECT vec_id, cid AS cluster, m FROM (
        |    SELECT v.vec_id, v.m, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
        |    FROM v CROSS JOIN cent c WHERE v.vec_id >= $QuerySetBound)
@@ -430,7 +427,19 @@ object SimilarityQueries {
        |blocks AS (SELECT unnest(range(0, ${Similarity.PqBlocks})) AS block),
        |rsub AS (SELECT vec_id, cluster, block,
        |    list_transform(range(1, ${sub + 1}), i -> rm[$sub * block + i]) AS sub
-       |  FROM resid CROSS JOIN blocks),
+       |  FROM resid CROSS JOIN blocks)""".stripMargin
+  }
+
+  /** The q80 CTE chain through `scored` (ADC distances per candidate),
+    * shared by the plain IVF-PQ top-k (q80) and the refined two-stage
+    * search (q87). */
+  private def ivfPqScoredCtes: String = {
+    val sub = Similarity.PqSub
+    def sdist(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    val cbMax = QuerySetBound + PqCodes
+    s"""$trainedCentCtes,
+       |$residSubCtes,
        |cb AS (SELECT vec_id - $QuerySetBound AS code, block, sub AS cw
        |  FROM rsub WHERE vec_id >= $QuerySetBound AND vec_id < $cbMax),
        |enc AS (SELECT vec_id, cluster, block, code FROM (
@@ -736,6 +745,70 @@ object SimilarityQueries {
        |GROUP BY e.q_vec_id ORDER BY e.q_vec_id""".stripMargin
   }
 
+  // ---- q96: per-(cluster, block) LOCAL residual PQ codebooks ----
+
+  /** q96: the last piece of the FAISS-style IVF-PQ training recipe —
+    * residual codebooks trained PER INVERTED LIST: q69's trained
+    * coarse quantizer assigns the corpus, residuals split into 8
+    * blocks, and every (cluster, block) subspace runs its own
+    * exact-integer Lloyd (seeds = the cluster's 16 lowest member ids,
+    * code = rank-1). All clusters x blocks train as ONE chained
+    * aggregation per round; codebooks broadcast. Output is the final
+    * per-(vector, block) local code assignment with its exact
+    * distance. */
+  def pqLocalCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansFit(emb, KmeansK, Dim, KmeansIters)._2
+    val corpus = emb.filter(col("vec_id") >= QuerySetBound)
+    val assigned = Similarity.kmeansAssign(
+      corpus.select(col("vec_id"), Similarity.microVec(col("embedding")).as("m")), cents)
+    val resid = assigned
+      .join(broadcast(cents.select(col("cid").as("cluster"), col("cm"))), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("m"), col("cm"), (x, y) => x - y).as("m"))
+    val rsubs = Similarity.pqSubvectors(resid, carry = Seq("cluster"))
+    Similarity.pqTrainLocalCodebooks(rsubs, PqCodes, Similarity.PqSub, KmeansIters)._1
+      .select(col("vec_id"), col("cluster"),
+        col("block").cast("long").as("block"), col("code"), col("dist"))
+      .orderBy(col("vec_id"), col("block"))
+  }
+
+  val pqLocalCodebooksSql: String = {
+    val sub = Similarity.PqSub
+    def sdist(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    s"""WITH $trainedCentCtes,
+       |$residSubCtes,
+       |members AS (SELECT DISTINCT cluster, vec_id FROM rsub),
+       |seeds AS (SELECT cluster, vec_id, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) - 1 AS cid
+       |    FROM members)
+       |  WHERE cid < $PqCodes),
+       |cb0 AS (SELECT s.cid, r.cluster, r.block, r.sub AS cw
+       |  FROM rsub r JOIN seeds s ON r.cluster = s.cluster AND r.vec_id = s.vec_id),
+       |ld1 AS (SELECT r.vec_id, r.cluster, r.block, r.sub, c.cid, ${sdist("r.sub", "c.cw")} AS dist
+       |  FROM rsub r JOIN cb0 c ON r.cluster = c.cluster AND r.block = c.block),
+       |la1 AS (SELECT vec_id, cluster, block, sub, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, cluster, block
+       |      ORDER BY dist, cid) AS rn FROM ld1)
+       |  WHERE rn = 1),
+       |lu1 AS (SELECT cluster, block, cid, generate_subscripts(sub, 1) AS d, unnest(sub) AS val
+       |  FROM la1),
+       |lc1d AS (SELECT cluster, block, cid, d,
+       |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM lu1 GROUP BY cluster, block, cid, d),
+       |lc1 AS (SELECT cluster, block, cid, list(cv ORDER BY d) AS cw
+       |  FROM lc1d GROUP BY cluster, block, cid),
+       |ld2 AS (SELECT r.vec_id, r.cluster, r.block, c.cid, ${sdist("r.sub", "c.cw")} AS dist
+       |  FROM rsub r JOIN lc1 c ON r.cluster = c.cluster AND r.block = c.block),
+       |la2 AS (SELECT vec_id, cluster, block, cid, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, cluster, block
+       |      ORDER BY dist, cid) AS rn FROM ld2)
+       |  WHERE rn = 1)
+       |SELECT vec_id, cluster, CAST(block AS BIGINT) AS block, cid AS code, dist
+       |FROM la2 ORDER BY vec_id, block""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
@@ -750,7 +823,8 @@ object SimilarityQueries {
     "q87_ann_refined" -> (annIvfPqRefined _),
     "q88_pq_codebooks" -> (pqTrainedCodebooks _),
     "q94_pq_refined" -> (annPqRefined _),
-    "q95_ann_recall" -> (annRecall _))
+    "q95_ann_recall" -> (annRecall _),
+    "q96_pq_local_codebooks" -> (pqLocalCodebooks _))
 
   val oracles: Map[String, String] = Map(
     "q25_embed_neardup" -> embedNearDupSql,
@@ -766,5 +840,6 @@ object SimilarityQueries {
     "q87_ann_refined" -> annIvfPqRefinedSql,
     "q88_pq_codebooks" -> pqTrainedCodebooksSql,
     "q94_pq_refined" -> annPqRefinedSql,
-    "q95_ann_recall" -> annRecallSql)
+    "q95_ann_recall" -> annRecallSql,
+    "q96_pq_local_codebooks" -> pqLocalCodebooksSql)
 }
