@@ -320,6 +320,43 @@ object CurationQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q99: leakage-aware train/valid/test split ----
+
+  // 80/7/13 buckets — chosen so the 20 testdata domains exercise all
+  // three splits (their hash buckets cluster under 92)
+  val SplitTrainPct = 80
+  val SplitValidPct = 87
+
+  /** q99: the deterministic corpus split every pretraining pipeline
+    * runs — assigned at the DOMAIN level (hash of `source`, not the
+    * doc), so near-duplicate documents from one site can never
+    * straddle train and test (the leakage-aware split rule). The
+    * bucket is the portable polynomial hash mod 100: 90/5/5. Map-only;
+    * reproducible on any engine, any day, any partitioning. */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    Tables.documents(s, dir)
+      .withColumn("domain_bucket",
+        Hashing.polyHash(concat(col("source"), lit(":split"))) % 100)
+      .withColumn("split",
+        when(col("domain_bucket") < SplitTrainPct, "train")
+          .when(col("domain_bucket") < SplitValidPct, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("domain_bucket"), col("split"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusSplitSql: String = {
+    val bucket = s"${graft.functions.Hashing.polyHashSql("source || ':split'")} % 100"
+    s"""SELECT doc_id, source, $bucket AS domain_bucket,
+       |  CASE WHEN $bucket < $SplitTrainPct THEN 'train'
+       |       WHEN $bucket < $SplitValidPct THEN 'valid'
+       |       ELSE 'test' END AS split,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_repetition_stats" -> (repetitionStats _),
     "q72_pii_scrub" -> (piiScrub _),
@@ -329,7 +366,8 @@ object CurationQueries {
     "q76_top_terms" -> (topTerms _),
     "q77_mix_allocation" -> (mixAllocation _),
     "q78_quality_filter" -> (qualityFilter _),
-    "q91_dup_ngrams" -> (dupNgrams _))
+    "q91_dup_ngrams" -> (dupNgrams _),
+    "q99_corpus_split" -> (corpusSplit _))
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
@@ -340,5 +378,6 @@ object CurationQueries {
     "q76_top_terms" -> topTermsSql,
     "q77_mix_allocation" -> mixAllocationSql,
     "q78_quality_filter" -> qualityFilterSql,
-    "q91_dup_ngrams" -> dupNgramsSql)
+    "q91_dup_ngrams" -> dupNgramsSql,
+    "q99_corpus_split" -> corpusSplitSql)
 }
