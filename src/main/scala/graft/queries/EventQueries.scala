@@ -129,15 +129,67 @@ object EventQueries {
       |FROM daily
       |ORDER BY user_id, day""".stripMargin
 
+  /** q100: calendar gap-fill with forward-fill — the time-series
+    * regularization every feature store runs: each user's daily
+    * activity expands to a dense day grid between their first and last
+    * active day (sequence + explode off a per-user MIN/MAX — map-side
+    * after a tiny agg), gap days join as zeros, and
+    * `days_since_active` forward-fills via a running MAX of active
+    * days (a plain running-frame window; nulls lose MAX automatically,
+    * no engine-variant IGNORE NULLS needed). One shuffle on user_id,
+    * same as q83. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("daily_cents"), count(lit(1)).as("n_events"))
+    val calendar = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("last_active_day",
+        max(when(col("n_events").isNotNull, col("day"))).over(w))
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("daily_cents"), lit(0L)).as("daily_cents"),
+        col("last_active_day"),
+        (col("day") - col("last_active_day")).as("days_since_active"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS daily_cents,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |cal AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM (
+      |    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id)),
+      |f AS (SELECT c.user_id, c.day, d.n_events, d.daily_cents
+      |  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day),
+      |ff AS (SELECT user_id, day,
+      |    COALESCE(n_events, 0) AS n_events,
+      |    COALESCE(daily_cents, 0) AS daily_cents,
+      |    MAX(CASE WHEN n_events IS NOT NULL THEN day END)
+      |      OVER (PARTITION BY user_id ORDER BY day) AS last_active_day
+      |  FROM f)
+      |SELECT user_id, day, n_events, daily_cents, last_active_day,
+      |  day - last_active_day AS days_since_active
+      |FROM ff ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_tumbling_agg" -> (tumblingAgg _),
     "q31_sessionize" -> (sessionize _),
     "q32_funnel" -> (funnel _),
-    "q83_rolling_features" -> (rollingFeatures _))
+    "q83_rolling_features" -> (rollingFeatures _),
+    "q100_gap_fill" -> (gapFill _))
 
   val oracles: Map[String, String] = Map(
     "q30_tumbling_agg" -> tumblingAggSql,
     "q31_sessionize" -> sessionizeSql,
     "q32_funnel" -> funnelSql,
-    "q83_rolling_features" -> rollingFeaturesSql)
+    "q83_rolling_features" -> rollingFeaturesSql,
+    "q100_gap_fill" -> gapFillSql)
 }
