@@ -208,7 +208,37 @@ object ReportQueries {
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** q101: wide→long unpivot (melt) — the reshape that turns a
+    * metrics matrix into tidy (key, metric, value) rows for generic
+    * downstream consumers (dashboards, metric stores). The Spark side
+    * is a codegen'd `stack` over the aggregated wide row — one
+    * aggregation then a map-side 3x row expansion, no extra shuffle;
+    * the oracle is the equivalent UNION ALL. All values are integer
+    * units in one BIGINT column. */
+  def metricMelt(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        count(lit(1)).as("n_items"))
+      .select(col("flag"), expr(
+        "stack(3, 'sum_qty', sum_qty, 'price_cents', price_cents, 'n_items', n_items) AS (metric, value)"))
+      .orderBy(col("flag"), col("metric"))
+
+  val metricMeltSql: String =
+    """WITH w AS (SELECT l_returnflag AS flag,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      |UNION ALL SELECT flag, 'price_cents', price_cents FROM w
+      |UNION ALL SELECT flag, 'n_items', n_items FROM w
+      |ORDER BY flag, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q101_metric_melt" -> (metricMelt _),
     "q35_report_export" -> (reportExport _),
     "q36_daily_report" -> (dailyReport _),
     "q37_approx_distinct" -> (approxDistinct _),
@@ -218,6 +248,7 @@ object ReportQueries {
 
   /** q37 intentionally omitted: HLL sketches are not oracle-comparable. */
   val oracles: Map[String, String] = Map(
+    "q101_metric_melt" -> metricMeltSql,
     "q35_report_export" -> reportExportSql,
     "q36_daily_report" -> dailyReportSql,
     "q63_city_mention_rollup" -> cityMentionRollupSql,
