@@ -183,6 +183,63 @@ object ReportQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  val KmvK = 64
+
+  /** q102: engine-exact APPROXIMATE distinct — the oracle-able
+    * companion to q37's HLL (which can never be hash-compared across
+    * engines): a KMV (k-minimum-values / bottom-k theta) sketch over
+    * the portable polynomial hash. Per event type, the k smallest
+    * distinct user hashes are kept by the bounded-heap TopKPerKeyExec
+    * (mergeable, never a full sort); the estimator
+    * `(k-1) * M / h_k` is pure integer arithmetic, so unlike HLL the
+    * sketch AND its estimate are bit-identical on every engine. Groups
+    * with fewer than k distinct values report exactly. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    // the affine scramble spreads the fold over [0, M): a bare
+    // polyHash of a short id string stays near 0, which wrecks the
+    // uniformity the order-statistic estimator needs
+    val distinctUsers = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", Hashing.affine(
+        Hashing.polyHash(concat(col("user_id").cast("string"), lit(":kmv"))), 0))
+    val ranked = graft.plans.Plans.topKPerKeyRanked(distinctUsers,
+      Seq(distinctUsers("event_type")),
+      Seq((distinctUsers("h"), false), (distinctUsers("user_id"), false)),
+      KmvK, "rk")
+    val exact = distinctUsers.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+    // ranked ascending by hash, so the kth-smallest hash is the MAX
+    // over the retained top-k rows
+    val kth = ranked.groupBy(col("event_type"))
+      .agg(max(col("rk")).cast("long").as("k_used"), max(col("h")).as("kth_hash"))
+    kth.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("k_used"), col("kth_hash"),
+        when(col("k_used") < KmvK, col("n_exact"))
+          .otherwise(expr(s"(${KmvK - 1} * ${Hashing.Mod}L) div kth_hash"))
+          .as("kmv_estimate"))
+      .orderBy(col("event_type"))
+  }
+
+  val kmvDistinctSql: String = {
+    import graft.functions.Hashing
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (SELECT event_type, user_id,
+       |    ${Hashing.affineSql(Hashing.polyHashSql("CAST(user_id AS VARCHAR) || ':kmv'"), 0)} AS h
+       |  FROM du),
+       |rk AS (SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY h, user_id) AS rk FROM h),
+       |kth AS (SELECT event_type, CAST(MAX(rk) AS BIGINT) AS k_used,
+       |    MAX(h) AS kth_hash
+       |  FROM rk WHERE rk <= $KmvK GROUP BY event_type),
+       |ex AS (SELECT event_type, COUNT(*) AS n_exact FROM du GROUP BY event_type)
+       |SELECT k.event_type, n_exact, k_used, kth_hash,
+       |  CASE WHEN k_used < $KmvK THEN n_exact
+       |       ELSE (CAST(${KmvK - 1} AS BIGINT) * ${Hashing.Mod}) // kth_hash END AS kmv_estimate
+       |FROM kth k JOIN ex USING (event_type)
+       |ORDER BY k.event_type""".stripMargin
+  }
+
   /** q84: multi-level subtotal report — GROUP BY ROLLUP over
     * (priority, status): leaf rows, per-priority subtotals and the
     * grand total in ONE aggregation pass (Spark expands the grouping
@@ -239,6 +296,7 @@ object ReportQueries {
 
   val queries: Map[String, Q] = Map(
     "q101_metric_melt" -> (metricMelt _),
+    "q102_kmv_distinct" -> (kmvDistinct _),
     "q35_report_export" -> (reportExport _),
     "q36_daily_report" -> (dailyReport _),
     "q37_approx_distinct" -> (approxDistinct _),
@@ -249,6 +307,7 @@ object ReportQueries {
   /** q37 intentionally omitted: HLL sketches are not oracle-comparable. */
   val oracles: Map[String, String] = Map(
     "q101_metric_melt" -> metricMeltSql,
+    "q102_kmv_distinct" -> kmvDistinctSql,
     "q35_report_export" -> reportExportSql,
     "q36_daily_report" -> dailyReportSql,
     "q63_city_mention_rollup" -> cityMentionRollupSql,
