@@ -334,7 +334,56 @@ object RelationalQueries {
        |   OR s.stored_gaz <> '$GazVersion' OR s.stored_hash <> d.content_hash
        |ORDER BY d.doc_id""".stripMargin
 
+  val Scd2BatchDay = 100L
+
+  /** q103: SCD-type-2 dimension versioning — the warehouse merge the
+    * article/portal stores need when an attribute changes but history
+    * must survive: an update batch (customers whose segment changed,
+    * %7==0 here) CLOSES the current version (valid_to = batch day)
+    * and opens a new current one; untouched rows pass through. The
+    * merge is one co-keyed left join producing both output rows from
+    * the matched side — no window, no second scan, upsert-shaped like
+    * q10. */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val current = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"),
+        lit(0L).as("valid_from"))
+    val updates = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("custkey"),
+        concat(col("c_mktsegment"), lit("_v2")).as("new_segment"))
+    val joined = current.join(broadcast(updates), Seq("custkey"), "left")
+    val closedOrKept = joined.select(col("custkey"), col("segment"), col("valid_from"),
+      when(col("new_segment").isNotNull, lit(Scd2BatchDay)).otherwise(lit(null).cast("long")).as("valid_to"),
+      col("new_segment").isNull.as("is_current"))
+    val opened = joined.filter(col("new_segment").isNotNull)
+      .select(col("custkey"), col("new_segment").as("segment"),
+        lit(Scd2BatchDay).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    closedOrKept.unionAll(opened)
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
+  val scd2MergeSql: String =
+    s"""WITH current AS (SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       |    CAST(0 AS BIGINT) AS valid_from
+       |  FROM customer),
+       |upd AS (SELECT c_custkey AS custkey, c_mktsegment || '_v2' AS new_segment
+       |  FROM customer WHERE c_custkey % 7 = 0),
+       |j AS (SELECT c.custkey, c.segment, c.valid_from, u.new_segment
+       |  FROM current c LEFT JOIN upd u ON c.custkey = u.custkey)
+       |SELECT custkey, segment, valid_from,
+       |  CASE WHEN new_segment IS NOT NULL THEN CAST($Scd2BatchDay AS BIGINT) END AS valid_to,
+       |  new_segment IS NULL AS is_current
+       |FROM j
+       |UNION ALL
+       |SELECT custkey, new_segment AS segment, CAST($Scd2BatchDay AS BIGINT) AS valid_from,
+       |  CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+       |FROM j WHERE new_segment IS NOT NULL
+       |ORDER BY custkey, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q103_scd2_merge" -> (scd2Merge _),
     "q01_pricing_agg" -> (pricingAgg _),
     "q02_date_range" -> (dateRange _),
     "q03_join_enrich" -> (joinEnrich _),
@@ -358,5 +407,6 @@ object RelationalQueries {
     "q08_distinct_count" -> distinctCountSql,
     "q09_dedup_ingest" -> dedupIngestSql,
     "q10_incremental_upsert" -> incrementalUpsertSql,
-    "q62_versioned_reextract" -> versionedReextractSql)
+    "q62_versioned_reextract" -> versionedReextractSql,
+    "q103_scd2_merge" -> scd2MergeSql)
 }
