@@ -30,7 +30,11 @@ object CurationPipeline {
       contaminationPct: Int = 50,
       sampleDenom: Int = 5,
       ctxLen: Int = 4096,
-      jaccardDfCap: Int = 1000)
+      jaccardDfCap: Int = 1000,
+      dupGramN: Int = 5,
+      dupSharePct: Int = 50,
+      splitTrainPct: Int = 80,
+      splitValidPct: Int = 87)
 
   /** `evalPred` marks held-out docs (they are removed from the output
     * and define the contamination set). Returns the packed layout of
@@ -55,7 +59,7 @@ object CurationPipeline {
     val clean = qualified.filter(!evalPred)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 4. near-dup clustering: keep one representative per cluster
+    // 4a. near-dup clustering: keep one representative per cluster
     val pairs = Dedup.jaccardPairs(
       Dedup.shingles(clean, "text", "doc_id"), "doc_id",
       dfCap = Some(cfg.jaccardDfCap))
@@ -63,11 +67,37 @@ object CurationPipeline {
     val dupes = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .filter(col("node") =!= col("lab")) // non-representatives
       .select(col("node").as("doc_id"))
-    val unique = clean.join(dupes, Seq("doc_id"), "left_anti")
+    val clustered = clean.join(dupes, Seq("doc_id"), "left_anti")
+
+    // 4b. exact-substring signal AFTER clustering (Lee et al. 2022):
+    // catches docs mostly built of n-grams duplicated across OTHER
+    // surviving docs (boilerplate below the Jaccard threshold).
+    // Running it after rep-keeping means duplicated content keeps its
+    // one representative instead of losing every copy.
+    val gramDups = Curation.dupNgrams(clustered, "text", "doc_id", cfg.dupGramN)
+      .filter(col("n_dup_grams") * 100 >= col("n_grams") * cfg.dupSharePct)
+      .select(col("doc_id"))
+    val unique = clustered.join(gramDups, Seq("doc_id"), "left_anti")
 
     // 5. per-source quota downsample, then 6. pack into context windows
     val sampled = Curation.stratifiedSample(unique, "source", "doc_id", cfg.sampleDenom)
       .select(col("doc_id"), col("source"), col("text"))
     Curation.sequencePack(sampled, "text", "doc_id", "source", cfg.ctxLen)
+  }
+
+  /** The packed layout tagged with its leakage-aware split: the q99
+    * domain-hashed train/valid/test assignment applied AFTER curation,
+    * so every packed sequence carries the split of its source domain
+    * (near-dup documents of one site can never straddle splits). */
+  def curateWithSplit(docs: DataFrame, evalPred: Column,
+      cfg: Config = Config()): DataFrame = {
+    import graft.functions.Hashing
+    val bucket = Hashing.polyHash(concat(col("source"), lit(":split"))) % 100
+    curate(docs, evalPred, cfg)
+      .withColumn("domain_bucket", bucket)
+      .withColumn("split",
+        when(col("domain_bucket") < cfg.splitTrainPct, "train")
+          .when(col("domain_bucket") < cfg.splitValidPct, "valid")
+          .otherwise("test"))
   }
 }
