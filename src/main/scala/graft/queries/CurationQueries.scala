@@ -357,6 +357,52 @@ object CurationQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q104: temperature-scaled mix quotas (alpha = 1/2) ----
+
+  val TempBudget = 1000L
+
+  /** q104: the multilingual-mix temperature rule — sampling quotas
+    * proportional to n^alpha with alpha = 1/2, which upweights small
+    * domains relative to proportional sampling (the standard
+    * temperature trick). alpha = 1/2 keeps the gate engine-exact:
+    * sqrt is IEEE-correctly-rounded everywhere, so the e6-integer
+    * weights are bit-identical, and the quota split is q77's
+    * largest-remainder arithmetic on those integers. Windows touch
+    * only the (source, n_docs) dim — never the corpus. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    val rkW = Window.partitionBy(lit(1)).orderBy(col("frac").desc, col("source"))
+    Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_e6", round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("tot_w", sum(col("w_e6")).over(whole))
+      .withColumn("raw_quota", expr(s"($TempBudget * w_e6) div tot_w"))
+      .withColumn("frac", expr(s"($TempBudget * w_e6) % tot_w"))
+      .withColumn("remainder", lit(TempBudget) - sum(col("raw_quota")).over(whole))
+      .withColumn("rk", row_number().over(rkW))
+      .withColumn("quota",
+        col("raw_quota") + when(col("rk") <= col("remainder"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("w_e6"), col("quota"),
+        least(col("quota"), col("n_docs")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs,
+       |    CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+       |  FROM counts),
+       |t AS (SELECT *, CAST(SUM(w_e6) OVER () AS BIGINT) AS tot_w FROM w),
+       |q AS (SELECT *, ($TempBudget * w_e6) // tot_w AS raw_quota,
+       |    ($TempBudget * w_e6) % tot_w AS frac FROM t),
+       |r AS (SELECT *, $TempBudget - CAST(SUM(raw_quota) OVER () AS BIGINT) AS remainder,
+       |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk FROM q)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w_e6,
+       |  CAST(raw_quota + (CASE WHEN rk <= remainder THEN 1 ELSE 0 END) AS BIGINT) AS quota,
+       |  CAST(LEAST(raw_quota + (CASE WHEN rk <= remainder THEN 1 ELSE 0 END), n_docs) AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q71_repetition_stats" -> (repetitionStats _),
     "q72_pii_scrub" -> (piiScrub _),
@@ -367,7 +413,8 @@ object CurationQueries {
     "q77_mix_allocation" -> (mixAllocation _),
     "q78_quality_filter" -> (qualityFilter _),
     "q91_dup_ngrams" -> (dupNgrams _),
-    "q99_corpus_split" -> (corpusSplit _))
+    "q99_corpus_split" -> (corpusSplit _),
+    "q104_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
@@ -379,5 +426,6 @@ object CurationQueries {
     "q77_mix_allocation" -> mixAllocationSql,
     "q78_quality_filter" -> qualityFilterSql,
     "q91_dup_ngrams" -> dupNgramsSql,
-    "q99_corpus_split" -> corpusSplitSql)
+    "q99_corpus_split" -> corpusSplitSql,
+    "q104_temperature_mix" -> temperatureMixSql)
 }
