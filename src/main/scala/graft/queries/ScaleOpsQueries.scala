@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.{Dedup, Similarity}
+import graft.plans.Plans
+
+/** Large-scale pipeline primitives that turn O(corpus) shuffle work
+  * into map-side probes — the operations a 100 TB training-data run
+  * leans on between the dedup and retrieval stages:
+  *
+  *  - q108: a PORTABLE Bloom filter (explicit words + bit math over
+  *    the engine-independent polynomial hash family) built from the
+  *    eval-set shingles and probed map-side by every training shingle.
+  *    This is the scan-time pre-filter that makes decontamination
+  *    anti-joins cheap at scale: the exact join (q73) only has to
+  *    process bloom-positive rows, and the filter itself is a few KB
+  *    broadcast to every executor. Both the bloom verdict AND the
+  *    exact verdict are emitted, so false positives are measurable —
+  *    the quantity a deployment sizes `m` against.
+  *  - q109: scalar-quantization (SQ8) ANN — per-dimension corpus
+  *    min/max affine-maps each float to an int8 code (the FAISS
+  *    `SQ8` recipe); the compressed scan ranks by exact integer
+  *    squared-L2 in code space and a shortlist rescore loads raw
+  *    vectors for the final integer-cosine ranking. Completes the
+  *    quantization family next to PQ (q79/q94) and IVF-PQ (q80/q87):
+  *    SQ8 is the variant that keeps 4x compression with near-exact
+  *    recall and no training step.
+  *  - q110: sliding-window chunking (window 32 tokens, stride 24) —
+  *    the RAG/embedding-prep layout pass. Map-only: chunk boundaries
+  *    are per-document arithmetic, no shuffle before the final
+  *    presentation sort.
+  *
+  * Every emitted number is integer-exact cross-engine: bloom words are
+  * BIGINT bit patterns from the portable hash, SQ8 codes 0..255 agree
+  * because the affine map is the identical double expression tree, and
+  * chunk hashes are md5 of reconstructed text.
+  */
+object ScaleOpsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+  private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
+
+  // ---- q108: portable Bloom-filter decontamination pre-filter ----
+
+  /** Filter geometry: m = 16384 bits (512 x 32-bit-used words), k = 3
+    * probes from the affine poly-hash family. Sized for the test
+    * corpus (eval shingles fill ~5-45% of bits across SFs, so false
+    * positives exist and stay measurable); a production run sizes
+    * m = -n ln p / (ln 2)^2 the same way. */
+  val BloomBits = 16384L
+  val BloomK = 3
+
+  private def bloomPos(h: Column, j: Int): Column =
+    Hashing.affine(h, j) % BloomBits
+
+  def bloomFilter(s: SparkSession, dir: String): DataFrame = {
+    val evalPred = col("doc_id") % CurationQueries.EvalMod === 0
+    // distinct (doc, shingle) with the portable hash, staged once for
+    // the three consumers (bloom build, exact eval set, probe side)
+    val sh = Dedup.stage(
+      Dedup.shingles(Tables.documents(s, dir), "text", "doc_id")
+        .withColumn("h", Hashing.polyHash(col("shingle"))))
+    // build: k bit positions per eval shingle, 32 bits per BIGINT word
+    // (bit 63 would overflow DuckDB's checked left shift), bit_or
+    val bloom = sh.filter(evalPred)
+      .select(explode(array((0 until BloomK).map(j => bloomPos(col("h"), j)): _*)).as("pos"))
+      .select(expr("pos div 32").as("w"), (col("pos") % 32).cast("int").as("b"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
+    val evalSet = sh.filter(evalPred).select(col("shingle")).distinct()
+      .withColumn("true_hit", lit(1L))
+    // probe: 3 broadcast word lookups per shingle — map-side, the
+    // corpus side never shuffles before the per-doc aggregation
+    val probes = (0 until BloomK).foldLeft(
+      sh.filter(!evalPred).select(
+        col("doc_id") +: col("shingle") +:
+          (0 until BloomK).map(j => bloomPos(col("h"), j).as(s"p$j")): _*)) {
+      case (df, j) =>
+        df.join(broadcast(bloom.as(s"f$j")),
+            expr(s"p$j div 32") === col(s"f$j.w"), "left")
+          .withColumn(s"hit$j",
+            expr(s"coalesce(f$j.word, CAST(0 AS BIGINT)) & " +
+              s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 32 AS INT))") =!= 0L)
+          .drop("w", "word")
+    }
+    probes
+      .withColumn("bloom_hit", (0 until BloomK).map(j => col(s"hit$j")).reduce(_ && _))
+      .join(broadcast(evalSet), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(coalesce(col("true_hit"), lit(0L))).as("n_true_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"), col("n_true_hits"),
+        (col("n_bloom_hits") - col("n_true_hits")).as("n_false_pos"),
+        (col("n_bloom_hits") * 2 >= col("n_shingles")).as("bloom_contaminated"),
+        (col("n_true_hits") * 2 >= col("n_shingles")).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bloomFilterSql: String = {
+    val h = Hashing.polyHashSql("shingle")
+    def pos(j: Int) = s"(${Hashing.affineSql("h", j)}) % $BloomBits"
+    val hits = (0 until BloomK).map(j =>
+      s"(COALESCE(f$j.word, 0) & (CAST(1 AS BIGINT) << CAST(p$j % 32 AS INT))) <> 0")
+      .mkString(" AND ")
+    val joins = (0 until BloomK).map(j =>
+      s"LEFT JOIN bloom f$j ON p.p$j // 32 = f$j.w").mkString("\n  ")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM pos WHERE i + 2 <= len(t)),
+       |hsh AS (SELECT doc_id, shingle, $h AS h FROM sh),
+       |bpos AS (${(0 until BloomK).map(j =>
+              s"SELECT ${pos(j)} AS bp FROM hsh WHERE doc_id % ${CurationQueries.EvalMod} = 0")
+              .mkString("\n  UNION ALL\n  ")}),
+       |bloom AS (SELECT bp // 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(bp % 32 AS INT)) AS word
+       |  FROM bpos GROUP BY 1),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % ${CurationQueries.EvalMod} = 0),
+       |p AS (SELECT doc_id, shingle,
+       |    ${(0 until BloomK).map(j => s"${pos(j)} AS p$j").mkString(", ")}
+       |  FROM hsh WHERE doc_id % ${CurationQueries.EvalMod} <> 0),
+       |probed AS (SELECT p.doc_id, p.shingle,
+       |    CASE WHEN $hits THEN 1 ELSE 0 END AS bloom_hit,
+       |    CASE WHEN ev.shingle IS NULL THEN 0 ELSE 1 END AS true_hit
+       |  FROM p
+       |  $joins
+       |  LEFT JOIN ev ON p.shingle = ev.shingle)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       |  CAST(SUM(true_hit) AS BIGINT) AS n_true_hits,
+       |  CAST(SUM(bloom_hit) - SUM(true_hit) AS BIGINT) AS n_false_pos,
+       |  CAST(SUM(bloom_hit) AS BIGINT) * 2 >= COUNT(*) AS bloom_contaminated,
+       |  CAST(SUM(true_hit) AS BIGINT) * 2 >= COUNT(*) AS contaminated
+       |FROM probed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q109: SQ8 scalar-quantized ANN ----
+
+  val SqShortlist = 10
+  val SqTopK = 5
+  private val Dim = Similarity.Dim
+  private val QuerySetBound = SimilarityQueries.QuerySetBound
+
+  /** SQ8 codes: affine-map each dimension by the CORPUS min/max into
+    * 0..255 (queries clamp into the same range). The map is the same
+    * double expression tree on both engines, so the rounded codes are
+    * bit-identical; all downstream ranking is integer math. */
+  private def sq8Codes(v: DataFrame, statarr: DataFrame): DataFrame =
+    v.crossJoin(broadcast(statarr))
+      .withColumn("c", transform(sequence(lit(0), lit(Dim - 1)), i => {
+        val x = element_at(col("embedding"), i + 1).cast("double")
+        val mn = element_at(col("mns"), i + 1)
+        val mx = element_at(col("mxs"), i + 1)
+        greatest(lit(0L), least(lit(255L),
+          when(mx > mn, round((x - mn) * 255.0 / (mx - mn)).cast("long"))
+            .otherwise(lit(128L))))
+      }))
+      .select(col("vec_id"), col("c"))
+
+  def sq8Ann(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= QuerySetBound)
+    val queries = emb.filter(col("vec_id") < QuerySetBound)
+    // per-dim min/max over the corpus, folded into one broadcast row
+    val stats = corpus.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    val statarr = stats.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("mn")))), p => p("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("dim"), col("mx")))), p => p("mx")).as("mxs"))
+    // compressed scan: the corpus codes never shuffle; queries broadcast
+    val scored = sq8Codes(corpus, statarr)
+      .crossJoin(broadcast(sq8Codes(queries, statarr)
+        .select(col("vec_id").as("q_vec_id"), col("c").as("qc"))))
+      .withColumn("sq_dist", Similarity.sqDist(col("qc"), col("c")))
+      .select(col("q_vec_id"), col("vec_id"), col("sq_dist"))
+    val short = Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+      Seq((scored("sq_dist"), false), (scored("vec_id"), false)), SqShortlist, "srank")
+      .select(col("q_vec_id"), col("vec_id"))
+    Similarity.exactRescoreTopK(short, queries, corpus, SqTopK)
+      .select(col("q_vec_id"), col("rank").cast("long").as("rnk"),
+        col("vec_id"), col("cos_e6"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  val sq8AnnSql: String = {
+    def code(vecExpr: String) =
+      s"""list_transform(range(1, ${Dim + 1}), i ->
+         |      GREATEST(0, LEAST(255,
+         |        CASE WHEN mxs[i] > mns[i]
+         |          THEN CAST(ROUND((CAST($vecExpr[i] AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i])) AS BIGINT)
+         |          ELSE 128 END)))""".stripMargin
+    val sqd =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> (q.c[i] - d.c[i]) * (q.c[i] - d.c[i])), (x, y) -> x + y)"
+    val intDot =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> qv.m[i] * cv.m[i]), (x, y) -> x + y)"
+    def ssq(m: String) =
+      s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
+    s"""WITH dims AS (SELECT unnest(range(1, ${Dim + 1})) AS i),
+       |stats AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings CROSS JOIN dims WHERE vec_id >= $QuerySetBound GROUP BY i),
+       |statarr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+       |codes AS (SELECT vec_id, ${code("embedding")} AS c
+       |  FROM embeddings CROSS JOIN statarr),
+       |pairs AS (SELECT q.vec_id AS q_vec_id, d.vec_id, $sqd AS sq_dist
+       |  FROM codes q CROSS JOIN codes d
+       |  WHERE q.vec_id < $QuerySetBound AND d.vec_id >= $QuerySetBound),
+       |short AS (SELECT q_vec_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY sq_dist, vec_id) AS srn
+       |    FROM pairs)
+       |  WHERE srn <= $SqShortlist),
+       |v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |resc AS (SELECT s.q_vec_id, s.vec_id,
+       |    CAST(ROUND(CAST($intDot AS DOUBLE)
+       |      / (SQRT(CAST(${ssq("qv.m")} AS DOUBLE)) * SQRT(CAST(${ssq("cv.m")} AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM short s
+       |  JOIN v qv ON s.q_vec_id = qv.vec_id
+       |  JOIN v cv ON s.vec_id = cv.vec_id)
+       |SELECT q_vec_id, rnk, vec_id, cos_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |    ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |  FROM resc)
+       |WHERE rnk <= $SqTopK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
+  // ---- q110: sliding-window chunking ----
+
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  /** q110: overlapping retrieval chunks — starts at 0, stride 24,
+    * window 32 tokens (8-token overlap carries boundary context), the
+    * tail chunk keeps whatever remains. Per-doc arithmetic only. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fold, tokens}
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(fold(col("text"))).as("t"))
+      .withColumn("n", size(col("t")))
+    val starts = when(col("n") > 0,
+      transform(sequence(lit(0), expr(s"(n - 1) div $ChunkStride")), i => i * ChunkStride))
+    toks
+      .select(col("doc_id"), col("t"), col("n"), explode_outer(starts).as("start_tok"))
+      .filter(col("start_tok").isNotNull)
+      .select(col("doc_id"),
+        expr(s"start_tok div $ChunkStride").cast("long").as("chunk_ord"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(ChunkWindow), col("n") - col("start_tok")).cast("long").as("n_chunk_toks"),
+        md5(array_join(slice(col("t"), col("start_tok") + 1, lit(ChunkWindow)), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_ord"))
+  }
+
+  val chunkWindowsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |starts AS (SELECT doc_id, t, n, unnest(range(0, n, $ChunkStride)) AS start_tok
+       |  FROM n WHERE n > 0)
+       |SELECT doc_id,
+       |  start_tok // $ChunkStride AS chunk_ord,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(LEAST($ChunkWindow, n - start_tok) AS BIGINT) AS n_chunk_toks,
+       |  md5(array_to_string(t[start_tok + 1 : start_tok + $ChunkWindow], ' ')) AS chunk_md5
+       |FROM starts ORDER BY doc_id, chunk_ord""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q108_bloom_filter" -> ((s, dir) => bloomFilter(s, dir)),
+    "q109_sq8_ann" -> ((s, dir) => sq8Ann(s, dir)),
+    "q110_chunk_windows" -> ((s, dir) => chunkWindows(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "q108_bloom_filter" -> bloomFilterSql,
+    "q109_sq8_ann" -> sq8AnnSql,
+    "q110_chunk_windows" -> chunkWindowsSql)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.ScaleOpsQueries
+
+/** q108-q110: the scale-path primitives — portable Bloom filter,
+  * SQ8 scalar-quantized ANN, sliding-window chunking. */
+class ScaleOpsSpec extends SparkSpec {
+
+  private lazy val bloomRows =
+    ScaleOpsQueries.bloomFilter(spark, sfDir).collect()
+
+  test("q108 bloom has no false negatives and measurable false positives") {
+    assert(bloomRows.nonEmpty)
+    // every exact hit must also be a bloom hit (bloom guarantees no FN)
+    bloomRows.foreach { r =>
+      assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_true_hits"))
+      assert(r.getAs[Long]("n_false_pos") ===
+        r.getAs[Long]("n_bloom_hits") - r.getAs[Long]("n_true_hits"))
+    }
+    // the filter is a real bloom, not an exact set: FPs exist corpus-wide
+    assert(bloomRows.map(_.getAs[Long]("n_false_pos")).sum > 0)
+    // eval docs are never probed
+    assert(bloomRows.forall(_.getAs[Long]("doc_id") % 97 != 0))
+  }
+
+  test("q108 plan: bloom words broadcast, corpus never shuffle-joined") {
+    val p = ScaleOpsQueries.bloomFilter(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q109 SQ8 ranks are contiguous and cosine-descending per query") {
+    val rows = ScaleOpsQueries.sq8Ann(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_vec_id"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to rs.length))
+      val cos = sorted.map(_.getAs[Long]("cos_e6")).toSeq
+      assert(cos === cos.sorted.reverse, "rescore must rank by exact cosine")
+      assert(rs.forall(_.getAs[Long]("vec_id") >= 10), "corpus results only")
+    }
+  }
+
+  test("q109 shortlist rescore agrees with exact search on the top hit") {
+    // SQ8 keeps near-exact recall: the rank-1 result must equal the
+    // exact integer-cosine argmax over the full corpus
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val exact = graft.operators.Similarity.exactRescoreTopK(
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_vec_id"))
+        .crossJoin(emb.filter(col("vec_id") >= 10).select(col("vec_id"))),
+      emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10), 1)
+      .collect().map(r => r.getAs[Long]("q_vec_id") -> r.getAs[Long]("vec_id")).toMap
+    val sq = ScaleOpsQueries.sq8Ann(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("q_vec_id") -> r.getAs[Long]("vec_id")).toMap
+    val agree = sq.count { case (q, v) => exact.get(q).contains(v) }
+    assert(agree >= 8, s"SQ8 top-1 agreed on only $agree/10 queries")
+  }
+
+  test("q110 chunk geometry: stride starts, bounded windows, full cover") {
+    val rows = ScaleOpsQueries.chunkWindows(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_ord"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_ord") === i)
+        assert(r.getAs[Long]("start_tok") === i * ScaleOpsQueries.ChunkStride)
+        val n = r.getAs[Long]("n_chunk_toks")
+        assert(n > 0 && n <= ScaleOpsQueries.ChunkWindow)
+        // a non-last chunk always has more than one stride of tokens
+        // (otherwise no further start position would exist)
+        if (i < sorted.length - 1) assert(n > ScaleOpsQueries.ChunkStride)
+      }
+    }
+  }
+}
