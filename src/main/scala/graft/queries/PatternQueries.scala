@@ -332,13 +332,90 @@ object PatternQueries {
        |  CAST(sum(CASE WHEN NOT skipped AND NOT errored THEN length(combined) ELSE 0 END) AS BIGINT) AS combined_chars
        |FROM f GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
+  // ---- q111: the Mongo deserialize shim ----
+
+  /** Raw `published_at` strings covering every branch of the
+    * `_parse_datetime` cascade (extraction.py:134-147): offset-carrying
+    * ISO, naive ISO (assumed UTC), date-only, and two unparseable
+    * shapes that fall back to epoch 0. Dates vary by doc_id. */
+  private def rawDateCol: Column = {
+    val d = col("doc_id")
+    val mm = lpad((d % 12 + 1).cast("string"), 2, "0")
+    val dd = lpad((d % 28 + 1).cast("string"), 2, "0")
+    when(d % 6 === 0, concat(lit("2024-"), mm, lit("-"), dd, lit("T10:20:30+00:00")))
+      .when(d % 6 === 1, concat(lit("2024-"), mm, lit("-"), dd, lit("T22:45:01-03:00")))
+      .when(d % 6 === 2, concat(lit("2024-"), mm, lit("-"), dd, lit("T08:05:09")))
+      .when(d % 6 === 3, concat(lit("2023-"), mm, lit("-"), dd))
+      .when(d % 6 === 4, lit("ontem às 10h"))
+      .otherwise(concat(dd, lit("/"), mm, lit("/2024")))
+  }
+
+  private val RawDateSql: String =
+    s"""CASE WHEN doc_id % 6 = 0 THEN '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T10:20:30+00:00'
+       |     WHEN doc_id % 6 = 1 THEN '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T22:45:01-03:00'
+       |     WHEN doc_id % 6 = 2 THEN '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T08:05:09'
+       |     WHEN doc_id % 6 = 3 THEN '2023-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       |     WHEN doc_id % 6 = 4 THEN 'ontem às 10h'
+       |     ELSE lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '/2024' END""".stripMargin
+
+  /** q111: `MongoNewsRepository._deserialize` (extraction.py:115-147) —
+    * the or-chain field fallback (`data.get('titulo') or data.get
+    * ('title') or ''`: empty strings are falsy, so a present-but-empty
+    * primary field falls through) plus the three-format datetime
+    * cascade with the epoch-0 default. Naive timestamps are assumed
+    * UTC, exactly as `replace(tzinfo=timezone.utc)` does. Map-only. */
+  def deserializeShim(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    // primary pt-BR field / legacy field, with falsy shapes
+    val titulo = when(d % 4 === 0, lit(null).cast("string"))
+      .when(d % 4 === 1, lit(""))
+      .otherwise(concat(lit("Título "), d.cast("string")))
+    val titleAlt = when(d % 8 < 4, concat(lit("Alt "), d.cast("string")))
+      .otherwise(lit(null).cast("string"))
+    def orChain(cols: Seq[Column]): Column =
+      cols.foldLeft(when(lit(false), lit(""))) { (acc, c) =>
+        acc.when(length(coalesce(c, lit(""))) > 0, c)
+      }.otherwise(lit(""))
+    val parsed = coalesce(
+      try_to_timestamp(col("raw"), lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(col("raw"), lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(col("raw"), lit("yyyy-MM-dd")),
+      timestamp_seconds(lit(0)))
+    Tables.documents(s, dir)
+      .select(d, rawDateCol.as("raw"), titulo.as("titulo"), titleAlt.as("title_alt"))
+      .select(d, col("raw"),
+        orChain(Seq(col("titulo"), col("title_alt"))).as("title_resolved"),
+        unix_timestamp(parsed).as("published_epoch"))
+      .orderBy(d)
+  }
+
+  val deserializeShimSql: String =
+    s"""WITH base AS (SELECT doc_id, $RawDateSql AS raw,
+       |    CASE WHEN doc_id % 4 = 0 THEN NULL
+       |         WHEN doc_id % 4 = 1 THEN ''
+       |         ELSE 'Título ' || CAST(doc_id AS VARCHAR) END AS titulo,
+       |    CASE WHEN doc_id % 8 < 4 THEN 'Alt ' || CAST(doc_id AS VARCHAR) END AS title_alt
+       |  FROM documents)
+       |SELECT doc_id, raw,
+       |  CASE WHEN length(COALESCE(titulo, '')) > 0 THEN titulo
+       |       WHEN length(COALESCE(title_alt, '')) > 0 THEN title_alt
+       |       ELSE '' END AS title_resolved,
+       |  CAST(COALESCE(
+       |    epoch(try_strptime(raw, '%Y-%m-%dT%H:%M:%S%z')),
+       |    epoch(try_strptime(raw, '%Y-%m-%dT%H:%M:%S')),
+       |    epoch(try_strptime(raw, '%Y-%m-%d')),
+       |    0) AS BIGINT) AS published_epoch
+       |FROM base ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q105_city_patterns" -> ((s, dir) => cityPatterns(s, dir)),
     "q106_split_surface" -> ((s, dir) => splitCitySurface(s, dir)),
-    "q107_batch_accounting" -> ((s, dir) => batchAccounting(s, dir)))
+    "q107_batch_accounting" -> ((s, dir) => batchAccounting(s, dir)),
+    "q111_deserialize" -> ((s, dir) => deserializeShim(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q105_city_patterns" -> cityPatternsSql,
     "q106_split_surface" -> splitCitySurfaceSql,
-    "q107_batch_accounting" -> batchAccountingSql)
+    "q107_batch_accounting" -> batchAccountingSql,
+    "q111_deserialize" -> deserializeShimSql)
 }

@@ -104,6 +104,34 @@ class PatternSpec extends SparkSpec {
     }
   }
 
+  private lazy val deserRows =
+    PatternQueries.deserializeShim(spark, sfDir).collect()
+
+  test("q111 datetime cascade: unparseable shapes fall to epoch 0, date-only to midnight") {
+    assert(deserRows.nonEmpty)
+    deserRows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val e = r.getAs[Long]("published_epoch")
+      d % 6 match {
+        case 4 | 5 => assert(e === 0L, s"doc $d: '${r.getAs[String]("raw")}' must not parse")
+        case 3 => assert(e > 0 && e % 86400 === 0, s"doc $d: date-only must be UTC midnight")
+        case _ => assert(e > 0)
+      }
+      // 22:45:01-03:00 is 01:45:01 UTC (next day): the offset is applied
+      if (d % 6 == 1) assert(e % 86400 === 1 * 3600 + 45 * 60 + 1)
+    }
+  }
+
+  test("q111 or-chain fallback: empty primary falls through, both-missing yields ''") {
+    deserRows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val t = r.getAs[String]("title_resolved")
+      if (d % 4 >= 2) assert(t === s"Título $d")
+      else if (d % 8 < 4) assert(t === s"Alt $d", s"doc $d: falsy titulo must fall through")
+      else assert(t === "")
+    }
+  }
+
   test("q107 batch accounting partitions every document exactly once") {
     val rows = PatternQueries.batchAccounting(spark, sfDir).collect()
     assert(rows.nonEmpty)
