@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The extraction-service storage + API payload layer:
+  * `ExtractionResultStore` (services/extraction/adapters/
+  * extraction_result_store.py) replayed as a batch over an append log,
+  * and `CityMentionPayload.to_domain` (services/publications/schemas/
+  * article_payload.py:11-53) + `CityMention.from_mapping`
+  * (domain/entities/article.py:38-79) — the or-chain field coercions
+  * every externally-ingested mention passes through.
+  *
+  * Scale shape: q114 is two window passes + one partial-agg groupBy,
+  * all keyed by url (the natural partitioning of the store); q115 is
+  * pure map-side column math until the presentation sort.
+  */
+object PayloadQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q114: the store's mutation semantics, replayed set-wise. An
+    * append with a (ner_version, gazetteer_version) differing from the
+    * record's current pair CLEARS the accumulated occurrences
+    * (extraction_result_store.py:57-66 `_ensure_record`) — so only
+    * appends at/after the LAST version change survive. Within the
+    * survivors, `_append_unique_person` (py:150-166) drops any earlier
+    * occurrence with the same (person_id, start, end) and re-appends
+    * at the END — the final list is ordered by each key's LAST
+    * append. Output: one row per surviving occurrence with the
+    * record's final versions and its list position.
+    *
+    * Spark shape: a lag + running-max window pair computes the last
+    * version boundary per url in one shuffle-by-url; the keep-last
+    * dedup is a partial-agg groupBy on the same url-prefixed key, and
+    * the position a final window over the (tiny) per-url survivor
+    * set. Urls are the store's partition key at scale; nothing here
+    * holds more than one url's appends in memory. */
+  def storeReplay(s: SparkSession, dir: String): DataFrame = {
+    val appends = Tables.lineitem(s, dir).select(
+      concat(lit("u"), col("l_orderkey") % 211).as("url"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("seq"),
+      concat(lit("ner-"), (col("l_partkey") + col("l_linenumber")) % 3).as("ner_version"),
+      concat(lit("gaz-"), col("l_suppkey") % 2).as("gaz_version"),
+      concat(lit("p"), col("l_partkey") % 23).as("person_id"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 97).as("start_off"),
+      ((col("l_partkey") * 7 + col("l_suppkey")) % 97 + 1 + col("l_suppkey") % 9)
+        .as("end_off"))
+
+    // seq carries the coarse append order, but the synthesized log has
+    // duplicate (orderkey, linenumber) pairs — the replay order is the
+    // TOTAL order (seq, versions, occurrence), so both engines agree on
+    // every tie (remaining ties are bit-identical rows). Positions, not
+    // seq values, drive the boundary test for the same reason.
+    val bySeq = Window.partitionBy(col("url")).orderBy(
+      col("seq"), col("ner_version"), col("gaz_version"),
+      col("person_id"), col("start_off"), col("end_off"))
+    val wholeUrl = Window.partitionBy(col("url"))
+    val flagged = appends
+      .withColumn("idx", row_number().over(bySeq))
+      .withColumn("reset",
+        lag(col("ner_version"), 1).over(bySeq).isNull ||
+          lag(col("ner_version"), 1).over(bySeq) =!= col("ner_version") ||
+          lag(col("gaz_version"), 1).over(bySeq) =!= col("gaz_version"))
+      .withColumn("boundary", max(when(col("reset"), col("idx"))).over(wholeUrl))
+
+    val byLastIdx = Window.partitionBy(col("url")).orderBy(col("last_idx"))
+    flagged
+      .filter(col("idx") >= col("boundary"))
+      .groupBy(col("url"), col("person_id"), col("start_off"), col("end_off"))
+      .agg(max(col("idx")).as("last_idx"),
+        max(col("ner_version")).as("ner_version"),
+        max(col("gaz_version")).as("gazetteer_version"))
+      .withColumn("pos", row_number().over(byLastIdx).cast("long"))
+      .select(col("url"), col("ner_version"), col("gazetteer_version"),
+        col("person_id"), col("start_off"), col("end_off"), col("pos"))
+      .orderBy(col("url"), col("pos"))
+  }
+
+  val storeReplaySql: String =
+    """WITH appends AS (
+      |  SELECT 'u' || (l_orderkey % 211) AS url,
+      |    l_orderkey * 10 + l_linenumber AS seq,
+      |    'ner-' || ((l_partkey + l_linenumber) % 3) AS ner_version,
+      |    'gaz-' || (l_suppkey % 2) AS gaz_version,
+      |    'p' || (l_partkey % 23) AS person_id,
+      |    (l_partkey * 7 + l_suppkey) % 97 AS start_off,
+      |    (l_partkey * 7 + l_suppkey) % 97 + 1 + (l_suppkey % 9) AS end_off
+      |  FROM lineitem),
+      |flagged AS (
+      |  SELECT *,
+      |    row_number() OVER w AS idx,
+      |    (lag(ner_version) OVER w IS NULL
+      |     OR lag(ner_version) OVER w <> ner_version
+      |     OR lag(gaz_version) OVER w <> gaz_version) AS reset
+      |  FROM appends
+      |  WINDOW w AS (PARTITION BY url ORDER BY seq, ner_version,
+      |               gaz_version, person_id, start_off, end_off)),
+      |bounded AS (
+      |  SELECT *, max(CASE WHEN reset THEN idx END)
+      |    OVER (PARTITION BY url) AS boundary
+      |  FROM flagged),
+      |survivors AS (SELECT * FROM bounded WHERE idx >= boundary),
+      |deduped AS (
+      |  SELECT url, person_id, start_off, end_off,
+      |    max(idx) AS last_idx,
+      |    max(ner_version) AS ner_version,
+      |    max(gaz_version) AS gazetteer_version
+      |  FROM survivors GROUP BY url, person_id, start_off, end_off)
+      |SELECT url, ner_version, gazetteer_version, person_id,
+      |  start_off, end_off,
+      |  row_number() OVER (PARTITION BY url ORDER BY last_idx) AS pos
+      |FROM deduped
+      |ORDER BY url, pos""".stripMargin
+
+  /** First non-falsy value of an or-chain, where Python treats None
+    * and '' both as falsy (article.py:39-47): nullif each operand. */
+  private def orChain(cs: Column*): Column =
+    coalesce(cs.map(c => nullif(c, lit(""))): _*)
+
+  /** q115: `CityMentionPayload.to_domain` + `ArticlePayload.to_domain`
+    * (article_payload.py:25-53, 80-103): the identifier resolves
+    * through the 7-field or-chain (raising -> row dropped when every
+    * field is falsy), city_id through city_id/ibge_id/id and label
+    * through label/name/nome; mentions without a truthy city_id are
+    * dropped by the article conversion (article_payload.py:96);
+    * occurrences default to 1 when falsy or non-positive; sources keep
+    * non-empty strings then dedupe preserving first-seen order
+    * (article.py:105-124 to_mapping's dict.fromkeys). Pure map-side
+    * column math — the or-chains are codegen'd coalesce/nullif, the
+    * sources pipeline array filter + array_distinct (order-stable in
+    * both engines by construction of the 3-slot input). */
+  def cityMentionPayload(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = Tables.part(s, dir).select(
+      k.as("mention_id"),
+      when(k % 11 === 0, concat(lit("ident-"), k)).otherwise(lit(null).cast("string"))
+        .as("identifier_f"),
+      when(k % 5 === 2, concat(lit("cid-"), k % 100))
+        .when(k % 5 === 1, lit("")).otherwise(lit(null).cast("string")).as("city_id_f"),
+      when(k % 3 === 1, concat(lit("ibge-"), k % 77))
+        .when(k % 3 === 0, lit("")).otherwise(lit(null).cast("string")).as("ibge_id_f"),
+      when(k % 7 < 2, concat(lit("id-"), k))
+        .when(k % 7 === 2, lit("")).otherwise(lit(null).cast("string")).as("id_f"),
+      when(k % 4 === 0, lit(""))
+        .when(k % 4 === 1, concat(lit("Lbl "), k % 50))
+        .otherwise(lit(null).cast("string")).as("label_f"),
+      when(k % 2 === 0, substring(col("p_name"), 1, 12))
+        .otherwise(lit(null).cast("string")).as("name_f"),
+      when(k % 13 === 0, concat(lit("nm-"), k % 9)).otherwise(lit(null).cast("string"))
+        .as("nome_f"),
+      when(k % 6 === 0, concat(lit("UF"), k % 27)).otherwise(lit(null).cast("string"))
+        .as("uf"),
+      when(k % 9 === 0, lit(null).cast("long")).otherwise((k % 7 - 2).cast("long"))
+        .as("occ_raw"),
+      array(
+        lit("web"),
+        when(k % 4 === 0, lit("")).otherwise(concat(lit("s"), k % 4)),
+        when(k % 3 === 0, lit("web")).otherwise(concat(lit("feed-"), k % 3)))
+        .as("sources_raw"))
+
+    raw
+      .withColumn("identifier", orChain(col("identifier_f"), col("city_id_f"),
+        col("ibge_id_f"), col("id_f"), col("label_f"), col("name_f"), col("nome_f")))
+      .withColumn("city_id", orChain(col("city_id_f"), col("ibge_id_f"), col("id_f")))
+      .withColumn("label", orChain(col("label_f"), col("name_f"), col("nome_f")))
+      .filter(col("identifier").isNotNull && col("city_id").isNotNull)
+      .select(
+        col("mention_id"), col("identifier"), col("city_id"), col("label"), col("uf"),
+        when(col("occ_raw").isNull || col("occ_raw") <= 0, lit(1L))
+          .otherwise(col("occ_raw")).as("occurrences"),
+        array_join(array_distinct(filter(col("sources_raw"), x => x =!= "")), ",")
+          .as("sources_csv"))
+      .orderBy(col("mention_id"))
+  }
+
+  /** The oracle mirrors the sources filter+dedupe explicitly: with the
+    * fixed 3-slot input ['web', e2, e3], keep-order dedupe is e1 then
+    * e2 (if non-empty, != e1) then e3 (if non-empty, != e1, != e2). */
+  val cityMentionPayloadSql: String =
+    """WITH raw AS (
+      |  SELECT p_partkey AS mention_id,
+      |    CASE WHEN p_partkey % 11 = 0 THEN 'ident-' || p_partkey END AS identifier_f,
+      |    CASE WHEN p_partkey % 5 = 2 THEN 'cid-' || (p_partkey % 100)
+      |         WHEN p_partkey % 5 = 1 THEN '' END AS city_id_f,
+      |    CASE WHEN p_partkey % 3 = 1 THEN 'ibge-' || (p_partkey % 77)
+      |         WHEN p_partkey % 3 = 0 THEN '' END AS ibge_id_f,
+      |    CASE WHEN p_partkey % 7 < 2 THEN 'id-' || p_partkey
+      |         WHEN p_partkey % 7 = 2 THEN '' END AS id_f,
+      |    CASE WHEN p_partkey % 4 = 0 THEN ''
+      |         WHEN p_partkey % 4 = 1 THEN 'Lbl ' || (p_partkey % 50) END AS label_f,
+      |    CASE WHEN p_partkey % 2 = 0 THEN substring(p_name, 1, 12) END AS name_f,
+      |    CASE WHEN p_partkey % 13 = 0 THEN 'nm-' || (p_partkey % 9) END AS nome_f,
+      |    CASE WHEN p_partkey % 6 = 0 THEN 'UF' || (p_partkey % 27) END AS uf,
+      |    CASE WHEN p_partkey % 9 = 0 THEN NULL
+      |         ELSE p_partkey % 7 - 2 END AS occ_raw,
+      |    'web' AS e1,
+      |    CASE WHEN p_partkey % 4 = 0 THEN '' ELSE 's' || (p_partkey % 4) END AS e2,
+      |    CASE WHEN p_partkey % 3 = 0 THEN 'web'
+      |         ELSE 'feed-' || (p_partkey % 3) END AS e3
+      |  FROM part),
+      |chained AS (
+      |  SELECT mention_id,
+      |    coalesce(nullif(identifier_f, ''), nullif(city_id_f, ''),
+      |             nullif(ibge_id_f, ''), nullif(id_f, ''), nullif(label_f, ''),
+      |             nullif(name_f, ''), nullif(nome_f, '')) AS identifier,
+      |    coalesce(nullif(city_id_f, ''), nullif(ibge_id_f, ''),
+      |             nullif(id_f, '')) AS city_id,
+      |    coalesce(nullif(label_f, ''), nullif(name_f, ''),
+      |             nullif(nome_f, '')) AS label,
+      |    uf, occ_raw, e1, e2, e3
+      |  FROM raw)
+      |SELECT mention_id, identifier, city_id, label, uf,
+      |  CASE WHEN occ_raw IS NULL OR occ_raw <= 0 THEN 1
+      |       ELSE occ_raw END AS occurrences,
+      |  e1
+      |    || CASE WHEN e2 <> '' AND e2 <> e1 THEN ',' || e2 ELSE '' END
+      |    || CASE WHEN e3 <> '' AND e3 <> e1
+      |             AND (e3 <> e2 OR e2 = '') THEN ',' || e3
+      |       ELSE '' END AS sources_csv
+      |FROM chained
+      |WHERE identifier IS NOT NULL AND city_id IS NOT NULL
+      |ORDER BY mention_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q114_store_replay" -> (storeReplay _),
+    "q115_mention_payload" -> (cityMentionPayload _))
+
+  val oracles: Map[String, String] = Map(
+    "q114_store_replay" -> storeReplaySql,
+    "q115_mention_payload" -> cityMentionPayloadSql)
+}
