@@ -156,4 +156,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Window"), p)
     }
   }
+
+  test("q112 resolves the match stream with broadcast probes — no fact shuffle join") {
+    val p = plan(graft.queries.GeoCliQueries.geoDisambiguate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q114 windows and dedup all share the url partitioning") {
+    val p = plan(graft.queries.PayloadQueries.storeReplay(spark, sfDir))
+    // one shuffle keys everything by url; the dedup groupBy and final
+    // position window must NOT introduce a second partitioning scheme
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("url")), p)
+  }
+
+  test("q118 shuffles only on article-prefixed keys") {
+    val p = plan(graft.queries.MatchAggQueries.matchAggregate(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(e =>
+      e.contains("article_id") || e.contains("l_orderkey") || e.contains("lc_article")), p)
+  }
 }
