@@ -127,4 +127,47 @@ object Streaming {
           }
       }
   }
+
+  // ---- streaming ExtractionResultStore (q114's state, incremental) ----
+
+  case class StoreEvent(url: String, seq: Long, ner: String, gaz: String,
+                        person: String, start_off: Long, end_off: Long)
+  case class StoreOcc(person: String, start_off: Long, end_off: Long, seq: Long)
+  case class StoreState(ner: String, gaz: String, occs: Seq[StoreOcc])
+  case class StoreSnapshot(url: String, ner_version: String,
+                           gazetteer_version: String, n_occurrences: Long,
+                           people_csv: String, last_seq: Long)
+
+  /** The ExtractionResultStore's mutation semantics
+    * (extraction_result_store.py:57-66, 150-166) as ONE state record
+    * per url in a mapGroupsWithState stream — the incremental form of
+    * the batch replay (PayloadQueries.storeReplay). An append whose
+    * (ner, gaz) pair differs from the record's clears the accumulated
+    * occurrences; a duplicate (person, start, end) drops the earlier
+    * occurrence and re-appends at the END. Each micro-batch emits the
+    * url's current snapshot (update-mode semantics). State is one
+    * bounded record per url — the occurrence list is per-article, not
+    * per-stream. Events are applied in seq order within a batch;
+    * across batches the queue's delivery order stands in for seq
+    * order, exactly as the reference's worker applies them. */
+  def resultStore(events: Dataset[StoreEvent]): Dataset[StoreSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.url)
+      .mapGroupsWithState[StoreState, StoreSnapshot](GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[StoreEvent], state: GroupState[StoreState]) =>
+          var st = state.getOption.getOrElse(StoreState(null, null, Nil))
+          rows.toSeq.sortBy(_.seq).foreach { e =>
+            if (st.ner != e.ner || st.gaz != e.gaz)
+              st = StoreState(e.ner, e.gaz, Nil)
+            val filtered = st.occs.filterNot(o =>
+              o.person == e.person && o.start_off == e.start_off &&
+                o.end_off == e.end_off)
+            st = st.copy(occs = filtered :+ StoreOcc(e.person, e.start_off, e.end_off, e.seq))
+          }
+          state.update(st)
+          StoreSnapshot(url, st.ner, st.gaz, st.occs.length.toLong,
+            st.occs.map(_.person).mkString(","),
+            st.occs.map(_.seq).maxOption.getOrElse(0L))
+      }
+  }
 }
