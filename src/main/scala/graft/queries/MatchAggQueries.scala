@@ -91,21 +91,27 @@ object MatchAggQueries {
         count(lit(1)).as("occurrences"),
         max(col("city_id")).as("city_id"),
         // first non-empty label / first non-null uf in match order
-        // (py:335-339 "if not entry.get('label')" / uf is None)
-        min(when(nullif(trim(col("canonical")), lit("")).isNotNull,
-          struct(col("seq"), trim(col("canonical")).as("v"))))
-          .getField("v").as("label"),
-        min(when(col("uf").isNotNull, struct(col("seq"), col("uf").as("v"))))
-          .getField("v").as("uf"),
-        // method sources deduped keeping first-seen order (py:340-343)
-        array_join(
-          aggregate(
-            array_sort(collect_list(when(col("method").isNotNull,
-              struct(col("seq"), col("method").as("m"))))),
-            array().cast("array<string>"),
-            (acc, x) => when(array_contains(acc, x.getField("m")), acc)
-              .otherwise(concat(acc, array(x.getField("m"))))),
-          ",").as("sources_csv"))
+        // (py:335-339 "if not entry.get('label')" / uf is None):
+        // min_by with a null-guarded ordering skips the falsy rows and
+        // stays a declarative hash aggregate (no sort/object agg)
+        min_by(nullif(trim(col("canonical")), lit("")),
+          when(nullif(trim(col("canonical")), lit("")).isNotNull, col("seq")))
+          .as("label"),
+        min_by(col("uf"), when(col("uf").isNotNull, col("seq"))).as("uf"),
+        // method sources deduped keeping first-seen order (py:340-343):
+        // the reference emits exactly {automaton, pattern}
+        // (gazetteer.py automaton hits, service.py pattern hits), so
+        // the ordered distinct list is a first-seen comparison of the
+        // two methods' min positions — pure codegen'd conditional aggs
+        min(when(col("method") === "automaton", col("seq"))).as("a_seq"),
+        min(when(col("method") === "pattern", col("seq"))).as("p_seq"))
+      .withColumn("sources_csv",
+        when(col("a_seq").isNotNull && col("p_seq").isNotNull,
+          when(col("a_seq") < col("p_seq"), "automaton,pattern")
+            .otherwise("pattern,automaton"))
+          .when(col("a_seq").isNotNull, "automaton")
+          .when(col("p_seq").isNotNull, "pattern")
+          .otherwise(""))
       .filter(col("city_id").isNotNull) // py:348-350 drop unresolved
 
     val posW = Window.partitionBy(col("article_id")).orderBy(col("first_seq"))
