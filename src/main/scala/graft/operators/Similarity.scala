@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftInternals}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -219,15 +219,41 @@ object Similarity {
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
+  /** An id-sorted ArgBook from collected (id, codeword) rows. */
+  private def book(cands: Seq[(Long, Seq[Long])]): graft.expressions.ArgBook = {
+    val sorted = cands.sortBy(_._1)
+    new graft.expressions.ArgBook(sorted.map(_._1).toArray,
+      sorted.map(_._2.toArray).toArray)
+  }
+
+  /** Keyed nearest-codeword assignment via the native codegen'd
+    * ArgMinCodebook expression: struct(d, cid) per row, NULL when the
+    * key has no codebook. Replaces broadcast-join + min(struct(...))
+    * groupBy: an aggregation whose buffer carries an array column
+    * forces SortAggregate, while this is a primitive k x dim loop in
+    * whole-stage codegen — NO join, NO shuffle, no n x k
+    * intermediate. Codebooks are bounded by construction (PQ: <=256
+    * codes per block; the coarse quantizer: the IVF list count); a
+    * sharded-codebook regime would bring the join form back by
+    * choice, not by default. */
+  private def argminCol(vec: Column, key: Column,
+      books: Map[Long, graft.expressions.ArgBook]): Column =
+    GraftInternals.column(graft.expressions.ArgMinCodebook(
+      GraftInternals.expression(vec), GraftInternals.expression(key), books))
+
   /** Assign each vector to its nearest centroid (lowest id on ties).
-    * Centroids broadcast; the corpus is never shuffled for scoring. */
-  def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("dist", sqDist(col("m"), col("cm")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"), col("m"))).as("best"))
+    * The centroid table is collected (it is k-sized by construction)
+    * into the expression's reference codebook; the corpus is never
+    * joined, shuffled, or aggregated for assignment. */
+  def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val local = cents.select(col("cid").cast("long"), col("cm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    require(local.nonEmpty, "empty centroid table")
+    vecs.withColumn("best",
+        argminCol(col("m"), lit(0L), Map(0L -> book(local))))
       .select(col("vec_id"), col("best.cid").as("cluster"),
-        col("best.dist").as("dist"), col("best.m").as("m"))
+        col("best.d").as("dist"), col("m"))
+  }
 
   /** Per-cluster floor-mean centroids from an assignment. */
   def kmeansUpdate(assigned: DataFrame, dim: Int): DataFrame =
@@ -295,17 +321,29 @@ object Similarity {
       .select(col("vec_id") +: carry.map(col) :+
         col("bs.block").as("block") :+ col("bs.sub").as("sub"): _*)
 
+  /** Per-block codebooks keyed by the block id. */
+  private def blockBooks(codebook: DataFrame,
+      codeCol: String): Map[Long, graft.expressions.ArgBook] = {
+    val byBlock = codebook
+      .select(col("block").cast("long"), col(codeCol).cast("long"), col("cw"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getSeq[Long](2))).toSeq).toMap
+    require(byBlock.nonEmpty, "empty codebook")
+    byBlock.map { case (b, cands) => b -> book(cands) }.toMap
+  }
+
   /** PQ encode: per (vector, block), the nearest codeword id (integer
-    * L2, ties to the lowest code). Codebook is tiny and broadcast; the
-    * corpus is aggregated once per block — one shuffle, then the codes
-    * table IS the index. */
+    * L2, ties to the lowest code). The codebook is tiny by
+    * construction — the native argmin expression encodes the corpus
+    * map-side with no join and no aggregation; the codes table IS the
+    * index. */
   def pqEncode(subs: DataFrame, codebook: DataFrame, carry: Seq[String] = Nil): DataFrame =
-    subs.join(broadcast(codebook), Seq("block"))
-      .withColumn("d", sqDist(col("sub"), col("cw")))
-      .groupBy(col("vec_id") +: carry.map(col) :+ col("block"): _*)
-      .agg(min(struct(col("d"), col("code"))).as("best"))
+    subs
+      .withColumn("best",
+        argminCol(col("sub"), col("block").cast("long"), blockBooks(codebook, "code")))
       .select(col("vec_id") +: carry.map(col) :+ col("block") :+
-        col("best.code").as("code"): _*)
+        col("best.cid").as("code"): _*)
 
   /** ADC search: build each query's (block, code) -> distance table
     * (|queries| x blocks x codes rows, broadcast), join it to the codes
@@ -365,17 +403,17 @@ object Similarity {
         col("cluster").as("centroid_id"), col("adc_dist"))
   }
 
-  /** One Lloyd assignment over every PQ block at once: blocks ride in
-    * the group key, so 8 independent per-subspace clusterings are one
-    * aggregation (broadcast codebook, exact integer subspace L2, ties
-    * to the lowest codeword id). */
+  /** One Lloyd assignment over every PQ block at once: the per-block
+    * codebooks ride in the expression's reference map keyed by block,
+    * so 8 independent per-subspace clusterings are a single map-side
+    * codegen'd loop (exact integer subspace L2, ties to the lowest
+    * codeword id) — no join, no shuffle per iteration. */
   def pqAssignTrained(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(broadcast(cb), Seq("block"))
-      .withColumn("d", sqDist(col("sub"), col("cw")))
-      .groupBy(col("vec_id"), col("block"))
-      .agg(min(struct(col("d"), col("cid"), col("sub"))).as("best"))
+    subs
+      .withColumn("best",
+        argminCol(col("sub"), col("block").cast("long"), blockBooks(cb, "cid")))
       .select(col("vec_id"), col("block"), col("best.cid").as("code"),
-        col("best.d").as("dist"), col("best.sub").as("sub"))
+        col("best.d").as("dist"), col("sub"))
 
   /** Per-block floor-mean codeword refresh (q69's update with block in
     * the key). */
@@ -406,18 +444,31 @@ object Similarity {
   }
 
   /** One Lloyd assignment with LOCAL (per-cluster) codebooks: the
-    * cluster rides in the join key next to the block, so every
-    * (cluster, block) subspace clusters independently in one
-    * aggregation. Codebooks stay tiny (clusters x blocks x codes) and
-    * broadcast; the residual stream is never shuffled for scoring. */
-  def pqAssignLocal(rsubs: DataFrame, cb: DataFrame): DataFrame =
-    rsubs.join(broadcast(cb), Seq("cluster", "block"))
-      .withColumn("d", sqDist(col("sub"), col("cw")))
-      .groupBy(col("vec_id"), col("cluster"), col("block"))
-      .agg(min(struct(col("d"), col("cid"), col("sub"))).as("best"))
+    * (cluster, block) candidate lists ride in the expression's
+    * reference map keyed by cluster * PqBlocks + block (clusters are
+    * arbitrary seed ids, not dense), so every (cluster, block)
+    * subspace clusters independently map-side. Codebooks stay tiny
+    * (clusters x blocks x codes); the residual stream is never
+    * joined, shuffled, or aggregated for scoring. */
+  def pqAssignLocal(rsubs: DataFrame, cb: DataFrame): DataFrame = {
+    val byKey = cb
+      .select(col("cluster").cast("long"), col("block").cast("long"),
+        col("cid").cast("long"), col("cw"))
+      .collect()
+      .groupBy(r => r.getLong(0) * PqBlocks + r.getLong(1))
+      .view.mapValues(_.map(r => (r.getLong(2), r.getSeq[Long](3))).toSeq).toMap
+    require(byKey.nonEmpty, "empty local codebook")
+    val books = byKey.map { case (k, cands) => k -> book(cands) }.toMap
+    rsubs
+      .withColumn("best",
+        argminCol(col("sub"),
+          (col("cluster") * PqBlocks + col("block")).cast("long"), books))
+      // a (cluster, block) key absent from the codebook mirrors the
+      // former inner join: the row is dropped
+      .filter(col("best").isNotNull)
       .select(col("vec_id"), col("cluster"), col("block"),
-        col("best.cid").as("code"), col("best.d").as("dist"),
-        col("best.sub").as("sub"))
+        col("best.cid").as("code"), col("best.d").as("dist"), col("sub"))
+  }
 
   /** Per-(cluster, block) floor-mean codeword refresh. */
   def pqUpdateLocalCodebooks(assigned: DataFrame, subDim: Int): DataFrame =
