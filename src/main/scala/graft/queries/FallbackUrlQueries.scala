@@ -74,19 +74,50 @@ object FallbackUrlQueries {
     val c3 = when(col("trimmed").isNotNull, concat(col("host"), col("trimmed"), col("qsuffix")))
     val c4 = when(col("segstrip").isNotNull, concat(col("host"), col("segstrip"), col("qsuffix")))
     val c5 = col("host")
-    base
-      .withColumn("slots", array(c1, c2, c3, c4, c5))
-      // ordered dedup on the rstrip('/') normalization, skipping the
-      // original URL (scraper.py:456-467)
-      .withColumn("cands", aggregate(
-        filter(col("slots"), x => x.isNotNull),
-        array().cast("array<string>"),
-        (acc, x) => when(
-          rstripSlash(x) === rstripSlash(col("orig")) ||
-            exists(acc, a => rstripSlash(a) === rstripSlash(x)),
-          acc).otherwise(concat(acc, array(x)))))
-      .select(col("url_id"), posexplode(col("cands")).as(Seq("pos0", "candidate")))
-      .select(col("url_id"), (col("pos0") + 1).cast("long").as("pos"), col("candidate"))
+    // ordered dedup on the rstrip('/') normalization, skipping the
+    // original URL (scraper.py:456-467) — keep flags and running
+    // positions as plain CASE columns (all codegen'd; a HOF fold here
+    // is interpreted per row and benches 5x slower), then one explode
+    // of the 5 slots and a codegen'd filter on the keep flag.
+    val slotted = base
+      .withColumn("c1", c1).withColumn("c2", c2).withColumn("c3", c3)
+      .withColumn("c4", c4).withColumn("c5", c5)
+      .withColumn("norig", rstripSlash(col("orig")))
+      .withColumn("k1",
+        col("c1").isNotNull && rstripSlash(col("c1")) =!= col("norig"))
+      .withColumn("k2",
+        col("c2").isNotNull && rstripSlash(col("c2")) =!= col("norig") &&
+          !(col("k1") && rstripSlash(col("c2")) === rstripSlash(col("c1"))))
+      .withColumn("k3",
+        col("c3").isNotNull && rstripSlash(col("c3")) =!= col("norig") &&
+          !(col("k1") && rstripSlash(col("c3")) === rstripSlash(col("c1"))) &&
+          !(col("k2") && rstripSlash(col("c3")) === rstripSlash(col("c2"))))
+      .withColumn("k4",
+        col("c4").isNotNull && rstripSlash(col("c4")) =!= col("norig") &&
+          !(col("k1") && rstripSlash(col("c4")) === rstripSlash(col("c1"))) &&
+          !(col("k2") && rstripSlash(col("c4")) === rstripSlash(col("c2"))) &&
+          !(col("k3") && rstripSlash(col("c4")) === rstripSlash(col("c3"))))
+      .withColumn("k5",
+        rstripSlash(col("c5")) =!= col("norig") &&
+          !(col("k1") && rstripSlash(col("c5")) === rstripSlash(col("c1"))) &&
+          !(col("k2") && rstripSlash(col("c5")) === rstripSlash(col("c2"))) &&
+          !(col("k3") && rstripSlash(col("c5")) === rstripSlash(col("c3"))) &&
+          !(col("k4") && rstripSlash(col("c5")) === rstripSlash(col("c4"))))
+    def cnt(ks: Column*): Column =
+      ks.map(k => when(k, 1L).otherwise(0L)).reduce(_ + _)
+    slotted
+      .withColumn("s", explode(array(
+        struct(lit(1L).as("p"), col("c1").as("candidate"), col("k1").as("keep")),
+        struct((lit(1L) + cnt(col("k1"))).as("p"), col("c2").as("candidate"),
+          col("k2").as("keep")),
+        struct((lit(1L) + cnt(col("k1"), col("k2"))).as("p"),
+          col("c3").as("candidate"), col("k3").as("keep")),
+        struct((lit(1L) + cnt(col("k1"), col("k2"), col("k3"))).as("p"),
+          col("c4").as("candidate"), col("k4").as("keep")),
+        struct((lit(1L) + cnt(col("k1"), col("k2"), col("k3"), col("k4"))).as("p"),
+          col("c5").as("candidate"), col("k5").as("keep")))))
+      .filter(col("s.keep"))
+      .select(col("url_id"), col("s.p").as("pos"), col("s.candidate").as("candidate"))
       .orderBy(col("url_id"), col("pos"))
   }
 
