@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.Tables
+
+/** q121: BPE merge-rule training — the tokenizer-vocabulary induction
+  * step of every LLM data pipeline (Sennrich et al. 2016), the
+  * training-time counterpart of q41's BPE-style pre-tokenization.
+  *
+  * Each round counts adjacent symbol pairs over the word dictionary
+  * (weighted by word frequency), picks the most frequent pair (ties:
+  * lexicographically smallest), and merges it greedily left-to-right
+  * in every word. Words ride as delimited strings — each symbol
+  * wrapped in '.' and separated by two spaces — so the merge IS
+  * `replace(wstr, ".x.  .y.", ".xy.")`: SQL replace scans
+  * left-to-right and resumes after each replacement, which is exactly
+  * BPE's non-overlapping greedy merge, and the wrapper/delimiter
+  * cannot collide because symbols are letter-only. Both engines run
+  * the identical string algebra, so the oracle replays all rounds
+  * bit-exactly.
+  *
+  * Scale shape: pair counting and merging run on the DISTINCT word
+  * dictionary with frequencies (dictionary-encoded corpus), never on
+  * raw text — the corpus-sized work is one tokenize+count, after
+  * which each round is dictionary-sized. The per-round argmax is a
+  * driver-side single-row collect (the same dim-sized decision as
+  * collecting trained centroids); the dictionary is localCheckpointed
+  * per round to keep lineage flat. */
+object TokenizerQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val MergeRounds = 8
+
+  /** (wstr, freq) dictionary: words -> wrapped-symbol strings. */
+  private def dictionary(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat_ws("  ",
+          transform(split(col("word"), "(?!^)(?=.)"),
+            c => concat(lit("."), c, lit(".")))).as("wstr"),
+        col("freq"))
+
+  /** Adjacent wrapped-symbol pairs weighted by word frequency. */
+  private def pairCounts(dict: DataFrame): DataFrame = {
+    val syms = split(col("wstr"), "  ")
+    dict
+      .select(col("freq"), explode(
+        arrays_zip(slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))))).as("p"))
+      .groupBy(col("p.0").as("wa"), col("p.1").as("wb"))
+      .agg(sum(col("freq")).as("n"))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var dict = dictionary(s, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    (1 to MergeRounds).foreach { round =>
+      val Array(best) = pairCounts(dict)
+        .orderBy(col("n").desc, col("wa"), col("wb")).limit(1).collect()
+      val (wa, wb, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      val merged = "." + wa.stripPrefix(".").stripSuffix(".") +
+        wb.stripPrefix(".").stripSuffix(".") + "."
+      merges += ((round.toLong, wa.stripPrefix(".").stripSuffix("."),
+        wb.stripPrefix(".").stripSuffix("."),
+        merged.stripPrefix(".").stripSuffix("."), n))
+      dict = dict
+        .select(
+          expr(s"replace(wstr, '$wa  $wb', '$merged')").as("wstr"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** The oracle replays every round as chained CTEs: wK = the
+    * dictionary after K merges, rpK = round K's winning pair via the
+    * same (count desc, pair asc) argmax, each merge applied with
+    * scalar subqueries into replace(). */
+  val bpeMergesSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT array_to_string(list_transform(range(1, length(word) + 1),
+        |           i -> '.' || word[i] || '.'), '  ') AS wstr,
+        |         count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''
+        |  GROUP BY 1)""".stripMargin)
+    (1 to MergeRounds).foreach { r =>
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT t[i] AS wa, t[i + 1] AS wb, CAST(sum(freq) AS BIGINT) AS n
+        |  FROM (SELECT freq, string_split(wstr, '  ') AS t FROM w${r - 1}),
+        |       UNNEST(range(1, len(t))) AS u(i)
+        |  GROUP BY 1, 2),
+        |rp$r AS (SELECT wa, wb, n FROM p$r ORDER BY n DESC, wa, wb LIMIT 1),
+        |w$r AS (
+        |  SELECT replace(wstr,
+        |           (SELECT wa || '  ' || wb FROM rp$r),
+        |           (SELECT '.' || trim(wa, '.') || trim(wb, '.') || '.' FROM rp$r))
+        |         AS wstr, freq
+        |  FROM w${r - 1})""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to MergeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, trim(wa, '.') AS left_sym, trim(wb, '.') AS right_sym,
+         |  trim(wa, '.') || trim(wb, '.') AS merged, n AS pair_count FROM rp$r""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY round")
+    sb.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q121_bpe_merges" -> (bpeMerges _))
+
+  val oracles: Map[String, String] = Map(
+    "q121_bpe_merges" -> bpeMergesSql)
+}

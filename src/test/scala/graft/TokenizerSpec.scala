@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.TokenizerQueries
+
+/** q121: BPE merge training. Ground truth is a literal in-memory BPE
+  * over the same word-frequency dictionary: count adjacent pairs,
+  * take (max count, lexicographically smallest) and merge greedily
+  * left-to-right, repeated MergeRounds times. */
+class TokenizerSpec extends SparkSpec {
+
+  private def referenceBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var dict: Map[Vector[String], Long] =
+      words.toSeq.groupBy(_._1.map(_.toString).toVector)
+        .map { case (k, vs) => k -> vs.map(_._2).sum }
+    val out = Seq.newBuilder[(String, String, Long)]
+    (1 to rounds).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      out += ((a, b, n))
+      dict = dict.toSeq.map { case (syms, f) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        (merged.result(), f)
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+    out.result()
+  }
+
+  test("merge table equals a literal in-memory BPE over the same dictionary") {
+    val words = Tables.documents(spark, sfDir)
+      .selectExpr("explode(split(lower(text), '[^a-z]+')) AS w")
+      .where("w <> ''").groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBpe(words, TokenizerQueries.MergeRounds)
+    val got = TokenizerQueries.bpeMerges(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got == expected, s"$got != $expected")
+    // merged column is the concatenation and at least one later round
+    // merges a multi-char symbol (a product of an earlier merge)
+    val rows = TokenizerQueries.bpeMerges(spark, sfDir).collect()
+    assert(rows.forall(r => r.getAs[String]("merged") ==
+      r.getAs[String]("left_sym") + r.getAs[String]("right_sym")))
+    assert(rows.exists(r => r.getAs[String]("left_sym").length > 1 ||
+      r.getAs[String]("right_sym").length > 1),
+      "no round consumed a previously merged symbol")
+  }
+}
