@@ -22,6 +22,11 @@ object ArgMinUtil {
   def argmin(vec: ArrayData, book: ArgBook): InternalRow = {
     val words = book.words
     val ids = book.ids
+    // Fail loudly on a dimension mismatch rather than reading garbage
+    // from UnsafeArrayData past the vector's end.
+    if (vec.numElements() != words(0).length)
+      throw new IllegalArgumentException(
+        s"ArgMinCodebook: vector dim ${vec.numElements()} != codeword dim ${words(0).length}")
     var bestD = Long.MaxValue
     var bestId = -1L
     var c = 0
@@ -75,13 +80,14 @@ case class ArgMinCodebook(vec: Expression, key: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, k) => {
       val booksRef = ctx.addReferenceObj("books", jBooks, "java.util.HashMap")
+      val book = ctx.freshName("book")
       s"""
-         |graft.expressions.ArgBook book =
+         |graft.expressions.ArgBook $book =
          |  (graft.expressions.ArgBook) $booksRef.get($k);
-         |if (book == null) {
+         |if ($book == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.expressions.ArgMinUtil.argmin($v, book);
+         |  ${ev.value} = graft.expressions.ArgMinUtil.argmin($v, $book);
          |}
        """.stripMargin
     })

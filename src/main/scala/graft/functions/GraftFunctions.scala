@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftInternals}
+
+import graft.expressions.{AdminIntervals, IntervalAdjacent, RepairSelector, TokenCharStarts, TokenPrefixStarts}
+
+/** Column wrappers over graft's native codegen'd expressions — the
+  * text-geometry family that replaced interpreted higher-order-function
+  * folds on the hottest corpus scans (q15/q16/q59/q61/q92). */
+object GraftFunctions {
+
+  /** Prefix char offsets of each token under space-joined geometry
+    * (n + 1 entries, long). */
+  def tokenPrefixStarts(toks: Column): Column =
+    GraftInternals.column(TokenPrefixStarts(GraftInternals.expression(toks)))
+
+  /** Char intervals [s, e) of tokens that are members of `words`. */
+  def adminIntervals(toks: Column, words: Seq[String]): Column =
+    GraftInternals.column(AdminIntervals(GraftInternals.expression(toks), words))
+
+  /** exists interval [s, e] within [lo, hi] (all long). */
+  def intervalAdjacent(intervals: Column, lo: Column, hi: Column): Column =
+    GraftInternals.column(IntervalAdjacent(
+      GraftInternals.expression(intervals),
+      GraftInternals.expression(lo), GraftInternals.expression(hi)))
+
+  /** Code-point positions where a token starts in folded text. */
+  def tokenCharStarts(folded: Column): Column =
+    GraftInternals.column(TokenCharStarts(GraftInternals.expression(folded)))
+
+  /** Malformed-CSS-selector auto-repair (scraper.py:522-554). */
+  def repairSelector(query: Column): Column =
+    GraftInternals.column(RepairSelector(GraftInternals.expression(query)))
+}

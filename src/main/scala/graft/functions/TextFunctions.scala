@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftInternals}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.StripAccents
+import graft.expressions.{FoldWithOffsets, StripAccents}
 
 /** Column-level text normalization, mirroring the reference's
   * extraction/normalization.py as pure Catalyst expressions (no UDFs,
@@ -28,28 +28,18 @@ object TextFunctions {
   def fold(c: Column): Column =
     lower(stripAccents(translate(c, HyphenChars, HyphenRepl)))
 
-  /** Per-character fold result for ONE character: hyphen variants ->
-    * space, soft hyphen -> deleted (empty), else lower+de-accent. The
-    * per-char mapping composes to exactly `fold` over the whole string. */
-  private def foldChar(ch: Column): Column =
-    when(ch.isin(HyphenChars.dropRight(1).map(_.toString): _*), lit(" "))
-      .when(ch === "\u00AD", lit("")) // soft hyphen: deleted
-      .otherwise(lower(stripAccents(ch)))
-
   /** `normalize_text_with_offsets` (normalization.py:191) — the folded
     * text PLUS the offsets array mapping each folded character back to
     * the index of its originating character, so dictionary matches on
-    * the folded form can be projected onto the original text. Pure
-    * higher-order column functions: per-char map, join, and an offset
-    * flatten (a char contributes its index once per emitted char, zero
-    * times when deleted). Returns struct(folded, offsets). */
-  def foldWithOffsets(c: Column): Column = {
-    val cs = split(c, "")
-    val mapped = transform(cs, ch => foldChar(ch))
-    val offsets = flatten(zip_with(mapped, sequence(lit(0), size(cs) - 1),
-      (m, i) => array_repeat(i, length(m))))
-    struct(array_join(mapped, "").as("folded"), offsets.as("offsets"))
-  }
+    * the folded form can be projected onto the original text. A native
+    * codegen'd expression (graft.expressions.FoldWithOffsets): the
+    * per-char mapping composes to exactly `fold` over the whole string
+    * (hyphen variants -> space, soft hyphen -> deleted, else
+    * lower+de-accent), and a char contributes its index once per
+    * emitted char, zero times when deleted. Returns
+    * struct(folded, offsets). */
+  def foldWithOffsets(c: Column): Column =
+    GraftInternals.column(FoldWithOffsets(GraftInternals.expression(c)))
 
   /** Boilerplate-line removal + whitespace collapse
     * (reference: normalization.py:77 `normalize_article_text`).
@@ -100,7 +90,11 @@ object TextFunctions {
     array_join(transform(tokens(cleaned), t => titleToken(t)), " ")
   }
 
-  /** Exact integer token statistics over a token array. */
+  /** Exact integer token statistics over a token array. Computed as
+    * the char count of the separator-free join (codegen'd ConcatWs)
+    * rather than an interpreted `aggregate()` fold; null-array input
+    * still yields null like the fold did. */
   def tokenLengthSum(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    when(toks.isNull, lit(null).cast("long"))
+      .otherwise(length(concat_ws("", toks)).cast("long"))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import graft.functions.GraftFunctions
 import graft.functions.TextFunctions._
 
 /** Dictionary/gazetteer matching over a document corpus, re-expressing
@@ -128,19 +129,15 @@ object Gazetteer {
     * shuffle is added, the broadcast-join-then-aggregate shape stands.
     * (The stream form of the same window lives in contextMatches.) */
   def matches(docs: DataFrame, variants: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val admin = AdminWords.map(x => x: Any)
     val toks = docs
       .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
-      // starts(i) = char offset of token i in concat_ws(" ", toks);
-      // n+1 entries, O(n^2/2) element copies — same cost class as the
-      // carried toks array itself, bounded by article length
-      .withColumn("starts",
-        aggregate(col("toks"), array(lit(0L)),
-          (acc, t) => concat(acc, array(element_at(acc, -1) + length(t).cast("long") + 1L))))
-      .withColumn("admins", filter(
-        zip_with(col("toks"), slice(col("starts"), lit(1), size(col("toks"))),
-          (t, st) => struct(st.as("s"), (st + length(t).cast("long")).as("e"), t.as("tok"))),
-        a => a.getField("tok").isin(admin: _*)))
+      // starts(i) = char offset of token i in concat_ws(" ", toks),
+      // n+1 entries; admins = char intervals of admin-word tokens.
+      // Both are native codegen'd one-pass expressions (the former
+      // aggregate/filter/zip_with HOF folds were CodegenFallback —
+      // interpreted per row on the two hottest corpus scans).
+      .withColumn("starts", GraftFunctions.tokenPrefixStarts(col("toks")))
+      .withColumn("admins", GraftFunctions.adminIntervals(col("toks"), AdminWords))
       .select(col(idCol), col("toks"), col("starts"), col("admins"),
         posexplode_outer(col("toks")).as(Seq("pos", "tok")))
     // outer explodes: stop Catalyst from inferring isnotnull/size>0 on
@@ -151,9 +148,8 @@ object Gazetteer {
       .filter(col("g.gram").isNotNull)
       .withColumn("m_start", element_at(col("starts"), col("pos") + 1))
       .withColumn("m_end", col("m_start") + length(col("g.gram")).cast("long"))
-      .withColumn("admin_adj", exists(col("admins"),
-        a => a.getField("s") >= col("m_start") - AdminWindowChars &&
-          a.getField("e") <= col("m_end") + AdminWindowChars))
+      .withColumn("admin_adj", GraftFunctions.intervalAdjacent(col("admins"),
+        col("m_start") - AdminWindowChars, col("m_end") + AdminWindowChars))
       .withColumn("in_title_zone", col("pos") < TitleZoneTokens)
       .select(col(idCol), col("g.gram").as("gram"), col("admin_adj"), col("in_title_zone"))
     cands
@@ -200,14 +196,11 @@ object Gazetteer {
       .select(col(idCol), col(textCol).as("src"), foldWithOffsets(col(textCol)).as("fo"))
       .select(col(idCol), col("src"),
         col("fo.folded").as("folded"), col("fo.offsets").as("offsets"))
-      .withColumn("chars", split(col("folded"), ""))
-      .withColumn("starts",
-        filter(sequence(lit(0), size(col("chars")) - 1), p => {
-          val prev = when(p === 0, lit(" ")).otherwise(element_at(col("chars"), p))
-          !element_at(col("chars"), p + 1).rlike("^\\s$") && prev.rlike("^\\s$")
-        }))
+      // token char starts via a native one-pass expression (the former
+      // per-char filter/sequence/rlike chain was interpreted per row)
+      .withColumn("starts", GraftFunctions.tokenCharStarts(col("folded")))
       .withColumn("toks", tokens(col("folded")))
-      .drop("chars", "folded")
+      .drop("folded")
     // Plan-shape care, measured 23 s -> ~1 s at sf0.1: (a) OUTER
     // explodes — non-outer Generate makes Catalyst infer isnotnull/
     // size>0 filters on the exploded array and push them to the scan,

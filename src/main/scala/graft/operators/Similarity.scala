@@ -342,6 +342,9 @@ object Similarity {
     subs
       .withColumn("best",
         argminCol(col("sub"), col("block").cast("long"), blockBooks(codebook, "code")))
+      // a block key absent from the codebook mirrors the former inner
+      // join: the row is dropped (parity with pqAssignLocal)
+      .filter(col("best").isNotNull)
       .select(col("vec_id") +: carry.map(col) :+ col("block") :+
         col("best.cid").as("code"): _*)
 
@@ -412,6 +415,9 @@ object Similarity {
     subs
       .withColumn("best",
         argminCol(col("sub"), col("block").cast("long"), blockBooks(cb, "cid")))
+      // a block key absent from the codebook mirrors the former inner
+      // join: the row is dropped (parity with pqAssignLocal)
+      .filter(col("best").isNotNull)
       .select(col("vec_id"), col("block"), col("best.cid").as("code"),
         col("best.d").as("dist"), col("sub"))
 

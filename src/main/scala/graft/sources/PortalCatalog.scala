@@ -80,35 +80,11 @@ object PortalCatalog {
     * left-to-right char fold tracking open-quote state and bracket
     * balance — an unclosed quote is closed (before a `]` if one
     * follows, else at the end), and missing closing brackets are
-    * appended. Expressed as a higher-order `aggregate` over the char
-    * array with a (result, balance, quote) struct accumulator — pure
-    * column math, no UDF, embarrassingly parallel. */
-  def repairSelectorQuery(query: Column): Column = {
-    val chars = split(query, "")
-    val zero = struct(lit("").as("res"), lit(0).as("bal"),
-      lit(null).cast("string").as("q"))
-    aggregate(chars, zero,
-      (acc, c) => {
-        val q0 = acc.getField("q")
-        val isQuote = c === "'" || c === "\""
-        // quote state updates FIRST (scraper.py:530-534), then the
-        // bracket logic sees the updated state
-        val q1 = when(isQuote && q0.isNull, c)
-          .when(isQuote && q0 === c, lit(null).cast("string"))
-          .otherwise(q0)
-        val bal0 = acc.getField("bal")
-        val bal1 = when(c === "[" && q1.isNull, bal0 + 1)
-          .when(c === "]" && bal0 > 0, bal0 - 1)
-          .otherwise(bal0)
-        // a `]` inside an open quote closes the quote first
-        val res1 = when(c === "]" && q1.isNotNull,
-          concat(acc.getField("res"), q1, c))
-          .otherwise(concat(acc.getField("res"), c))
-        val q2 = when(c === "]", lit(null).cast("string")).otherwise(q1)
-        struct(res1.as("res"), bal1.as("bal"), q2.as("q"))
-      },
-      acc => concat(acc.getField("res"),
-        coalesce(acc.getField("q"), lit("")),
-        lit("]]]]]]]]]]]]]]]]").substr(lit(1), greatest(acc.getField("bal"), lit(0)))))
-  }
+    * appended. A native codegen'd expression
+    * (graft.expressions.RepairSelector) — the former higher-order
+    * `aggregate` struct-accumulator fold was CodegenFallback,
+    * interpreted per char per row, and made q92 a bench hotspot on a
+    * map-only query. */
+  def repairSelectorQuery(query: Column): Column =
+    graft.functions.GraftFunctions.repairSelector(query)
 }
