@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftInternals}
 
-import graft.expressions.{AdminIntervals, IntervalAdjacent, RepairSelector, TokenCharStarts, TokenPrefixStarts}
+import graft.expressions.{AdminIntervals, IntervalAdjacent, RepairSelector, StreamSignals, TokenCharStarts, TokenPrefixStarts}
 
 /** Column wrappers over graft's native codegen'd expressions — the
   * text-geometry family that replaced interpreted higher-order-function
@@ -31,4 +31,10 @@ object GraftFunctions {
   /** Malformed-CSS-selector auto-repair (scraper.py:522-554). */
   def repairSelector(query: Column): Column =
     GraftInternals.column(RepairSelector(GraftInternals.expression(query)))
+
+  /** Per-token context-gazetteer signals + anchored grams, one pass. */
+  def streamSignals(toks: Column, breakToken: String, adminWords: Seq[String],
+      stateUf: Seq[(String, String)], windowChars: Long, maxN: Int): Column =
+    GraftInternals.column(StreamSignals(GraftInternals.expression(toks),
+      breakToken, adminWords, stateUf, windowChars, maxN))
 }

@@ -371,74 +371,45 @@ object Gazetteer {
     * per-match context-adjusted confidences), context_matches,
     * context_mismatches.
     *
-    * SINGLE-PASS over the corpus: the document is scanned, folded and
-    * exploded exactly once. Everything the reference derives by
-    * re-walking the text — token neighbors for admin adjacency, the
-    * sentence's context UF — is a window function over that same
-    * exploded stream:
+    * SINGLE-PASS over the corpus, and as of round 7 WINDOWLESS: every
+    * per-token signal the reference derives by re-walking the text —
+    * sentence ids, char offsets, the first admin occurrence inside the
+    * +-48-char window (signals.py:65-69 `_detect_admin_marker`), the
+    * sentence's min state-UF (the reference's sorted(mentions)[0]),
+    * and the lead-token grams — computes in ONE native codegen'd pass
+    * over the token array (graft.expressions.StreamSignals) BEFORE the
+    * explode, inside the scan stage. The former formulation ran four
+    * window functions plus lead() columns over the exploded stream,
+    * which required an exchange of every token in the corpus; now the
+    * only shuffle in the whole chain is the per-(doc, keyword)
+    * aggregation itself, fed by map-side partial aggregation — the
+    * shape that survives a 100x scale-up.
     *
-    *  - `lead` replaces the carried token array (each exploded row
-    *    stays a few bytes wide instead of duplicating the whole doc);
-    *  - the per-sentence context UF is `min(state_uf)` over
-    *    (doc, sent_id) — the reference's sorted(mentions)[0] — computed
-    *    in-stream instead of a second scan + aggregate + shuffle join;
-    *  - admin markers follow the reference's CHAR-window form
-    *    (signals.py:65-69 `_detect_admin_marker`: the +-48-char slice
-    *    around the match span, substring-scanned), not token adjacency.
-    *    Each token carries its char offset in the space-joined stream
-    *    (running sum of len+1); the first admin occurrence starting
-    *    at-or-after `match_start - 48` is found with one RANGE window
-    *    on that char axis. Admin occurrences are non-overlapping and
-    *    ordered, so that first candidate is the only one that can fit
-    *    inside the window — `first.end <= match_end + 48` decides.
-    *
-    * Physical shape: one parquet scan, one exchange on the doc id (the
-    * char-axis RANGE window and the (doc, sent_id) window reuse it:
-    * hash(doc) clusters both), one final exchange for the per-(doc, kw)
-    * aggregate. */
+    * Admin-marker parity: admin occurrences are non-overlapping and
+    * ordered, so the first occurrence starting at-or-after
+    * `match_start - 48` is the only one that can fit inside the
+    * window — `first.end <= match_end + 48` decides, exactly the old
+    * RANGE-frame min. */
   def contextMatches(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
-    val admin = AdminWords.map(x => x: Any)
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val wSentPrefix = wDoc.rowsBetween(Window.unboundedPreceding, -1)
-    val wSent = Window.partitionBy(col(idCol), col("sent_id"))
-    val wAdmin = Window.partitionBy(col(idCol)).orderBy(col("tok_start"))
-      .rangeBetween(-AdminWindowChars, Window.unboundedFollowing)
-    // tok -> home UF of the state word, null for non-state tokens; the
-    // 6-entry table inlines as a codegen'd CASE chain
-    val stateUf = StateWords
-      .foldLeft(when(lit(false), lit(null).cast("string"))) {
-        case (acc, (w, uf)) => acc.when(col("tok") === w, uf)
-      }
-    val toks = docs
-      .select(col(idCol), posexplode_outer(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
-      .withColumn("sent_id",
-        coalesce(sum(when(col("tok") === SentenceBreakToken, 1L).otherwise(0L)).over(wSentPrefix), lit(0L)))
-      // char offset of this token in the space-joined stream (the
-      // normalized_text the reference slices its +-48 window from)
-      .withColumn("tok_start",
-        coalesce(sum(length(col("tok")).cast("long") + 1L).over(wSentPrefix), lit(0L)))
-    // first admin occurrence whose char start is >= tok_start - 48:
-    // one RANGE window; min start and min end come from the same
-    // occurrence because occurrences are disjoint and ordered
-    val withAdmin = toks
-      .withColumn("fa_start",
-        min(when(col("tok").isin(admin: _*), col("tok_start"))).over(wAdmin))
-      .withColumn("fa_end",
-        min(when(col("tok").isin(admin: _*),
-          col("tok_start") + length(col("tok")).cast("long"))).over(wAdmin))
-    val sig = explodeStreamGrams(
-      withAdmin
-        // alphabetically-first state mentioned in the row's sentence,
-        // null when the sentence mentions none (min skips nulls)
-        .withColumn("ctx_uf", min(stateUf).over(wSent))
-        .withColumn("in_title", col("sent_id") === 0L),
-      wDoc)
-      // match span in chars: [tok_start, tok_start + len(gram)); the
-      // window's left clamp at 0 and right clamp at text length are
-      // free (occurrence starts are >= 0, ends <= length)
+    val sig0 = docs
+      .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+      .select(col(idCol),
+        posexplode_outer(GraftFunctions.streamSignals(col("toks"),
+          SentenceBreakToken, AdminWords, StateWords,
+          AdminWindowChars, MaxKeywordTokens)).as(Seq("pos", "sg")))
+    val gramCols = (1 to MaxKeywordTokens).map { n =>
+      struct(lit(n).as("n"), element_at(col("sg.grams"), n).as("gram"))
+    }
+    // OUTER explodes — see matches() on inferred-filter pushdown
+    val sig = sig0
+      .withColumn("g", explode_outer(array(gramCols: _*)))
+      .filter(col("g.gram").isNotNull)
+      // match span in chars: [tok_start, tok_start + len(gram))
       .withColumn("admin_adj",
-        col("fa_start").isNotNull &&
-          col("fa_end") <= col("tok_start") + length(col("g.gram")).cast("long") + AdminWindowChars)
+        col("sg.fa_s").isNotNull &&
+          col("sg.fa_e") <= col("sg.tok_start") + length(col("g.gram")).cast("long") + AdminWindowChars)
+      .withColumn("ctx_uf", col("sg.ctx_uf"))
+      .withColumn("in_title", col("sg.sent_id") === 0L)
     val conf = col("weight_milli") +
       when(col("in_title"), TitleBoostMilli).otherwise(0L) +
       when(col("admin_adj"), AdminMarkerMilli).otherwise(0L)
