@@ -24,12 +24,17 @@ object StreamSignalsUtil {
     *  - ctx_uf: binary-min UF among the state words of token i's
     *    sentence (null when the sentence mentions none);
     *  - grams: the 1..maxN-token grams anchored at i (null past the
-    *    array end), replacing the lead() lookahead columns.
+    *    array end), replacing the lead() lookahead columns;
+    *  - sentence (only when emitSentence): the space-joined folded
+    *    token stream of token i's sentence, terminator included — the
+    *    occurrence-sentence view's full-frame collect_list window,
+    *    built once per sentence and shared by reference across its
+    *    tokens.
     */
   def signals(toks: ArrayData, breakTok: UTF8String,
       admin: java.util.HashSet[UTF8String],
       states: java.util.HashMap[UTF8String, UTF8String],
-      windowChars: Long, maxN: Int): ArrayData = {
+      windowChars: Long, maxN: Int, emitSentence: Boolean): ArrayData = {
     val n = toks.numElements()
     val tok = new Array[UTF8String](n)
     var i = 0
@@ -69,6 +74,20 @@ object StreamSignalsUtil {
       }
       i += 1
     }
+    val sentTxt: Array[UTF8String] =
+      if (!emitSentence) null
+      else {
+        val sbs = new Array[java.lang.StringBuilder](breaks + 1)
+        i = 0
+        while (i < n) {
+          val s = sent(i)
+          if (sbs(s) == null) sbs(s) = new java.lang.StringBuilder(32)
+          else sbs(s).append(' ')
+          sbs(s).append(tok(i).toString)
+          i += 1
+        }
+        sbs.map(sb => if (sb == null) null else UTF8String.fromString(sb.toString))
+      }
 
     // pass 2: emit per-token rows; the admin pointer only advances
     val out = new Array[Any](n)
@@ -94,7 +113,8 @@ object StreamSignalsUtil {
         if (p < nA) aS(p) else null,
         if (p < nA) aE(p) else null,
         sentUf(sent(i)),
-        new GenericArrayData(grams)))
+        new GenericArrayData(grams),
+        if (sentTxt == null) null else sentTxt(sent(i))))
       i += 1
     }
     new GenericArrayData(out)
@@ -109,7 +129,8 @@ object StreamSignalsUtil {
   * in the chain is the per-(doc, keyword) aggregation itself. */
 case class StreamSignals(child: Expression, breakToken: String,
     adminWords: Seq[String], stateUf: Seq[(String, String)],
-    windowChars: Long, maxN: Int) extends UnaryExpression {
+    windowChars: Long, maxN: Int, emitSentence: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -118,7 +139,8 @@ case class StreamSignals(child: Expression, breakToken: String,
       StructField("fa_s", LongType, nullable = true),
       StructField("fa_e", LongType, nullable = true),
       StructField("ctx_uf", StringType, nullable = true),
-      StructField("grams", ArrayType(StringType, containsNull = true), nullable = false))),
+      StructField("grams", ArrayType(StringType, containsNull = true), nullable = false),
+      StructField("sentence", StringType, nullable = true))),
     containsNull = false)
   override def prettyName: String = "graft_stream_signals"
 
@@ -138,7 +160,7 @@ case class StreamSignals(child: Expression, breakToken: String,
 
   override def nullSafeEval(input: Any): Any =
     StreamSignalsUtil.signals(input.asInstanceOf[ArrayData],
-      jBreak, jAdmin, jStates, windowChars, maxN)
+      jBreak, jAdmin, jStates, windowChars, maxN, emitSentence)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val breakRef = ctx.addReferenceObj("breakTok", jBreak,
@@ -146,7 +168,7 @@ case class StreamSignals(child: Expression, breakToken: String,
     val adminRef = ctx.addReferenceObj("adminWords", jAdmin, "java.util.HashSet")
     val statesRef = ctx.addReferenceObj("stateUf", jStates, "java.util.HashMap")
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.StreamSignalsUtil.signals($c, $breakRef, $adminRef, $statesRef, ${windowChars}L, $maxN)")
+      s"graft.expressions.StreamSignalsUtil.signals($c, $breakRef, $adminRef, $statesRef, ${windowChars}L, $maxN, $emitSentence)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): StreamSignals =

@@ -32,9 +32,12 @@ object GraftFunctions {
   def repairSelector(query: Column): Column =
     GraftInternals.column(RepairSelector(GraftInternals.expression(query)))
 
-  /** Per-token context-gazetteer signals + anchored grams, one pass. */
+  /** Per-token context-gazetteer signals + anchored grams, one pass;
+    * emitSentence additionally carries each token's space-joined
+    * sentence text (the occurrence-sentence view). */
   def streamSignals(toks: Column, breakToken: String, adminWords: Seq[String],
-      stateUf: Seq[(String, String)], windowChars: Long, maxN: Int): Column =
+      stateUf: Seq[(String, String)], windowChars: Long, maxN: Int,
+      emitSentence: Boolean = false): Column =
     GraftInternals.column(StreamSignals(GraftInternals.expression(toks),
-      breakToken, adminWords, stateUf, windowChars, maxN))
+      breakToken, adminWords, stateUf, windowChars, maxN, emitSentence))
 }

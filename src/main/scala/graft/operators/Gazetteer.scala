@@ -334,28 +334,6 @@ object Gazetteer {
   val ContextMismatchPenaltyMilli = 700L // aggregator.py:12 CONTEXT_MISMATCH_PENALTY = 0.7
   val SentenceBreakToken = "batch" // q40's synthesized sentence terminator
 
-  /** Lead columns + the anchored-gram explode over a doc-ordered token
-    * stream exposing (pos, tok, ...) — the single-window-sort gram
-    * builder shared by contextMatches and the occurrence-sentence
-    * view. No token array is ever carried: grams come from lead()
-    * lookahead, null past the partition end. OUTER explode — see
-    * matches() on inferred-filter pushdown. */
-  def explodeStreamGrams(df: DataFrame, wDoc: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
-    val withNext = (1 to MaxKeywordTokens).foldLeft(df) { (d, k) =>
-      d.withColumn(s"next_$k", lead(col("tok"), k).over(wDoc))
-    }
-    val gramCols = (1 to MaxKeywordTokens).map { n =>
-      val gram =
-        if (n == 1) col("tok")
-        else when(col(s"next_${n - 1}").isNotNull,
-          concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"next_$k")): _*))
-      struct(lit(n).as("n"), gram.as("gram"))
-    }
-    withNext
-      .withColumn("g", explode_outer(array(gramCols: _*)))
-      .filter(col("g.gram").isNotNull)
-  }
-
   def statesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     StateWords.toDF("state_word", "uf")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.functions.TextFunctions._
 import graft.operators.Gazetteer
 
@@ -377,21 +378,29 @@ object ContextQueries {
     * folded token stream of the anchor's sentence (terminator
     * included), our analog of the reference's trimmed raw sentence. */
   def occurrenceSentences(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wPrefix = wDoc.rowsBetween(Window.unboundedPreceding, -1)
-    val wSentAll = Window.partitionBy(col("doc_id"), col("sent_id"))
-      .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode_outer(tokens(fold(col("text")))).as(Seq("pos", "tok")))
-      .withColumn("sent_id",
-        coalesce(sum(when(col("tok") === Gazetteer.SentenceBreakToken, 1L).otherwise(0L))
-          .over(wPrefix), lit(0L)))
-      .withColumn("sentence", array_join(collect_list(col("tok")).over(wSentAll), " "))
-    Gazetteer.explodeStreamGrams(toks, wDoc)
+    // sent_id, sentence text and the anchored grams all come from ONE
+    // native pass over the token array (StreamSignals with sentence
+    // emission) — the former formulation ran a prefix-sum window, a
+    // full-frame collect_list window and the lead() gram builder over
+    // the exploded stream, shuffling every token; now the chain is
+    // windowless and the broadcast variant join is the only join
+    val sig0 = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(fold(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        posexplode_outer(GraftFunctions.streamSignals(col("toks"),
+          Gazetteer.SentenceBreakToken, Gazetteer.AdminWords, Gazetteer.StateWords,
+          Gazetteer.AdminWindowChars, Gazetteer.MaxKeywordTokens,
+          emitSentence = true)).as(Seq("pos", "sg")))
+    val gramCols = (1 to Gazetteer.MaxKeywordTokens).map { n =>
+      struct(lit(n).as("n"), element_at(col("sg.grams"), n).as("gram"))
+    }
+    sig0
+      .withColumn("g", explode_outer(array(gramCols: _*)))
+      .filter(col("g.gram").isNotNull)
       .join(broadcast(Gazetteer.variantsDf(s)), col("g.gram") === col("variant"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("kw_id"), col("keyword"), col("sent_id"), col("sentence"))
+        col("kw_id"), col("keyword"), col("sg.sent_id").as("sent_id"),
+        col("sg.sentence").as("sentence"))
       .orderBy(col("doc_id"), col("pos"), col("kw_id"))
   }
 
