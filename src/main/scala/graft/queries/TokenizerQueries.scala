@@ -34,51 +34,14 @@ object TokenizerQueries {
 
   val MergeRounds = 8
 
-  /** (wstr, freq) dictionary: words -> wrapped-symbol strings. */
-  private def dictionary(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(
-        concat_ws("  ",
-          transform(split(col("word"), "(?!^)(?=.)"),
-            c => concat(lit("."), c, lit(".")))).as("wstr"),
-        col("freq"))
-
-  /** Adjacent wrapped-symbol pairs weighted by word frequency. */
-  private def pairCounts(dict: DataFrame): DataFrame = {
-    val syms = split(col("wstr"), "  ")
-    dict
-      .select(col("freq"), explode(
-        arrays_zip(slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
-          slice(syms, lit(2), greatest(size(syms) - 1, lit(0))))).as("p"))
-      .groupBy(col("p.0").as("wa"), col("p.1").as("wb"))
-      .agg(sum(col("freq")).as("n"))
-  }
-
+  /** Gated query: textbook sequential BPE over the corpus dictionary.
+    * The trainer itself lives in operators/Bpe.scala, which also
+    * provides the batched large-vocab variant (top-K symbol-disjoint
+    * merges per round) the gated 8-round query doesn't need. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    var dict = dictionary(s, dir).localCheckpoint()
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    (1 to MergeRounds).foreach { round =>
-      val Array(best) = pairCounts(dict)
-        .orderBy(col("n").desc, col("wa"), col("wb")).limit(1).collect()
-      val (wa, wb, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      val merged = "." + wa.stripPrefix(".").stripSuffix(".") +
-        wb.stripPrefix(".").stripSuffix(".") + "."
-      merges += ((round.toLong, wa.stripPrefix(".").stripSuffix("."),
-        wb.stripPrefix(".").stripSuffix("."),
-        merged.stripPrefix(".").stripSuffix("."), n))
-      dict = dict
-        .select(
-          expr(s"replace(wstr, '$wa  $wb', '$merged')").as("wstr"),
-          col("freq"))
-        .localCheckpoint()
-    }
-    merges.result()
-      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
-      .orderBy(col("round"))
+    val dict = graft.operators.Bpe.dictionary(Tables.documents(s, dir), "text")
+    val (merges, _) = graft.operators.Bpe.trainSequential(dict, MergeRounds)
+    graft.operators.Bpe.mergesDf(s, merges)
   }
 
   /** The oracle replays every round as chained CTEs: wK = the
