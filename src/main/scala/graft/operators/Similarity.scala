@@ -211,13 +211,21 @@ object Similarity {
   // of the next round, exactly as the grouped update produces them.
   // --------------------------------------------------------------------
 
-  /** Micro-int vector column from a float-array embedding. */
+  /** Micro-int vector column from a float-array embedding — native
+    * codegen'd (the transform/round HOF ran interpreted per element on
+    * every corpus vector of every ANN query). */
   def microVec(embCol: Column): Column =
-    transform(embCol, x => round(x.cast("double") * 1e6).cast("long"))
+    GraftInternals.column(graft.expressions.MicroVec(GraftInternals.expression(embCol)))
 
-  /** Exact integer squared L2 between two micro-int vectors. */
+  /** Elementwise difference of micro-int vectors (PQ residuals), native. */
+  def subVec(a: Column, b: Column): Column =
+    GraftInternals.column(graft.expressions.LongSubVec(
+      GraftInternals.expression(a), GraftInternals.expression(b)))
+
+  /** Exact integer squared L2 between two micro-int vectors, native. */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    GraftInternals.column(graft.expressions.LongSqDist(
+      GraftInternals.expression(a), GraftInternals.expression(b)))
 
   /** An id-sorted ArgBook from collected (id, codeword) rows. */
   private def book(cands: Seq[(Long, Seq[Long])]): graft.expressions.ArgBook = {
@@ -291,13 +299,15 @@ object Similarity {
   /** Exact integer dot of micro-int vectors (products <= ~1e12, x dim
     * << 2^63). */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    GraftInternals.column(graft.expressions.LongDot(
+      GraftInternals.expression(a), GraftInternals.expression(b)))
 
   /** Euclidean norm of a micro-int vector, via the exact integer
     * sum-of-squares (the only float op is the final sqrt — identical
     * on every engine). */
   def microNorm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0L), _ + _).cast("double"))
+    sqrt(GraftInternals.column(graft.expressions.LongSumSq(
+      GraftInternals.expression(a))).cast("double"))
 
   // --------------------------------------------------------------------
   // Product quantization (PQ): compress each vector to `PqBlocks` small
@@ -316,8 +326,8 @@ object Similarity {
     * through the explode. */
   def pqSubvectors(vecs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     vecs.select(col("vec_id") +: carry.map(col) :+
-      explode_outer(transform(sequence(lit(0), lit(PqBlocks - 1)), b =>
-        struct(b.as("block"), slice(col("m"), b * PqSub + 1, lit(PqSub)).as("sub")))).as("bs"): _*)
+      explode_outer(GraftInternals.column(graft.expressions.PqSlices(
+        GraftInternals.expression(col("m")), PqBlocks, PqSub))).as("bs"): _*)
       .select(col("vec_id") +: carry.map(col) :+
         col("bs.block").as("block") :+ col("bs.sub").as("sub"): _*)
 
@@ -382,7 +392,7 @@ object Similarity {
     val resid = assigned
       .join(broadcast(cents.select(col("cid").as("cluster"), col("cm"))), Seq("cluster"))
       .select(col("vec_id"), col("cluster"),
-        zip_with(col("m"), col("cm"), (x, y) => x - y).as("m"))
+        subVec(col("m"), col("cm")).as("m"))
     val rsubs = pqSubvectors(resid, carry = Seq("cluster"))
     val codebook = codebookOf(rsubs)
     val codes = pqEncode(rsubs, codebook, carry = Seq("cluster"))
@@ -392,7 +402,7 @@ object Similarity {
     val probes = Plans.topKPerKeyRanked(probeScored, Seq(probeScored("q_vec_id")),
       Seq((probeScored("p_dist"), false), (probeScored("cid"), false)), nprobe, "p_rank")
       .select(col("q_vec_id").as("vec_id"), col("cid").as("cluster"),
-        zip_with(col("qm"), col("cm"), (x, y) => x - y).as("m"))
+        subVec(col("qm"), col("cm")).as("m"))
     val adc = pqSubvectors(probes, carry = Seq("cluster"))
       .join(broadcast(codebook), Seq("block"))
       .select(col("vec_id").as("q_vec_id"), col("cluster"), col("block"), col("code"),

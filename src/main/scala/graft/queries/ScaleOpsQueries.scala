@@ -156,14 +156,11 @@ object ScaleOpsQueries {
     * bit-identical; all downstream ranking is integer math. */
   private def sq8Codes(v: DataFrame, statarr: DataFrame): DataFrame =
     v.crossJoin(broadcast(statarr))
-      .withColumn("c", transform(sequence(lit(0), lit(Dim - 1)), i => {
-        val x = element_at(col("embedding"), i + 1).cast("double")
-        val mn = element_at(col("mns"), i + 1)
-        val mx = element_at(col("mxs"), i + 1)
-        greatest(lit(0L), least(lit(255L),
-          when(mx > mn, round((x - mn) * 255.0 / (mx - mn)).cast("long"))
-            .otherwise(lit(128L))))
-      }))
+      .withColumn("c", org.apache.spark.sql.GraftInternals.column(
+        graft.expressions.Sq8Encode(
+          org.apache.spark.sql.GraftInternals.expression(col("embedding")),
+          org.apache.spark.sql.GraftInternals.expression(col("mns")),
+          org.apache.spark.sql.GraftInternals.expression(col("mxs")))))
       .select(col("vec_id"), col("c"))
 
   def sq8Ann(s: SparkSession, dir: String): DataFrame = {

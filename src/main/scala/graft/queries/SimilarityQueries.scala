@@ -765,7 +765,7 @@ object SimilarityQueries {
     val resid = assigned
       .join(broadcast(cents.select(col("cid").as("cluster"), col("cm"))), Seq("cluster"))
       .select(col("vec_id"), col("cluster"),
-        zip_with(col("m"), col("cm"), (x, y) => x - y).as("m"))
+        Similarity.subVec(col("m"), col("cm")).as("m"))
     val rsubs = Similarity.pqSubvectors(resid, carry = Seq("cluster"))
     Similarity.pqTrainLocalCodebooks(rsubs, PqCodes, Similarity.PqSub, KmeansIters)._1
       .select(col("vec_id"), col("cluster"),
