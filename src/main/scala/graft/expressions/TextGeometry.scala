@@ -137,6 +137,33 @@ object TextGeometryUtil {
     new GenericArrayData(buf.toArray)
   }
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Space-joined n-token shingles; empty when fewer than n tokens. */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of tokens present in `words`. */
+  def countMembers(toks: ArrayData, words: java.util.HashSet[UTF8String]): Long = {
+    val m = toks.numElements()
+    var c = 0L
+    var i = 0
+    while (i < m) { if (words.contains(toks.getUTF8String(i))) c += 1; i += 1 }
+    c
+  }
+
   /** exists interval [s, e] with s >= lo && e <= hi. */
   def anyWithin(intervals: ArrayData, lo: Long, hi: Long): Boolean = {
     val n = intervals.numElements()
@@ -254,4 +281,48 @@ case class IntervalAdjacent(intervals: Expression, lo: Expression, hi: Expressio
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): IntervalAdjacent =
     copy(intervals = newFirst, lo = newSecond, hi = newThird)
+}
+
+/** Space-joined n-token shingles anchored at each position — native
+  * form of the transform/concat_ws lambda under the whole dedup
+  * family's corpus scans. Fewer than n tokens yields an empty array
+  * (explode_outer then emits one null row, dropped by the caller's
+  * filter, exactly like the retired when()/null guard). */
+case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextGeometryUtil.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextGeometryUtil.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** Count of tokens that are members of `words` — native form of the
+  * size(filter(toks, isin)) stop-word counter. */
+case class CountMembers(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_count_members"
+
+  @transient private lazy val jWords: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextGeometryUtil.countMembers(input.asInstanceOf[ArrayData], jWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("words", jWords, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextGeometryUtil.countMembers($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountMembers =
+    copy(child = newChild)
 }

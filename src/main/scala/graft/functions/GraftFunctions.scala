@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftInternals}
 
-import graft.expressions.{AdminIntervals, IntervalAdjacent, RepairSelector, StreamSignals, TokenCharStarts, TokenPrefixStarts}
+import graft.expressions.{AdminIntervals, CountMembers, IntervalAdjacent, RepairSelector, StreamSignals, TokenCharStarts, TokenPrefixStarts, TokenShingles}
 
 /** Column wrappers over graft's native codegen'd expressions — the
   * text-geometry family that replaced interpreted higher-order-function
@@ -31,6 +31,14 @@ object GraftFunctions {
   /** Malformed-CSS-selector auto-repair (scraper.py:522-554). */
   def repairSelector(query: Column): Column =
     GraftInternals.column(RepairSelector(GraftInternals.expression(query)))
+
+  /** Space-joined n-token shingles; empty array below n tokens. */
+  def tokenShingles(toks: Column, n: Int): Column =
+    GraftInternals.column(TokenShingles(GraftInternals.expression(toks), n))
+
+  /** Count of tokens that are members of `words`. */
+  def countMembers(toks: Column, words: Seq[String]): Column =
+    GraftInternals.column(CountMembers(GraftInternals.expression(toks), words))
 
   /** Per-token context-gazetteer signals + anchored grams, one pass;
     * emitSentence additionally carries each token's space-joined

@@ -69,15 +69,16 @@ object Dedup {
     * generated attribute), so no `isnotnull`/`size>0` predicate is
     * inferred on the fold chain and nothing expensive is pushed into
     * the scan filter (see q43's identical guard). */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val sh = when(size(col("toks")) >= n,
-      transform(sequence(lit(0), size(col("toks")) - n), i =>
-        concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
-      .select(col(idCol), explode_outer(sh).as("shingle"))
+      // native one-pass shingle builder (the former transform/concat_ws
+      // lambda was CodegenFallback — interpreted per row under every
+      // dedup-family corpus scan); fewer-than-n-token docs yield an
+      // empty array, whose outer explode emits one null row, dropped
+      .select(col(idCol),
+        explode_outer(graft.functions.GraftFunctions.tokenShingles(col("toks"), n)).as("shingle"))
       .filter(col("shingle").isNotNull)
       .distinct()
-  }
 
   /** Near-dup pairs by n-gram Jaccard via inverted-index join.
     * The >=0.5 threshold is the integer predicate 2*|A∩B| >= |A∪B| — no

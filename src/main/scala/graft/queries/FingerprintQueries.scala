@@ -30,17 +30,13 @@ object FingerprintQueries {
     // no filter ever references a derived column post-explode — the
     // inferred-filter pushdown class cannot inline the fold chain into
     // the scan — and exploded rows carry no token array at all
-    val shingleArr = when(size(col("toks")) >= 3,
-      transform(sequence(lit(0), size(col("toks")) - 3), i =>
-        struct(i.as("pos"),
-          concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
-            get(col("toks"), i + 2)).as("s"))))
-      .otherwise(array().cast("array<struct<pos:int,s:string>>"))
     val sh = docs
       .select(col("doc_id"), tokens(fold(col("text"))).as("toks"))
-      .select(col("doc_id"), explode_outer(shingleArr).as("g"))
-      .filter(col("g.s").isNotNull)
-      .select(col("doc_id"), col("g.pos").as("pos"), Hashing.polyHash(col("g.s")).as("h"))
+      .select(col("doc_id"),
+        posexplode_outer(graft.functions.GraftFunctions.tokenShingles(col("toks"), 3))
+          .as(Seq("pos", "s")))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("pos"), Hashing.polyHash(col("s")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WindowSize - 1)
     sh.withColumn("wmin", min(col("h")).over(w))

@@ -94,7 +94,7 @@ object ScrapeQueries {
         col("doc_id"),
         size(col("pieces")).cast("long").as("n_pieces"),
         size(array_distinct(col("pieces"))).cast("long").as("n_distinct_pieces"),
-        aggregate(col("pieces"), lit(0L), (acc, p) => acc + length(p)).as("sum_piece_len"))
+        graft.functions.TextFunctions.tokenLengthSum(col("pieces")).as("sum_piece_len"))
       .orderBy(col("doc_id"))
   }
 

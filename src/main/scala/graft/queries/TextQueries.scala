@@ -185,7 +185,7 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars"),
         size(col("toks")).cast("long").as("n_tokens"),
         tokenLengthSum(col("toks")).as("sum_tok_len"),
-        size(filter(col("toks"), t => t.isin(stop: _*))).cast("long").as("stop_hits"))
+        graft.functions.GraftFunctions.countMembers(col("toks"), StopEn).as("stop_hits"))
       .withColumn("avg_token_len", col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens").cast("double"))
       .withColumn("quality_milli",
