@@ -56,11 +56,9 @@ object Curation {
         sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_distinct_tokens"),
         max(col("cnt")).as("top_tok_cnt"))
-    val bgList = when(size(col("toks")) >= 2,
-      transform(sequence(lit(0), size(col("toks")) - 2), i =>
-        concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1))))
     val bgStats = toked
-      .select(col(idCol), explode_outer(bgList).as("bg"))
+      .select(col(idCol), explode_outer(
+        graft.functions.GraftFunctions.tokenShingles(col("toks"), 2)).as("bg"))
       .filter(col("bg").isNotNull)
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(max(col("cnt")).as("top_bg_cnt"))

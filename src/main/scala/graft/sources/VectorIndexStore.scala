@@ -32,7 +32,7 @@ object VectorIndexStore {
     val resid = assigned
       .join(broadcast(cents.select(col("cid").as("cluster"), col("cm"))), Seq("cluster"))
       .select(col("vec_id"), col("cluster"),
-        zip_with(col("m"), col("cm"), (x, y) => x - y).as("m"))
+        Similarity.subVec(col("m"), col("cm")).as("m"))
     val rsubs = Similarity.pqSubvectors(resid, carry = Seq("cluster"))
     // codebook = residual subvectors of the CodebookCodes lowest ids
     // (deterministic; a production build k-means each block — q69
@@ -68,7 +68,7 @@ object VectorIndexStore {
     val probes = Plans.topKPerKeyRanked(probeScored, Seq(probeScored("q_vec_id")),
       Seq((probeScored("p_dist"), false), (probeScored("cid"), false)), nprobe, "p_rank")
       .select(col("q_vec_id").as("vec_id"), col("cid").as("cluster"),
-        zip_with(col("qm"), col("cm"), (x, y) => x - y).as("m"))
+        Similarity.subVec(col("qm"), col("cm")).as("m"))
     val adc = Similarity.pqSubvectors(probes, carry = Seq("cluster"))
       .join(broadcast(codebook), Seq("block"))
       .select(col("vec_id").as("q_vec_id"), col("cluster"), col("block"), col("code"),
