@@ -64,14 +64,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanCount(p) == 1, p)
   }
 
-  test("q56 context gazetteer scans the corpus exactly once (ctx-UF via in-stream window)") {
+  test("q56 context gazetteer scans the corpus exactly once (signals via one native pass)") {
     val p = plan(ContextQueries.contextGazetteer(spark, sfDir))
     assert(scanCount(p) == 1, p)
+    // WINDOWLESS corpus path: the per-token signals (sentence ids,
+    // char offsets, admin window, ctx-UF, grams) come from the
+    // StreamSignals expression inside the scan stage — the only
+    // exchange before the primary pick feeds the (doc, kw) aggregate,
+    // and the only Window left ranks the tiny aggregated set
+    assert(p.contains("graft_stream_signals"), p)
+    assert("hashaggregate".r.findAllIn(p.toLowerCase).size >= 2, p) // partial + final
   }
 
   test("q57 suppression audit scans the corpus exactly once") {
     val p = plan(ContextQueries.suppressionAudit(spark, sfDir))
     assert(scanCount(p) == 1, p)
+    assert(p.contains("graft_stream_signals"), p)
+  }
+
+  test("q64 occurrence sentences is windowless: signals + sentence text in the scan stage") {
+    val p = plan(ContextQueries.occurrenceSentences(spark, sfDir))
+    assert(scanCount(p) == 1, p)
+    assert(p.contains("graft_stream_signals"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("dedup shingles build with the native expression, not an interpreted lambda") {
+    // q22's final plan starts from the staged shingle set, so audit the
+    // builder itself (the pre-checkpoint corpus scan)
+    val p = plan(graft.operators.Dedup.shingles(
+      graft.Tables.documents(spark, sfDir), "text", "doc_id"))
+    assert(p.contains("graft_token_shingles"), p)
+    assert(!p.contains("transform("), p)
   }
 
   test("q46 lang-id is a pure scan: no explode, no join, no shuffle but the sort") {
