@@ -170,4 +170,72 @@ object Streaming {
             st.occs.map(_.seq).maxOption.getOrElse(0L))
       }
   }
+
+  // ---- streaming news-repo mutation state (mark_processed/mark_error) ----
+
+  case class RepoEvent(url: String, seq: Long, kind: String,
+      message: String, ner: String, gaz: String)
+  case class RepoState(exists: Boolean, upserted: Boolean,
+      nerDone: Boolean, hasNerDone: Boolean,
+      nerV: String, gazV: String, lastError: String,
+      errCount: Long, errFirst: String, errLast: String, lastSeq: Long)
+  case class RepoSnapshot(url: String, upserted: Boolean,
+      ner_done: Option[Boolean], ner_version: Option[String],
+      gazetteer_version: Option[String], last_error: Option[String],
+      err_count: Long, err_first: Option[String], err_last: Option[String],
+      last_seq: Long)
+
+  /** The news repository's mutation semantics
+    * (infrastructure/extraction.py:77-113) as ONE bounded state record
+    * per url in a mapGroupsWithState stream — the incremental form of
+    * the batch replay (q124 / ErrorReplayQueries):
+    *
+    *  - "collect": the collector writes the document (creation);
+    *  - "processed" (`mark_processed`, NO upsert): a silent no-op
+    *    until the document exists; afterwards sets ner_done/versions
+    *    and clears the errors ARRAY — but NOT last_error;
+    *  - "error" (`mark_error`, upsert=True): creates the document on
+    *    miss, sets ner_done=false + last_error, pushes an error entry.
+    *
+    * State stays bounded by keeping the error array's count and
+    * first/last message (the fields q124 emits) instead of the full
+    * list — the reference's Mongo array is unbounded by design; a
+    * bounded-state stream keeps the aggregate view. Events apply in
+    * seq order within a batch; each batch emits the url's current
+    * snapshot (update-mode semantics). */
+  def newsRepoState(events: Dataset[RepoEvent]): Dataset[RepoSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.url)
+      .mapGroupsWithState[RepoState, RepoSnapshot](GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[RepoEvent], state: GroupState[RepoState]) =>
+          var st = state.getOption.getOrElse(
+            RepoState(exists = false, upserted = false, nerDone = false,
+              hasNerDone = false, null, null, null, 0L, null, null, 0L))
+          rows.toSeq.sortBy(_.seq).foreach { e =>
+            e.kind match {
+              case "collect" =>
+                if (!st.exists) st = st.copy(exists = true)
+              case "error" =>
+                if (!st.exists) st = st.copy(exists = true, upserted = true)
+                st = st.copy(nerDone = false, hasNerDone = true,
+                  lastError = e.message, errCount = st.errCount + 1L,
+                  errFirst = if (st.errCount == 0L) e.message else st.errFirst,
+                  errLast = e.message)
+              case "processed" =>
+                if (st.exists) // no upsert: missing document -> no-op
+                  st = st.copy(nerDone = true, hasNerDone = true,
+                    nerV = e.ner, gazV = e.gaz,
+                    errCount = 0L, errFirst = null, errLast = null)
+              case other =>
+                throw new IllegalArgumentException(s"unknown repo event kind: $other")
+            }
+            if (st.exists) st = st.copy(lastSeq = math.max(st.lastSeq, e.seq))
+          }
+          state.update(st)
+          RepoSnapshot(url, st.upserted,
+            if (st.hasNerDone) Some(st.nerDone) else None,
+            Option(st.nerV), Option(st.gazV), Option(st.lastError),
+            st.errCount, Option(st.errFirst), Option(st.errLast), st.lastSeq)
+      }
+  }
 }
