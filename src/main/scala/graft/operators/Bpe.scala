@@ -40,17 +40,36 @@ object Bpe {
   final case class Merge(round: Long, leftSym: String, rightSym: String,
       merged: String, pairCount: Long)
 
-  /** (wstr, freq) dictionary from a corpus of lowercase words. */
-  def dictionary(docs: DataFrame, textCol: String): DataFrame =
+  /** (word, wstr, freq) dictionary from a corpus of lowercase words;
+    * wstr is bijective with word (per-char wrapping), so carrying the
+    * raw word through merge rounds is free. */
+  def dictionaryWithWords(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(
+      .select(col("word"),
         concat_ws("  ",
           transform(split(col("word"), "(?!^)(?=.)"),
             c => concat(lit("."), c, lit(".")))).as("wstr"),
         col("freq"))
+
+  /** (wstr, freq) dictionary from a corpus of lowercase words. */
+  def dictionary(docs: DataFrame, textCol: String): DataFrame =
+    dictionaryWithWords(docs, textCol).select(col("wstr"), col("freq"))
+
+  /** Apply an already-trained merge table to a dictionary: the merges
+    * chain as ONE projection of nested replace() calls (codegen'd
+    * string ops, no iteration, no shuffle) — encoding is a map-side
+    * pass once training is done, which is the point: the 100 TB corpus
+    * is encoded by a broadcast join against this tiny dictionary, and
+    * the dictionary itself is encoded in one projection. */
+  def applyMerges(dict: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val mergedExpr = merges.foldLeft("wstr") { (acc, m) =>
+      s"replace($acc, '.${m.leftSym}.  .${m.rightSym}.', '.${m.merged}.')"
+    }
+    dict.withColumn("wstr", expr(mergedExpr))
+  }
 
   /** Adjacent wrapped-symbol pairs weighted by word frequency. */
   def pairCounts(dict: DataFrame): DataFrame = {

@@ -51,7 +51,7 @@ object TokenizerQueries {
   val bpeMergesSql: String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS (
+      """WITH w0 AS MATERIALIZED (
         |  SELECT array_to_string(list_transform(range(1, length(word) + 1),
         |           i -> '.' || word[i] || '.'), '  ') AS wstr,
         |         count(*) AS freq
@@ -61,13 +61,13 @@ object TokenizerQueries {
         |  GROUP BY 1)""".stripMargin)
     (1 to MergeRounds).foreach { r =>
       sb.append(s""",
-        |p$r AS (
+        |p$r AS MATERIALIZED (
         |  SELECT t[i] AS wa, t[i + 1] AS wb, CAST(sum(freq) AS BIGINT) AS n
         |  FROM (SELECT freq, string_split(wstr, '  ') AS t FROM w${r - 1}),
         |       UNNEST(range(1, len(t))) AS u(i)
         |  GROUP BY 1, 2),
         |rp$r AS (SELECT wa, wb, n FROM p$r ORDER BY n DESC, wa, wb LIMIT 1),
-        |w$r AS (
+        |w$r AS MATERIALIZED (
         |  SELECT replace(wstr,
         |           (SELECT wa || '  ' || wb FROM rp$r),
         |           (SELECT '.' || trim(wa, '.') || trim(wb, '.') || '.' FROM rp$r))
@@ -83,9 +83,89 @@ object TokenizerQueries {
     sb.toString
   }
 
+  /** q125: ENCODE the corpus with the trained merges — the apply side
+    * of tokenizer training (q121 trains; this tokenizes). The merge
+    * table is trained on the word dictionary, applied back to the
+    * dictionary as one nested-replace projection, and the corpus is
+    * encoded by a broadcast join of its word stream against that
+    * dictionary — per doc: word occurrences, post-merge token count,
+    * pre-merge symbol (char) count, and the integer-micro compression
+    * ratio. Scale shape: training cost is dictionary-sized; encoding
+    * is ONE corpus scan + broadcast join + per-doc aggregation. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val dictW = graft.operators.Bpe.dictionaryWithWords(Tables.documents(s, dir), "text")
+    val (merges, _) = graft.operators.Bpe.trainSequential(
+      dictW.select(col("wstr"), col("freq")), MergeRounds)
+    val encoded = graft.operators.Bpe.applyMerges(dictW, merges)
+      .select(col("word"),
+        size(split(col("wstr"), "  ")).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(encoded), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_sym")).as("n_syms"))
+      .withColumn("ratio_e6",
+        round(lit(1000000.0) * col("n_tokens").cast("double") / col("n_syms").cast("double")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle replays training via q121's chained CTEs (word carried
+    * through the merge rounds — wstr is bijective with word, so pair
+    * counts and argmaxes are unchanged), then encodes the corpus by
+    * joining its word stream to the final dictionary. */
+  val bpeEncodeSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
+        |           i -> '.' || word[i] || '.'), '  ') AS wstr,
+        |         count(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''
+        |  GROUP BY 1)""".stripMargin)
+    (1 to MergeRounds).foreach { r =>
+      sb.append(s""",
+        |p$r AS MATERIALIZED (
+        |  SELECT t[i] AS wa, t[i + 1] AS wb, CAST(sum(freq) AS BIGINT) AS n
+        |  FROM (SELECT freq, string_split(wstr, '  ') AS t FROM w${r - 1}),
+        |       UNNEST(range(1, len(t))) AS u(i)
+        |  GROUP BY 1, 2),
+        |rp$r AS (SELECT wa, wb, n FROM p$r ORDER BY n DESC, wa, wb LIMIT 1),
+        |w$r AS MATERIALIZED (
+        |  SELECT word, replace(wstr,
+        |           (SELECT wa || '  ' || wb FROM rp$r),
+        |           (SELECT '.' || trim(wa, '.') || trim(wb, '.') || '.' FROM rp$r))
+        |         AS wstr, freq
+        |  FROM w${r - 1})""".stripMargin)
+    }
+    sb.append(s""",
+      |enc AS (SELECT word, CAST(len(string_split(wstr, '  ')) AS BIGINT) AS n_tok,
+      |               CAST(length(word) AS BIGINT) AS n_sym
+      |        FROM w$MergeRounds),
+      |stream AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_sym) AS BIGINT) AS n_syms,
+      |  CAST(ROUND(1000000.0 * CAST(sum(n_tok) AS DOUBLE) / CAST(sum(n_sym) AS DOUBLE)) AS BIGINT) AS ratio_e6
+      |FROM stream JOIN enc USING (word)
+      |WHERE word <> ''
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
-    "q121_bpe_merges" -> (bpeMerges _))
+    "q121_bpe_merges" -> (bpeMerges _),
+    "q125_bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = Map(
-    "q121_bpe_merges" -> bpeMergesSql)
+    "q121_bpe_merges" -> bpeMergesSql,
+    "q125_bpe_encode" -> bpeEncodeSql)
 }
