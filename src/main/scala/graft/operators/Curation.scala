@@ -213,4 +213,103 @@ object Curation {
       .select(col(idCol), col("rnk").cast("long").as("rnk"), col("tok"),
         col("tf"), col("df"))
   }
+
+  // ---- line-level exact dedup (RefinedWeb / CCNet style) -------------
+
+  /** Segment-level exact dedup: every segment whose corpus document
+    * frequency reaches `minDf` is removed from EVERY document, and the
+    * surviving text is reassembled in original order. This is the
+    * duplicated-line removal step of CCNet / RefinedWeb-style corpus
+    * cleaning — the per-LINE complement of the per-DOC q21 and the
+    * n-gram-level q91. Shape: one segment-keyed aggregation (the df
+    * table) plus a co-partitioned join back, then a doc-keyed re-agg —
+    * linear in corpus segments, no windows over the corpus. The only
+    * higher-order call (`transform` extracting the kept segments from
+    * the sorted struct array) runs on one post-aggregation row per doc,
+    * never in the corpus scan.
+    *
+    * `segsCol` is the caller's segmentation (an array<string> column) so
+    * the same operator serves newline splits, sentence splits, or any
+    * other line notion. */
+  def lineDedup(df: DataFrame, idCol: String, segsCol: Column,
+                joiner: String, minDf: Int = 2): DataFrame = {
+    val segs = df
+      .select(col(idCol), posexplode_outer(segsCol).as(Seq("pos", "seg")))
+      .withColumn("seg", trim(col("seg")))
+      .filter(col("seg").isNotNull && length(col("seg")) > 0)
+    val dfreq = segs.groupBy(col("seg"))
+      .agg(count_distinct(col(idCol)).as("seg_df"))
+    val dup = col("seg_df") >= minDf
+    segs.join(dfreq, Seq("seg"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(dup, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(dup, length(col("seg")).cast("long")).otherwise(0L)).as("chars_removed"),
+        sum(when(!dup, length(col("seg")).cast("long")).otherwise(0L)).as("kept_chars"),
+        array_sort(collect_list(when(!dup, struct(col("pos"), col("seg"))))).as("kept"))
+      .select(col(idCol), col("n_segs"), col("n_removed"), col("chars_removed"),
+        col("kept_chars"),
+        md5(array_join(transform(col("kept"), x => x.getField("seg")), joiner))
+          .as("kept_md5"))
+  }
+
+  // ---- unigram LM surprisal (CCNet-style quality scoring) ------------
+
+  /** CCNet-style language-model quality scoring with an engine-exact
+    * integer surrogate: a token's surprisal is
+    * `floor(log2(N)) - floor(log2(count))` bits, computed as
+    * binary-string lengths (`length(bin(x))`) so no transcendental
+    * `ln` — which engines round differently in the last ulp — ever
+    * enters a hash-compared column. Per-doc score = total bits over
+    * token instances and milli-bits/token (integer floor division).
+    * Shape: (doc, tok) hash agg → tok-level corpus counts → token-keyed
+    * join back → doc-keyed re-agg (the q91 two-shuffle shape); the
+    * corpus total is a 1-row broadcast. */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val docTok = df
+      .select(col(idCol), explode_outer(tokens(fold(col(textCol)))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("dc"))
+    val tokc = docTok.groupBy(col("tok")).agg(sum(col("dc")).as("cnt"))
+    val total = tokc.agg(sum(col("cnt")).as("n_total"))
+    val bits = tokc.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long").as("bits"))
+    docTok.join(bits, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("dc")).as("n_tokens"),
+        sum(col("dc") * col("bits")).as("total_bits"))
+      .withColumn("milli_bits_per_token",
+        expr("(1000 * total_bits) div n_tokens"))
+  }
+
+  // ---- vocabulary coverage / OOV rate --------------------------------
+
+  /** Frequency-based vocabulary build + per-doc out-of-vocabulary rate:
+    * the vocab is the top-`v` tokens by (count desc, token asc) —
+    * selected through TopKPerKeyExec's bounded heap (the vocab table is
+    * dictionary-sized; nothing global-sorts the corpus) — and each doc
+    * reports its token count, OOV instance count, OOV type count and
+    * e6 OOV rate. The tokenizer-coverage eval every vocab build runs
+    * before committing to a merge table (the apply-side complement of
+    * q121/q125). */
+  def vocabCoverage(df: DataFrame, textCol: String, idCol: String, v: Int): DataFrame = {
+    val docTok = df
+      .select(col(idCol), explode_outer(tokens(fold(col(textCol)))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("dc"))
+    val tokc = docTok.groupBy(col("tok")).agg(sum(col("dc")).as("cnt"))
+      .withColumn("g", lit(1))
+    val vocab = graft.plans.Plans.topKPerKeyRanked(tokc, Seq(tokc("g")),
+      Seq((tokc("cnt"), true), (tokc("tok"), false)), v, "rnk")
+      .select(col("tok"), lit(true).as("in_vocab"))
+    docTok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("dc")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("dc")).otherwise(0L)).as("n_oov"),
+        count_distinct(when(col("in_vocab").isNull, col("tok"))).as("n_oov_types"))
+      .withColumn("oov_e6",
+        e6(col("n_oov").cast("double") / col("n_tokens")))
+  }
 }

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.{Curation, Dedup}
+
+/** Corpus-cleaning operators a pretraining pipeline runs between
+  * ingest and tokenization, continuing SURVEY.md §2 layers D/D′:
+  * duplicated-line removal (q126), LM-surprisal quality scoring
+  * (q127), the dedup family's precision/recall eval harness (q128),
+  * and vocabulary-coverage / OOV analysis (q129).
+  */
+object CorpusOpsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared oracle fragments (folded whitespace tokens, as DedupQueries)
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+  private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
+  private def e6Sql(e: String) = s"CAST(ROUND(($e) * 1000000.0) AS BIGINT)"
+
+  // ---- q126: duplicated-line removal (RefinedWeb / CCNet style) ----
+
+  /** q126: line-level exact dedup — the duplicated-line removal step of
+    * CCNet / RefinedWeb corpus cleaning. Segments (sentence units, with
+    * boundaries synthesized exactly as q40 does — the corpus has no
+    * punctuation) that occur in >= 2 documents are removed from EVERY
+    * document, and each doc reports its kept/removed accounting plus
+    * the md5 of the reassembled survivor text. One segment-keyed df
+    * aggregation + co-partitioned join-back (the q91 shape); nothing
+    * quadratic, no corpus windows. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.lineDedup(
+      Tables.documents(s, dir), "doc_id",
+      split(regexp_replace(col("text"), " batch ", ". "), "\\. "), ". ", minDf = 2)
+      .orderBy(col("doc_id"))
+
+  val lineDedupSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+      |  FROM documents),
+      |pos AS (SELECT doc_id, trim(seg) AS seg, i FROM (
+      |    SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS i FROM p)
+      |  WHERE trim(seg) <> ''),
+      |dfq AS (SELECT seg, COUNT(DISTINCT doc_id) AS seg_df FROM pos GROUP BY seg)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_segs,
+      |  CAST(SUM(CASE WHEN seg_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN seg_df >= 2 THEN length(seg) ELSE 0 END) AS BIGINT) AS chars_removed,
+      |  CAST(SUM(CASE WHEN seg_df < 2 THEN length(seg) ELSE 0 END) AS BIGINT) AS kept_chars,
+      |  md5(COALESCE(string_agg(seg, '. ' ORDER BY i) FILTER (WHERE seg_df < 2), '')) AS kept_md5
+      |FROM pos JOIN dfq USING (seg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q127: unigram-LM surprisal quality score (CCNet style) ----
+
+  /** Bucket thresholds in milli-bits/token, chosen so the synthetic
+    * corpus exercises all three CCNet buckets (its near-uniform token
+    * distribution puts most docs at exactly 5000). */
+  val HeadMaxMilli = 5050L
+  val MiddleMaxMilli = 5200L
+
+  /** q127: CCNet-style LM quality scoring — rank documents by unigram
+    * cross-entropy under a corpus-trained LM and bucket head/middle/
+    * tail. The surprisal surrogate is integer bits via binary-string
+    * lengths (floor-log2), so no transcendental `ln` enters the
+    * hash-compared columns (engines disagree in the last ulp of `ln`;
+    * they agree on `bin`). Two hash-agg chains + a token-keyed
+    * join-back; the corpus total is a 1-row broadcast. */
+  def lmSurprisal(s: SparkSession, dir: String): DataFrame =
+    Curation.unigramSurprisal(Tables.documents(s, dir), "text", "doc_id")
+      .withColumn("bucket",
+        when(col("milli_bits_per_token") < HeadMaxMilli, "head")
+          .when(col("milli_bits_per_token") < MiddleMaxMilli, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        col("milli_bits_per_token"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val lmSurprisalSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |dt AS (SELECT doc_id, tok, COUNT(*) AS dc FROM pos GROUP BY doc_id, tok),
+       |tokc AS (SELECT tok, CAST(SUM(dc) AS BIGINT) AS cnt FROM dt GROUP BY tok),
+       |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tokc),
+       |bits AS (SELECT tok,
+       |    CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits
+       |  FROM tokc CROSS JOIN n),
+       |sc AS (SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(dc * bits) AS BIGINT) AS total_bits
+       |  FROM dt JOIN bits USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, total_bits,
+       |  (1000 * total_bits) // n_tokens AS milli_bits_per_token,
+       |  CASE WHEN (1000 * total_bits) // n_tokens < $HeadMaxMilli THEN 'head'
+       |       WHEN (1000 * total_bits) // n_tokens < $MiddleMaxMilli THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---- q128: MinHash-LSH precision/recall eval ----
+
+  /** q128: the dedup family's eval harness — measured precision and
+    * recall of the q23 MinHash-LSH candidate pairs against the q22
+    * exact-Jaccard (>= 0.5, df-capped) ground truth, the companion of
+    * q95's ANN recall eval. Both sides are the already-gated operators;
+    * the verdict is a full-outer pair join folded to ONE row of
+    * engine-exact counts and e6 ratios. */
+  def lshEval(s: SparkSession, dir: String): DataFrame = {
+    val reps = Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+    val sh = Dedup.shingles(reps, "text", "doc_id")
+    val truth = Dedup.jaccardPairs(sh, "doc_id", dfCap = Some(DedupQueries.JaccardDfCap))
+      .select(col("doc_a"), col("doc_b"), lit(true).as("is_true"))
+    val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
+      .select(col("doc_a"), col("doc_b"), lit(true).as("is_cand"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("is_true") && col("is_cand"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        (col("n_true") - col("n_hit")).as("n_false_neg"),
+        (col("n_cand") - col("n_hit")).as("n_false_pos"),
+        round(lit(1000000.0) * col("n_hit").cast("double") /
+          greatest(col("n_cand"), lit(1L)).cast("double")).cast("long").as("precision_e6"),
+        round(lit(1000000.0) * col("n_hit").cast("double") /
+          greatest(col("n_true"), lit(1L)).cast("double")).cast("long").as("recall_e6"))
+  }
+
+  val lshEvalSql: String = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"MIN(${Hashing.affineSql("h_base", k)}) AS h$k")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Dedup.MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS band_val FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${DedupQueries.RepsCte},
+       |${DedupQueries.ShinglesCte},
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= ${DedupQueries.JaccardDfCap}),
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT doc_a, doc_b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE intersect_n * 2 >= sa.set_size + sb.set_size - intersect_n),
+       |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h_base FROM sh),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |m AS (SELECT t.doc_a IS NOT NULL AS is_true, c.doc_a IS NOT NULL AS is_cand
+       |  FROM truth t FULL OUTER JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+       |agg AS (SELECT
+       |    CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |    CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM m)
+       |SELECT n_true, n_cand, n_hit,
+       |  n_true - n_hit AS n_false_neg,
+       |  n_cand - n_hit AS n_false_pos,
+       |  ${e6Sql("CAST(n_hit AS DOUBLE) / GREATEST(n_cand, 1)")} AS precision_e6,
+       |  ${e6Sql("CAST(n_hit AS DOUBLE) / GREATEST(n_true, 1)")} AS recall_e6
+       |FROM agg""".stripMargin
+  }
+
+  // ---- q129: vocabulary coverage / OOV rate ----
+
+  val VocabSize = 16
+
+  /** q129: frequency-based vocab build (top-16 by count desc, token
+    * asc, through TopKPerKeyExec's bounded heap — the vocab pick never
+    * global-sorts anything corpus-sized) + per-doc OOV instance/type
+    * counts and e6 rate — the tokenizer-coverage eval that gates a
+    * vocab before the q125 encode commits to it. */
+  def vocabOov(s: SparkSession, dir: String): DataFrame =
+    Curation.vocabCoverage(Tables.documents(s, dir), "text", "doc_id", VocabSize)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("n_oov_types"),
+        col("oov_e6"))
+      .orderBy(col("doc_id"))
+
+  val vocabOovSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |dt AS (SELECT doc_id, tok, COUNT(*) AS dc FROM pos GROUP BY doc_id, tok),
+       |tokc AS (SELECT tok, CAST(SUM(dc) AS BIGINT) AS cnt FROM dt GROUP BY tok),
+       |vocab AS (SELECT tok FROM tokc ORDER BY cnt DESC, tok LIMIT $VocabSize)
+       |SELECT doc_id,
+       |  CAST(SUM(dc) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN dc ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN dt.tok END) AS BIGINT) AS n_oov_types,
+       |  ${e6Sql("CAST(SUM(CASE WHEN v.tok IS NULL THEN dc ELSE 0 END) AS DOUBLE) / SUM(dc)")} AS oov_e6
+       |FROM dt LEFT JOIN vocab v ON dt.tok = v.tok
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q126_line_dedup" -> (lineDedup _),
+    "q127_lm_surprisal" -> (lmSurprisal _),
+    "q128_lsh_eval" -> (lshEval _),
+    "q129_vocab_oov" -> (vocabOov _))
+
+  val oracles: Map[String, String] = Map(
+    "q126_line_dedup" -> lineDedupSql,
+    "q127_lm_surprisal" -> lmSurprisalSql,
+    "q128_lsh_eval" -> lshEvalSql,
+    "q129_vocab_oov" -> vocabOovSql)
+}

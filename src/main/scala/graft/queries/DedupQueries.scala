@@ -23,13 +23,13 @@ object DedupQueries {
     "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
   private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
 
-  private val RepsCte =
+  private[queries] val RepsCte =
     """reps AS (SELECT doc_id, text, lang, source, n_chars FROM (
       |    SELECT doc_id, text, lang, source, n_chars,
       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
       |    FROM documents) WHERE doc_id = keep)""".stripMargin
 
-  private val ShinglesCte =
+  private[queries] val ShinglesCte =
     s"""toks AS (SELECT doc_id, $ToksSql AS t FROM reps),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CorpusOpsQueries
+
+/** q126-q129: corpus-cleaning operators — duplicated-line removal,
+  * LM-surprisal quality scoring, the MinHash-LSH precision/recall
+  * eval, and vocabulary coverage / OOV analysis. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val lineRows = CorpusOpsQueries.lineDedup(spark, sfDir).collect()
+
+  test("q126 accounting is internally consistent") {
+    assert(lineRows.length === 500)
+    lineRows.foreach { r =>
+      val (nSegs, nRem) = (r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"))
+      assert(nRem <= nSegs)
+      assert(r.getAs[Long]("chars_removed") >= 0)
+      // a doc with nothing removed keeps all its characters
+      if (nRem == 0) assert(r.getAs[Long]("chars_removed") === 0)
+      // a doc with everything removed hashes the empty survivor text
+      if (nRem == nSegs)
+        assert(r.getAs[String]("kept_md5") ===
+          java.security.MessageDigest.getInstance("MD5").digest(Array.emptyByteArray)
+            .map("%02x".format(_)).mkString)
+    }
+    assert(lineRows.count(_.getAs[Long]("n_removed") > 0) > 0, "dup segments must exist")
+  }
+
+  test("q126 matches an in-memory transcription of duplicated-line removal") {
+    // recompute the whole operator in plain Scala on the driver and
+    // compare every row — segmentation, df threshold, accounting and
+    // the reassembled-survivor md5 all pinned at once
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val segsOf: Map[Long, Seq[String]] = docs.map { case (id, text) =>
+      id -> text.replace(" batch ", ". ").split("\\. ", -1).toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    }
+    val dfreq = segsOf.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (seg, xs) => seg -> xs.map(_._2).distinct.size }
+    lineRows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ss = segsOf(id)
+      val (dup, kept) = ss.partition(sg => dfreq(sg) >= 2)
+      assert(r.getAs[Long]("n_segs") === ss.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_removed") === dup.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("chars_removed") === dup.map(_.length.toLong).sum, s"doc $id")
+      assert(r.getAs[Long]("kept_chars") === kept.map(_.length.toLong).sum, s"doc $id")
+      assert(r.getAs[String]("kept_md5") === md5(kept.mkString(". ")), s"doc $id")
+    }
+    assert(lineRows.length === docs.size)
+  }
+
+  test("q126 plan: df join-back, no cartesian products") {
+    val p = CorpusOpsQueries.lineDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  private lazy val lmRows = CorpusOpsQueries.lmSurprisal(spark, sfDir).collect()
+
+  test("q127 surprisal is floor-div consistent and buckets match thresholds") {
+    assert(lmRows.length === 500)
+    lmRows.foreach { r =>
+      val (nt, tb) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"))
+      val milli = r.getAs[Long]("milli_bits_per_token")
+      assert(nt > 0 && tb > 0)
+      assert(milli === (1000L * tb) / nt)
+      val expected =
+        if (milli < CorpusOpsQueries.HeadMaxMilli) "head"
+        else if (milli < CorpusOpsQueries.MiddleMaxMilli) "middle"
+        else "tail"
+      assert(r.getAs[String]("bucket") === expected)
+    }
+    // the near-uniform corpus pins most docs to the head bucket, but
+    // rare-token docs must push into middle/tail (the CCNet split)
+    val buckets = lmRows.map(_.getAs[String]("bucket")).toSet
+    assert(buckets === Set("head", "middle", "tail"))
+  }
+
+  test("q127 rare-token docs score strictly above the uniform floor") {
+    // docs containing the rare token ('dup', corpus count ~26 vs ~900
+    // for every other token) must have higher surprisal than the
+    // all-common-token floor of 5000 milli-bits
+    val rareDocs = Tables.documents(spark, sfDir)
+      .filter(col("text").contains("dup"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rareDocs.nonEmpty)
+    val floor = lmRows.filterNot(r => rareDocs.contains(r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("milli_bits_per_token")).max
+    lmRows.filter(r => rareDocs.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Long]("milli_bits_per_token") > floor)
+    }
+  }
+
+  test("q128 LSH eval: perfect recall, bounded precision at this band config") {
+    val r = CorpusOpsQueries.lshEval(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_true") === 28L)
+    assert(row.getAs[Long]("n_cand") === 77L)
+    assert(row.getAs[Long]("n_hit") === 28L)
+    assert(row.getAs[Long]("n_false_neg") === 0L)
+    assert(row.getAs[Long]("recall_e6") === 1000000L)
+    // 4x2 bands over-generate below-threshold candidates: precision
+    // is deliberately < 1 (that's what the exact rescore is for)
+    assert(row.getAs[Long]("precision_e6") < 1000000L)
+    assert(row.getAs[Long]("n_hit") <=
+      math.min(row.getAs[Long]("n_true"), row.getAs[Long]("n_cand")))
+  }
+
+  private lazy val oovRows = CorpusOpsQueries.vocabOov(spark, sfDir).collect()
+
+  test("q129 OOV accounting respects the vocab size") {
+    assert(oovRows.length === 500)
+    oovRows.foreach { r =>
+      val (nt, oov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      assert(oov <= nt)
+      assert(r.getAs[Long]("n_oov_types") <= oov)
+      // corpus has 31 distinct tokens; vocab keeps 16 → at most 15 OOV types
+      assert(r.getAs[Long]("n_oov_types") <= 31L - CorpusOpsQueries.VocabSize)
+      assert(r.getAs[Long]("oov_e6") ===
+        math.round(1e6 * oov.toDouble / nt.toDouble))
+    }
+  }
+
+  test("q129 plan: vocab joins broadcast, corpus never shuffle-joined for the probe") {
+    val p = CorpusOpsQueries.vocabOov(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
