@@ -312,4 +312,101 @@ object Curation {
       .withColumn("oov_e6",
         e6(col("n_oov").cast("double") / col("n_tokens")))
   }
+
+  // ---- DSIR importance weights (data selection) ----------------------
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023): a
+    * doc's importance weight compares a TARGET unigram LM (docs where
+    * `targetCol` is true, add-one smoothed over the raw vocabulary)
+    * against the RAW corpus LM. The log-likelihood ratio is replaced
+    * by its first-order surrogate `ln r ≈ r − 1` so no transcendental
+    * — which engines round differently in the last ulp — enters a
+    * hash-compared column: each token contributes its e6 likelihood-
+    * ratio deviation `round(1e6·r) − 1e6` where
+    * `r = ((cnt_tgt+1)·N_raw) / ((N_tgt+V)·cnt_raw)`, one fixed IEEE
+    * double expression tree both engines evaluate identically.
+    * `weight_e6 = Σ dc·dev > 0` means the doc looks more like the
+    * target distribution than the background. Shape: one (doc, tok)
+    * hash agg feeds both LM tables (token-keyed aggs), joined back on
+    * token; LM normalizers are a 1-row broadcast. */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  targetCol: Column): DataFrame = {
+    val docTok = df
+      .select(col(idCol), targetCol.as("is_target"),
+        explode_outer(tokens(fold(col(textCol)))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col(idCol), col("is_target"), col("tok"))
+      .agg(count(lit(1)).as("dc"))
+    val lm = docTok.groupBy(col("tok")).agg(
+      sum(col("dc")).as("cnt_raw"),
+      sum(when(col("is_target"), col("dc")).otherwise(0L)).as("cnt_tgt"))
+    val norms = lm.agg(
+      sum(col("cnt_raw")).as("n_raw"),
+      sum(col("cnt_tgt")).as("n_tgt"),
+      count(lit(1)).as("vocab_n"))
+    val devs = lm.crossJoin(broadcast(norms))
+      .select(col("tok"),
+        (round(lit(1000000.0) *
+          ((col("cnt_tgt") + 1L).cast("double") * col("n_raw").cast("double")) /
+          ((col("n_tgt") + col("vocab_n")).cast("double") * col("cnt_raw").cast("double")))
+          .cast("long") - 1000000L).as("dev_e6"))
+    docTok.join(devs, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("dc")).as("n_tokens"),
+        sum(col("dc") * col("dev_e6")).as("weight_e6"))
+      .withColumn("per_token_dev_e6", expr("weight_e6 div n_tokens"))
+  }
+
+  // ---- deterministic epoch shuffle + shard layout --------------------
+
+  /** The global training-data shuffle: every epoch permutes the corpus
+    * by a seeded portable hash and deals docs into `nShards` balanced
+    * shards; a doc's read order is (shard, pos). No global sort ever
+    * runs — the permutation IS the hash order, the only window is
+    * per-shard (the output file grain, like q75's packer), and a
+    * different `seed` reshuffles everything deterministically.
+    * Reproducible on any engine, any parallelism. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   nShards: Int): DataFrame = {
+    val keyed = df.select(col(idCol),
+      graft.functions.Hashing.polyHash(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed))).as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("long"))
+    keyed.withColumn("pos",
+      row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("shuffle_key"), col(idCol))).cast("long"))
+  }
+
+  // ---- span-corruption statistics (T5-style masking prep) ------------
+
+  /** T5-style span-corruption accounting: each token is masked by a
+    * seeded deterministic hash draw (`rateMille`/1000 i.i.d.), runs of
+    * masked tokens collapse into spans, and the doc reports the
+    * input/target sequence lengths the corruption would produce
+    * (each span costs one sentinel on both sides). The per-token draw
+    * is map-side column math; the only window is per-doc over token
+    * position (the lag that finds span starts). */
+  def spanCorruptStats(df: DataFrame, textCol: String, idCol: String,
+                       rateMille: Int, seed: String): DataFrame = {
+    val toked = df
+      .select(col(idCol), posexplode_outer(tokens(fold(col(textCol)))).as(Seq("pos", "tok")))
+      .filter(col("tok").isNotNull)
+      .withColumn("masked",
+        graft.functions.Hashing.polyHash(
+          concat(col(idCol).cast("string"), lit(":"), col("pos").cast("string"),
+            lit(":"), lit(seed))) % 1000 < rateMille)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    toked
+      .withColumn("prev_masked", lag(col("masked"), 1).over(w))
+      .withColumn("span_start",
+        col("masked") && (col("prev_masked").isNull || !col("prev_masked")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"))
+      .select(col(idCol), col("n_tokens"), col("n_masked"), col("n_spans"),
+        e6(col("n_masked").cast("double") / col("n_tokens")).as("masked_e6"),
+        (col("n_tokens") - col("n_masked") + col("n_spans")).as("n_input_tokens"),
+        (col("n_masked") + col("n_spans")).as("n_target_tokens"))
+  }
 }

@@ -202,15 +202,121 @@ object CorpusOpsQueries {
        |FROM dt LEFT JOIN vocab v ON dt.tok = v.tok
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q130: DSIR importance weights (data selection) ----
+
+  /** q130: DSIR (Xie et al. 2023) importance weights between the
+    * English-doc target LM and the raw corpus LM. The log-ratio is
+    * replaced by its first-order surrogate `ln r ≈ r − 1` (per-token
+    * e6 likelihood-ratio deviation, one fixed IEEE double expression
+    * tree — engine-exact without `ln`). `target_like` docs score
+    * positive — the deterministic selection signal importance
+    * resampling draws against. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirWeights(Tables.documents(s, dir), "text", "doc_id",
+      col("lang") === "en")
+      .withColumn("target_like", col("weight_e6") > 0L)
+      .select(col("doc_id"), col("n_tokens"), col("weight_e6"),
+        col("per_token_dev_e6"), col("target_like"))
+      .orderBy(col("doc_id"))
+
+  val dsirWeightsSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang = 'en' AS is_target, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, is_target, unnest(t) AS tok FROM toks),
+       |dt AS (SELECT doc_id, is_target, tok, COUNT(*) AS dc FROM pos
+       |  GROUP BY doc_id, is_target, tok),
+       |lm AS (SELECT tok, CAST(SUM(dc) AS BIGINT) AS cnt_raw,
+       |    CAST(SUM(CASE WHEN is_target THEN dc ELSE 0 END) AS BIGINT) AS cnt_tgt
+       |  FROM dt GROUP BY tok),
+       |norms AS (SELECT CAST(SUM(cnt_raw) AS BIGINT) AS n_raw,
+       |    CAST(SUM(cnt_tgt) AS BIGINT) AS n_tgt, COUNT(*) AS vocab_n FROM lm),
+       |devs AS (SELECT tok,
+       |    CAST(ROUND(1000000.0 *
+       |      (CAST(cnt_tgt + 1 AS DOUBLE) * CAST(n_raw AS DOUBLE)) /
+       |      (CAST(n_tgt + vocab_n AS DOUBLE) * CAST(cnt_raw AS DOUBLE))) AS BIGINT)
+       |      - 1000000 AS dev_e6
+       |  FROM lm CROSS JOIN norms),
+       |sc AS (SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(dc * dev_e6) AS BIGINT) AS weight_e6
+       |  FROM dt JOIN devs USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, weight_e6,
+       |  weight_e6 // n_tokens AS per_token_dev_e6,
+       |  weight_e6 > 0 AS target_like
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---- q131: deterministic epoch shuffle + shard layout ----
+
+  val ShuffleSeed = "ep1"
+  val ShuffleShards = 8
+
+  /** q131: the global training-data shuffle — a seeded portable-hash
+    * permutation dealt into balanced shards, (shard, pos) = the read
+    * order. No global sort; the only window is per-shard (the output
+    * file grain). A new seed is a new epoch. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame =
+    Curation.epochShuffle(Tables.documents(s, dir), "doc_id",
+      ShuffleSeed, ShuffleShards)
+      .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  val epochShuffleSql: String = {
+    val h = Hashing.polyHashSql(s"CAST(doc_id AS VARCHAR) || ':$ShuffleSeed'")
+    s"""WITH k AS (SELECT doc_id, $h AS shuffle_key FROM documents)
+       |SELECT doc_id, shuffle_key,
+       |  shuffle_key % $ShuffleShards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shuffle_key % $ShuffleShards
+       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+       |FROM k ORDER BY shard, pos""".stripMargin
+  }
+
+  // ---- q132: span-corruption statistics (T5-style masking prep) ----
+
+  val CorruptRateMille = 150
+  val CorruptSeed = "t5"
+
+  /** q132: T5-style span-corruption accounting — deterministic seeded
+    * i.i.d. token masking (15%), runs collapse into spans, and each
+    * doc reports the input/target sequence lengths the corruption
+    * yields (one sentinel per span on each side). Map-side draws; the
+    * only window is per-doc over token position. */
+  def spanCorrupt(s: SparkSession, dir: String): DataFrame =
+    Curation.spanCorruptStats(Tables.documents(s, dir), "text", "doc_id",
+      CorruptRateMille, CorruptSeed)
+      .orderBy(col("doc_id"))
+
+  val spanCorruptSql: String = {
+    val h = Hashing.polyHashSql(
+      s"CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':$CorruptSeed'")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos FROM toks),
+       |m AS (SELECT doc_id, pos, ($h) % 1000 < $CorruptRateMille AS masked FROM pos),
+       |l AS (SELECT doc_id, masked,
+       |    lag(masked) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       |a AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |    CAST(SUM(CASE WHEN masked AND (prev IS NULL OR NOT prev) THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+       |  FROM l GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_masked, n_spans,
+       |  ${e6Sql("CAST(n_masked AS DOUBLE) / n_tokens")} AS masked_e6,
+       |  n_tokens - n_masked + n_spans AS n_input_tokens,
+       |  n_masked + n_spans AS n_target_tokens
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
     "q128_lsh_eval" -> (lshEval _),
-    "q129_vocab_oov" -> (vocabOov _))
+    "q129_vocab_oov" -> (vocabOov _),
+    "q130_dsir_weights" -> (dsirWeights _),
+    "q131_epoch_shuffle" -> (epochShuffle _),
+    "q132_span_corrupt" -> (spanCorrupt _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
     "q127_lm_surprisal" -> lmSurprisalSql,
     "q128_lsh_eval" -> lshEvalSql,
-    "q129_vocab_oov" -> vocabOovSql)
+    "q129_vocab_oov" -> vocabOovSql,
+    "q130_dsir_weights" -> dsirWeightsSql,
+    "q131_epoch_shuffle" -> epochShuffleSql,
+    "q132_span_corrupt" -> spanCorruptSql)
 }

@@ -136,4 +136,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q130 DSIR weights separate target-language docs from the background") {
+    val rows = CorpusOpsQueries.dsirWeights(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      // integer div truncates toward zero on both engines (the hash
+      // compare pins it); re-check the arithmetic here
+      assert(r.getAs[Long]("per_token_dev_e6") ===
+        r.getAs[Long]("weight_e6") / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Boolean]("target_like") === (r.getAs[Long]("weight_e6") > 0L))
+    }
+    // the signal must discriminate: both classes present, and English
+    // docs (the target) must average strictly higher than the rest
+    val en = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val (tgt, rest) = rows.partition(r => en.contains(r.getAs[Long]("doc_id")))
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("per_token_dev_e6")).sum.toDouble / rs.length
+    assert(mean(tgt) > mean(rest),
+      s"target mean ${mean(tgt)} must exceed background mean ${mean(rest)}")
+  }
+
+  test("q131 epoch shuffle deals balanced shards with contiguous positions") {
+    val rows = CorpusOpsQueries.epochShuffle(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet === (0L until CorpusOpsQueries.ShuffleShards).toSet)
+    // hash dealing balances: no shard more than 2x the smallest
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max <= 2 * sizes.min, s"shard sizes $sizes")
+    byShard.values.foreach { rs =>
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq === (1L to rs.length), "positions are contiguous per shard")
+    }
+    // a different seed is a different permutation
+    val re = graft.operators.Curation.epochShuffle(
+      Tables.documents(spark, sfDir), "doc_id", "ep2", CorpusOpsQueries.ShuffleShards)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = rows.count(r => re(r.getAs[Long]("doc_id")) != r.getAs[Long]("shard"))
+    assert(moved > 100, s"epoch reseed must reshuffle (only $moved docs moved)")
+  }
+
+  test("q132 span accounting is consistent and near the corruption rate") {
+    val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (nt, nm, ns) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_spans"))
+      assert(ns <= nm && nm <= nt)
+      if (nm > 0) assert(ns >= 1)
+      // each span costs one sentinel on each side
+      assert(r.getAs[Long]("n_input_tokens") === nt - nm + ns)
+      assert(r.getAs[Long]("n_target_tokens") === nm + ns)
+    }
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totMask = rows.map(_.getAs[Long]("n_masked")).sum
+    val rate = totMask.toDouble / totTok
+    assert(rate > 0.10 && rate < 0.20,
+      s"corpus mask rate $rate must sit near the 15% draw")
+  }
 }
