@@ -85,6 +85,90 @@ object CurationPipeline {
     Curation.sequencePack(sampled, "text", "doc_id", "source", cfg.ctxLen)
   }
 
+  /** The CCNet/RefinedWeb-shaped extension of [[curate]]: the same
+    * flow with the round's corpus-cleaning stages composed in —
+    *
+    *   exact dedup
+    *     -> duplicated-LINE removal (q126: segments in >= minDf docs
+    *        removed everywhere, text rewritten from the survivors)
+    *     -> quality filter
+    *     -> LM-surprisal tail drop (q127: docs at or past
+    *        `surprisalTailMilli` milli-bits/token are cut)
+    *     -> decontamination -> near-dup clustering -> dup-gram filter
+    *     -> optional DSIR selection (q130: keep docs whose importance
+    *        weight vs `dsirTarget`'s LM is positive)
+    *     -> stratified sample
+    *     -> EPOCH SHUFFLE (q131) and packing in shuffled order — the
+    *        layout a training run actually reads.
+    *
+    * `segs` is the line segmentation (array<string> over `text`).
+    * Still one declarative DAG; each survivor set is a semi/anti join
+    * and the text rewrite is the only stage that materializes a new
+    * column. */
+  def curateExtended(docs: DataFrame, evalPred: Column, segs: Column,
+      dsirTarget: Option[Column] = None,
+      seed: String = "ep1", nShards: Int = 8,
+      surprisalTailMilli: Long = 5200L,
+      lineMinDf: Int = 2,
+      cfg: Config = Config()): DataFrame = {
+    // 1. exact dedup, then line-level dedup rewrites the text the rest
+    // of the flow sees (boilerplate lines vanish before any signal)
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    val kept = Curation.lineDedup(reps, "doc_id", segs, ". ", lineMinDf)
+      .select(col("doc_id"), col("kept_text"))
+    val rewritten = reps.drop("text")
+      .join(kept.withColumnRenamed("kept_text", "text"), Seq("doc_id"))
+      .filter(length(col("text")) > 0)
+
+    // 2. quality gate + 3. LM-surprisal tail drop
+    val quality = Curation.repetitionStats(rewritten, "text", "doc_id")
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("dup_token_e6") < cfg.maxDupE6)
+      .select(col("doc_id"))
+    val lmTail = Curation.unigramSurprisal(rewritten, "text", "doc_id")
+      .filter(col("milli_bits_per_token") >= surprisalTailMilli)
+      .select(col("doc_id"))
+    val qualified = rewritten.join(quality, Seq("doc_id"), "left_semi")
+      .join(lmTail, Seq("doc_id"), "left_anti")
+
+    // 4. decontaminate, 5. near-dup cluster, 6. dup-gram filter
+    val contaminated = Curation.contamination(qualified, "text", "doc_id", evalPred)
+      .filter(col("n_contaminated") * 100 >= col("n_shingles") * cfg.contaminationPct)
+      .select(col("doc_id"))
+    val clean = qualified.filter(!evalPred)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(clean, "text", "doc_id"), "doc_id",
+      dfCap = Some(cfg.jaccardDfCap))
+      .select(col("doc_a"), col("doc_b"))
+    val dupes = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("node") =!= col("lab"))
+      .select(col("node").as("doc_id"))
+    val clustered = clean.join(dupes, Seq("doc_id"), "left_anti")
+    val gramDups = Curation.dupNgrams(clustered, "text", "doc_id", cfg.dupGramN)
+      .filter(col("n_dup_grams") * 100 >= col("n_grams") * cfg.dupSharePct)
+      .select(col("doc_id"))
+    val unique = clustered.join(gramDups, Seq("doc_id"), "left_anti")
+
+    // 7. optional DSIR target selection
+    val selected = dsirTarget match {
+      case Some(target) =>
+        val keep = Curation.dsirWeights(unique, "text", "doc_id", target)
+          .filter(col("weight_e6") > 0L).select(col("doc_id"))
+        unique.join(keep, Seq("doc_id"), "left_semi")
+      case None => unique
+    }
+
+    // 8. stratified sample, 9. epoch shuffle, 10. pack in read order
+    val sampled = Curation.stratifiedSample(selected, "source", "doc_id", cfg.sampleDenom)
+      .select(col("doc_id"), col("source"), col("text"))
+    val shuffled = sampled.join(
+      Curation.epochShuffle(sampled.select(col("doc_id")), "doc_id", seed, nShards)
+        .select(col("doc_id"), col("shard"), col("pos")), Seq("doc_id"))
+    Curation.sequencePack(shuffled, "text", "doc_id", "shard", cfg.ctxLen,
+      orderCol = "pos")
+  }
+
   /** The packed layout tagged with its leakage-aware split: the q99
     * domain-hashed train/valid/test assignment applied AFTER curation,
     * so every packed sequence carries the split of its source domain

@@ -149,11 +149,19 @@ object Curation {
     * whitespace tokens; swap in q41's BPE pre-tokens for byte-accurate
     * budgets. */
   def sequencePack(df: DataFrame, textCol: String, idCol: String,
-      shardCol: String, ctxLen: Int): DataFrame = {
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      shardCol: String, ctxLen: Int): DataFrame =
+    sequencePack(df, textCol, idCol, shardCol, ctxLen, orderCol = idCol)
+
+  /** `orderCol` variant: docs pack into their shard's windows in
+    * `orderCol` order (e.g. an epoch-shuffle position) instead of id
+    * order — the layout a shuffled training run actually reads. */
+  def sequencePack(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, ctxLen: Int, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(shardCol),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val keep = (Seq(idCol, shardCol) ++ Option(orderCol).filter(_ != idCol))
+      .distinct.map(col)
+    df.select(keep :+ size(tokens(col(textCol))).cast("long").as("n_tokens"): _*)
       .withColumn("cum_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col(shardCol), col("n_tokens"), col("cum_tokens"),
         expr(s"cum_tokens div $ctxLen").as("seq_id"),
@@ -250,8 +258,8 @@ object Curation {
         array_sort(collect_list(when(!dup, struct(col("pos"), col("seg"))))).as("kept"))
       .select(col(idCol), col("n_segs"), col("n_removed"), col("chars_removed"),
         col("kept_chars"),
-        md5(array_join(transform(col("kept"), x => x.getField("seg")), joiner))
-          .as("kept_md5"))
+        array_join(transform(col("kept"), x => x.getField("seg")), joiner)
+          .as("kept_text"))
   }
 
   // ---- unigram LM surprisal (CCNet-style quality scoring) ------------

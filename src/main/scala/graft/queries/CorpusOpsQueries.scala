@@ -37,6 +37,7 @@ object CorpusOpsQueries {
     Curation.lineDedup(
       Tables.documents(s, dir), "doc_id",
       split(regexp_replace(col("text"), " batch ", ". "), "\\. "), ". ", minDf = 2)
+      .withColumn("kept_md5", md5(col("kept_text"))).drop("kept_text")
       .orderBy(col("doc_id"))
 
   val lineDedupSql: String =

@@ -69,4 +69,76 @@ class CurationPipelineSpec extends SparkSpec {
       CurationPipeline.Config(sampleDenom = 4, ctxLen = 64))
     assert(out.count() == 10) // ceil(20/4) per source x 2 sources
   }
+
+  test("curateExtended: line dedup rewrites text, shuffle orders the packing") {
+    val boiler = "subscribe to our newsletter today friends"
+    def body(i: Long) = (1 to 24).map(j => s"u${i}x$j").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (0L, "s0", s"$boiler. ${body(0)}"), // shares the boilerplate line with 1
+      (1L, "s1", s"$boiler. ${body(1)}"),
+      (2L, "s0", s"$boiler"), // ONLY boilerplate -> empty after line dedup
+      (3L, "s1", body(3)),
+      (4L, "s0", body(4))))
+      .toDF("doc_id", "source", "text")
+    val segs = split(col("text"), "\\. ")
+    val out = CurationPipeline.curateExtended(docs, lit(false), segs,
+      surprisalTailMilli = 1000000L, // inert for this corpus
+      cfg = CurationPipeline.Config(minTokens = 5L, sampleDenom = 1, ctxLen = 16))
+      .collect()
+    // doc 2 dies with its only (duplicated) line; 0 and 1 survive MINUS
+    // the boilerplate line (24 tokens left, not 24 + 6)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(0L, 1L, 3L, 4L))
+    assert(out.forall(_.getAs[Long]("n_tokens") === 24L))
+    // packing follows the epoch-shuffle position within each shard:
+    // cum_tokens must be nondecreasing in pos order (pos is the window
+    // order), i.e. per shard the cum sequence is 0, 24, 48, ...
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val cums = rs.map(_.getAs[Long]("cum_tokens")).sorted
+      assert(cums.toSeq === rs.indices.map(_ * 24L))
+    }
+  }
+
+  test("curateExtended: DSIR selection keeps only target-like docs") {
+    // two sublanguages: target docs speak a/b/c, background speaks x/y/z;
+    // a mixed doc leaning background must be cut by the DSIR stage
+    def mk(i: Long, src: String, words: Seq[String]) =
+      (i, src, (0 until 24).map(j => words(j % words.size)).mkString(" "))
+    val docs = spark.createDataFrame(Seq(
+      mk(0L, "t", Seq("alpha", "beta", "gamma", "delta")),
+      mk(1L, "t", Seq("alpha", "beta", "gamma", "epsilon")),
+      mk(2L, "b", Seq("xray", "yankee", "zulu", "whiskey")),
+      mk(3L, "b", Seq("xray", "yankee", "zulu", "victor")),
+      mk(4L, "b", Seq("xray", "beta", "zulu", "whiskey")))) // background-leaning mix
+      .toDF("doc_id", "source", "text")
+    val segs = split(col("text"), "\\. ")
+    val out = CurationPipeline.curateExtended(docs, lit(false), segs,
+      dsirTarget = Some(col("source") === "t"),
+      surprisalTailMilli = 1000000L,
+      cfg = CurationPipeline.Config(minTokens = 5L, maxDupE6 = 900000L,
+        sampleDenom = 1, ctxLen = 64))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out.contains(0L) && out.contains(1L), "target docs survive")
+    assert(!out.contains(2L) && !out.contains(3L) && !out.contains(4L),
+      "background and background-leaning docs are cut")
+  }
+
+  test("curateExtended runs end-to-end on the testdata corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val segs = split(regexp_replace(col("text"), " batch ", ". "), "\\. ")
+    val out = CurationPipeline.curateExtended(docs, col("doc_id") % 97 === 0, segs)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 8))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      // each shard's packed stream starts at zero and stays contiguous
+      val sorted = rs.sortBy(_.getAs[Long]("cum_tokens"))
+      assert(sorted.head.getAs[Long]("cum_tokens") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("cum_tokens") ===
+            a.getAs[Long]("cum_tokens") + a.getAs[Long]("n_tokens"))
+        case _ =>
+      }
+    }
+  }
 }
