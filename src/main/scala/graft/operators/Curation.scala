@@ -241,10 +241,12 @@ object Curation {
     * other line notion. */
   def lineDedup(df: DataFrame, idCol: String, segsCol: Column,
                 joiner: String, minDf: Int = 2): DataFrame = {
-    val segs = df
+    // the segment stream feeds two consumers (the df table and the
+    // join-back); stage it once instead of re-scanning the corpus
+    val segs = Dedup.stage(df
       .select(col(idCol), posexplode_outer(segsCol).as(Seq("pos", "seg")))
       .withColumn("seg", trim(col("seg")))
-      .filter(col("seg").isNotNull && length(col("seg")) > 0)
+      .filter(col("seg").isNotNull && length(col("seg")) > 0))
     val dfreq = segs.groupBy(col("seg"))
       .agg(count_distinct(col(idCol)).as("seg_df"))
     val dup = col("seg_df") >= minDf
@@ -275,10 +277,12 @@ object Curation {
     * join back → doc-keyed re-agg (the q91 two-shuffle shape); the
     * corpus total is a 1-row broadcast. */
   def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val docTok = df
+    // (doc, tok) counts feed the LM table AND the scoring join-back;
+    // stage once so the corpus is scanned/exploded a single time
+    val docTok = Dedup.stage(df
       .select(col(idCol), explode_outer(tokens(fold(col(textCol)))).as("tok"))
       .filter(col("tok").isNotNull)
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("dc"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("dc")))
     val tokc = docTok.groupBy(col("tok")).agg(sum(col("dc")).as("cnt"))
     val total = tokc.agg(sum(col("cnt")).as("n_total"))
     val bits = tokc.crossJoin(broadcast(total))
@@ -303,10 +307,10 @@ object Curation {
     * before committing to a merge table (the apply-side complement of
     * q121/q125). */
   def vocabCoverage(df: DataFrame, textCol: String, idCol: String, v: Int): DataFrame = {
-    val docTok = df
+    val docTok = Dedup.stage(df
       .select(col(idCol), explode_outer(tokens(fold(col(textCol)))).as("tok"))
       .filter(col("tok").isNotNull)
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("dc"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("dc")))
     val tokc = docTok.groupBy(col("tok")).agg(sum(col("dc")).as("cnt"))
       .withColumn("g", lit(1))
     val vocab = graft.plans.Plans.topKPerKeyRanked(tokc, Seq(tokc("g")),
@@ -339,12 +343,12 @@ object Curation {
     * token; LM normalizers are a 1-row broadcast. */
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
                   targetCol: Column): DataFrame = {
-    val docTok = df
+    val docTok = Dedup.stage(df
       .select(col(idCol), targetCol.as("is_target"),
         explode_outer(tokens(fold(col(textCol)))).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy(col(idCol), col("is_target"), col("tok"))
-      .agg(count(lit(1)).as("dc"))
+      .agg(count(lit(1)).as("dc")))
     val lm = docTok.groupBy(col("tok")).agg(
       sum(col("dc")).as("cnt_raw"),
       sum(when(col("is_target"), col("dc")).otherwise(0L)).as("cnt_tgt"))
