@@ -325,6 +325,38 @@ object Curation {
         e6(col("n_oov").cast("double") / col("n_tokens")))
   }
 
+  // ---- linear text-classifier inference (fasttext-style) -------------
+
+  /** Corpus-scale inference of a linear bag-of-features text
+    * classifier — the fasttext-shaped quality/domain scorer real
+    * pipelines apply after training offline. Features are word
+    * unigrams + bigrams hashed into `nBuckets`; the MODEL is a
+    * bucket→integer-weight table (here synthesized deterministically
+    * from the affine hash family — in production it arrives as a
+    * trained table with exactly this schema) joined BROADCAST, so the
+    * corpus is never shuffled for the model: (doc, bucket) counts →
+    * broadcast weight join → per-doc integer logit. The score is all
+    * integer; `keep` is the sign. */
+  def textClassifier(df: DataFrame, textCol: String, idCol: String,
+                     nBuckets: Int): DataFrame = {
+    import graft.functions.{GraftFunctions, Hashing}
+    val toked = df.select(col(idCol), tokens(fold(col(textCol))).as("toks"))
+    val feats = toked
+      .select(col(idCol), explode_outer(
+        concat(col("toks"), GraftFunctions.tokenShingles(col("toks"), 2))).as("feat"))
+      .filter(col("feat").isNotNull)
+      .withColumn("bucket", Hashing.polyHash(col("feat")) % nBuckets)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val weights = df.sparkSession.range(nBuckets).toDF("bucket")
+      .withColumn("w", Hashing.affine(col("bucket"), 7) % 2001L - 1000L)
+    feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("w")).as("score_sum"))
+      .withColumn("milli_score", expr("(1000 * score_sum) div n_feats"))
+      .withColumn("keep", col("score_sum") >= 0L)
+  }
+
   // ---- DSIR importance weights (data selection) ----------------------
 
   /** Data Selection via Importance Resampling (Xie et al. 2023): a

@@ -303,6 +303,43 @@ object CorpusOpsQueries {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q133: linear text-classifier inference (fasttext-style) ----
+
+  val ClassifierBuckets = 4096
+
+  /** q133: corpus-scale linear classifier inference — hashed
+    * unigram+bigram features against a broadcast bucket→weight model
+    * table (deterministically synthesized here; a trained model ships
+    * with exactly this schema). Integer logits; the model-based member
+    * of the quality family next to rule-based q78 and LM-based q127. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Curation.textClassifier(Tables.documents(s, dir), "text", "doc_id",
+      ClassifierBuckets)
+      .select(col("doc_id"), col("n_feats"), col("score_sum"),
+        col("milli_score"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  val qualityClassifierSql: String = {
+    val wExpr = s"${Hashing.affineSql("CAST(range AS BIGINT)", 7)} % 2001 - 1000"
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |feats AS (SELECT doc_id, tok AS feat FROM pos
+       |  UNION ALL
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS feat FROM pos WHERE i + 1 <= len(t)),
+       |fb AS (SELECT doc_id, ${Hashing.polyHashSql("feat")} % $ClassifierBuckets AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM feats GROUP BY doc_id, ${Hashing.polyHashSql("feat")} % $ClassifierBuckets),
+       |w AS (SELECT CAST(range AS BIGINT) AS bucket, CAST($wExpr AS BIGINT) AS w
+       |  FROM range($ClassifierBuckets)),
+       |sc AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       |    CAST(SUM(cnt * w) AS BIGINT) AS score_sum
+       |  FROM fb JOIN w USING (bucket) GROUP BY doc_id)
+       |SELECT doc_id, n_feats, score_sum,
+       |  (1000 * score_sum) // n_feats AS milli_score,
+       |  score_sum >= 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -310,7 +347,8 @@ object CorpusOpsQueries {
     "q129_vocab_oov" -> (vocabOov _),
     "q130_dsir_weights" -> (dsirWeights _),
     "q131_epoch_shuffle" -> (epochShuffle _),
-    "q132_span_corrupt" -> (spanCorrupt _))
+    "q132_span_corrupt" -> (spanCorrupt _),
+    "q133_quality_classifier" -> (qualityClassifier _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -319,5 +357,6 @@ object CorpusOpsQueries {
     "q129_vocab_oov" -> vocabOovSql,
     "q130_dsir_weights" -> dsirWeightsSql,
     "q131_epoch_shuffle" -> epochShuffleSql,
-    "q132_span_corrupt" -> spanCorruptSql)
+    "q132_span_corrupt" -> spanCorruptSql,
+    "q133_quality_classifier" -> qualityClassifierSql)
 }

@@ -180,6 +180,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(moved > 100, s"epoch reseed must reshuffle (only $moved docs moved)")
   }
 
+  test("q133 classifier emits integer logits with both verdicts present") {
+    val rows = CorpusOpsQueries.qualityClassifier(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_feats") > 0)
+      assert(r.getAs[Long]("milli_score") ===
+        1000L * r.getAs[Long]("score_sum") / r.getAs[Long]("n_feats"))
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("score_sum") >= 0L))
+    }
+    val verdicts = rows.map(_.getAs[Boolean]("keep")).toSet
+    assert(verdicts === Set(true, false), "a useful threshold splits the corpus")
+  }
+
+  test("q133 plan: the model joins broadcast, the corpus never shuffles for it") {
+    val p = CorpusOpsQueries.qualityClassifier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
