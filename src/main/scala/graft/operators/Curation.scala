@@ -325,6 +325,53 @@ object Curation {
         e6(col("n_oov").cast("double") / col("n_tokens")))
   }
 
+  // ---- BM25 lexical top-k retrieval ----------------------------------
+
+  /** Sparse lexical retrieval over the corpus — the BM25-shaped
+    * counterpart of the dense ANN family (layer E): per-term scores
+    * use the saturated-tf form `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`
+    * with k1=1.25, b=0.75 (both exactly representable doubles) and a
+    * RATIONAL rarity weight `(N−df+0.5)/(N+0.5)` in place of the
+    * engine-variant `ln` idf — every per-(doc, term) score is ONE
+    * fixed IEEE double tree rounded to e6, and per-(query, doc) totals
+    * sum the already-rounded integers, so ranking is bit-reproducible
+    * at any parallelism. Shape: the (doc, tok) tf table is staged once
+    * and probed by a BROADCAST query-term join (the inverted-index
+    * seek — only query terms survive the probe); df is token-keyed,
+    * dl doc-keyed, the one-row norms broadcast; ranking runs through
+    * TopKPerKeyExec's bounded per-query heaps, never a corpus sort. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: DataFrame, k: Int): DataFrame = {
+    val docTok = Dedup.stage(df
+      .select(col(idCol), explode_outer(tokens(fold(col(textCol)))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")))
+    val dfreq = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = docTok.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val norms = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+    val scored = docTok
+      .join(broadcast(queryTerms), docTok("tok") === queryTerms("term"))
+      .join(dfreq, Seq("tok"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(norms))
+      .select(col("query_id"), col(idCol),
+        e6((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("n_docs").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(2.25)) /
+            (col("tf").cast("double") + lit(1.25) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                (col("total").cast("double") / col("n_docs").cast("double"))))))
+          .as("score_e6"))
+    val perQd = scored.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("score_e6")).as("score_e6"),
+        count(lit(1)).as("n_terms_hit"))
+    graft.plans.Plans.topKPerKeyRanked(perQd, Seq(perQd("query_id")),
+      Seq((perQd("score_e6"), true), (perQd(idCol), false)), k, "rnk")
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rnk").cast("long").as("rnk"), col(idCol), col("score_e6"),
+        col("n_terms_hit"))
+  }
+
   // ---- linear text-classifier inference (fasttext-style) -------------
 
   /** Corpus-scale inference of a linear bag-of-features text

@@ -340,6 +340,63 @@ object CorpusOpsQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q134: BM25 lexical top-k retrieval ----
+
+  val Bm25TopK = 5
+
+  /** The fixed query workload: 10 two-term queries over the corpus
+    * vocabulary (one includes the rare token so the rarity weight is
+    * exercised). Single source of truth for Spark AND the oracle. */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "join", 0 -> "hash", 1 -> "window", 1 -> "stream",
+    2 -> "sort", 2 -> "merge", 3 -> "filter", 3 -> "scan",
+    4 -> "data", 4 -> "table", 5 -> "query", 5 -> "fast",
+    6 -> "batch", 6 -> "slow", 7 -> "key", 7 -> "value",
+    8 -> "group", 8 -> "agg", 9 -> "spark", 9 -> "dup")
+
+  /** q134: BM25-style lexical top-k retrieval — the sparse counterpart
+    * of the dense ANN family. Saturated-tf scoring (k1=1.25, b=0.75,
+    * both exact doubles) with a rational rarity weight instead of the
+    * engine-variant `ln` idf; every per-(doc, term) score is one fixed
+    * IEEE tree rounded to e6 BEFORE summation, so the ranking is
+    * bit-reproducible. Broadcast query probe of the staged tf table;
+    * TopKPerKeyExec bounded heaps rank each query. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+    Curation.bm25TopK(Tables.documents(s, dir), "text", "doc_id", qt, Bm25TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val bm25Sql: String = {
+    val values = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM pos GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |norms AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+       |q(query_id, term) AS (VALUES $values),
+       |scored AS (SELECT q.query_id, tf.doc_id,
+       |    ${e6Sql("""(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |      (CAST(n_docs AS DOUBLE) + 0.5) *
+       |      ((CAST(tf AS DOUBLE) * 2.25) /
+       |        (CAST(tf AS DOUBLE) + 1.25 *
+       |          (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |            (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""")} AS score_e6
+       |  FROM tf JOIN q ON tf.tok = q.term
+       |  JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN norms),
+       |pq AS (SELECT query_id, doc_id, CAST(SUM(score_e6) AS BIGINT) AS score_e6,
+       |    COUNT(*) AS n_terms_hit
+       |  FROM scored GROUP BY query_id, doc_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score_e6 DESC, doc_id) AS rn FROM pq)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rnk,
+       |  doc_id, score_e6, n_terms_hit
+       |FROM ranked WHERE rn <= $Bm25TopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -348,7 +405,8 @@ object CorpusOpsQueries {
     "q130_dsir_weights" -> (dsirWeights _),
     "q131_epoch_shuffle" -> (epochShuffle _),
     "q132_span_corrupt" -> (spanCorrupt _),
-    "q133_quality_classifier" -> (qualityClassifier _))
+    "q133_quality_classifier" -> (qualityClassifier _),
+    "q134_bm25_topk" -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -358,5 +416,6 @@ object CorpusOpsQueries {
     "q130_dsir_weights" -> dsirWeightsSql,
     "q131_epoch_shuffle" -> epochShuffleSql,
     "q132_span_corrupt" -> spanCorruptSql,
-    "q133_quality_classifier" -> qualityClassifierSql)
+    "q133_quality_classifier" -> qualityClassifierSql,
+    "q134_bm25_topk" -> bm25Sql)
 }

@@ -200,6 +200,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q134 BM25 ranks 5 docs per query, rarity dominates the rare-term query") {
+    val rows = CorpusOpsQueries.bm25(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === (0L to 9L).toSet)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to rs.length))
+      assert(rs.length === CorpusOpsQueries.Bm25TopK)
+      val scores = sorted.map(_.getAs[Long]("score_e6")).toSeq
+      assert(scores === scores.sorted.reverse, "ranked by descending score")
+      assert(rs.forall(_.getAs[Long]("n_terms_hit") <= 2))
+    }
+    // query 9 carries the rare token 'dup': its rarity weight must put
+    // dup-bearing docs at the top of that ranking
+    val dupDocs = Tables.documents(spark, sfDir)
+      .filter(col("text").contains("dup")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val top9 = byQ(9L).minBy(_.getAs[Long]("rnk")).getAs[Long]("doc_id")
+    assert(dupDocs.contains(top9), "rare term dominates its query's top hit")
+  }
+
+  test("q134 plan: broadcast query probe + bounded-heap ranking, no ranking window") {
+    val p = CorpusOpsQueries.bm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
