@@ -397,6 +397,103 @@ object CorpusOpsQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---- q135: hybrid retrieval fusion (reciprocal-rank fusion) ----
+
+  val RrfK = 60
+
+  /** q135: hybrid search — reciprocal-rank fusion of the DENSE exact-
+    * cosine ranking (q26's machinery over the aligned embedding space)
+    * and the SPARSE BM25 ranking (q134), the standard hybrid-retrieval
+    * recipe. Each list contributes `round(1e6/(60+rank))` — an INTEGER
+    * per item, so the fused score is an integer sum with no float
+    * associativity anywhere. Query pairing is the aligned id space
+    * (text query i ↔ query vector i). Both inputs are already-gated
+    * operators; fusion is one full-outer pair join + TopKPerKeyExec. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val dense = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < SimilarityQueries.QuerySetBound),
+      emb.filter(col("vec_id") >= SimilarityQueries.QuerySetBound),
+      SimilarityQueries.TopK)
+      .select(col("q_vec_id").cast("long").as("query_id"),
+        col("vec_id").as("item_id"),
+        round(lit(1000000.0) / (lit(60.0) + col("rank").cast("double")))
+          .cast("long").as("d_rrf"))
+    val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+    val sparse = Curation.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+      qt, Bm25TopK)
+      .select(col("query_id"), col("doc_id").as("item_id"),
+        round(lit(1000000.0) / (lit(60.0) + col("rnk").cast("double")))
+          .cast("long").as("s_rrf"))
+    val fused = dense.join(sparse, Seq("query_id", "item_id"), "full_outer")
+      .select(col("query_id"), col("item_id"),
+        coalesce(col("d_rrf"), lit(0L)).as("d_rrf"),
+        coalesce(col("s_rrf"), lit(0L)).as("s_rrf"))
+      .withColumn("rrf_e6", col("d_rrf") + col("s_rrf"))
+      .withColumn("in_dense", col("d_rrf") > 0L)
+      .withColumn("in_sparse", col("s_rrf") > 0L)
+    graft.plans.Plans.topKPerKeyRanked(fused, Seq(fused("query_id")),
+      Seq((fused("rrf_e6"), true), (fused("item_id"), false)), Bm25TopK, "rnk")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("item_id"), col("rrf_e6"), col("in_dense"), col("in_sparse"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val hybridRrfSql: String = {
+    import graft.functions.VectorFunctions.{dotSql, normSql}
+    val dim = SimilarityQueries.Dim
+    val dotQC = dotSql("q_emb", "embedding", dim)
+    val values = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH dq AS (SELECT vec_id AS q_vec_id, embedding AS q_emb,
+       |    ${normSql("embedding", dim)} AS q_norm
+       |  FROM embeddings WHERE vec_id < ${SimilarityQueries.QuerySetBound}),
+       |dc AS (SELECT vec_id, embedding, ${normSql("embedding", dim)} AS c_norm
+       |  FROM embeddings WHERE vec_id >= ${SimilarityQueries.QuerySetBound}),
+       |dscored AS (SELECT q_vec_id, vec_id,
+       |    ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} AS cos_e6
+       |  FROM dc, dq),
+       |dense AS (SELECT CAST(q_vec_id AS BIGINT) AS query_id, vec_id AS item_id,
+       |    CAST(ROUND(1000000.0 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT) AS d_rrf
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY cos_e6 DESC, vec_id) AS rnk FROM dscored)
+       |  WHERE rnk <= ${SimilarityQueries.TopK}),
+       |toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM pos GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |norms AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+       |q(query_id, term) AS (VALUES $values),
+       |sscored AS (SELECT q.query_id, tf.doc_id,
+       |    ${e6Sql("""(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |      (CAST(n_docs AS DOUBLE) + 0.5) *
+       |      ((CAST(tf AS DOUBLE) * 2.25) /
+       |        (CAST(tf AS DOUBLE) + 1.25 *
+       |          (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |            (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""")} AS score_e6
+       |  FROM tf JOIN q ON tf.tok = q.term
+       |  JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN norms),
+       |spq AS (SELECT query_id, doc_id, CAST(SUM(score_e6) AS BIGINT) AS score_e6
+       |  FROM sscored GROUP BY query_id, doc_id),
+       |sparse AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS item_id,
+       |    CAST(ROUND(1000000.0 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT) AS s_rrf
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_e6 DESC, doc_id) AS rnk FROM spq)
+       |  WHERE rnk <= $Bm25TopK),
+       |fused AS (SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+       |    COALESCE(d.item_id, s.item_id) AS item_id,
+       |    COALESCE(d_rrf, 0) AS d_rrf, COALESCE(s_rrf, 0) AS s_rrf
+       |  FROM dense d FULL OUTER JOIN sparse s
+       |    ON d.query_id = s.query_id AND d.item_id = s.item_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rnk, item_id,
+       |  d_rrf + s_rrf AS rrf_e6, d_rrf > 0 AS in_dense, s_rrf > 0 AS in_sparse
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY d_rrf + s_rrf DESC, item_id) AS rn FROM fused)
+       |WHERE rn <= $Bm25TopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -406,7 +503,8 @@ object CorpusOpsQueries {
     "q131_epoch_shuffle" -> (epochShuffle _),
     "q132_span_corrupt" -> (spanCorrupt _),
     "q133_quality_classifier" -> (qualityClassifier _),
-    "q134_bm25_topk" -> (bm25 _))
+    "q134_bm25_topk" -> (bm25 _),
+    "q135_hybrid_rrf" -> (hybridRrf _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -417,5 +515,6 @@ object CorpusOpsQueries {
     "q131_epoch_shuffle" -> epochShuffleSql,
     "q132_span_corrupt" -> spanCorruptSql,
     "q133_quality_classifier" -> qualityClassifierSql,
-    "q134_bm25_topk" -> bm25Sql)
+    "q134_bm25_topk" -> bm25Sql,
+    "q135_hybrid_rrf" -> hybridRrfSql)
 }

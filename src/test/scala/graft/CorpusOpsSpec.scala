@@ -229,6 +229,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q135 RRF fusion ranks integer-summed contributions from both lists") {
+    val rows = CorpusOpsQueries.hybridRrf(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === (0L to 9L).toSet)
+    // every contribution is round(1e6/(60+rank)) for rank 1..5
+    val legal = (1 to CorpusOpsQueries.Bm25TopK)
+      .map(r => math.round(1e6 / (60.0 + r))).toSet
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to rs.length))
+      val scores = sorted.map(_.getAs[Long]("rrf_e6")).toSeq
+      assert(scores === scores.sorted.reverse)
+      rs.foreach { r =>
+        assert(r.getAs[Boolean]("in_dense") || r.getAs[Boolean]("in_sparse"))
+        val s = r.getAs[Long]("rrf_e6")
+        val fromBoth = r.getAs[Boolean]("in_dense") && r.getAs[Boolean]("in_sparse")
+        if (fromBoth) assert(legal.exists(a => legal.contains(s - a)))
+        else assert(legal.contains(s), s"score $s must be a single-list contribution")
+      }
+    }
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
