@@ -111,7 +111,8 @@ object CorpusOpsQueries {
     * engine-exact counts and e6 ratios. */
   def lshEval(s: SparkSession, dir: String): DataFrame = {
     val reps = Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
-    val sh = Dedup.shingles(reps, "text", "doc_id")
+    // both rankings consume the same shingle stream; build it once
+    val sh = Dedup.stage(Dedup.shingles(reps, "text", "doc_id"))
     val truth = Dedup.jaccardPairs(sh, "doc_id", dfCap = Some(DedupQueries.JaccardDfCap))
       .select(col("doc_a"), col("doc_b"), lit(true).as("is_true"))
     val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
@@ -494,6 +495,74 @@ object CorpusOpsQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---- q136: packed-batch composition audit ----
+
+  val AuditCtxLen = 256
+
+  /** q136: per-context-window composition audit of the shuffled packed
+    * layout — the data-loader QA step: after the epoch shuffle (q131)
+    * deals docs to shards and packing (q75's orderCol form) slices
+    * context windows in read order, every (shard, seq) window reports
+    * how many docs and distinct sources it mixes, the dominant-source
+    * share, and boundary straddlers. Homogeneous windows are the
+    * training smell this audit exists to catch — the shuffle is
+    * exactly what makes them rare. Oracle-gates the epochShuffle +
+    * ordered-pack COMPOSITION end to end. */
+  def packAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dealt = Curation.epochShuffle(docs.select(col("doc_id")), "doc_id",
+      ShuffleSeed, ShuffleShards)
+      .select(col("doc_id"), col("shard"), col("pos"))
+    val packed = Curation.sequencePack(docs.join(dealt, Seq("doc_id")),
+      "text", "doc_id", "shard", AuditCtxLen, orderCol = "pos")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val perSeq = packed.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+    val perSrc = packed.groupBy(col("shard"), col("seq_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_sources"), max(col("c")).as("top_source_docs"))
+    perSeq.join(perSrc, Seq("shard", "seq_id"))
+      .select(col("shard"), col("seq_id"), col("n_docs"), col("n_straddlers"),
+        col("n_sources"), col("top_source_docs"),
+        graft.functions.VectorFunctions.e6(
+          col("top_source_docs").cast("double") / col("n_docs"))
+          .as("dominant_e6"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val packAuditSql: String = {
+    val h = Hashing.polyHashSql(s"CAST(doc_id AS VARCHAR) || ':$ShuffleSeed'")
+    s"""WITH k AS (SELECT doc_id, $h AS shuffle_key FROM documents),
+       |sp AS (SELECT doc_id, shuffle_key % $ShuffleShards AS shard,
+       |    CAST(row_number() OVER (PARTITION BY shuffle_key % $ShuffleShards
+       |      ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+       |  FROM k),
+       |counted AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (SELECT c.doc_id, sp.shard, sp.pos, c.n_tokens, c.source,
+       |    CAST(COALESCE(SUM(c.n_tokens) OVER (PARTITION BY sp.shard ORDER BY sp.pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+       |  FROM counted c JOIN sp USING (doc_id)),
+       |pp AS (SELECT *, cum_tokens // $AuditCtxLen AS seq_id,
+       |    cum_tokens % $AuditCtxLen + n_tokens > $AuditCtxLen AS straddles FROM p),
+       |a1 AS (SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       |  FROM pp GROUP BY shard, seq_id),
+       |ps AS (SELECT shard, seq_id, source, COUNT(*) AS c
+       |  FROM pp GROUP BY shard, seq_id, source),
+       |a2 AS (SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |    CAST(MAX(c) AS BIGINT) AS top_source_docs
+       |  FROM ps GROUP BY shard, seq_id)
+       |SELECT shard, seq_id, n_docs, n_straddlers, n_sources, top_source_docs,
+       |  ${e6Sql("CAST(top_source_docs AS DOUBLE) / n_docs")} AS dominant_e6
+       |FROM a1 JOIN a2 USING (shard, seq_id)
+       |ORDER BY shard, seq_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -504,7 +573,8 @@ object CorpusOpsQueries {
     "q132_span_corrupt" -> (spanCorrupt _),
     "q133_quality_classifier" -> (qualityClassifier _),
     "q134_bm25_topk" -> (bm25 _),
-    "q135_hybrid_rrf" -> (hybridRrf _))
+    "q135_hybrid_rrf" -> (hybridRrf _),
+    "q136_pack_audit" -> (packAudit _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -516,5 +586,6 @@ object CorpusOpsQueries {
     "q132_span_corrupt" -> spanCorruptSql,
     "q133_quality_classifier" -> qualityClassifierSql,
     "q134_bm25_topk" -> bm25Sql,
-    "q135_hybrid_rrf" -> hybridRrfSql)
+    "q135_hybrid_rrf" -> hybridRrfSql,
+    "q136_pack_audit" -> packAuditSql)
 }

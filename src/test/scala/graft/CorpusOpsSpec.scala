@@ -251,6 +251,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q136 pack audit: windows mix sources, accounting is consistent") {
+    val rows = CorpusOpsQueries.packAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, ns) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"))
+      assert(ns >= 1 && ns <= nd)
+      assert(r.getAs[Long]("top_source_docs") <= nd)
+      assert(r.getAs[Long]("n_straddlers") <= nd)
+      assert(r.getAs[Long]("dominant_e6") ===
+        math.round(1e6 * r.getAs[Long]("top_source_docs").toDouble / nd))
+    }
+    // the shuffle's whole point: multi-doc windows usually mix sources
+    val multi = rows.filter(_.getAs[Long]("n_docs") >= 2)
+    assert(multi.nonEmpty)
+    val mixed = multi.count(_.getAs[Long]("n_sources") >= 2)
+    assert(mixed * 2 > multi.length,
+      s"most multi-doc windows mix sources ($mixed of ${multi.length})")
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
