@@ -325,6 +325,31 @@ object Curation {
         e6(col("n_oov").cast("double") / col("n_tokens")))
   }
 
+  // ---- deterministic upsampling (epochs-per-dataset repeats) ---------
+
+  /** Materialize a data-mix's REPEAT counts: when a domain's sampling
+    * quota exceeds its document count (the temperature mix upweights
+    * small domains past availability), each doc repeats
+    * `quota div n_docs` times and the first `quota mod n_docs` docs by
+    * deterministic hash rank repeat once more — the "epochs per
+    * dataset" step of published pretraining mixes, materialized
+    * set-wise: Σ n_repeats per domain == quota exactly, on any engine.
+    * `quotas` is a (stratumCol, quota) dim — broadcast; the only
+    * window is the per-stratum hash rank (q74's ordering). */
+  def upsampleRepeats(df: DataFrame, stratumCol: String, idCol: String,
+                      quotas: DataFrame): DataFrame = {
+    val rk = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("stratum_n",
+        count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("base_repeats", expr("quota div stratum_n"))
+      .withColumn("extra", col("rk") <= expr("quota % stratum_n"))
+      .withColumn("n_repeats",
+        col("base_repeats") + when(col("extra"), 1L).otherwise(0L))
+  }
+
   // ---- BM25 lexical top-k retrieval ----------------------------------
 
   /** Sparse lexical retrieval over the corpus — the BM25-shaped

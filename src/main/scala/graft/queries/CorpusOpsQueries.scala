@@ -563,6 +563,64 @@ object CorpusOpsQueries {
        |ORDER BY shard, seq_id""".stripMargin
   }
 
+  // ---- q137: deterministic upsampling (epochs-per-dataset) ----
+
+  val UpsampleBudget = 2000L
+
+  /** q137: materialized repeat counts for a temperature mix whose
+    * budget EXCEEDS availability — the "epochs per dataset" step of
+    * published pretraining recipes (small domains repeat more). The
+    * quota side is q104's sqrt-temperature largest-remainder split
+    * WITHOUT the availability cap; the repeat side deals each domain's
+    * quota as base repeats + hash-ranked remainders, so per-domain
+    * Σ n_repeats == quota exactly on any engine. */
+  def upsampleRepeats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    val rkW = Window.partitionBy(lit(1)).orderBy(col("frac").desc, col("source"))
+    val quotas = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_e6", round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("tot_w", sum(col("w_e6")).over(whole))
+      .withColumn("raw_quota", expr(s"($UpsampleBudget * w_e6) div tot_w"))
+      .withColumn("frac", expr(s"($UpsampleBudget * w_e6) % tot_w"))
+      .withColumn("remainder", lit(UpsampleBudget) - sum(col("raw_quota")).over(whole))
+      .withColumn("rkq", row_number().over(rkW))
+      .select(col("source"),
+        (col("raw_quota") + when(col("rkq") <= col("remainder"), 1L).otherwise(0L))
+          .as("quota"))
+    Curation.upsampleRepeats(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", quotas)
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"),
+        col("base_repeats"), col("n_repeats"))
+      .orderBy(col("doc_id"))
+  }
+
+  val upsampleRepeatsSql: String =
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs,
+       |    CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_e6
+       |  FROM counts),
+       |t AS (SELECT *, CAST(SUM(w_e6) OVER () AS BIGINT) AS tot_w FROM w),
+       |qq AS (SELECT *, ($UpsampleBudget * w_e6) // tot_w AS raw_quota,
+       |    ($UpsampleBudget * w_e6) % tot_w AS frac FROM t),
+       |r AS (SELECT *, $UpsampleBudget - CAST(SUM(raw_quota) OVER () AS BIGINT) AS remainder,
+       |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rkq FROM qq),
+       |quotas AS (SELECT source,
+       |    CAST(raw_quota + (CASE WHEN rkq <= remainder THEN 1 ELSE 0 END) AS BIGINT) AS quota
+       |  FROM r),
+       |ranked AS (SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS stratum_n
+       |  FROM documents)
+       |SELECT doc_id, ranked.source, rk, quota,
+       |  quota // stratum_n AS base_repeats,
+       |  quota // stratum_n + (CASE WHEN rk <= quota % stratum_n THEN 1 ELSE 0 END) AS n_repeats
+       |FROM ranked JOIN quotas ON ranked.source = quotas.source
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -574,7 +632,8 @@ object CorpusOpsQueries {
     "q133_quality_classifier" -> (qualityClassifier _),
     "q134_bm25_topk" -> (bm25 _),
     "q135_hybrid_rrf" -> (hybridRrf _),
-    "q136_pack_audit" -> (packAudit _))
+    "q136_pack_audit" -> (packAudit _),
+    "q137_upsample_repeats" -> (upsampleRepeats _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -587,5 +646,6 @@ object CorpusOpsQueries {
     "q133_quality_classifier" -> qualityClassifierSql,
     "q134_bm25_topk" -> bm25Sql,
     "q135_hybrid_rrf" -> hybridRrfSql,
-    "q136_pack_audit" -> packAuditSql)
+    "q136_pack_audit" -> packAuditSql,
+    "q137_upsample_repeats" -> upsampleRepeatsSql)
 }

@@ -270,6 +270,28 @@ class CorpusOpsSpec extends SparkSpec {
       s"most multi-doc windows mix sources ($mixed of ${multi.length})")
   }
 
+  test("q137 upsampling deals each domain's quota exactly across its docs") {
+    val rows = CorpusOpsQueries.upsampleRepeats(spark, sfDir).collect()
+    assert(rows.length === 500)
+    // the whole budget is spent, no more, no less
+    assert(rows.map(_.getAs[Long]("n_repeats")).sum ===
+      CorpusOpsQueries.UpsampleBudget)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val quota = rs.head.getAs[Long]("quota")
+      assert(rs.forall(_.getAs[Long]("quota") === quota))
+      // per-domain repeats sum to the quota exactly
+      assert(rs.map(_.getAs[Long]("n_repeats")).sum === quota)
+      // every doc repeats base or base+1 times
+      val base = rs.head.getAs[Long]("base_repeats")
+      assert(rs.forall(r => {
+        val n = r.getAs[Long]("n_repeats"); n == base || n == base + 1
+      }))
+    }
+    // the budget (2000) exceeds the corpus (500): upsampling is real
+    assert(rows.forall(_.getAs[Long]("n_repeats") >= 1L))
+    assert(rows.exists(_.getAs[Long]("n_repeats") >= 4L))
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
