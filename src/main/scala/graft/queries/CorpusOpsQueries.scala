@@ -621,6 +621,88 @@ object CorpusOpsQueries {
        |FROM ranked JOIN quotas ON ranked.source = quotas.source
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q138: integer fixed-point PageRank on the domain graph ----
+
+  val PrRounds = 5
+  val PrSegDfCap = 64
+
+  /** q138: PageRank as exact integer fixed-point arithmetic — the
+    * iterative-graph-algorithm genre beyond q67's connected
+    * components. The graph links domains that SHARE a duplicated
+    * segment (q126's boilerplate signal lifted to the domain level —
+    * template-hub detection); ranks evolve in e6 units with damping
+    * 0.85 as `(r·850000) div 1e6 div outdeg` per edge, every division
+    * the truncating integer kind both engines implement identically,
+    * so 5 rounds are bit-reproducible at any parallelism (dangling
+    * mass is discarded — the standard simplification, pinned by the
+    * oracle). Segment df is capped so a universal segment can't
+    * quadratically explode the edge build at scale; each round
+    * localCheckpoints (the q67 lineage-truncation recipe). Oracle =
+    * chained CTE rounds, AS MATERIALIZED (the q121 lesson). */
+  def domainPagerank(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("source"),
+        explode_outer(split(regexp_replace(col("text"), " batch ", ". "), "\\. "))
+          .as("seg"))
+      .withColumn("seg", trim(col("seg")))
+      .filter(col("seg").isNotNull && length(col("seg")) > 0)
+      .select(col("source"), col("seg")).distinct()
+    val capped = Dedup.stage(segs.join(
+      segs.groupBy(col("seg")).agg(count(lit(1)).as("seg_df"))
+        .filter(col("seg_df") >= 2 && col("seg_df") <= PrSegDfCap)
+        .select(col("seg")), Seq("seg")))
+    val edges = Dedup.stage(capped.as("a")
+      .join(capped.as("b"), Seq("seg"))
+      .filter(col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("src"), col("b.source").as("dst"))
+      .distinct())
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = Tables.documents(s, dir).select(col("source")).distinct()
+    var rank = nodes.withColumn("rank_e6", lit(1000000L))
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges.join(rank, edges("src") === rank("source"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("source"),
+          expr("(rank_e6 * 850000 div 1000000) div outdeg").as("c"))
+        .groupBy(col("source")).agg(sum(col("c")).as("in_mass"))
+      rank = nodes.join(contrib, Seq("source"), "left")
+        .select(col("source"),
+          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("rank_e6"))
+        .localCheckpoint(false)
+    }
+    rank.join(outdeg.withColumnRenamed("src", "source"), Seq("source"), "left")
+      .select(col("source"), col("rank_e6"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .orderBy(col("rank_e6").desc, col("source"))
+  }
+
+  val domainPagerankSql: String = {
+    val rounds = (1 to PrRounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT n.source,
+         |    150000 + COALESCE(CAST(SUM((r.rank_e6 * 850000 // 1000000) // o.outdeg) AS BIGINT), 0) AS rank_e6
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.source
+         |  LEFT JOIN r${i - 1} r ON r.source = e.src
+         |  LEFT JOIN outdeg o ON o.src = e.src
+         |  GROUP BY n.source)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH segs AS (SELECT DISTINCT source, trim(seg) AS seg FROM (
+       |    SELECT source, unnest(string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ')) AS seg
+       |    FROM documents) WHERE trim(seg) <> ''),
+       |dfq AS (SELECT seg FROM (SELECT seg, COUNT(*) AS seg_df FROM segs GROUP BY seg)
+       |  WHERE seg_df >= 2 AND seg_df <= $PrSegDfCap),
+       |capped AS (SELECT source, segs.seg FROM segs JOIN dfq ON segs.seg = dfq.seg),
+       |edges AS (SELECT DISTINCT a.source AS src, b.source AS dst
+       |  FROM capped a JOIN capped b ON a.seg = b.seg AND a.source <> b.source),
+       |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT source FROM documents),
+       |r0 AS MATERIALIZED (SELECT source, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+       |$rounds
+       |SELECT r.source, r.rank_e6, COALESCE(o.outdeg, 0) AS outdeg
+       |FROM r$PrRounds r LEFT JOIN outdeg o ON o.src = r.source
+       |ORDER BY r.rank_e6 DESC, r.source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -633,7 +715,8 @@ object CorpusOpsQueries {
     "q134_bm25_topk" -> (bm25 _),
     "q135_hybrid_rrf" -> (hybridRrf _),
     "q136_pack_audit" -> (packAudit _),
-    "q137_upsample_repeats" -> (upsampleRepeats _))
+    "q137_upsample_repeats" -> (upsampleRepeats _),
+    "q138_domain_pagerank" -> (domainPagerank _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -647,5 +730,6 @@ object CorpusOpsQueries {
     "q134_bm25_topk" -> bm25Sql,
     "q135_hybrid_rrf" -> hybridRrfSql,
     "q136_pack_audit" -> packAuditSql,
-    "q137_upsample_repeats" -> upsampleRepeatsSql)
+    "q137_upsample_repeats" -> upsampleRepeatsSql,
+    "q138_domain_pagerank" -> domainPagerankSql)
 }

@@ -292,6 +292,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_repeats") >= 4L))
   }
 
+  test("q138 integer PageRank converges to a deterministic non-uniform ranking") {
+    val rows = CorpusOpsQueries.domainPagerank(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      // teleport floor: every node keeps at least the base mass
+      assert(r.getAs[Long]("rank_e6") >= 150000L)
+    }
+    // the boilerplate graph is non-trivial: ranks differentiate
+    assert(rows.map(_.getAs[Long]("rank_e6")).distinct.length > 1)
+    // presentation order is (rank desc, source) — deterministic
+    val ranks = rows.map(_.getAs[Long]("rank_e6")).toSeq
+    assert(ranks === ranks.sorted.reverse)
+    // bit-reproducible: a second evaluation is identical row for row
+    val again = CorpusOpsQueries.domainPagerank(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
