@@ -703,6 +703,74 @@ object CorpusOpsQueries {
        |ORDER BY r.rank_e6 DESC, r.source""".stripMargin
   }
 
+  // ---- q139: distributed PCA direction via integer power iteration ----
+
+  val PcaRounds = 4
+  val PcaDim = 64
+
+  /** q139: the distributed-PCA core pattern — ONE corpus-scale
+    * aggregation builds the 64x64 Gram matrix of the micro-int
+    * embeddings (the outer-product sum every data-parallel PCA
+    * computes), then the top principal direction comes from 4 rounds
+    * of POWER ITERATION in integer fixed-point: `w = G'·v` with
+    * `G' = Σ m_i·m_j div N div 1000` (scale-invariant — the divisor
+    * normalizes by corpus size so entries don't grow with N), then
+    * L∞ renormalize `v = w div greatest(max|w| div 1e6, 1)`. Every
+    * step is the truncating integer division both engines share, so
+    * the direction is bit-reproducible at any parallelism. The
+    * iteration runs on a 64-row vector against a 4096-row matrix —
+    * model-sized; only the Gram build touches the corpus. Oracle =
+    * chained CTE rounds AS MATERIALIZED. */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val m = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.microVec(col("embedding")).as("m"))
+    val e = Dedup.stage(m.select(col("vec_id"),
+      posexplode(col("m")).as(Seq("i", "mi"))))
+    val n = Tables.embeddings(s, dir).count()
+    val g = e.select(col("vec_id"), col("i"), col("mi"))
+      .join(e.select(col("vec_id"), col("i").as("j"), col("mi").as("mj")),
+        Seq("vec_id"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("mi") * col("mj")).as("raw"))
+      .select(col("i"), col("j"), expr(s"raw div $n div 1000").as("gv"))
+      .localCheckpoint(false)
+    var v = s.range(PcaDim).select(col("id").cast("int").as("i"),
+      lit(1000000L).as("v"))
+    for (_ <- 1 to PcaRounds) {
+      val w = g.join(v.withColumnRenamed("i", "j"), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("gv") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i"), expr("w div greatest(mx div 1000000, 1)").as("v"))
+        .localCheckpoint(false)
+    }
+    v.select(col("i").cast("long").as("dim_idx"), col("v").as("v_e6"))
+      .orderBy(col("dim_idx"))
+  }
+
+  val pcaPowerSql: String = {
+    val micro = "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    val rounds = (1 to PcaRounds).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT g.i, CAST(SUM(g.gv * v.v) AS BIGINT) AS w
+         |  FROM g JOIN v${t - 1} v ON g.j = v.i GROUP BY g.i),
+         |v$t AS MATERIALIZED (SELECT i,
+         |    w // GREATEST((SELECT MAX(ABS(w)) FROM w$t) // 1000000, 1) AS v
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT vec_id, $micro AS m FROM embeddings),
+       |n AS (SELECT COUNT(*) AS n FROM embeddings),
+       |e AS (SELECT vec_id, unnest(m) AS mi, generate_subscripts(m, 1) - 1 AS i FROM m),
+       |g AS (SELECT a.i, b.i AS j,
+       |    CAST(SUM(a.mi * b.mi) AS BIGINT) // (SELECT n FROM n) // 1000 AS gv
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |v0 AS MATERIALIZED (SELECT CAST(range AS INTEGER) AS i,
+       |    CAST(1000000 AS BIGINT) AS v FROM range($PcaDim)),
+       |$rounds
+       |SELECT CAST(i AS BIGINT) AS dim_idx, v AS v_e6
+       |FROM v$PcaRounds ORDER BY dim_idx""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -716,7 +784,8 @@ object CorpusOpsQueries {
     "q135_hybrid_rrf" -> (hybridRrf _),
     "q136_pack_audit" -> (packAudit _),
     "q137_upsample_repeats" -> (upsampleRepeats _),
-    "q138_domain_pagerank" -> (domainPagerank _))
+    "q138_domain_pagerank" -> (domainPagerank _),
+    "q139_pca_power" -> (pcaPower _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -731,5 +800,6 @@ object CorpusOpsQueries {
     "q135_hybrid_rrf" -> hybridRrfSql,
     "q136_pack_audit" -> packAuditSql,
     "q137_upsample_repeats" -> upsampleRepeatsSql,
-    "q138_domain_pagerank" -> domainPagerankSql)
+    "q138_domain_pagerank" -> domainPagerankSql,
+    "q139_pca_power" -> pcaPowerSql)
 }

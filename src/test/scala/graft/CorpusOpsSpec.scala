@@ -309,6 +309,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("q139 power iteration yields a normalized, reproducible direction") {
+    val rows = CorpusOpsQueries.pcaPower(spark, sfDir).collect()
+    assert(rows.length === 64)
+    val vs = rows.map(_.getAs[Long]("v_e6"))
+    // L-inf normalized each round: the peak component sits near +-1e6
+    val peak = vs.map(math.abs).max
+    assert(peak >= 900000L && peak <= 1100000L, s"peak $peak")
+    // a real direction, not a collapsed one
+    assert(vs.count(_ != 0L) > 1)
+    // bit-reproducible across evaluations
+    val again = CorpusOpsQueries.pcaPower(spark, sfDir).collect()
+      .map(_.getAs[Long]("v_e6"))
+    assert(vs.toSeq === again.toSeq)
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
