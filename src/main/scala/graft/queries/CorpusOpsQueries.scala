@@ -7,11 +7,15 @@ import graft.Tables
 import graft.functions.Hashing
 import graft.operators.{Curation, Dedup}
 
-/** Corpus-cleaning operators a pretraining pipeline runs between
-  * ingest and tokenization, continuing SURVEY.md §2 layers D/D′:
-  * duplicated-line removal (q126), LM-surprisal quality scoring
-  * (q127), the dedup family's precision/recall eval harness (q128),
-  * and vocabulary-coverage / OOV analysis (q129).
+/** Corpus cleaning, selection, retrieval and layout operators a
+  * pretraining pipeline runs between ingest and tokenization,
+  * continuing SURVEY.md §2 layers D/D′/E: duplicated-line removal
+  * (q126), LM-surprisal scoring (q127), the LSH eval harness (q128),
+  * vocab/OOV analysis (q129), DSIR selection (q130), epoch shuffle
+  * (q131), span corruption (q132), linear-classifier inference
+  * (q133), BM25 retrieval (q134), hybrid RRF fusion (q135), packed
+  * layout audit (q136), upsampling repeats (q137), integer PageRank
+  * (q138) and the distributed-PCA power iteration (q139).
   */
 object CorpusOpsQueries {
 
