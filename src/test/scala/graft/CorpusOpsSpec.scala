@@ -324,6 +324,74 @@ class CorpusOpsSpec extends SparkSpec {
     assert(vs.toSeq === again.toSeq)
   }
 
+  test("lineDedup matches an in-memory reference on random corpora") {
+    // randomized corpora exercise edge cases the testdata can't:
+    // all-duplicate docs, empty-after-trim segments, single-segment docs
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val segPool = (1 to 8).map(i => s"seg$i words here")
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 30L).map { id =>
+        val n = 1 + rng.nextInt(4)
+        val body = (0 until n).map(_ => segPool(rng.nextInt(segPool.length)))
+        (id, body.mkString(". "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.operators.Curation.lineDedup(df, "doc_id",
+        split(col("text"), "\\. "), ". ", minDf = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("kept_text"))).toMap
+      val segsOf = docs.map { case (id, t) =>
+        id -> t.split("\\. ", -1).toSeq.map(_.trim).filter(_.nonEmpty) }.toMap
+      val dfreq = segsOf.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (sg, xs) => sg -> xs.map(_._2).distinct.size }
+      docs.foreach { case (id, _) =>
+        val ss = segsOf(id)
+        val (dup, kept) = ss.partition(sg => dfreq(sg) >= 2)
+        val (nSegs, nRem, keptText) = out(id)
+        assert(nSegs === ss.length.toLong, s"trial $trial doc $id")
+        assert(nRem === dup.length.toLong, s"trial $trial doc $id")
+        assert(keptText === kept.mkString(". "), s"trial $trial doc $id")
+      }
+    }
+  }
+
+  test("epochShuffle is a permutation with exact per-shard positions on random ids") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val ids = (0 until 200).map(_ => rng.nextLong().abs % 1000000L).distinct
+    val df = ids.map(Tuple1(_)).toDF("doc_id")
+    Seq("s1", "s2").foreach { seed =>
+      val out = graft.operators.Curation.epochShuffle(df, "doc_id", seed, 4).collect()
+      assert(out.length === ids.length, "every doc dealt exactly once")
+      assert(out.map(_.getAs[Long]("doc_id")).toSet === ids.toSet)
+      out.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+        assert(sh >= 0 && sh < 4)
+        // positions are exactly 1..n in (key, id) order
+        val byPos = rs.sortBy(_.getAs[Long]("pos"))
+        assert(byPos.map(_.getAs[Long]("pos")).toSeq === (1L to rs.length))
+        val keys = byPos.map(r => (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+        assert(keys.toSeq === keys.sortBy(identity).toSeq)
+      }
+    }
+  }
+
+  test("upsampleRepeats spends arbitrary quotas exactly on random strata") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val docs = (0L until 120L).map(id => (id, s"s${rng.nextInt(6)}")).toDF("doc_id", "source")
+    val quotas = (0 until 6).map(i => (s"s$i", 1L + rng.nextInt(400).toLong))
+      .toDF("source", "quota")
+    val out = graft.operators.Curation.upsampleRepeats(docs, "source", "doc_id", quotas)
+      .collect()
+    val want = quotas.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("n_repeats")).sum === want(src),
+        s"stratum $src must spend its quota exactly")
+    }
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
