@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.Hashing
+import graft.functions.TextFunctions.{fold, tokens}
 import graft.operators.{Curation, Dedup}
 
 /** Corpus cleaning, selection, retrieval and layout operators a
@@ -775,6 +776,70 @@ object CorpusOpsQueries {
        |FROM v$PcaRounds ORDER BY dim_idx""".stripMargin
   }
 
+  // ---- q140: collocation extraction (integer-PMI phrase detection) ----
+
+  val CollocTopK = 25
+  val CollocMinCount = 5
+
+  /** q140: statistical phrase detection — the word2vec-style
+    * collocation step that finds bigrams occurring far more often than
+    * their parts predict. The PMI's `log` never appears: pairs rank by
+    * the e6 LIFT ratio `(c_ab·N)/(c_a·c_b)` — one fixed IEEE tree,
+    * monotone in PMI, bit-reproducible (the q134 recipe). Counting
+    * runs on (gram) hash aggs; the global top-k goes through
+    * TopKPerKeyExec's bounded heap, nothing corpus-sized sorts. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(fold(col("text"))).as("toks"))
+    val uni = Dedup.stage(toked
+      .select(explode_outer(col("toks")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
+    val bi = toked
+      .select(explode_outer(
+        graft.functions.GraftFunctions.tokenShingles(col("toks"), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val scored = bi
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c_b"))), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+        e6Col((col("c_ab").cast("double") * col("n_tokens").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift_e6"))
+      .withColumn("g", lit(1))
+    graft.plans.Plans.topKPerKeyRanked(scored, Seq(scored("g")),
+      Seq((scored("lift_e6"), true), (scored("bg"), false)), CollocTopK, "rnk")
+      .select(col("rnk").cast("long").as("rnk"), col("bg"), col("c_ab"),
+        col("c_a"), col("c_b"), col("lift_e6"))
+      .orderBy(col("rnk"))
+  }
+
+  private def e6Col(c: org.apache.spark.sql.Column) =
+    round(c * lit(1000000.0)).cast("long")
+
+  val collocationsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |uni AS (SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+       |bi AS (SELECT t[i] || ' ' || t[i+1] AS bg, t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c_ab
+       |  FROM pos WHERE i + 1 <= len(t) GROUP BY t[i] || ' ' || t[i+1], t[i], t[i+1]
+       |  HAVING COUNT(*) >= $CollocMinCount),
+       |scored AS (SELECT bg, c_ab, a.c AS c_a, b.c AS c_b,
+       |    ${e6Sql("""(CAST(c_ab AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
+       |      (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))""")} AS lift_e6
+       |  FROM bi JOIN uni a ON bi.w1 = a.tok JOIN uni b ON bi.w2 = b.tok CROSS JOIN n)
+       |SELECT CAST(rn AS BIGINT) AS rnk, bg,
+       |  CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+       |  CAST(c_b AS BIGINT) AS c_b, lift_e6
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bg) AS rn FROM scored)
+       |WHERE rn <= $CollocTopK ORDER BY rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -789,7 +854,8 @@ object CorpusOpsQueries {
     "q136_pack_audit" -> (packAudit _),
     "q137_upsample_repeats" -> (upsampleRepeats _),
     "q138_domain_pagerank" -> (domainPagerank _),
-    "q139_pca_power" -> (pcaPower _))
+    "q139_pca_power" -> (pcaPower _),
+    "q140_collocations" -> (collocations _))
 
   val oracles: Map[String, String] = Map(
     "q126_line_dedup" -> lineDedupSql,
@@ -805,5 +871,6 @@ object CorpusOpsQueries {
     "q136_pack_audit" -> packAuditSql,
     "q137_upsample_repeats" -> upsampleRepeatsSql,
     "q138_domain_pagerank" -> domainPagerankSql,
-    "q139_pca_power" -> pcaPowerSql)
+    "q139_pca_power" -> pcaPowerSql,
+    "q140_collocations" -> collocationsSql)
 }

@@ -392,6 +392,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q140 collocations rank by lift with count floors respected") {
+    val rows = CorpusOpsQueries.collocations(spark, sfDir).collect()
+    assert(rows.length === CorpusOpsQueries.CollocTopK)
+    val lifts = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("lift_e6")).toSeq
+    assert(lifts === lifts.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ab") >= CorpusOpsQueries.CollocMinCount)
+      // a pair can't occur more often than either part
+      assert(r.getAs[Long]("c_ab") <= r.getAs[Long]("c_a"))
+      assert(r.getAs[Long]("c_ab") <= r.getAs[Long]("c_b"))
+      assert(r.getAs[String]("bg").split(" ").length === 2)
+    }
+    // lift discriminates: the top pair beats the bottom pair strictly
+    assert(lifts.head > lifts.last)
+  }
+
   test("q132 span accounting is consistent and near the corruption rate") {
     val rows = CorpusOpsQueries.spanCorrupt(spark, sfDir).collect()
     assert(rows.length === 500)
