@@ -118,23 +118,55 @@ object Curation {
 
   // ---- per-domain stratified downsampling ----------------------------
 
+  /** Exact per-stratum hash rank WITHOUT a per-stratum sort — the
+    * two-level balanced-shard form (q131's trick, applied to an exact
+    * total order): bucket each stratum's rows by the leading byte of
+    * the md5 ordering key (256 sub-shards that are RANGE-CONTIGUOUS in
+    * the sort order, since equal-length hex strings compare bytewise),
+    * rank inside each (stratum, bucket) window, and add back
+    * prefix-sum bucket offsets from a broadcast (strata × 256)-row
+    * dim. The rank is IDENTICAL to `row_number() over (partition by
+    * stratum order by md5(id), id)`, but no task ever sorts more than
+    * ~1/256 of a stratum — a skewed stratum (one domain = half the
+    * corpus) spreads over 256 bounded partitions instead of stalling
+    * one reducer. `stratum_n` comes from the same tiny dim (a
+    * partial-agg groupBy), not a corpus window. Returns the input
+    * plus `rk` (1-based hash rank inside the stratum, long) and
+    * `stratum_n` (long). */
+  def stratumHashRank(df: DataFrame, stratumCol: String,
+      idCol: String): DataFrame = {
+    val keyed = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__sub", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val offs = keyed.groupBy(col(stratumCol), col("__sub"))
+      .agg(count(lit(1)).as("__sub_n"))
+      .withColumn("__off", coalesce(
+        sum(col("__sub_n")).over(byStratum.orderBy(col("__sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("stratum_n", sum(col("__sub_n")).over(byStratum))
+      .select(col(stratumCol), col("__sub"), col("__off"), col("stratum_n"))
+    val subRk = Window.partitionBy(col(stratumCol), col("__sub"))
+      .orderBy(col("__h"), col(idCol))
+    keyed
+      .withColumn("__sub_rk", row_number().over(subRk).cast("long"))
+      .join(broadcast(offs), Seq(stratumCol, "__sub"))
+      .withColumn("rk", col("__off") + col("__sub_rk"))
+      .drop("__h", "__sub", "__sub_rk", "__off")
+  }
+
   /** Exact per-stratum quota sample: rank rows inside each stratum by a
     * deterministic content hash and keep the first ceil(n/denom) —
-    * pure integer quota, reproducible everywhere. The ranking is a
-    * per-stratum sort; when strata are huge and the quota needn't be
-    * exact, the scale relaxation is a hash-threshold filter
-    * (keep iff md5 < p — map-only, no window), same hash, same
-    * ordering semantics. */
+    * pure integer quota, reproducible everywhere. The ranking is the
+    * two-level `stratumHashRank` (no single-stratum sort); when strata
+    * are huge and the quota needn't be exact, the scale relaxation is
+    * a hash-threshold filter (keep iff md5 < p — map-only, no window),
+    * same hash, same ordering semantics. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-      denom: Int): DataFrame = {
-    val byStratum = Window.partitionBy(col(stratumCol))
-    val rk = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("stratum_n", count(lit(1)).over(byStratum))
-      .withColumn("rk", row_number().over(rk).cast("long"))
+      denom: Int): DataFrame =
+    stratumHashRank(df, stratumCol, idCol)
       .withColumn("quota", expr(s"(stratum_n + ${denom - 1}) div $denom"))
       .filter(col("rk") <= col("quota"))
-  }
 
   // ---- context-window sequence packing ------------------------------
 
@@ -334,21 +366,17 @@ object Curation {
     * deterministic hash rank repeat once more — the "epochs per
     * dataset" step of published pretraining mixes, materialized
     * set-wise: Σ n_repeats per domain == quota exactly, on any engine.
-    * `quotas` is a (stratumCol, quota) dim — broadcast; the only
-    * window is the per-stratum hash rank (q74's ordering). */
+    * `quotas` is a (stratumCol, quota) dim — broadcast; the rank is
+    * the two-level `stratumHashRank` (q74's ordering, no
+    * single-stratum sort). */
   def upsampleRepeats(df: DataFrame, stratumCol: String, idCol: String,
-                      quotas: DataFrame): DataFrame = {
-    val rk = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("stratum_n",
-        count(lit(1)).over(Window.partitionBy(col(stratumCol))))
-      .withColumn("rk", row_number().over(rk).cast("long"))
+                      quotas: DataFrame): DataFrame =
+    stratumHashRank(df, stratumCol, idCol)
       .join(broadcast(quotas), Seq(stratumCol))
       .withColumn("base_repeats", expr("quota div stratum_n"))
       .withColumn("extra", col("rk") <= expr("quota % stratum_n"))
       .withColumn("n_repeats",
         col("base_repeats") + when(col("extra"), 1L).otherwise(0L))
-  }
 
   // ---- BM25 lexical top-k retrieval ----------------------------------
 

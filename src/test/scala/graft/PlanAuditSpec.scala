@@ -203,4 +203,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.nonEmpty && exchanges.forall(e =>
       e.contains("article_id") || e.contains("l_orderkey") || e.contains("lc_article")), p)
   }
+
+  test("q74/q137 stratum rank is two-level — no single-stratum row_number window") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val quotas = docs.groupBy(col("source")).agg((count(lit(1)) * 3).as("quota"))
+    for (df <- Seq(
+        graft.operators.Curation.stratifiedSample(docs, "source", "doc_id", 5),
+        graft.operators.Curation.upsampleRepeats(
+          docs.select(col("doc_id"), col("source")), "source", "doc_id", quotas))) {
+      val p = plan(df)
+      // every corpus-grain rank runs inside a (stratum, md5-prefix
+      // sub-shard) window — a skewed stratum spreads over 256 bounded
+      // partitions instead of one task sorting the whole stratum
+      val rnLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+      assert(rnLines.nonEmpty, p)
+      assert(rnLines.forall(_.contains("__sub")), p)
+      // the prefix-sum offsets dim (strata x 256 rows) joins back broadcast
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
 }
