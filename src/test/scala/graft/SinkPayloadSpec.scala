@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SinkPayloadQueries
+
+/** Semantics pins for the q141/q142 serialization boundaries — each
+  * default-fill / drop branch of the reference's payload coercions
+  * must be exercised by the synthesized data AND produce the
+  * reference's outcome. */
+class SinkPayloadSpec extends SparkSpec {
+
+  private lazy val rt = SinkPayloadQueries.sinkRoundTrip(spark, sfDir).cache()
+  private lazy val pp = SinkPayloadQueries.portalPayload(spark, sfDir).cache()
+
+  // ---- q141: publications sink round-trip ----
+
+  test("q141 accepted subset: existing (portal, url) keys never come back") {
+    // the repo pre-contains every key with article_key % 11 == 3
+    assert(rt.filter(col("article_key") % 11 === 3).count() == 0L)
+    assert(rt.count() > 0L)
+  }
+
+  test("q141 ISO datetime round-trip is the identity on the instant") {
+    val iso = rt.select(col("iso_published"),
+      unix_timestamp(to_timestamp(col("iso_published"),
+        "yyyy-MM-dd'T'HH:mm:ss")).as("reparsed"), col("rt_epoch"))
+    assert(iso.filter(col("reparsed") =!= col("rt_epoch")).count() == 0L)
+    // the serialized form is the reference's isoformat() shape
+    assert(iso.filter(!col("iso_published")
+      .rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$")).count() == 0L)
+  }
+
+  test("q141 mentions without a city_id key are dropped by the server filter") {
+    // n_stored < n_sent must actually occur (a slot with null city_id
+    // was sent), and n_stored never exceeds n_sent
+    assert(rt.filter(col("n_stored") < col("n_sent")).count() > 0L)
+    assert(rt.filter(col("n_stored") > col("n_sent")).count() == 0L)
+    // when nothing survives there is no first mention
+    assert(rt.filter(col("n_stored") === 0 && col("first_city_id").isNotNull)
+      .count() == 0L)
+  }
+
+  test("q141 classification is lost client-side but summary passes through") {
+    assert(rt.filter(col("classification_rt").isNotNull).count() == 0L)
+    assert(rt.filter(col("had_classification")).count() > 0L)
+    // payload.get("summary") has no falsy chain: '' survives as ''
+    assert(rt.filter(col("summary_rt") === "").count() > 0L)
+    assert(rt.filter(col("summary_rt").isNull).count() > 0L)
+  }
+
+  test("q141 first surviving mention's sources are deduped keep-first") {
+    val csv = rt.filter(col("m1_sources_csv").isNotNull)
+    // 'web' duplicate collapses; '' is dropped; distinct extras survive
+    assert(csv.filter(col("m1_sources_csv") === "web").count() > 0L)
+    assert(csv.filter(col("m1_sources_csv").startsWith("web,rss-")).count() > 0L)
+    assert(csv.filter(col("m1_sources_csv").contains("web,web")).count() == 0L)
+    assert(csv.filter(col("m1_sources_csv").contains(",,")).count() == 0L)
+  }
+
+  // ---- q142: portal/selector payload coercions ----
+
+  test("q142 selector attribute defaults to null on missing AND explicit null") {
+    // k%3 in {0,1} -> no attribute either way; k%3==2 -> 'href'
+    assert(pp.filter(col("portal_key") % 3 =!= 2 && col("la_attr").isNotNull)
+      .count() == 0L)
+    assert(pp.filter(col("portal_key") % 3 === 2 && col("la_attr") =!= "href")
+      .count() == 0L)
+  }
+
+  test("q142 listing_summary: empty payload is skipped exactly like missing") {
+    assert(pp.filter(col("ls_state") < 2 && col("ls_query").isNotNull).count() == 0L)
+    assert(pp.filter(col("ls_state") >= 2 && col("ls_query").isNull).count() == 0L)
+  }
+
+  test("q142 headers default to empty, date_format keeps explicit null over the default") {
+    assert(pp.filter(col("n_headers").isNull).count() == 0L)
+    assert(pp.filter(col("portal_key") % 5 >= 2 && col("n_headers") =!= 0L)
+      .count() == 0L)
+    // dict.get default fires only on MISSING (df_state 0); an explicit
+    // null (df_state 1) is kept as null
+    assert(pp.filter(col("date_format") === "%Y-%m-%d").count() > 0L)
+    assert(pp.filter(col("portal_key") % 3 === 1 && col("date_format").isNotNull)
+      .count() == 0L)
+    assert(pp.filter(col("portal_key") % 3 === 2 &&
+      !col("date_format").startsWith("%d/%m/")).count() == 0L)
+  }
+
+  test("q142 legacy string city: strip, digits->city_id, text->label, empty dropped") {
+    // digits (with surrounding whitespace) -> city_id == identifier, survives
+    val digits = pp.filter(col("lc_city_id").isNotNull)
+    assert(digits.count() > 0L)
+    assert(digits.filter(col("lc_city_id") =!= col("lc_identifier")).count() == 0L)
+    assert(digits.filter(!col("lc_survives")).count() == 0L)
+    assert(digits.filter(col("lc_city_id").rlike("^[0-9]+$")).count() == digits.count())
+    // non-digit text -> label only, and NEVER survives to_domain's
+    // truthy-city_id filter
+    val labels = pp.filter(col("lc_label").isNotNull)
+    assert(labels.count() > 0L)
+    assert(labels.filter(col("lc_survives")).count() == 0L)
+    assert(labels.filter(col("lc_label").startsWith(" ")).count() == 0L)
+    // whitespace-only and empty input -> everything null
+    val empty = pp.filter(col("portal_key") % 6 === 2 || col("portal_key") % 6 === 4)
+    assert(empty.filter(col("lc_identifier").isNotNull).count() == 0L)
+  }
+}
