@@ -222,6 +222,16 @@ object Similarity {
     GraftInternals.column(graft.expressions.LongSubVec(
       GraftInternals.expression(a), GraftInternals.expression(b)))
 
+  /** Corpus Gram matrix as ONE aggregate: `array<bigint>` of
+    * `dim*dim + 1` cells — [0] the row count, [1..] the row-major
+    * `Σ m_i·m_j` outer-product sums. Native TypedImperativeAggregate
+    * (expressions/GramAggregate.scala): map-side fold + elementwise
+    * merge, replacing the posexplode → self-join → hash-agg Gram plan
+    * and the separate count() scan alike. */
+  def gramCells(vecCol: Column, dim: Int): Column =
+    GraftInternals.column(graft.expressions.GramMatrix(
+      GraftInternals.expression(vecCol), dim).toAggregateExpression())
+
   /** Exact integer squared L2 between two micro-int vectors, native. */
   def sqDist(a: Column, b: Column): Column =
     GraftInternals.column(graft.expressions.LongSqDist(

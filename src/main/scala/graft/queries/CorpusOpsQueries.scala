@@ -728,29 +728,36 @@ object CorpusOpsQueries {
     * chained CTE rounds AS MATERIALIZED. */
   def pcaPower(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    val m = Tables.embeddings(s, dir)
-      .select(col("vec_id"), Similarity.microVec(col("embedding")).as("m"))
-    val e = Dedup.stage(m.select(col("vec_id"),
-      posexplode(col("m")).as(Seq("i", "mi"))))
-    val n = Tables.embeddings(s, dir).count()
-    val g = e.select(col("vec_id"), col("i"), col("mi"))
-      .join(e.select(col("vec_id"), col("i").as("j"), col("mi").as("mj")),
-        Seq("vec_id"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("mi") * col("mj")).as("raw"))
-      .select(col("i"), col("j"), expr(s"raw div $n div 1000").as("gv"))
-      .localCheckpoint(false)
-    var v = s.range(PcaDim).select(col("id").cast("int").as("i"),
-      lit(1000000L).as("v"))
+    // ONE corpus aggregate builds count + all d² outer-product sums
+    // (native GramMatrix fold — no posexplode, no self-join, no
+    // separate count() scan). The collected Gram matrix is a BOUNDED
+    // model (d² + 1 = 4097 longs, independent of corpus size — the
+    // k-row-codebook precedent), so the 4-round power iteration runs
+    // driver-local integer arithmetic instead of 4 distributed
+    // join+agg rounds over a 64-row vector: identical truncating-div
+    // math (Java / == SQL div for the signs involved), zero per-round
+    // job overhead. Only the Gram build ever touches the corpus.
+    val cells = Tables.embeddings(s, dir)
+      .select(Similarity.microVec(col("embedding")).as("m"))
+      .agg(Similarity.gramCells(col("m"), PcaDim).as("cells"))
+      .head().getSeq[Long](0)
+    val n = cells(0)
+    val g = Array.tabulate(PcaDim * PcaDim)(c => cells(1 + c) / n / 1000L)
+    var v = Array.fill(PcaDim)(1000000L)
     for (_ <- 1 to PcaRounds) {
-      val w = g.join(v.withColumnRenamed("i", "j"), Seq("j"))
-        .groupBy(col("i")).agg(sum(col("gv") * col("v")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("i"), expr("w div greatest(mx div 1000000, 1)").as("v"))
-        .localCheckpoint(false)
+      val w = Array.tabulate(PcaDim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < PcaDim) { acc += g(i * PcaDim + j) * v(j); j += 1 }
+        acc
+      }
+      val mx = w.map(math.abs).max
+      val scale = math.max(mx / 1000000L, 1L)
+      v = w.map(_ / scale)
     }
-    v.select(col("i").cast("long").as("dim_idx"), col("v").as("v_e6"))
+    import s.implicits._
+    v.zipWithIndex.map { case (ve, i) => (i.toLong, ve) }.toSeq
+      .toDF("dim_idx", "v_e6")
       .orderBy(col("dim_idx"))
   }
 

@@ -161,4 +161,26 @@ class NativeKernelPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("GramMatrix aggregate equals the posexplode self-join Gram bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val m = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.microVec(col("embedding")).as("m"))
+    val cells = m.agg(Similarity.gramCells(col("m"), 64))
+      .head().getSeq[Long](0)
+    assert(cells.length == 64 * 64 + 1)
+    assert(cells(0) == m.count())
+    val e = m.select(col("vec_id"), posexplode(col("m")).as(Seq("i", "mi")))
+    val joined = e
+      .join(e.select(col("vec_id"), col("i").as("j"), col("mi").as("mj")),
+        Seq("vec_id"))
+      .groupBy(col("i"), col("j")).agg(sum(col("mi") * col("mj")).as("raw"))
+      .collect()
+    assert(joined.length == 64 * 64)
+    joined.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      assert(r.getLong(2) == cells(1 + i * 64 + j), s"cell ($i,$j)")
+    }
+  }
 }

@@ -204,6 +204,43 @@ class PlanAuditSpec extends SparkSpec {
       e.contains("article_id") || e.contains("l_orderkey") || e.contains("lc_article")), p)
   }
 
+  test("q125 corpus encode is one scan + broadcast dictionary join — no shuffle join, no window") {
+    val p = plan(graft.queries.TokenizerQueries.bpeEncode(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q134 BM25 ranks through bounded heaps with a broadcast query-term probe") {
+    val p = plan(graft.queries.CorpusOpsQueries.bm25(spark, sfDir))
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no corpus-wide ranking window; the only Sort is the k-row output
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q138 PageRank plans stay on the bounded domain graph — no cartesian anywhere") {
+    val p = plan(graft.queries.CorpusOpsQueries.domainPagerank(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // rounds run on lineage-truncated checkpoints, not a re-derived corpus
+    assert(!p.contains("Scan parquet") || scanCount(p) <= 1, p)
+  }
+
+  test("q139 Gram build is one native aggregate — no explode, no self-join, no count scan") {
+    import org.apache.spark.sql.functions._
+    val m = graft.Tables.embeddings(spark, sfDir)
+      .select(graft.operators.Similarity.microVec(col("embedding")).as("m"))
+      .agg(graft.operators.Similarity.gramCells(col("m"), 64).as("cells"))
+    val p = plan(m)
+    assert(p.contains("graft_gram_matrix"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(scanCount(p) == 1, p)
+  }
+
   test("q74/q137 stratum rank is two-level — no single-stratum row_number window") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir)
