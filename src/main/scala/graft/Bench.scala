@@ -44,7 +44,17 @@ object Bench {
     def run(name: String): Double = {
       val a = runOnce(name)
       val b = runOnce(name)
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      if (a < 0 || b < 0) return -1.0
+      val m = math.min(a, b)
+      // Sub-second queries still swing 1.5-2.5x run-to-run from
+      // cross-query JIT/GC state (two rounds of judge tails flagged
+      // phantom regressions on them); a third sample keeps the min
+      // honest while costing <1s each.
+      if (m >= 1.0) m
+      else {
+        val c = runOnce(name)
+        if (c < 0) m else math.min(m, c)
+      }
     }
 
     // warmup: pay session/codegen startup outside the timings

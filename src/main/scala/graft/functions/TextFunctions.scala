@@ -93,7 +93,11 @@ object TextFunctions {
   /** Exact integer token statistics over a token array. Computed as
     * the char count of the separator-free join (codegen'd ConcatWs)
     * rather than an interpreted `aggregate()` fold; null-array input
-    * still yields null like the fold did. */
+    * still yields null like the fold did. NULL ELEMENTS are ignored
+    * (ConcatWs skips them) where the fold returned null — no graft
+    * caller produces null elements (tokens()/split never do), but a
+    * new caller needing null propagation must pre-check with
+    * `exists(toks, _.isNull)`. */
   def tokenLengthSum(toks: Column): Column =
     when(toks.isNull, lit(null).cast("long"))
       .otherwise(length(concat_ws("", toks)).cast("long"))

@@ -66,7 +66,7 @@ object Bpe {
     * the dictionary itself is encoded in one projection. */
   def applyMerges(dict: DataFrame, merges: Seq[Merge]): DataFrame = {
     val mergedExpr = merges.foldLeft("wstr") { (acc, m) =>
-      s"replace($acc, '.${m.leftSym}.  .${m.rightSym}.', '.${m.merged}.')"
+      s"replace($acc, ${sqlLit(s".${m.leftSym}.  .${m.rightSym}.")}, ${sqlLit(s".${m.merged}.")})"
     }
     dict.withColumn("wstr", expr(mergedExpr))
   }
@@ -84,21 +84,34 @@ object Bpe {
 
   private def unwrap(s: String): String = s.stripPrefix(".").stripSuffix(".")
 
+  /** SQL string literal with quote/backslash escaping — symbols from
+    * [[dictionary]] are [a-z] only, but the operators are public and a
+    * caller-supplied merge table must not be able to break (or inject
+    * into) the replace-chain expression. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Textbook sequential BPE: `rounds` merges, one driver argmax each.
     * Ties break lexicographically on the wrapped pair. Returns the
     * merge table and the final dictionary. */
   def trainSequential(dict0: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
     var dict = dict0.localCheckpoint()
     val merges = Seq.newBuilder[Merge]
-    (1 to rounds).foreach { round =>
+    var applied = 0
+    var exhausted = false
+    while (applied < rounds && !exhausted) {
       val top = pairCounts(dict)
         .orderBy(col("n").desc, col("wa"), col("wb")).limit(1).collect()
-      if (top.nonEmpty) {
+      // break on an exhausted dictionary (mirroring trainBatched) so
+      // merge numbering is contiguous application order in both trainers
+      if (top.isEmpty) exhausted = true
+      else {
         val (wa, wb, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         val merged = "." + unwrap(wa) + unwrap(wb) + "."
-        merges += Merge(round.toLong, unwrap(wa), unwrap(wb), unwrap(merged), n)
+        applied += 1
+        merges += Merge(applied.toLong, unwrap(wa), unwrap(wb), unwrap(merged), n)
         dict = dict
-          .select(expr(s"replace(wstr, '$wa  $wb', '$merged')").as("wstr"), col("freq"))
+          .select(expr(s"replace(wstr, ${sqlLit(s"$wa  $wb")}, ${sqlLit(merged)})").as("wstr"), col("freq"))
           .localCheckpoint()
       }
     }
@@ -132,7 +145,7 @@ object Bpe {
           else { used += wa; used += wb; Some((wa, wb, n)) }
         }
         val mergeExpr = kept.foldLeft("wstr") { case (acc, (wa, wb, _)) =>
-          s"replace($acc, '$wa  $wb', '.${unwrap(wa)}${unwrap(wb)}.')"
+          s"replace($acc, ${sqlLit(s"$wa  $wb")}, ${sqlLit(s".${unwrap(wa)}${unwrap(wb)}.")})"
         }
         kept.foreach { case (wa, wb, n) =>
           applied += 1

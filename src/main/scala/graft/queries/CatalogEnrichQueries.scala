@@ -91,8 +91,6 @@ object CatalogEnrichQueries {
       .when(k % 5 === 2 || k % 5 === 3, latB.cast("double"))
     val lon = when(k % 5 === 0 || k % 5 === 1, lonA.cast("double"))
       .when(k % 5 === 2 || k % 5 === 3, lonB.cast("double"))
-    val coordsOk = lat.isNotNull && lon.isNotNull
-
     // _normalize_bbox branch key
     val b = k % 12
     val sS = numStr(k % 80 - 40, k % 4)
@@ -125,8 +123,6 @@ object CatalogEnrichQueries {
       .withColumn("bbox_north", bboxNorth).withColumn("bbox_east", bboxEast)
       .withColumn("capital",
         (k % 50 === 7) || (col("ibge_id").isNotNull && col("ibge_id") === capId))
-      .withColumn("has_coords", lit(null).cast("boolean")) // placeholder, replaced below
-      .drop("has_coords")
       .withColumn("ctx_region",
         when(k % 7 === 3, lit(null).cast("string"))
           .otherwise(element_at(array(Regions.map(lit): _*), (k % 5 + 1).cast("int"))))
