@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** BPE merge-rule training as a library operator (Sennrich et al.
   * 2016) — the tokenizer-vocabulary induction step of an LLM data
@@ -57,6 +57,14 @@ object Bpe {
   /** (wstr, freq) dictionary from a corpus of lowercase words. */
   def dictionary(docs: DataFrame, textCol: String): DataFrame =
     dictionaryWithWords(docs, textCol).select(col("wstr"), col("freq"))
+
+  /** Per-char wrapped symbol string for an arbitrary word column —
+    * the wstr encoding for dictionaries whose symbols go beyond
+    * [a-z] (digits, '#', …); sqlLit-escaped splicing keeps any such
+    * symbol safe in the merge chain. */
+  def wrapWord(word: Column): Column =
+    concat_ws("  ", transform(split(word, "(?!^)(?=.)"),
+      c => concat(lit("."), c, lit("."))))
 
   /** Apply an already-trained merge table to a dictionary: the merges
     * chain as ONE projection of nested replace() calls (codegen'd
@@ -125,9 +133,20 @@ object Bpe {
     * pair). Merge numbering is application order, so batchK = 1
     * reproduces trainSequential exactly. */
   def trainBatched(dict0: DataFrame, totalMerges: Int, batchK: Int): (Seq[Merge], DataFrame) = {
+    val (rounds, dict) = trainBatchedRounds(dict0, totalMerges, batchK)
+    (rounds.flatten, dict)
+  }
+
+  /** [[trainBatched]] keeping the per-round grouping: one inner Seq
+    * per distributed round (= one driver collect each). The flattened
+    * concatenation is exactly trainBatched's merge table; the grouping
+    * is what a round-accounting demo or a per-round disjointness spec
+    * needs. */
+  def trainBatchedRounds(dict0: DataFrame, totalMerges: Int,
+      batchK: Int): (Seq[Seq[Merge]], DataFrame) = {
     require(batchK >= 1, "batchK must be >= 1")
     var dict = dict0.localCheckpoint()
-    val merges = Seq.newBuilder[Merge]
+    val rounds = Seq.newBuilder[Seq[Merge]]
     var applied = 0
     var exhausted = false
     while (applied < totalMerges && !exhausted) {
@@ -147,14 +166,14 @@ object Bpe {
         val mergeExpr = kept.foldLeft("wstr") { case (acc, (wa, wb, _)) =>
           s"replace($acc, ${sqlLit(s"$wa  $wb")}, ${sqlLit(s".${unwrap(wa)}${unwrap(wb)}.")})"
         }
-        kept.foreach { case (wa, wb, n) =>
+        rounds += kept.map { case (wa, wb, n) =>
           applied += 1
-          merges += Merge(applied.toLong, unwrap(wa), unwrap(wb), unwrap(wa) + unwrap(wb), n)
+          Merge(applied.toLong, unwrap(wa), unwrap(wb), unwrap(wa) + unwrap(wb), n)
         }
         dict = dict.select(expr(mergeExpr).as("wstr"), col("freq")).localCheckpoint()
       }
     }
-    (merges.result(), dict)
+    (rounds.result(), dict)
   }
 
   /** Merge table as a DataFrame (q121's output shape). */

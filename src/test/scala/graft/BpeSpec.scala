@@ -52,4 +52,37 @@ class BpeSpec extends SparkSpec {
     val inter = merges.map(_.merged).toSet.intersect(seqm.map(_.merged).toSet)
     assert(inter.size >= 8)
   }
+
+  test("batched merge table is conflict-free at K > 1: per-round symbol-disjoint, replayable") {
+    // a digit-bearing dictionary (customer#000… ids) — the symbol
+    // alphabet where within-round conflicts actually arise
+    val idDict = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(explode(split(lower(col("c_name")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(Bpe.wrapWord(col("word")).as("wstr"), col("freq"))
+    val (rounds, finalDict) = Bpe.trainBatchedRounds(idDict, 40, batchK = 8)
+    val merges = rounds.flatten
+    assert(merges.length === 40)
+    assert(merges.map(_.round) === (1L to 40L))
+    // within every round, no kept pair touches a symbol an earlier
+    // kept pair of the SAME round already consumed (selection uses
+    // start-of-round counts — overlap must wait for the next round)
+    rounds.foreach { r =>
+      val used = scala.collection.mutable.HashSet.empty[String]
+      r.foreach { m =>
+        assert(!used.contains(m.leftSym) && !used.contains(m.rightSym),
+          s"conflicting pair (${m.leftSym}, ${m.rightSym}) within a round")
+        used += m.leftSym; used += m.rightSym
+      }
+    }
+    // some round actually batched >1 merge (else the test is vacuous)
+    assert(rounds.exists(_.size > 1))
+    // the table REPLAYS: applying the merges in order to the original
+    // dictionary reproduces the trainer's final dictionary exactly
+    val a = Bpe.applyMerges(idDict, merges)
+      .select(col("wstr")).collect().map(_.getString(0)).sorted
+    val b = finalDict.select(col("wstr")).collect().map(_.getString(0)).sorted
+    assert(a === b)
+  }
 }
