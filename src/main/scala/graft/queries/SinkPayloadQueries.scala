@@ -268,11 +268,91 @@ object SinkPayloadQueries {
       |  trim(legacy_raw) <> '' AND regexp_matches(trim(legacy_raw), '^[0-9]+$') AS lc_survives
       |FROM raw ORDER BY portal_key""".stripMargin
 
+  /** q143: the ArticleBatchPayload validation gate — pydantic
+    * validates the WHOLE batch body before the router runs, so one
+    * invalid article 422-rejects the entire batch (all-or-nothing;
+    * schemas/article_batch_payload.py + api.py:256 — FastAPI rejects
+    * the request body wholesale, mention-level tolerance from q141
+    * never gets a chance). Required str fields accept '' (pydantic
+    * str is satisfied by an empty string — only MISSING/null fails);
+    * published_at must parse as a datetime. One row per batch:
+    * article/invalid counts, the first failing article key (the
+    * error location a client sees), the all-or-nothing verdict and
+    * the stored count it implies. One scan, one partial-agg groupBy
+    * on batch_id — no windows. */
+  def batchValidation(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val raw = Tables.orders(s, dir).select(
+      k.as("article_key"),
+      expr("o_orderkey div 20").as("batch_id"),
+      when(k % 97 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("portal-"), col("o_custkey") % 7)).as("portal"),
+      when(k % 89 === 0, lit(null).cast("string"))
+        .when(k % 17 === 1, lit(""))
+        .otherwise(col("o_orderpriority")).as("title"),
+      when(k % 101 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("content"),
+      when(k % 103 === 0, lit("not-a-date"))
+        .otherwise(date_format(col("o_orderdate").cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss")).as("published_raw"))
+    val invalid = col("portal").isNull || col("title").isNull ||
+      col("content").isNull ||
+      try_to_timestamp(col("published_raw"), lit(IsoFmt)).isNull
+    raw
+      .withColumn("invalid", invalid)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_articles"),
+        sum(when(col("invalid"), 1L).otherwise(0L)).as("n_invalid"),
+        sum(when(col("title") === "", 1L).otherwise(0L)).as("n_empty_title_ok"),
+        min(when(col("invalid"), col("article_key"))).as("first_error_key"))
+      .select(col("batch_id"), col("n_articles"), col("n_invalid"),
+        col("n_empty_title_ok"),
+        col("first_error_key"),
+        (col("n_invalid") === 0).as("accepted"),
+        when(col("n_invalid") === 0, col("n_articles")).otherwise(0L)
+          .as("n_stored"))
+      .orderBy(col("batch_id"))
+  }
+
+  val batchValidationSql: String =
+    """WITH raw AS (
+      |  SELECT o_orderkey AS article_key,
+      |    o_orderkey // 20 AS batch_id,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |         ELSE 'portal-' || (o_custkey % 7) END AS portal,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN NULL
+      |         WHEN o_orderkey % 17 = 1 THEN ''
+      |         ELSE o_orderpriority END AS title,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN NULL
+      |         ELSE o_orderstatus END AS content,
+      |    CASE WHEN o_orderkey % 103 = 0 THEN 'not-a-date'
+      |         ELSE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') END
+      |      AS published_raw
+      |  FROM orders),
+      |flagged AS (
+      |  SELECT *,
+      |    (portal IS NULL OR title IS NULL OR content IS NULL
+      |     OR try_strptime(published_raw, '%Y-%m-%dT%H:%M:%S') IS NULL) AS invalid
+      |  FROM raw),
+      |agg AS (
+      |  SELECT batch_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_articles,
+      |    CAST(SUM(CASE WHEN invalid THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+      |    CAST(SUM(CASE WHEN title = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_title_ok,
+      |    MIN(CASE WHEN invalid THEN article_key END) AS first_error_key
+      |  FROM flagged GROUP BY batch_id)
+      |SELECT batch_id, n_articles, n_invalid, n_empty_title_ok, first_error_key,
+      |  n_invalid = 0 AS accepted,
+      |  CASE WHEN n_invalid = 0 THEN n_articles ELSE 0 END AS n_stored
+      |FROM agg ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q141_sink_roundtrip" -> (sinkRoundTrip _),
-    "q142_portal_payload" -> (portalPayload _))
+    "q142_portal_payload" -> (portalPayload _),
+    "q143_batch_validation" -> (batchValidation _))
 
   val oracles: Map[String, String] = Map(
     "q141_sink_roundtrip" -> sinkRoundTripSql,
-    "q142_portal_payload" -> portalPayloadSql)
+    "q142_portal_payload" -> portalPayloadSql,
+    "q143_batch_validation" -> batchValidationSql)
 }

@@ -103,4 +103,24 @@ class SinkPayloadSpec extends SparkSpec {
     val empty = pp.filter(col("portal_key") % 6 === 2 || col("portal_key") % 6 === 4)
     assert(empty.filter(col("lc_identifier").isNotNull).count() == 0L)
   }
+
+  // ---- q143: all-or-nothing batch validation ----
+
+  test("q143 one invalid article rejects its whole batch; empty-string title is valid") {
+    val bv = SinkPayloadQueries.batchValidation(spark, sfDir).cache()
+    // all-or-nothing: accepted <=> zero invalid; stored is n or 0
+    assert(bv.filter(col("accepted") && col("n_invalid") > 0).count() == 0L)
+    assert(bv.filter(!col("accepted") && col("n_stored") =!= 0L).count() == 0L)
+    assert(bv.filter(col("accepted") && col("n_stored") =!= col("n_articles"))
+      .count() == 0L)
+    // both outcomes occur, and rejected batches name their first error
+    assert(bv.filter(col("accepted")).count() > 0L)
+    assert(bv.filter(!col("accepted")).count() > 0L)
+    assert(bv.filter(!col("accepted") && col("first_error_key").isNull)
+      .count() == 0L)
+    assert(bv.filter(col("accepted") && col("first_error_key").isNotNull)
+      .count() == 0L)
+    // pydantic str accepts '': batches holding empty titles can still pass
+    assert(bv.filter(col("accepted") && col("n_empty_title_ok") > 0).count() > 0L)
+  }
 }
