@@ -227,9 +227,116 @@ object PayloadQueries {
 
   val queries: Map[String, Q] = Map(
     "q114_store_replay" -> (storeReplay _),
-    "q115_mention_payload" -> (cityMentionPayload _))
+    "q115_mention_payload" -> (cityMentionPayload _),
+    "q144_pending_deserialize" -> (pendingDeserialize _))
+
+  /** q144: the pending-news feed deserialization
+    * (services/extraction/adapters/publications_api_repository.py:77-106
+    * `_deserialize` + `_parse_datetime`) — the boundary every pending
+    * document crosses into the extraction service. Pinned semantics:
+    * `title` is `data.get("title") or ""` (null and '' both collapse
+    * to ''), `body` falls through `body or content or ''`, `source`
+    * passes through untouched (null stays null), and `published_at`
+    * tries THREE formats in order — offset ISO (`%z`), naive ISO
+    * (assumed UTC), date-only (midnight UTC) — with any
+    * non-conforming value collapsing to the EPOCH-ZERO sentinel, not
+    * null and not an error. Pure map-side column math: the try-chain
+    * is a coalesce of try_to_timestamp parses (each format must
+    * consume the whole string, exactly like strptime). */
+  def pendingDeserialize(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val naiveIso = concat(date_format(col("o_orderdate").cast("timestamp"),
+      "yyyy-MM-dd'T'"), lpad(k % 24, 2, "0"), lit(":"),
+      lpad(k % 60, 2, "0"), lit(":"), lpad(k % 30, 2, "0"))
+    val raw = Tables.orders(s, dir).select(
+      k.as("article_key"),
+      when(k % 7 === 0, lit(null).cast("string"))
+        .when(k % 7 === 1, lit(""))
+        .otherwise(concat(lit("Title "), k % 100)).as("title_f"),
+      when(k % 5 === 0, lit(null).cast("string"))
+        .when(k % 5 === 1, lit(""))
+        .when(k % 5 === 2, concat(lit("body-"), k)).otherwise(lit(null).cast("string"))
+        .as("body_f"),
+      when(k % 3 === 0, concat(lit("content-"), k))
+        .when(k % 3 === 1, lit("")).otherwise(lit(null).cast("string"))
+        .as("content_f"),
+      when(k % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("src"), k % 4)).as("source"),
+      when(k % 9 === 0, concat(naiveIso, lit("+02:00")))
+        .when(k % 9 === 1, concat(naiveIso, lit("-03:00")))
+        .when(k % 9 === 4, lit("soon"))
+        .when(k % 9 === 5, lit(null).cast("string"))
+        .when(k % 9 === 6, date_format(col("o_orderdate").cast("timestamp"),
+          "yyyy-MM-dd"))
+        .otherwise(naiveIso).as("published_raw"))
+    val tryOffset = try_to_timestamp(col("published_raw"),
+      lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    val tryNaive = try_to_timestamp(col("published_raw"),
+      lit("yyyy-MM-dd'T'HH:mm:ss"))
+    val tryDate = try_to_timestamp(col("published_raw"), lit("yyyy-MM-dd"))
+    raw.select(
+      col("article_key"),
+      when(nullif(col("title_f"), lit("")).isNull, lit(""))
+        .otherwise(col("title_f")).as("title"),
+      coalesce(nullif(col("body_f"), lit("")),
+        nullif(col("content_f"), lit("")), lit("")).as("body"),
+      col("source"),
+      coalesce(unix_timestamp(tryOffset), unix_timestamp(tryNaive),
+        unix_timestamp(tryDate), lit(0L)).as("pub_epoch"),
+      when(tryOffset.isNotNull, "offset")
+        .when(tryNaive.isNotNull, "naive")
+        .when(tryDate.isNotNull, "date_only")
+        .otherwise("fallback_epoch0").as("pub_branch"))
+      .orderBy(col("article_key"))
+  }
+
+  val pendingDeserializeSql: String =
+    """WITH raw AS (
+      |  SELECT o_orderkey AS article_key,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         WHEN o_orderkey % 7 = 1 THEN ''
+      |         ELSE 'Title ' || (o_orderkey % 100) END AS title_f,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |         WHEN o_orderkey % 5 = 1 THEN ''
+      |         WHEN o_orderkey % 5 = 2 THEN 'body-' || o_orderkey END AS body_f,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'content-' || o_orderkey
+      |         WHEN o_orderkey % 3 = 1 THEN '' END AS content_f,
+      |    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      |         ELSE 'src' || (o_orderkey % 4) END AS source,
+      |    strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT')
+      |      || lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
+      |      || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':'
+      |      || lpad(CAST(o_orderkey % 30 AS VARCHAR), 2, '0') AS naive_iso
+      |  FROM orders),
+      |shaped AS (
+      |  SELECT *,
+      |    CASE WHEN article_key % 9 = 0 THEN naive_iso || '+02:00'
+      |         WHEN article_key % 9 = 1 THEN naive_iso || '-03:00'
+      |         WHEN article_key % 9 = 4 THEN 'soon'
+      |         WHEN article_key % 9 = 5 THEN NULL
+      |         WHEN article_key % 9 = 6 THEN substring(naive_iso, 1, 10)
+      |         ELSE naive_iso END AS published_raw
+      |  FROM raw),
+      |parsed AS (
+      |  SELECT *,
+      |    try_strptime(published_raw, '%Y-%m-%dT%H:%M:%S%z') AS t_off,
+      |    try_strptime(published_raw, '%Y-%m-%dT%H:%M:%S') AS t_naive,
+      |    try_strptime(published_raw, '%Y-%m-%d') AS t_date
+      |  FROM shaped)
+      |SELECT article_key,
+      |  CASE WHEN title_f IS NULL OR title_f = '' THEN '' ELSE title_f END AS title,
+      |  coalesce(nullif(body_f, ''), nullif(content_f, ''), '') AS body,
+      |  source,
+      |  CAST(coalesce(epoch(t_off), epoch(t_naive), epoch(t_date), 0) AS BIGINT)
+      |    AS pub_epoch,
+      |  CASE WHEN t_off IS NOT NULL THEN 'offset'
+      |       WHEN t_naive IS NOT NULL THEN 'naive'
+      |       WHEN t_date IS NOT NULL THEN 'date_only'
+      |       ELSE 'fallback_epoch0' END AS pub_branch
+      |FROM parsed ORDER BY article_key""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q114_store_replay" -> storeReplaySql,
-    "q115_mention_payload" -> cityMentionPayloadSql)
+    "q115_mention_payload" -> cityMentionPayloadSql,
+    "q144_pending_deserialize" -> pendingDeserializeSql)
 }
