@@ -847,7 +847,71 @@ object CorpusOpsQueries {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bg) AS rn FROM scored)
        |WHERE rn <= $CollocTopK ORDER BY rnk""".stripMargin
 
+  // ---- q145: length-bucketed dynamic batching (padding-waste audit) ----
+
+  val LenBatchSize = 16
+  val LenShards = 8
+  val LenShardSeed = "lb1"
+
+  /** q145: length-grouped batch layout — the dynamic-batching step
+    * every training/inference loader runs: group docs into
+    * power-of-two length buckets (floor-log2 via `length(bin(x))`,
+    * engine-exact), deal each bucket into hash shards (the loader
+    * grain, q131's trick — a length-skewed bucket spreads over
+    * shards instead of one task), order each (bucket, shard) by
+    * (n_tokens, doc_id) and cut batches of 16. Per batch: docs,
+    * max/sum token lengths, the padded cost `max_len·n_docs` and the
+    * e6 padding-waste share a padded batch wastes vs its content —
+    * the metric that justifies length bucketing over arrival-order
+    * batching. Shuffle only on (bucket, shard); windows bounded by
+    * the shard grain. */
+  def lengthBatches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(fold(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))).cast("long"))
+      .withColumn("shard",
+        (Hashing.polyHash(concat(col("doc_id").cast("string"),
+          lit(s":$LenShardSeed"))) % LenShards).cast("long"))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(rk - 1) div $LenBatchSize"))
+      .groupBy(col("bucket"), col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .select(col("bucket"), col("shard"), col("batch_idx"),
+        col("n_docs"), col("max_len"), col("sum_len"),
+        (col("max_len") * col("n_docs")).as("padded_tokens"),
+        e6Col(lit(1.0) - col("sum_len").cast("double") /
+          (col("max_len") * col("n_docs")).cast("double")).as("pad_waste_e6"))
+      .orderBy(col("bucket"), col("shard"), col("batch_idx"))
+  }
+
+  val lengthBatchesSql: String = {
+    val h = Hashing.polyHashSql(s"CAST(doc_id AS VARCHAR) || ':$LenShardSeed'")
+    s"""WITH lens AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
+       |b AS (SELECT doc_id, n_tokens,
+       |    CAST(length(bin(n_tokens)) AS BIGINT) AS bucket,
+       |    ($h) % $LenShards AS shard
+       |  FROM lens),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, shard
+       |    ORDER BY n_tokens, doc_id) AS rk FROM b),
+       |g AS (SELECT bucket, shard, (rk - 1) // $LenBatchSize AS batch_idx,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS sum_len
+       |  FROM r GROUP BY bucket, shard, (rk - 1) // $LenBatchSize)
+       |SELECT bucket, shard, batch_idx, n_docs, max_len, sum_len,
+       |  max_len * n_docs AS padded_tokens,
+       |  ${e6Sql("1.0 - CAST(sum_len AS DOUBLE) / CAST(max_len * n_docs AS DOUBLE)")} AS pad_waste_e6
+       |FROM g ORDER BY bucket, shard, batch_idx""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q145_length_batches" -> (lengthBatches _),
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
     "q128_lsh_eval" -> (lshEval _),
@@ -865,6 +929,7 @@ object CorpusOpsQueries {
     "q140_collocations" -> (collocations _))
 
   val oracles: Map[String, String] = Map(
+    "q145_length_batches" -> lengthBatchesSql,
     "q126_line_dedup" -> lineDedupSql,
     "q127_lm_surprisal" -> lmSurprisalSql,
     "q128_lsh_eval" -> lshEvalSql,
