@@ -228,7 +228,8 @@ object PayloadQueries {
   val queries: Map[String, Q] = Map(
     "q114_store_replay" -> (storeReplay _),
     "q115_mention_payload" -> (cityMentionPayload _),
-    "q144_pending_deserialize" -> (pendingDeserialize _))
+    "q144_pending_deserialize" -> (pendingDeserialize _),
+    "q146_cities_sync" -> (citiesSync _))
 
   /** q144: the pending-news feed deserialization
     * (services/extraction/adapters/publications_api_repository.py:77-106
@@ -335,8 +336,101 @@ object PayloadQueries {
       |       ELSE 'fallback_epoch0' END AS pub_branch
       |FROM parsed ORDER BY article_key""".stripMargin
 
+  /** q146: the article-cities sync writer replayed set-wise
+    * (services/publications/infrastructure/
+    * mongo_article_cities_writer.py:19-38 `update_article_cities`):
+    * each update REPLACES the article's cities list and either $sets
+    * `cities_extraction` to the given metadata or $UNSETS it when the
+    * metadata is None — an update can't leave the old metadata in
+    * place. The criteria is url plus an OPTIONAL portal: a
+    * portal-less update hits EVERY portal's copy of that url
+    * (update_many), a portal-scoped one only that copy. Replay = for
+    * each article, the LAST applying update (by log sequence) wins;
+    * untouched articles keep their original fields.
+    *
+    * Shape: one url-keyed join (articles × update log — the store's
+    * natural key), a last-wins window over each article's few
+    * matching updates, then a key-co-partitioned join back. */
+  def citiesSync(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val articles = Tables.customer(s, dir).select(
+      ck.as("article_id"),
+      concat(lit("u"), ck % 300).as("url"),
+      concat(lit("p"), ck % 5).as("portal"),
+      (ck % 4).as("orig_cities"),
+      when(ck % 2 === 0, concat(lit("m"), ck % 3))
+        .otherwise(lit(null).cast("string")).as("orig_meta"))
+    val pk = col("p_partkey")
+    val updates = Tables.part(s, dir).select(
+      pk.as("seq"),
+      concat(lit("u"), pk % 300).as("url"),
+      when(pk % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("p"), pk % 5)).as("portal_opt"),
+      (pk % 6).as("upd_cities"),
+      when(pk % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("x"), pk % 7)).as("upd_meta"))
+    val applied = articles.select(col("article_id"), col("url"), col("portal"))
+      .join(updates, Seq("url"))
+      .filter(col("portal_opt").isNull || col("portal_opt") === col("portal"))
+    val w = Window.partitionBy(col("article_id")).orderBy(col("seq").desc)
+    val last = applied
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_applied",
+        count(lit(1)).over(Window.partitionBy(col("article_id"))))
+      .filter(col("rn") === 1)
+      .select(col("article_id"), col("n_applied").cast("long").as("n_applied"),
+        col("upd_cities"), col("upd_meta"))
+    articles.join(last, Seq("article_id"), "left")
+      .select(col("article_id"), col("url"), col("portal"),
+        coalesce(col("n_applied"), lit(0L)).as("n_applied"),
+        coalesce(col("upd_cities"), col("orig_cities")).as("final_cities"),
+        when(col("n_applied").isNull, col("orig_meta"))
+          .otherwise(col("upd_meta")).as("final_meta"),
+        (col("n_applied").isNotNull && col("upd_meta").isNull)
+          .as("meta_removed"))
+      .orderBy(col("article_id"))
+  }
+
+  val citiesSyncSql: String =
+    """WITH articles AS (
+      |  SELECT c_custkey AS article_id,
+      |    'u' || (c_custkey % 300) AS url,
+      |    'p' || (c_custkey % 5) AS portal,
+      |    c_custkey % 4 AS orig_cities,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'm' || (c_custkey % 3) END AS orig_meta
+      |  FROM customer),
+      |updates AS (
+      |  SELECT p_partkey AS seq,
+      |    'u' || (p_partkey % 300) AS url,
+      |    CASE WHEN p_partkey % 3 = 0 THEN NULL
+      |         ELSE 'p' || (p_partkey % 5) END AS portal_opt,
+      |    p_partkey % 6 AS upd_cities,
+      |    CASE WHEN p_partkey % 4 = 0 THEN NULL
+      |         ELSE 'x' || (p_partkey % 7) END AS upd_meta
+      |  FROM part),
+      |applied AS (
+      |  SELECT a.article_id, u.seq, u.upd_cities, u.upd_meta
+      |  FROM articles a JOIN updates u ON a.url = u.url
+      |  WHERE u.portal_opt IS NULL OR u.portal_opt = a.portal),
+      |ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY article_id ORDER BY seq DESC) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY article_id) AS BIGINT) AS n_applied
+      |  FROM applied),
+      |last AS (SELECT article_id, n_applied, upd_cities, upd_meta
+      |  FROM ranked WHERE rn = 1)
+      |SELECT a.article_id, a.url, a.portal,
+      |  coalesce(l.n_applied, 0) AS n_applied,
+      |  coalesce(l.upd_cities, a.orig_cities) AS final_cities,
+      |  CASE WHEN l.n_applied IS NULL THEN a.orig_meta
+      |       ELSE l.upd_meta END AS final_meta,
+      |  l.n_applied IS NOT NULL AND l.upd_meta IS NULL AS meta_removed
+      |FROM articles a LEFT JOIN last l ON a.article_id = l.article_id
+      |ORDER BY a.article_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q114_store_replay" -> storeReplaySql,
     "q115_mention_payload" -> cityMentionPayloadSql,
-    "q144_pending_deserialize" -> pendingDeserializeSql)
+    "q144_pending_deserialize" -> pendingDeserializeSql,
+    "q146_cities_sync" -> citiesSyncSql)
 }
