@@ -116,6 +116,76 @@ object Curation {
         (col("n_dup_grams") * 2 >= col("n_grams")).as("near_dup"))
   }
 
+  // ---- exact-substring duplicate-SPAN removal (ExactSubstr) ----------
+
+  /** Position base for the packed (doc, pos) order key: docs are far
+    * shorter than 2^20 tokens, so `doc * PosBase + pos` is a single
+    * long whose numeric order IS the (doc, pos) lexicographic order. */
+  val PosBase = 1L << 20
+
+  /** ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022) — the
+    * span-level complement of [[dupNgrams]]' doc-level counts: every
+    * occurrence of a k-token gram that appears more than once in the
+    * corpus (within-doc repeats count), EXCEPT the globally first
+    * occurrence in (doc, position) order, marks its k-token range for
+    * deletion; per doc the marked ranges union into maximal spans and
+    * the survivor text is reassembled in token order.
+    *
+    * Scale shape: the first-occurrence argmin is `min` of a packed
+    * `doc*2^20+pos` LONG — HashAggregate with map-side partials (a
+    * `min(struct(...))` would fall to SortAggregate, and a per-gram
+    * rank window would serialize a boilerplate hot gram with millions
+    * of occurrences onto one reducer). Deletion marking is then a
+    * co-partitioned join back on the gram key; span merge + reassembly
+    * are per-doc windows/aggs, bounded by document length. The kept
+    * first occurrence of one gram may still overlap another gram's
+    * deleted range — deletion is the union of marked ranges, exactly
+    * as the suffix-array formulation behaves on overlapping repeats.
+    *
+    * Returns (idCol, n_tokens, n_removed, n_spans, kept_md5). */
+  def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    // token stream feeds the gram builder AND the reassembly scan
+    val toks = Dedup.stage(df.select(col(idCol).cast("long").as("doc"),
+      tokens(fold(col(textCol))).as("toks")))
+    val occ = Dedup.stage(toks
+      .select(col("doc"), posexplode(
+        graft.functions.GraftFunctions.tokenShingles(col("toks"), k))
+        .as(Seq("p0", "gram")))
+      .select(col("doc"), (col("p0") + 1).as("pos"), col("gram")))
+    val packed = col("doc") * PosBase + col("pos")
+    val stats = occ.groupBy(col("gram")).agg(
+      count(lit(1)).as("cnt"), min(packed).as("first_key"))
+    val del = occ.join(stats, Seq("gram"))
+      .filter(col("cnt") > 1 && packed =!= col("first_key"))
+      .select(col("doc"), col("pos"))
+    val rem = del
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
+      .distinct()
+    val tok = toks
+      .select(col("doc"), posexplode(col("toks")).as(Seq("i0", "tok")))
+      .select(col("doc"), (col("i0") + 1).as("i"), col("tok"))
+    val flagged = tok.join(rem,
+        tok("doc") === rem("doc") && col("i") === col("ti"), "left")
+      .select(tok("doc").as("doc"), col("i"), col("tok"),
+        col("ti").isNotNull.as("removed"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("i"))
+    flagged
+      .withColumn("span_start",
+        col("removed") && !coalesce(lag(col("removed"), 1).over(w), lit(false)))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"),
+        array_sort(collect_list(when(!col("removed"), struct(col("i"), col("tok")))))
+          .as("kept"))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_removed"),
+        col("n_spans"),
+        md5(coalesce(array_join(transform(col("kept"), x => x.getField("tok")), " "),
+          lit(""))).as("kept_md5"))
+  }
+
   // ---- per-domain stratified downsampling ----------------------------
 
   /** Exact per-stratum hash rank WITHOUT a per-stratum sort — the

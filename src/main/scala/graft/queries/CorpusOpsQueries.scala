@@ -910,7 +910,55 @@ object CorpusOpsQueries {
        |FROM g ORDER BY bucket, shard, batch_idx""".stripMargin
   }
 
+  // ---- q147: exact-substring duplicate-span removal (ExactSubstr) ----
+
+  val SubstrK = 8
+
+  /** q147: ExactSubstr-style duplicate-span removal — the span-level
+    * dedup of Lee et al. 2022 that q91 only COUNTS: every non-first
+    * occurrence of a duplicated 8-token gram marks its range for
+    * deletion, ranges union into maximal spans per doc, and the
+    * survivor text is hash-reported. The global first-occurrence
+    * argmin is a packed `doc*2^20+pos` long min (HashAggregate,
+    * map-side partials — never a per-gram rank window, which a
+    * boilerplate hot gram would serialize at corpus scale); see
+    * `Curation.exactSubstrDedup`. */
+  def exactSubstr(s: SparkSession, dir: String): DataFrame =
+    Curation.exactSubstrDedup(Tables.documents(s, dir), "text", "doc_id", SubstrK)
+      .orderBy(col("doc_id"))
+
+  val exactSubstrSql: String = {
+    val gram = (0 until SubstrK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |occ AS (SELECT doc_id, i, $gram AS gram
+       |  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+       |  WHERE i + ${SubstrK - 1} <= len(t)),
+       |stats AS (SELECT gram, COUNT(*) AS cnt,
+       |    MIN(doc_id * ${Curation.PosBase} + i) AS first_key
+       |  FROM occ GROUP BY gram),
+       |del AS (SELECT doc_id, i FROM occ JOIN stats USING (gram)
+       |  WHERE cnt > 1 AND doc_id * ${Curation.PosBase} + i <> first_key),
+       |rem AS (SELECT DISTINCT doc_id, i + j AS ti
+       |  FROM del CROSS JOIN (SELECT unnest(range(0, $SubstrK)) AS j)),
+       |tok AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+       |  FROM toks),
+       |flg AS (SELECT tok.doc_id AS doc_id, tok.i AS i, tok.tok AS tok,
+       |    (rem.ti IS NOT NULL) AS removed
+       |  FROM tok LEFT JOIN rem ON rem.doc_id = tok.doc_id AND rem.ti = tok.i),
+       |isl AS (SELECT doc_id, i, tok, removed,
+       |    removed AND NOT COALESCE(
+       |      LAG(removed) OVER (PARTITION BY doc_id ORDER BY i), FALSE) AS span_start
+       |  FROM flg)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(SUM(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  md5(COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT removed), ''))
+       |    AS kept_md5
+       |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_exact_substr" -> (exactSubstr _),
     "q145_length_batches" -> (lengthBatches _),
     "q126_line_dedup" -> (lineDedup _),
     "q127_lm_surprisal" -> (lmSurprisal _),
@@ -929,6 +977,7 @@ object CorpusOpsQueries {
     "q140_collocations" -> (collocations _))
 
   val oracles: Map[String, String] = Map(
+    "q147_exact_substr" -> exactSubstrSql,
     "q145_length_batches" -> lengthBatchesSql,
     "q126_line_dedup" -> lineDedupSql,
     "q127_lm_surprisal" -> lmSurprisalSql,

@@ -129,4 +129,25 @@ class CurationSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_dup_grams") == 0 && !out(2).getAs[Boolean]("near_dup"))
     assert(out(0).getAs[Long]("max_gram_df") == 2)
   }
+
+  test("exactSubstrDedup removes every non-first duplicated-gram span") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c d"),     // holds the first occurrences of "a b" / "b c" / "c d"
+      (2L, "a b c x"),     // "a b"@1 and "b c"@2 both duplicated -> tokens 1-3 go
+      (3L, "z z z"),       // within-doc repeat of "z z": second occurrence goes
+      (4L, "a b q c d")    // two DISJOINT deleted spans around a kept token
+    )).toDF("doc_id", "text")
+    val out = Curation.exactSubstrDedup(df, "text", "doc_id", 2)
+      .orderBy(col("doc_id")).collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_tokens"), out(i).getAs[Long]("n_removed"),
+      out(i).getAs[Long]("n_spans"), out(i).getAs[String]("kept_md5"))
+    // doc 1: owns every first occurrence -> untouched
+    assert(row(0) == ((4L, 0L, 0L, "713f592bd537f7725d491a03e837d64a"))) // "a b c d"
+    // doc 2: ranges [1,2] and [2,3] union into ONE span; only "x" survives
+    assert(row(1) == ((4L, 3L, 1L, "9dd4e461268c8034f5c8564e155c67a6"))) // "x"
+    // doc 3: "z z" repeats within the doc; the second occurrence's range goes
+    assert(row(2) == ((3L, 2L, 1L, "fbade9e36a3f36d3d676c1b808451dd7"))) // "z"
+    // doc 4: "a b" and "c d" are non-first -> spans [1,2] and [4,5], "q" kept
+    assert(row(3) == ((5L, 4L, 2L, "7694f4a66316e53c8cdd9d9954bd611d"))) // "q"
+  }
 }

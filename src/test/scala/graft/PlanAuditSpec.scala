@@ -260,4 +260,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), p)
     }
   }
+
+  test("q147 gram argmin is a HashAggregate; only doc-grain windows") {
+    val p = plan(graft.queries.CorpusOpsQueries.exactSubstr(spark, sfDir))
+    // packed-long min keeps the gram stats in HashAggregate with
+    // map-side partials; min(struct) would silently fall to
+    // SortAggregate and a hot boilerplate gram would sort-serialize
+    assert(p.contains("HashAggregate") && p.contains("partial_min"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the span-merge window is per-document, never corpus-wide
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("doc")), p)
+  }
 }
