@@ -957,7 +957,58 @@ object CorpusOpsQueries {
        |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q148: sliding-window chunking with overlap (RAG / stride eval) ----
+
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** q148: fixed-size token chunking with overlap — the chunker every
+    * RAG embedding pipeline and strided-eval loader runs: windows of
+    * 32 tokens starting every 24 (8-token overlap), the trailing
+    * partial window kept. Per chunk: position, length, overlap with
+    * the previous chunk, and the md5 of the space-joined slice (the
+    * downstream embed/dedup key). Pure map-side column math over ONE
+    * scan — `sequence` builds the start list, `posexplode` fans out,
+    * `slice` cuts the window; no shuffle except the output order. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val C = ChunkSize; val S = ChunkStride
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(fold(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(S))).as(Seq("m", "cs")))
+      .select(col("doc_id"),
+        col("m").cast("long").as("chunk_id"),
+        col("cs").cast("long").as("chunk_start"),
+        least(lit(C), col("n") - col("cs") + 1).cast("long").as("chunk_len"),
+        when(col("m") === 0, 0L).otherwise(
+          greatest(lit(0), least(col("cs") - S + C - 1, col("n")) - col("cs") + 1)
+            .cast("long")).as("overlap_prev"),
+        md5(array_join(
+          slice(col("toks"), col("cs"), least(lit(C), col("n") - col("cs") + 1)),
+          " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkOverlapSql: String = {
+    val (c, s) = (ChunkSize, ChunkStride)
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |ex AS (SELECT doc_id, t, len(t) AS n,
+       |    unnest(range(1, len(t) + 1, $s)) AS cs,
+       |    generate_subscripts(range(1, len(t) + 1, $s), 1) - 1 AS m
+       |  FROM toks)
+       |SELECT doc_id, CAST(m AS BIGINT) AS chunk_id,
+       |  CAST(cs AS BIGINT) AS chunk_start,
+       |  CAST(LEAST($c, n - cs + 1) AS BIGINT) AS chunk_len,
+       |  CAST(CASE WHEN m = 0 THEN 0
+       |    ELSE GREATEST(0, LEAST(cs - $s + ${c - 1}, n) - cs + 1) END AS BIGINT)
+       |    AS overlap_prev,
+       |  md5(array_to_string(t[cs:LEAST(cs + ${c - 1}, n)], ' ')) AS chunk_md5
+       |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_chunk_overlap" -> (chunkOverlap _),
     "q147_exact_substr" -> (exactSubstr _),
     "q145_length_batches" -> (lengthBatches _),
     "q126_line_dedup" -> (lineDedup _),
@@ -977,6 +1028,7 @@ object CorpusOpsQueries {
     "q140_collocations" -> (collocations _))
 
   val oracles: Map[String, String] = Map(
+    "q148_chunk_overlap" -> chunkOverlapSql,
     "q147_exact_substr" -> exactSubstrSql,
     "q145_length_batches" -> lengthBatchesSql,
     "q126_line_dedup" -> lineDedupSql,

@@ -426,4 +426,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rate > 0.10 && rate < 0.20,
       s"corpus mask rate $rate must sit near the 15% draw")
   }
+
+  test("q148 chunking tiles every doc with the declared overlap") {
+    val rows = CorpusOpsQueries.chunkOverlap(spark, sfDir).collect()
+    val (c, s) = (CorpusOpsQueries.ChunkSize, CorpusOpsQueries.ChunkStride)
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids are dense from 0; starts advance by the stride
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") === i.toLong)
+        assert(r.getAs[Long]("chunk_start") === 1L + i.toLong * s)
+        val len = r.getAs[Long]("chunk_len")
+        assert(len >= 1 && len <= c)
+        val ov = r.getAs[Long]("overlap_prev")
+        // overlap = min(c - s, remaining tokens), zero only on chunk 0
+        if (i == 0) assert(ov === 0L)
+        else assert(ov === math.min((c - s).toLong, len))
+      }
+    }
+    // every doc's chunks cover exactly its tokens: Σ(len) - Σ(overlap) = n
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.fold(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, chunks) =>
+      val covered = chunks.map(r =>
+        r.getAs[Long]("chunk_len") - r.getAs[Long]("overlap_prev")).sum
+      assert(covered === docs(id), s"doc $id covers $covered of ${docs(id)}")
+    }
+  }
 }
