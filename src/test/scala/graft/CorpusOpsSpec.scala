@@ -427,6 +427,49 @@ class CorpusOpsSpec extends SparkSpec {
       s"corpus mask rate $rate must sit near the 15% draw")
   }
 
+  test("exactSubstrDedup matches an in-memory reference on random corpora") {
+    // a 4-symbol vocabulary forces heavy gram duplication (64 possible
+    // 3-grams vs ~300 occurrences) — overlapping deletions, fully
+    // removed docs, and sub-k docs with no grams at all
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rng = new scala.util.Random(11)
+    val pool = Array("a", "b", "c", "d")
+    val k = 3
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 30L).map { id =>
+        val n = 1 + rng.nextInt(15)
+        (id, (0 until n).map(_ => pool(rng.nextInt(pool.length))).mkString(" "))
+      }
+      val out = graft.operators.Curation
+        .exactSubstrDedup(docs.toDF("doc_id", "text"), "text", "doc_id", k)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[Long]("n_spans"), r.getAs[String]("kept_md5"))).toMap
+      // reference: every non-first occurrence (by (doc, pos)) of a
+      // duplicated gram deletes its range; union ranges per doc
+      val toksOf = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val occ = docs.flatMap { case (id, _) =>
+        val ts = toksOf(id)
+        (0 to ts.length - k).map(p => (ts.slice(p, p + k).mkString(" "), id, p))
+      }
+      val deleted = occ.groupBy(_._1).values.toSeq
+        .flatMap(os => os.sortBy(o => (o._2, o._3)).drop(1).filter(_ => os.size > 1))
+      val remOf = deleted.groupBy(_._2).map { case (id, os) =>
+        id -> os.flatMap(o => o._3 until o._3 + k).toSet }
+      docs.foreach { case (id, _) =>
+        val ts = toksOf(id)
+        val rem = remOf.getOrElse(id, Set.empty[Int])
+        val spans = ts.indices.count(i => rem(i) && !rem(i - 1))
+        val kept = ts.indices.filterNot(rem).map(ts).mkString(" ")
+        assert(out(id) === ((ts.length.toLong, rem.size.toLong,
+          spans.toLong, md5hex(kept))), s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("q148 chunking tiles every doc with the declared overlap") {
     val rows = CorpusOpsQueries.chunkOverlap(spark, sfDir).collect()
     val (c, s) = (CorpusOpsQueries.ChunkSize, CorpusOpsQueries.ChunkStride)
