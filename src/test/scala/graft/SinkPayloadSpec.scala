@@ -123,4 +123,63 @@ class SinkPayloadSpec extends SparkSpec {
     // pydantic str accepts '': batches holding empty titles can still pass
     assert(bv.filter(col("accepted") && col("n_empty_title_ok") > 0).count() > 0L)
   }
+
+  // ---- q144: pending-feed deserialization cascade ----
+
+  test("q144 every datetime branch fires and the fallback is epoch zero, not null") {
+    val pd = graft.queries.PayloadQueries.pendingDeserialize(spark, sfDir).cache()
+    val branches = pd.select(col("pub_branch")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(branches === Set("offset", "naive", "date_only", "fallback_epoch0"))
+    // unparseable AND null published_at both collapse to the sentinel
+    assert(pd.filter(col("pub_branch") === "fallback_epoch0" &&
+      col("pub_epoch") =!= 0L).count() == 0L)
+    assert(pd.filter(col("pub_branch") =!= "fallback_epoch0" &&
+      col("pub_epoch") === 0L).count() == 0L)
+    // `or ''` fills: title/body never null; source passes null through
+    assert(pd.filter(col("title").isNull || col("body").isNull).count() == 0L)
+    assert(pd.filter(col("source").isNull).count() > 0L)
+  }
+
+  // ---- q145: length-bucketed dynamic batching ----
+
+  test("q145 batches respect size, bucket bounds and exact padding math") {
+    val lb = graft.queries.CorpusOpsQueries.lengthBatches(spark, sfDir).cache()
+    val bs = graft.queries.CorpusOpsQueries.LenBatchSize.toLong
+    assert(lb.filter(col("n_docs") < 1 || col("n_docs") > bs).count() == 0L)
+    // padded cost is exactly max_len * n_docs, and waste < 1 (e6)
+    assert(lb.filter(col("padded_tokens") =!= col("max_len") * col("n_docs"))
+      .count() == 0L)
+    assert(lb.filter(col("pad_waste_e6") < 0L || col("pad_waste_e6") >= 1000000L)
+      .count() == 0L)
+    // within a (bucket, shard) only the LAST batch may be short
+    val shortNotLast = lb.as("a").join(lb.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.shard") === col("b.shard") &&
+        col("a.batch_idx") < col("b.batch_idx"))
+      .filter(col("a.n_docs") < bs)
+    assert(shortNotLast.count() == 0L)
+    // bucket is the floor-log2 band: every member length fits it
+    assert(lb.filter(col("max_len") >= lit(2L).cast("long") * pow(lit(2.0),
+      col("bucket").cast("double") - 1).cast("long")).count() == 0L)
+  }
+
+  // ---- q146: article-cities sync writer replay ----
+
+  test("q146 last update wins, unset really unsets, portal-less hits all copies") {
+    val cs = graft.queries.PayloadQueries.citiesSync(spark, sfDir).cache()
+    // untouched articles keep their original fields and never report removal
+    assert(cs.filter(col("n_applied") === 0L && col("meta_removed")).count() == 0L)
+    // an applying update with null metadata UNSETS: final_meta must be null
+    assert(cs.filter(col("meta_removed") && col("final_meta").isNotNull)
+      .count() == 0L)
+    // both replaced and untouched articles exist in the replay
+    assert(cs.filter(col("n_applied") > 0L).count() > 0L)
+    // both the $set and the $unset outcome occur among applied updates
+    assert(cs.filter(col("n_applied") > 0L && col("meta_removed")).count() > 0L)
+    assert(cs.filter(col("n_applied") > 0L && col("final_meta").isNotNull)
+      .count() > 0L)
+    // (untouched articles and the portal-less multi-copy fan-out need
+    // key spaces that first diverge at sf0.01 — the oracle gate covers
+    // both there)
+  }
 }
