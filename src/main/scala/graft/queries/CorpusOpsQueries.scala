@@ -1007,7 +1007,66 @@ object CorpusOpsQueries {
        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---- q149: corpus datasheet (per-stratum data card) ----------------
+
+  val ShortDocTokens = 25
+
+  /** q149: the per-(source, lang) DATA CARD a corpus release ships —
+    * composition (docs, tokens, chars), vocabulary size, exact-dup
+    * document count (corpus-wide folded-text signature df >= 2) and a
+    * short-doc quality bucket, plus the e6 floor-division mean doc
+    * length (integer, engine-exact). Shape: one scan staged once;
+    * doc-level stats and the signature df are partial hash aggs with
+    * a co-partitioned join on the signature; the vocab distinct is
+    * (stratum, token)-keyed; strata join at dim size. No windows. */
+  def datasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.stage(Tables.documents(s, dir).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      tokens(fold(col("text"))).as("toks"), md5(fold(col("text"))).as("sig")))
+    val docStats = docs.select(col("source"), col("lang"), col("n_chars"),
+      size(col("toks")).cast("long").as("n_tok"), col("sig"))
+    val sigDf = docStats.groupBy(col("sig")).agg(count(lit(1)).as("sig_df"))
+    val strat = docStats.join(sigDf, Seq("sig"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("sig_df") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("n_tok") < ShortDocTokens, 1L).otherwise(0L)).as("short_docs"))
+    val vocab = docs
+      .select(col("source"), col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count_distinct(col("tok")).as("vocab"))
+    strat.join(vocab, Seq("source", "lang"))
+      .withColumn("mean_len_e6", expr("n_tokens * 1000000 div n_docs"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("sum_chars"), col("vocab"), col("dup_docs"), col("short_docs"),
+        col("mean_len_e6"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val datasheetSql: String =
+    s"""WITH d AS (SELECT doc_id, source, lang, n_chars, $ToksSql AS t,
+       |    md5($FoldSql) AS sig FROM documents),
+       |ds AS (SELECT source, lang, n_chars, CAST(len(t) AS BIGINT) AS n_tok, sig
+       |  FROM d),
+       |sd AS (SELECT sig, COUNT(*) AS sig_df FROM ds GROUP BY sig),
+       |strat AS (SELECT source, lang,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |    CAST(SUM(CASE WHEN sig_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |    CAST(SUM(CASE WHEN n_tok < $ShortDocTokens THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS short_docs
+       |  FROM ds JOIN sd USING (sig) GROUP BY source, lang),
+       |v AS (SELECT source, lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+       |  FROM (SELECT source, lang, unnest(t) AS tok FROM d) GROUP BY source, lang)
+       |SELECT source, lang, n_docs, n_tokens, sum_chars, vocab, dup_docs,
+       |  short_docs, n_tokens * 1000000 // n_docs AS mean_len_e6
+       |FROM strat JOIN v USING (source, lang) ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q149_datasheet" -> (datasheet _),
     "q148_chunk_overlap" -> (chunkOverlap _),
     "q147_exact_substr" -> (exactSubstr _),
     "q145_length_batches" -> (lengthBatches _),
@@ -1028,6 +1087,7 @@ object CorpusOpsQueries {
     "q140_collocations" -> (collocations _))
 
   val oracles: Map[String, String] = Map(
+    "q149_datasheet" -> datasheetSql,
     "q148_chunk_overlap" -> chunkOverlapSql,
     "q147_exact_substr" -> exactSubstrSql,
     "q145_length_batches" -> lengthBatchesSql,

@@ -470,6 +470,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q149 datasheet partitions the corpus exactly") {
+    val rows = CorpusOpsQueries.datasheet(spark, sfDir).collect()
+    // strata partition the corpus: doc counts add up to the full table
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      val (nd, nt) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("dup_docs") <= nd)
+      assert(r.getAs[Long]("short_docs") <= nd)
+      assert(r.getAs[Long]("vocab") <= nt)
+      assert(r.getAs[Long]("mean_len_e6") === nt * 1000000L / nd)
+    }
+  }
+
   test("q148 chunking tiles every doc with the declared overlap") {
     val rows = CorpusOpsQueries.chunkOverlap(spark, sfDir).collect()
     val (c, s) = (CorpusOpsQueries.ChunkSize, CorpusOpsQueries.ChunkStride)
