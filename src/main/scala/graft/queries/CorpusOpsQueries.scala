@@ -1065,7 +1065,72 @@ object CorpusOpsQueries {
        |  short_docs, n_tokens * 1000000 // n_docs AS mean_len_e6
        |FROM strat JOIN v USING (source, lang) ORDER BY source, lang""".stripMargin
 
+  // ---- q150: cross-source duplication matrix (mirror detection) ------
+
+  val OverlapSrcCap = 16
+
+  /** q150: the source×source DUPLICATION MATRIX — which sources copy
+    * from each other (mirror/syndication detection), at the segment
+    * grain q126 dedups: for every duplicated segment, each unordered
+    * source pair sharing it scores one; the diagonal counts segments
+    * duplicated WITHIN a source. Segments seen in more than 16
+    * sources are dropped as boilerplate hubs (q22's df-cap rule —
+    * one universal footer shared by a million domains would otherwise
+    * emit 10¹² pairs); the hub count is its own `__hubs__` row so the
+    * cap never silently hides coverage. All joins are keyed on the
+    * segment (co-partitioned, cap² bounded fan-out); output is
+    * dim-sized (sources²). */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val segs = Dedup.stage(Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(regexp_replace(col("text"), " batch ", ". "), "\\. "))
+          .as("seg"))
+      .withColumn("seg", trim(col("seg")))
+      .filter(length(col("seg")) > 0))
+    val ss = Dedup.stage(segs.select(col("seg"), col("source")).distinct())
+    val nsrc = ss.groupBy(col("seg")).agg(count(lit(1)).as("nsrc"))
+    val el = ss.join(nsrc, Seq("seg")).filter(col("nsrc") <= OverlapSrcCap)
+      .select(col("seg"), col("source"))
+    val cross = el.as("a").join(el.as("b"),
+        col("a.seg") === col("b.seg") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.seg").as("seg"))
+    val diag = segs.groupBy(col("source"), col("seg"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        col("seg"))
+    val hubs = nsrc.filter(col("nsrc") > OverlapSrcCap)
+      .select(lit("__hubs__").as("source_a"), lit("__hubs__").as("source_b"),
+        col("seg"))
+    cross.union(diag).union(hubs)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count_distinct(col("seg")).as("shared_segs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH p AS (SELECT source,
+       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |  FROM documents),
+       |segs AS (SELECT source, trim(seg) AS seg FROM
+       |  (SELECT source, unnest(segs) AS seg FROM p) WHERE trim(seg) <> ''),
+       |ss AS (SELECT DISTINCT seg, source FROM segs),
+       |nsrc AS (SELECT seg, COUNT(*) AS nsrc FROM ss GROUP BY seg),
+       |el AS (SELECT ss.seg, ss.source FROM ss JOIN nsrc USING (seg)
+       |  WHERE nsrc <= $OverlapSrcCap),
+       |crossp AS (SELECT a.source AS source_a, b.source AS source_b, a.seg
+       |  FROM el a JOIN el b ON a.seg = b.seg AND a.source < b.source),
+       |diag AS (SELECT source AS source_a, source AS source_b, seg
+       |  FROM segs GROUP BY source, seg HAVING COUNT(*) >= 2),
+       |hubs AS (SELECT '__hubs__' AS source_a, '__hubs__' AS source_b, seg
+       |  FROM nsrc WHERE nsrc > $OverlapSrcCap)
+       |SELECT source_a, source_b, CAST(COUNT(DISTINCT seg) AS BIGINT) AS shared_segs
+       |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM diag
+       |      UNION ALL SELECT * FROM hubs)
+       |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q150_source_overlap" -> (sourceOverlap _),
     "q149_datasheet" -> (datasheet _),
     "q148_chunk_overlap" -> (chunkOverlap _),
     "q147_exact_substr" -> (exactSubstr _),
@@ -1087,6 +1152,7 @@ object CorpusOpsQueries {
     "q140_collocations" -> (collocations _))
 
   val oracles: Map[String, String] = Map(
+    "q150_source_overlap" -> sourceOverlapSql,
     "q149_datasheet" -> datasheetSql,
     "q148_chunk_overlap" -> chunkOverlapSql,
     "q147_exact_substr" -> exactSubstrSql,

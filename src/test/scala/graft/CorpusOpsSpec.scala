@@ -484,6 +484,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q150 overlap matrix is upper-triangular with positive counts") {
+    val rows = CorpusOpsQueries.sourceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a <= b, s"$a > $b")
+      assert(r.getAs[Long]("shared_segs") >= 1L)
+    }
+    // cross-source sharing exists (boilerplate segments span sources)
+    assert(rows.exists(r =>
+      r.getAs[String]("source_a") != r.getAs[String]("source_b")))
+  }
+
   test("q148 chunking tiles every doc with the declared overlap") {
     val rows = CorpusOpsQueries.chunkOverlap(spark, sfDir).collect()
     val (c, s) = (CorpusOpsQueries.ChunkSize, CorpusOpsQueries.ChunkStride)
