@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.GraftFunctions.tokenShingles
+import graft.functions.TextFunctions.{fold, tokens}
+import graft.operators.Similarity
+
+/** Corpus-level measurement operators a pretraining pipeline runs
+  * before freezing a data mix, extending SURVEY.md §2 layers D′/E:
+  * n-gram-level benchmark decontamination (q151 — the gram-overlap
+  * standard that exact-match q73 doesn't cover), Heaps-law vocabulary
+  * growth over ingest-order prefixes (q153 — the datasheet curve that
+  * says whether a corpus is still contributing new types), and
+  * single-pass embedding-space anisotropy statistics (q154 — the
+  * collapse diagnostic run before trusting cosine retrieval over an
+  * embedding column).
+  */
+object CorpusStatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared oracle fragments (folded whitespace tokens, as DedupQueries)
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+  private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
+  private def e6Sql(e: String) = s"CAST(ROUND(($e) * 1000000.0) AS BIGINT)"
+  private def e6Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * lit(1000000.0)).cast("long")
+
+  // ---- q151: n-gram benchmark decontamination ------------------------
+
+  val ContamGramK = 8
+  val ContamBenchMod = 41
+  val ContamFracE6 = 500000L
+
+  /** q151: n-gram-level benchmark decontamination — the gram-overlap
+    * test (the GPT-3 appendix-C / PaLM recipe, 8-gram grain here as
+    * q147) that catches PARTIAL eval leakage where the exact-match
+    * decontamination of q73 sees nothing. Docs with
+    * `doc_id % 41 == 0` stand in for the held-out benchmark suite;
+    * every remaining training doc reports how many of its distinct
+    * 8-grams also occur anywhere in the suite, the e6 overlap
+    * fraction, and a verdict tier (`short` / `clean` / `flagged` /
+    * `contaminated` at 50%).
+    *
+    * Scale shape: ONE corpus scan builds the distinct (doc, gram)
+    * table (shuffle keyed on the gram — partial-agg friendly); the
+    * benchmark gram set is `broadcast()` because an eval suite is
+    * fixed dim-sized in production (it does NOT grow with the
+    * corpus — if it ever did, dropping the hint lets AQE pick the
+    * shuffle join); the per-doc rollup is a hash agg on doc_id. No
+    * windows, nothing quadratic. */
+  def ngramContamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(tokenShingles(tokens(fold(col("text"))), ContamGramK)).as("gram"))
+      .distinct()
+    val bench = grams.filter(pmod(col("doc_id"), lit(ContamBenchMod)) === 0)
+      .select(col("gram")).distinct().withColumn("bhit", lit(1L))
+    val perDoc = grams.filter(pmod(col("doc_id"), lit(ContamBenchMod)) =!= 0)
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("bhit"), lit(0L))).as("n_hit"))
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(ContamBenchMod)) =!= 0)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_frac_e6",
+        when(col("n_grams") > 0,
+          e6Col(col("n_hit").cast("double") / col("n_grams").cast("double")))
+          .otherwise(lit(0L)))
+      .withColumn("verdict",
+        when(col("n_grams") === 0, "short")
+          .when(col("n_hit") === 0, "clean")
+          .when(col("hit_frac_e6") >= ContamFracE6, "contaminated")
+          .otherwise("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramContaminationSql: String = {
+    val gram = (0 until ContamGramK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |occ AS (SELECT DISTINCT doc_id, $gram AS gram
+       |  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+       |  WHERE i + ${ContamGramK - 1} <= len(t)),
+       |bench AS (SELECT DISTINCT gram FROM occ WHERE doc_id % $ContamBenchMod = 0),
+       |pd AS (SELECT o.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM occ o LEFT JOIN bench b ON o.gram = b.gram
+       |  WHERE o.doc_id % $ContamBenchMod <> 0
+       |  GROUP BY o.doc_id),
+       |base AS (SELECT d.doc_id,
+       |    COALESCE(pd.n_grams, 0) AS n_grams,
+       |    COALESCE(pd.n_hit, 0) AS n_hit
+       |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |  WHERE d.doc_id % $ContamBenchMod <> 0)
+       |SELECT doc_id, n_grams, n_hit,
+       |  CASE WHEN n_grams > 0
+       |    THEN ${e6Sql("CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)")}
+       |    ELSE 0 END AS hit_frac_e6,
+       |  CASE WHEN n_grams = 0 THEN 'short'
+       |       WHEN n_hit = 0 THEN 'clean'
+       |       WHEN ${e6Sql("CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)")} >= $ContamFracE6
+       |         THEN 'contaminated'
+       |       ELSE 'flagged' END AS verdict
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q153: Heaps-law vocabulary growth -----------------------------
+
+  val GrowthSteps = 16
+
+  /** q153: vocabulary-growth (Heaps-law) curve over ingest-order
+    * prefixes — the datasheet statistic that says whether more of the
+    * same corpus still buys new vocabulary. The doc_id range splits
+    * into 16 equal-width checkpoints; each reports the CUMULATIVE doc,
+    * token and distinct-type counts of its prefix, the type-token
+    * ratio, and the step-over-step vocabulary and token growth ratios
+    * (e6). Growth is reported as ratios, not a fitted Heaps β: β needs
+    * `ln`, whose last-ulp behavior is libm-specific, while integer
+    * ratios divide exactly the same in every IEEE engine.
+    *
+    * Scale shape: each doc (and each distinct type, via its
+    * first-occurrence doc = `min(doc_id)`) lands in exactly ONE
+    * checkpoint bucket — O(N) with no 16x fan-out join — and the
+    * cumulative pass is a window over the 16-row checkpoint table
+    * (dim-sized by construction). One corpus scan for doc lengths,
+    * one token-keyed agg for first occurrences. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(fold(col("text")))).cast("long").as("n_toks"))
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .withColumn("span", col("mx") - col("mn") + 1)
+    // step of a doc id: smallest k with id <= mn-1 + floor(span*k/16),
+    // i.e. ceil(16*(id-mn+1)/span) — pure integer math.
+    def stepOf(idName: String) =
+      expr(s"(($idName - mn + 1) * $GrowthSteps + span - 1) div span")
+    val dstats = docs.crossJoin(broadcast(bounds))
+      .withColumn("step", stepOf("doc_id"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("d"), sum(col("n_toks")).as("t"))
+    val firsts = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(fold(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val vstats = firsts.crossJoin(broadcast(bounds))
+      .withColumn("step", stepOf("first_doc"))
+      .groupBy(col("step")).agg(count(lit(1)).as("v"))
+    val base = bounds
+      .select(col("mn"), col("span"),
+        explode(sequence(lit(1L), lit(GrowthSteps.toLong))).as("step"))
+      .withColumn("doc_threshold",
+        col("mn") - 1 + expr(s"(span * step) div $GrowthSteps"))
+      .select(col("step"), col("doc_threshold"))
+    // 16-row checkpoint table: the single-partition window is dim-sized.
+    val w = Window.orderBy(col("step")).rowsBetween(Window.unboundedPreceding, 0)
+    val lagW = Window.orderBy(col("step"))
+    base
+      .join(dstats, Seq("step"), "left")
+      .join(vstats, Seq("step"), "left")
+      .select(col("step"), col("doc_threshold"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .withColumn("n_docs", sum(col("d")).over(w))
+      .withColumn("n_tokens", sum(col("t")).over(w))
+      .withColumn("vocab", sum(col("v")).over(w))
+      .withColumn("ttr_e6",
+        when(col("n_tokens") > 0,
+          e6Col(col("vocab").cast("double") / col("n_tokens").cast("double")))
+          .otherwise(lit(0L)))
+      .withColumn("pv", lag(col("vocab"), 1).over(lagW))
+      .withColumn("pt", lag(col("n_tokens"), 1).over(lagW))
+      .withColumn("vocab_ratio_e6",
+        when(col("pv") > 0,
+          e6Col(col("vocab").cast("double") / col("pv").cast("double"))))
+      .withColumn("token_ratio_e6",
+        when(col("pt") > 0,
+          e6Col(col("n_tokens").cast("double") / col("pt").cast("double"))))
+      .select(col("step"), col("doc_threshold"), col("n_docs"),
+        col("n_tokens"), col("vocab"), col("ttr_e6"),
+        col("vocab_ratio_e6"), col("token_ratio_e6"))
+      .orderBy(col("step"))
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH docs AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_toks FROM documents),
+       |b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+       |    MAX(doc_id) - MIN(doc_id) + 1 AS span FROM docs),
+       |ds AS (SELECT ((doc_id - mn + 1) * $GrowthSteps + span - 1) // span AS step,
+       |    CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(n_toks) AS BIGINT) AS t
+       |  FROM docs CROSS JOIN b GROUP BY 1),
+       |firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM
+       |    (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+       |  GROUP BY tok),
+       |vs AS (SELECT ((first_doc - mn + 1) * $GrowthSteps + span - 1) // span AS step,
+       |    CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM firsts CROSS JOIN b GROUP BY 1),
+       |base AS (SELECT CAST(step AS BIGINT) AS step,
+       |    mn - 1 + (span * step) // $GrowthSteps AS doc_threshold
+       |  FROM b CROSS JOIN (SELECT unnest(range(1, ${GrowthSteps + 1})) AS step)),
+       |j AS (SELECT base.step, base.doc_threshold,
+       |    COALESCE(ds.d, 0) AS d, COALESCE(ds.t, 0) AS t, COALESCE(vs.v, 0) AS v
+       |  FROM base LEFT JOIN ds ON base.step = ds.step
+       |            LEFT JOIN vs ON base.step = vs.step),
+       |cum AS (SELECT step, doc_threshold,
+       |    SUM(d) OVER (ORDER BY step) AS n_docs,
+       |    SUM(t) OVER (ORDER BY step) AS n_tokens,
+       |    SUM(v) OVER (ORDER BY step) AS vocab
+       |  FROM j),
+       |c AS (SELECT *,
+       |    LAG(vocab) OVER (ORDER BY step) AS pv,
+       |    LAG(n_tokens) OVER (ORDER BY step) AS pt
+       |  FROM cum)
+       |SELECT step, doc_threshold,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(vocab AS BIGINT) AS vocab,
+       |  CASE WHEN n_tokens > 0
+       |    THEN ${e6Sql("CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+       |    ELSE 0 END AS ttr_e6,
+       |  CASE WHEN pv > 0
+       |    THEN ${e6Sql("CAST(vocab AS DOUBLE) / CAST(pv AS DOUBLE)")} END AS vocab_ratio_e6,
+       |  CASE WHEN pt > 0
+       |    THEN ${e6Sql("CAST(n_tokens AS DOUBLE) / CAST(pt AS DOUBLE)")} END AS token_ratio_e6
+       |FROM c ORDER BY step""".stripMargin
+
+  // ---- q154: embedding-space anisotropy statistics -------------------
+
+  /** q154: per-label embedding-space statistics in ONE pass — the
+    * anisotropy / collapse diagnostic (Ethayarajh 2019's "how isotropic
+    * are the vectors" check) a pipeline runs before trusting cosine
+    * retrieval: RMS vector norm, the norm of the MEAN vector, their
+    * squared ratio ||mu||^2 / E||x||^2 (the expected cosine of two
+    * random vectors — 0 for isotropic, 1 for collapsed), and the
+    * covariance trace E||x||^2 - ||mu||^2.
+    *
+    * Determinism: elements go through the micro-int conversion
+    * (`Similarity.microVec`, e6 HALF_UP) so every per-dimension sum
+    * and sum-of-squares is exact integer arithmetic (decimal(38,0)
+    * against DuckDB HUGEINT for the squares); the only floating math
+    * is IEEE-exact division/sqrt of those integers plus one
+    * dimension-ORDERED left fold per label (the VectorFunctions
+    * list_reduce contract), so both engines produce bit-identical
+    * doubles.
+    *
+    * Scale shape: posexplode to (label, dim) partial hash aggs — one
+    * scan, map-side combine, output bounded by labels x 64 dims; the
+    * per-label fold runs on label-count rows (dim-sized). */
+  def embedAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    val byDim = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(Similarity.microVec(col("embedding")))
+        .as(Seq("pos", "m")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m")).as("s"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).as("ss"))
+    byDim
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        (max(col("pos")) + 1).cast("long").as("n_dims"),
+        sum(col("ss")).as("ss_tot"),
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * lit(1000000.0)))
+            .as("mean")))).as("means"))
+      // msq = E||x||^2 ; musq = ||mu||^2 via the pos-ordered left fold
+      .withColumn("msq", col("ss_tot").cast("double") /
+        (col("n_vecs").cast("double") * lit(1.0e12)))
+      .withColumn("musq",
+        aggregate(transform(col("means"), x => x.getField("mean") * x.getField("mean")),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("label"), col("n_vecs"), col("n_dims"),
+        e6Col(sqrt(col("msq"))).as("rms_norm_e6"),
+        e6Col(sqrt(col("musq"))).as("mu_norm_e6"),
+        e6Col(col("musq") / col("msq")).as("aniso_e6"),
+        e6Col(col("msq") - col("musq")).as("trace_var_e6"))
+      .orderBy(col("label"))
+  }
+
+  val embedAnisotropySql: String =
+    s"""WITH m AS (SELECT label,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |el AS (SELECT label, i - 1 AS pos, m[i] AS v
+       |  FROM (SELECT label, m, generate_subscripts(m, 1) AS i FROM m)),
+       |bd AS (SELECT label, pos,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(v) AS BIGINT) AS s,
+       |    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
+       |  FROM el GROUP BY label, pos),
+       |lab AS (SELECT label,
+       |    MAX(n) AS n_vecs,
+       |    CAST(MAX(pos) + 1 AS BIGINT) AS n_dims,
+       |    CAST(SUM(ss) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * 1e12) AS msq,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |                          ORDER BY pos), x -> x * x)),
+       |      (a, b) -> a + b) AS musq
+       |  FROM bd GROUP BY label)
+       |SELECT label, n_vecs, n_dims,
+       |  ${e6Sql("sqrt(msq)")} AS rms_norm_e6,
+       |  ${e6Sql("sqrt(musq)")} AS mu_norm_e6,
+       |  ${e6Sql("musq / msq")} AS aniso_e6,
+       |  ${e6Sql("msq - musq")} AS trace_var_e6
+       |FROM lab ORDER BY label""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q151_ngram_contamination" -> (ngramContamination _),
+    "q153_vocab_growth" -> (vocabGrowth _),
+    "q154_embed_anisotropy" -> (embedAnisotropy _))
+
+  val oracles: Map[String, String] = Map(
+    "q151_ngram_contamination" -> ngramContaminationSql,
+    "q153_vocab_growth" -> vocabGrowthSql,
+    "q154_embed_anisotropy" -> embedAnisotropySql)
+}

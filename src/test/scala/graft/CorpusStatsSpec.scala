@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{fold, tokens}
+import graft.queries.CorpusStatsQueries
+
+/** Invariants for the corpus-measurement trio: q151 n-gram
+  * decontamination, q153 Heaps-law vocabulary growth, q154 embedding
+  * anisotropy — plus the plan shapes their 100 TB safety depends on. */
+class CorpusStatsSpec extends SparkSpec {
+
+  // NOT cached: the plan tests below must see the parquet-scan plan,
+  // and a .cache() here would swap in an InMemoryRelation for every
+  // later lookup of the same canonical plan.
+  private lazy val contam = CorpusStatsQueries.ngramContamination(spark, sfDir)
+  private lazy val growth = CorpusStatsQueries.vocabGrowth(spark, sfDir)
+  private lazy val aniso = CorpusStatsQueries.embedAnisotropy(spark, sfDir)
+
+  // ---- q151 -----------------------------------------------------------
+
+  test("q151: benchmark docs are excluded; every training doc appears exactly once") {
+    assert(contam.filter(pmod(col("doc_id"), lit(CorpusStatsQueries.ContamBenchMod)) === 0)
+      .count() === 0)
+    val total = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(CorpusStatsQueries.ContamBenchMod)) =!= 0).count()
+    assert(contam.count() === total)
+    assert(contam.select(col("doc_id")).distinct().count() === total)
+  }
+
+  test("q151: counts are consistent and the verdict tiers partition the rows") {
+    assert(contam.filter(col("n_hit") > col("n_grams")).count() === 0)
+    assert(contam.filter(col("hit_frac_e6") < 0 || col("hit_frac_e6") > 1000000L).count() === 0)
+    assert(contam.filter(col("verdict") === "short" && col("n_grams") =!= 0).count() === 0)
+    assert(contam.filter(col("verdict") === "clean" &&
+      (col("n_hit") =!= 0 || col("n_grams") === 0)).count() === 0)
+    assert(contam.filter(col("verdict") === "contaminated" &&
+      col("hit_frac_e6") < CorpusStatsQueries.ContamFracE6).count() === 0)
+  }
+
+  test("q151: an exact textual clone of a benchmark doc is fully contaminated") {
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(concat_ws(" ", tokens(fold(col("text"))))).as("sig"),
+        size(tokens(fold(col("text")))).as("n"))
+    val benchSigs = sigs
+      .filter(pmod(col("doc_id"), lit(CorpusStatsQueries.ContamBenchMod)) === 0)
+      .select(col("sig")).distinct()
+    val clones = sigs
+      .filter(pmod(col("doc_id"), lit(CorpusStatsQueries.ContamBenchMod)) =!= 0)
+      .filter(col("n") >= CorpusStatsQueries.ContamGramK)
+      .join(benchSigs, Seq("sig"))
+      .select(col("doc_id"))
+    val verdicts = clones.join(contam, Seq("doc_id"))
+    assert(verdicts.count() === clones.count())
+    assert(verdicts.filter(col("hit_frac_e6") =!= 1000000L).count() === 0)
+  }
+
+  test("q151 plan: benchmark gram set joins by broadcast; no windows anywhere") {
+    val p = contam.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  // ---- q153 -----------------------------------------------------------
+
+  test("q153: 16 checkpoints, cumulative counts monotone, final step equals corpus totals") {
+    assert(growth.count() === CorpusStatsQueries.GrowthSteps.toLong)
+    val rows = growth.orderBy(col("step")).collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_docs") <= b.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("n_tokens") <= b.getAs[Long]("n_tokens"))
+      assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+    }
+    val last = rows.last
+    val docs = Tables.documents(spark, sfDir)
+    assert(last.getAs[Long]("n_docs") === docs.count())
+    val totTokens = docs.select(sum(size(tokens(fold(col("text"))))).cast("long"))
+      .head().getLong(0)
+    assert(last.getAs[Long]("n_tokens") === totTokens)
+    val totVocab = docs.select(explode(tokens(fold(col("text")))).as("t"))
+      .select(col("t")).distinct().count()
+    assert(last.getAs[Long]("vocab") === totVocab)
+  }
+
+  test("q153: growth ratios are >= 1e6 (cumulative) and null only on the first step") {
+    val rows = growth.orderBy(col("step")).collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("vocab_ratio_e6")))
+    rows.tail.foreach { r =>
+      assert(r.getAs[Long]("vocab_ratio_e6") >= 1000000L)
+      assert(r.getAs[Long]("token_ratio_e6") >= 1000000L)
+    }
+  }
+
+  // ---- q154 -----------------------------------------------------------
+
+  test("q154: anisotropy in [0, 1e6], rms >= mu-norm, variance trace nonnegative") {
+    assert(aniso.filter(col("aniso_e6") < 0 || col("aniso_e6") > 1000000L).count() === 0)
+    assert(aniso.filter(col("mu_norm_e6") > col("rms_norm_e6")).count() === 0)
+    assert(aniso.filter(col("trace_var_e6") < 0).count() === 0)
+    assert(aniso.filter(col("n_dims") =!= 64L).count() === 0)
+    val totVecs = aniso.agg(sum(col("n_vecs"))).head().getLong(0)
+    assert(totVecs === Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("q154 plan: one embeddings scan, partial aggregation, no window, no join") {
+    val p = aniso.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+}
