@@ -98,10 +98,87 @@ object MultimodalQueries {
        |  (doc_id * 31 + (i * n_frames) // take * 131) % 1000 AS brightness_milli
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  val PatchPx = 16
+  val PatchBatchSize = 16
+  val PatchShards = 8
+  val PatchShardSeed = "pb1"
+
+  /** q155: aspect-bucketed PATCH batching for image assets — the
+    * vision-loader counterpart of q145's length batching (the
+    * NaViT-style native-resolution recipe: batch images of similar
+    * aspect so padding to the batch-max patch count wastes little).
+    * Each asset's fake decode dims (q28's deterministic width/height)
+    * become a 16px patch grid; assets group by integer aspect class
+    * `(4*width) div height`, deal into hash shards (the loader grain —
+    * a skewed aspect class spreads over shards instead of one task),
+    * order by (n_patches, doc_id) and cut batches of 16. Per batch:
+    * images, max/sum patch counts, padded cost and the e6
+    * padding-waste share. Shuffle only on (aspect class, shard);
+    * windows bounded by the shard grain. */
+  def patchBatches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .withColumn("byte_len", length(col("text").cast("binary")).cast("long"))
+      .select(col("doc_id"),
+        (col("byte_len") % 64 + 16).as("width"),
+        (col("byte_len") * 7 % 64 + 16).as("height"))
+      .withColumn("n_patches",
+        expr(s"((width + ${PatchPx - 1}) div $PatchPx) * ((height + ${PatchPx - 1}) div $PatchPx)"))
+      .withColumn("aspect_bucket", expr("(width * 4) div height"))
+      .withColumn("shard",
+        (graft.functions.Hashing.polyHash(concat(col("doc_id").cast("string"),
+          lit(s":$PatchShardSeed"))) % PatchShards).cast("long"))
+    val w = Window.partitionBy(col("aspect_bucket"), col("shard"))
+      .orderBy(col("n_patches"), col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(rk - 1) div $PatchBatchSize"))
+      .groupBy(col("aspect_bucket"), col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_imgs"),
+        max(col("n_patches")).as("max_patches"),
+        sum(col("n_patches")).as("sum_patches"))
+      .select(col("aspect_bucket"), col("shard"), col("batch_idx"),
+        col("n_imgs"), col("max_patches"), col("sum_patches"),
+        (col("max_patches") * col("n_imgs")).as("padded_patches"),
+        round((lit(1.0) - col("sum_patches").cast("double") /
+          (col("max_patches") * col("n_imgs")).cast("double")) * lit(1000000.0))
+          .cast("long").as("pad_waste_e6"))
+      .orderBy(col("aspect_bucket"), col("shard"), col("batch_idx"))
+  }
+
+  val patchBatchesSql: String = {
+    val h = graft.functions.Hashing.polyHashSql(s"CAST(doc_id AS VARCHAR) || ':$PatchShardSeed'")
+    s"""WITH b AS (SELECT doc_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+       |  FROM documents),
+       |dims AS (SELECT doc_id,
+       |    byte_len % 64 + 16 AS width,
+       |    byte_len * 7 % 64 + 16 AS height
+       |  FROM b),
+       |g AS (SELECT doc_id,
+       |    ((width + ${PatchPx - 1}) // $PatchPx) * ((height + ${PatchPx - 1}) // $PatchPx) AS n_patches,
+       |    (width * 4) // height AS aspect_bucket,
+       |    ($h) % $PatchShards AS shard
+       |  FROM dims),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY aspect_bucket, shard
+       |    ORDER BY n_patches, doc_id) AS rk FROM g),
+       |agg AS (SELECT aspect_bucket, shard, (rk - 1) // $PatchBatchSize AS batch_idx,
+       |    CAST(COUNT(*) AS BIGINT) AS n_imgs,
+       |    CAST(MAX(n_patches) AS BIGINT) AS max_patches,
+       |    CAST(SUM(n_patches) AS BIGINT) AS sum_patches
+       |  FROM r GROUP BY aspect_bucket, shard, (rk - 1) // $PatchBatchSize)
+       |SELECT aspect_bucket, shard, batch_idx, n_imgs, max_patches, sum_patches,
+       |  max_patches * n_imgs AS padded_patches,
+       |  CAST(ROUND((1.0 - CAST(sum_patches AS DOUBLE) / CAST(max_patches * n_imgs AS DOUBLE)) * 1000000.0) AS BIGINT) AS pad_waste_e6
+       |FROM agg ORDER BY aspect_bucket, shard, batch_idx""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q28_binary_meta" -> (binaryMeta _),
-    "q97_frame_sample" -> (frameSample _))
+    "q97_frame_sample" -> (frameSample _),
+    "q155_patch_batches" -> (patchBatches _))
   val oracles: Map[String, String] = Map(
     "q28_binary_meta" -> binaryMetaSql,
-    "q97_frame_sample" -> frameSampleSql)
+    "q97_frame_sample" -> frameSampleSql,
+    "q155_patch_batches" -> patchBatchesSql)
 }

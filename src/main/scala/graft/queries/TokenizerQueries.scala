@@ -44,15 +44,19 @@ object TokenizerQueries {
     graft.operators.Bpe.mergesDf(s, merges)
   }
 
-  /** The oracle replays every round as chained CTEs: wK = the
+  /** Shared oracle prefix: the w0 dictionary CTE plus one
+    * (pair-count, argmax, merge) CTE triple per round — wK = the
     * dictionary after K merges, rpK = round K's winning pair via the
     * same (count desc, pair asc) argmax, each merge applied with
-    * scalar subqueries into replace(). */
-  val bpeMergesSql: String = {
+    * scalar subqueries into replace(). `withWord` carries the raw
+    * word through the rounds (wstr is bijective with word, so pair
+    * counts and argmaxes are unchanged) for encode-side consumers. */
+  private def trainCtes(withWord: Boolean): String = {
+    val wsel = if (withWord) "word, " else ""
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT array_to_string(list_transform(range(1, length(word) + 1),
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT ${wsel}array_to_string(list_transform(range(1, length(word) + 1),
         |           i -> '.' || word[i] || '.'), '  ') AS wstr,
         |         count(*) AS freq
         |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
@@ -68,12 +72,17 @@ object TokenizerQueries {
         |  GROUP BY 1, 2),
         |rp$r AS (SELECT wa, wb, n FROM p$r ORDER BY n DESC, wa, wb LIMIT 1),
         |w$r AS MATERIALIZED (
-        |  SELECT replace(wstr,
+        |  SELECT ${wsel}replace(wstr,
         |           (SELECT wa || '  ' || wb FROM rp$r),
         |           (SELECT '.' || trim(wa, '.') || trim(wb, '.') || '.' FROM rp$r))
         |         AS wstr, freq
         |  FROM w${r - 1})""".stripMargin)
     }
+    sb.toString
+  }
+
+  val bpeMergesSql: String = {
+    val sb = new StringBuilder(trainCtes(withWord = false))
     sb.append("\n")
     sb.append((1 to MergeRounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round, trim(wa, '.') AS left_sym, trim(wb, '.') AS right_sym,
@@ -118,31 +127,7 @@ object TokenizerQueries {
     * counts and argmaxes are unchanged), then encodes the corpus by
     * joining its word stream to the final dictionary. */
   val bpeEncodeSql: String = {
-    val sb = new StringBuilder
-    sb.append(
-      """WITH w0 AS MATERIALIZED (
-        |  SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
-        |           i -> '.' || word[i] || '.'), '  ') AS wstr,
-        |         count(*) AS freq
-        |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-        |        FROM documents)
-        |  WHERE word <> ''
-        |  GROUP BY 1)""".stripMargin)
-    (1 to MergeRounds).foreach { r =>
-      sb.append(s""",
-        |p$r AS MATERIALIZED (
-        |  SELECT t[i] AS wa, t[i + 1] AS wb, CAST(sum(freq) AS BIGINT) AS n
-        |  FROM (SELECT freq, string_split(wstr, '  ') AS t FROM w${r - 1}),
-        |       UNNEST(range(1, len(t))) AS u(i)
-        |  GROUP BY 1, 2),
-        |rp$r AS (SELECT wa, wb, n FROM p$r ORDER BY n DESC, wa, wb LIMIT 1),
-        |w$r AS MATERIALIZED (
-        |  SELECT word, replace(wstr,
-        |           (SELECT wa || '  ' || wb FROM rp$r),
-        |           (SELECT '.' || trim(wa, '.') || trim(wb, '.') || '.' FROM rp$r))
-        |         AS wstr, freq
-        |  FROM w${r - 1})""".stripMargin)
-    }
+    val sb = new StringBuilder(trainCtes(withWord = true))
     sb.append(s""",
       |enc AS (SELECT word, CAST(len(string_split(wstr, '  ')) AS BIGINT) AS n_tok,
       |               CAST(length(word) AS BIGINT) AS n_sym
@@ -161,11 +146,76 @@ object TokenizerQueries {
     sb.toString
   }
 
+  /** q152: tokenizer FERTILITY per (source, lang) stratum — the
+    * tokenizer-quality eval every multilingual pipeline runs before
+    * freezing a vocab (how many subword pieces a word costs, and how
+    * many characters a piece carries, per language/source): docs,
+    * word occurrences, post-merge token count, pre-merge symbol
+    * count, fertility = tokens/word (e6) and chars-per-token (e6).
+    * A stratum whose fertility is far above the corpus mean is the
+    * one paying the token-budget tax at training time.
+    *
+    * Scale shape: q125's exactly — training cost is dictionary-sized,
+    * the trained dictionary applies back as one projection, and the
+    * corpus is ONE scan + broadcast dictionary join + stratum hash
+    * agg (output dim-sized: sources x langs). */
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    val dictW = graft.operators.Bpe.dictionaryWithWords(Tables.documents(s, dir), "text")
+    val (merges, _) = graft.operators.Bpe.trainSequential(
+      dictW.select(col("wstr"), col("freq")), MergeRounds)
+    val encoded = graft.operators.Bpe.applyMerges(dictW, merges)
+      .select(col("word"),
+        size(split(col("wstr"), "  ")).cast("long").as("n_tok"),
+        length(col("word")).cast("long").as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(encoded), Seq("word"))
+      .groupBy(col("source"), col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_sym")).as("n_syms"))
+      .withColumn("fertility_e6",
+        round(lit(1000000.0) * col("n_tokens").cast("double") /
+          col("n_words").cast("double")).cast("long"))
+      .withColumn("chars_per_tok_e6",
+        round(lit(1000000.0) * col("n_syms").cast("double") /
+          col("n_tokens").cast("double")).cast("long"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val fertilitySql: String = {
+    val sb = new StringBuilder(trainCtes(withWord = true))
+    sb.append(s""",
+      |enc AS (SELECT word, CAST(len(string_split(wstr, '  ')) AS BIGINT) AS n_tok,
+      |               CAST(length(word) AS BIGINT) AS n_sym
+      |        FROM w$MergeRounds),
+      |stream AS (SELECT source, lang, doc_id,
+      |             unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |           FROM documents)
+      |SELECT source, lang,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_sym) AS BIGINT) AS n_syms,
+      |  CAST(ROUND(1000000.0 * CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS fertility_e6,
+      |  CAST(ROUND(1000000.0 * CAST(sum(n_sym) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)) AS BIGINT) AS chars_per_tok_e6
+      |FROM stream JOIN enc USING (word)
+      |WHERE word <> ''
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_bpe_merges" -> (bpeMerges _),
-    "q125_bpe_encode" -> (bpeEncode _))
+    "q125_bpe_encode" -> (bpeEncode _),
+    "q152_tokenizer_fertility" -> (fertility _))
 
   val oracles: Map[String, String] = Map(
     "q121_bpe_merges" -> bpeMergesSql,
-    "q125_bpe_encode" -> bpeEncodeSql)
+    "q125_bpe_encode" -> bpeEncodeSql,
+    "q152_tokenizer_fertility" -> fertilitySql)
 }

@@ -66,4 +66,41 @@ class MultimodalSpec extends SparkSpec {
     val f = MultimodalBatch.decodeFeatures(assets).collect().head
     assert(f.byte_len == 6) // é is 2 bytes in UTF-8
   }
+
+  test("q155: every image lands in exactly one patch batch; padding math is consistent") {
+    import org.apache.spark.sql.functions._
+    val b = graft.queries.MultimodalQueries.patchBatches(spark, sfDir).cache()
+    val nImgs = b.agg(sum(col("n_imgs"))).head().getLong(0)
+    assert(nImgs === Tables.documents(spark, sfDir).count())
+    assert(b.filter(col("n_imgs") > graft.queries.MultimodalQueries.PatchBatchSize).count() === 0)
+    // dims are 16..79 at 16px patches: 1..5 per axis, <= 25 patches
+    assert(b.filter(col("max_patches") < 1 || col("max_patches") > 25).count() === 0)
+    assert(b.filter(col("sum_patches") > col("padded_patches")).count() === 0)
+    assert(b.filter(col("pad_waste_e6") < 0 || col("pad_waste_e6") >= 1000000L).count() === 0)
+    // the operator's claim: aspect+size-sorted batching wastes less
+    // padding than arrival-order (doc_id) batching on the same shards
+    val waste = b.agg(sum(col("padded_patches")), sum(col("sum_patches"))).head()
+    val sortedUtil = waste.getLong(1).toDouble / waste.getLong(0).toDouble
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("byte_len", length(col("text").cast("binary")).cast("long"))
+      .select(col("doc_id"),
+        (col("byte_len") % 64 + 16).as("width"),
+        (col("byte_len") * 7 % 64 + 16).as("height"))
+      .withColumn("n_patches",
+        expr("((width + 15) div 16) * ((height + 15) div 16)"))
+      .withColumn("shard",
+        (graft.functions.Hashing.polyHash(concat(col("doc_id").cast("string"),
+          lit(":pb1"))) % graft.queries.MultimodalQueries.PatchShards).cast("long"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))).cast("long"))
+      .withColumn("batch_idx", expr("(rk - 1) div 16"))
+      .groupBy(col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n"), max(col("n_patches")).as("mx"),
+        sum(col("n_patches")).as("sm"))
+      .agg(sum(col("mx") * col("n")), sum(col("sm"))).head()
+    val arrivalUtil = base.getLong(1).toDouble / base.getLong(0).toDouble
+    assert(sortedUtil > arrivalUtil,
+      s"sorted $sortedUtil should beat arrival-order $arrivalUtil")
+    b.unpersist()
+  }
 }

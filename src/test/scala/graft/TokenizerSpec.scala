@@ -56,4 +56,22 @@ class TokenizerSpec extends SparkSpec {
       r.getAs[String]("right_sym").length > 1),
       "no round consumed a previously merged symbol")
   }
+
+  test("q152: stratum fertility reconciles with q125's per-doc totals and respects bounds") {
+    import org.apache.spark.sql.functions._
+    val strata = TokenizerQueries.fertility(spark, sfDir).cache()
+    val docs = TokenizerQueries.bpeEncode(spark, sfDir)
+    // every word occurrence lands in exactly one stratum: totals match
+    val st = strata.agg(sum(col("n_words")), sum(col("n_tokens")), sum(col("n_syms"))).head()
+    val dt = docs.agg(sum(col("n_words")), sum(col("n_tokens")), sum(col("n_syms"))).head()
+    assert(st.getLong(0) === dt.getLong(0))
+    assert(st.getLong(1) === dt.getLong(1))
+    assert(st.getLong(2) === dt.getLong(2))
+    // a word costs at least one token; a token carries at least one char
+    assert(strata.filter(col("fertility_e6") < 1000000L).count() === 0)
+    assert(strata.filter(col("chars_per_tok_e6") < 1000000L).count() === 0)
+    // merges actually compress: overall fertility strictly below chars/word
+    assert(strata.filter(col("n_tokens") >= col("n_syms")).count() === 0)
+    strata.unpersist()
+  }
 }
