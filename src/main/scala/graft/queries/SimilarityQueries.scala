@@ -809,7 +809,100 @@ object SimilarityQueries {
        |FROM la2 ORDER BY vec_id, block""".stripMargin
   }
 
+  // ---- q156: SemDeDup — semantic dedup by cluster-then-prune --------
+
+  val SemDedupK = 64
+  val SemDedupIters = 2
+  val SemDedupTauE6 = 400000L
+
+  /** q156: SemDeDup (Abbas et al. 2023) — semantic deduplication by
+    * cluster-then-prune, the embedding-space member of the dedup
+    * family that catches paraphrases MinHash never buckets: k-means
+    * partitions the corpus (k=64 here; k scales with N in production
+    * so cluster sizes stay bounded), then WITHIN each cluster every
+    * vector is compared only against its higher-keep-priority peers
+    * (priority = farthest-from-centroid by the exact integer L2, ties
+    * by lowest id — the paper's "keep the low-centroid-similarity
+    * representative" rule) and dropped when any such peer sits at
+    * cosine >= 0.4 (the corpus's q25 near-dup grain). Output: every
+    * vector's cluster, centroid distance, count of and max cosine to
+    * its higher-priority near-neighbors, and the kept/dropped verdict.
+    *
+    * Scale shape: clustering IS the quadratic-work bound — pair
+    * generation is a self-join co-partitioned on the cluster id
+    * (never all-pairs), so total pair work is Sum(cluster size^2),
+    * controlled by k; the kept/dropped rollup is a hash agg. The
+    * k-row centroid model broadcasts (the q69 recipe); all cosines
+    * are the exact micro-int dot/norm every ANN query uses. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (assigned, _) = Similarity.kmeansFit(emb, SemDedupK, Dim, SemDedupIters)
+    val mem = assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m"))
+    val hi = mem.select(col("cluster"), col("vec_id").as("b_id"),
+      col("dist").as("b_dist"), col("m").as("b_m"))
+    val pairs = mem.join(hi, Seq("cluster"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(col("b_dist") > col("dist") ||
+        (col("b_dist") === col("dist") && col("b_id") < col("vec_id")))
+      .withColumn("cos_e6", round(
+        Similarity.intDot(col("m"), col("b_m")).cast("double") /
+          (Similarity.microNorm(col("m")) * Similarity.microNorm(col("b_m"))) *
+          lit(1000000.0)).cast("long"))
+      .filter(col("cos_e6") >= SemDedupTauE6)
+    val dropped = pairs.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("near"), max(col("cos_e6")).as("mx"))
+    mem.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        coalesce(col("near"), lit(0L)).as("n_prio_near"),
+        col("mx").as("max_cos_e6"),
+        when(col("near").isNotNull, "dropped").otherwise("kept").as("verdict"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupSql: String = {
+    def dist(cm: String) = distExpr("v.m", cm)
+    val pdot =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> x.m[i] * y.m[i]), (a, b) -> a + b)"
+    def pssq(m: String) =
+      s"list_reduce(list_transform($m, e -> e * e), (a, b) -> a + b)"
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, m AS cm FROM v WHERE vec_id < $SemDedupK),
+       |d1 AS (SELECT v.vec_id, v.m, c.cid, ${dist("c.cm")} AS dist
+       |  FROM v CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, m, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u1 AS (SELECT cid, generate_subscripts(m, 1) AS d, unnest(m) AS val FROM a1),
+       |c1d AS (SELECT cid, d,
+       |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM u1 GROUP BY cid, d),
+       |c1 AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c1d GROUP BY cid),
+       |d2 AS (SELECT v.vec_id, v.m, c.cid, ${dist("c.cm")} AS dist
+       |  FROM v CROSS JOIN c1 c),
+       |mem AS (SELECT vec_id, m, cid AS cluster, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |pr AS (SELECT x.vec_id,
+       |    CAST(ROUND(CAST($pdot AS DOUBLE)
+       |      / (SQRT(CAST(${pssq("x.m")} AS DOUBLE)) * SQRT(CAST(${pssq("y.m")} AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM mem x JOIN mem y ON x.cluster = y.cluster AND y.vec_id <> x.vec_id
+       |    AND (y.dist > x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id))),
+       |dr AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_prio_near,
+       |    CAST(MAX(cos_e6) AS BIGINT) AS max_cos_e6
+       |  FROM pr WHERE cos_e6 >= $SemDedupTauE6 GROUP BY vec_id)
+       |SELECT mem.vec_id, mem.cluster, mem.dist,
+       |  COALESCE(dr.n_prio_near, 0) AS n_prio_near,
+       |  dr.max_cos_e6 AS max_cos_e6,
+       |  CASE WHEN dr.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS verdict
+       |FROM mem LEFT JOIN dr ON mem.vec_id = dr.vec_id
+       |ORDER BY mem.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_semdedup" -> (semDedup _),
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
     "q27_ann_lsh" -> (annLsh _),
@@ -827,6 +920,7 @@ object SimilarityQueries {
     "q96_pq_local_codebooks" -> (pqLocalCodebooks _))
 
   val oracles: Map[String, String] = Map(
+    "q156_semdedup" -> semDedupSql,
     "q25_embed_neardup" -> embedNearDupSql,
     "q26_ann_bruteforce" -> annBruteforceSql,
     "q27_ann_lsh" -> annLshSql,

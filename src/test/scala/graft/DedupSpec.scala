@@ -92,4 +92,36 @@ class DedupSpec extends SparkSpec {
     val b2 = Similarity.withLshBucket(c, "embedding").select("vec_id", "bucket").collect()
     assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
   }
+
+  test("q156 SemDeDup: no two kept vectors in one cluster are near; drops are justified") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: 500 vectors over k=64 clusters (sf0.001 has fewer vectors
+    // than seeds, which makes every cluster a singleton and the test vacuous)
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.SimilarityQueries.semDedup(spark, dir).cache()
+    assert(out.count() === Tables.embeddings(spark, dir).count())
+    // non-vacuous on this corpus: the planted near-dups cause drops
+    assert(out.filter(col("verdict") === "dropped").count() > 0)
+    // every drop is justified; kept rows carry no neighbor stats
+    assert(out.filter(col("verdict") === "dropped" &&
+      (col("n_prio_near") < 1 ||
+        col("max_cos_e6") < graft.queries.SimilarityQueries.SemDedupTauE6)).count() === 0)
+    assert(out.filter(col("verdict") === "kept" && col("max_cos_e6").isNotNull).count() === 0)
+    // the core SemDeDup guarantee: the kept set is an independent set
+    // at the tau grain within every cluster
+    val m = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.operators.Similarity.microVec(col("embedding")).as("m"))
+    val kept = out.filter(col("verdict") === "kept")
+      .join(m, Seq("vec_id")).select(col("vec_id"), col("cluster"), col("m"))
+    val keptB = kept.select(col("vec_id").as("b_id"), col("cluster"), col("m").as("b_m"))
+    val nearKeptPairs = kept.join(keptB, Seq("cluster"))
+      .filter(col("vec_id") < col("b_id"))
+      .withColumn("cos_e6", round(
+        graft.operators.Similarity.intDot(col("m"), col("b_m")).cast("double") /
+          (graft.operators.Similarity.microNorm(col("m")) *
+            graft.operators.Similarity.microNorm(col("b_m"))) * lit(1000000.0)).cast("long"))
+      .filter(col("cos_e6") >= graft.queries.SimilarityQueries.SemDedupTauE6)
+    assert(nearKeptPairs.count() === 0)
+    out.unpersist()
+  }
 }
