@@ -184,4 +184,27 @@ object CurationPipeline {
           .when(col("domain_bucket") < cfg.splitValidPct, "valid")
           .otherwise("test"))
   }
+
+  /** curateExtended with SemDeDup (q156) in front: semantic near-dups
+    * are pruned on the RAW corpus embeddings first (the paper runs
+    * SemDeDup before any text-level filtering — paraphrase mass should
+    * shrink everything downstream), then the surviving documents flow
+    * through the full extended text pipeline. `embeddings` carries
+    * (vec_id, embedding array<float>) keyed by the document id. */
+  def curateSemantic(docs: DataFrame, embeddings: DataFrame,
+      evalPred: Column, segs: Column,
+      semK: Int, semDim: Int, semTauE6: Long,
+      dsirTarget: Option[Column] = None,
+      seed: String = "ep1", nShards: Int = 8,
+      surprisalTailMilli: Long = 5200L,
+      lineMinDf: Int = 2,
+      cfg: Config = Config()): DataFrame = {
+    val semDropped = graft.operators.Similarity
+      .semDedupVerdicts(embeddings, semK, semDim, iters = 2, tauE6 = semTauE6)
+      .filter(col("verdict") === "dropped")
+      .select(col("vec_id").as("doc_id"))
+    curateExtended(docs.join(semDropped, Seq("doc_id"), "left_anti"),
+      evalPred, segs, dsirTarget, seed, nShards, surprisalTailMilli,
+      lineMinDf, cfg)
+  }
 }

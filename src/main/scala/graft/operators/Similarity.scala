@@ -593,4 +593,43 @@ object Similarity {
       .select(col("q_vec_id"), col("rank"), col("vec_id"),
         col("cluster").as("centroid_id"), col("cos_e6"))
   }
+
+  /** SemDeDup (Abbas et al. 2023) verdicts: cluster-then-prune
+    * semantic dedup. k-means partitions the corpus, then each vector
+    * is compared only against its higher-keep-priority peers inside
+    * its own cluster (priority = farthest-from-centroid by exact
+    * integer L2, ties by lowest id — the paper's keep-the-
+    * low-centroid-similarity-representative rule) and dropped when
+    * any such peer sits at cosine >= tauE6. Returns one row per
+    * vector: (vec_id, cluster, dist, n_prio_near, max_cos_e6,
+    * verdict kept/dropped).
+    *
+    * Scale: the clustering IS the quadratic-work bound — the pair
+    * self-join co-partitions on the cluster id, so pair work is
+    * Sum(cluster size^2), controlled by k (scale k with N); the
+    * k-row centroid model broadcasts. */
+  def semDedupVerdicts(emb: DataFrame, k: Int, dim: Int, iters: Int,
+      tauE6: Long): DataFrame = {
+    val (assigned, _) = kmeansFit(
+      emb.select(col("vec_id"), col("embedding")), k, dim, iters)
+    val mem = assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m"))
+    val hi = mem.select(col("cluster"), col("vec_id").as("b_id"),
+      col("dist").as("b_dist"), col("m").as("b_m"))
+    val pairs = mem.join(hi, Seq("cluster"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(col("b_dist") > col("dist") ||
+        (col("b_dist") === col("dist") && col("b_id") < col("vec_id")))
+      .withColumn("cos_e6", round(
+        intDot(col("m"), col("b_m")).cast("double") /
+          (microNorm(col("m")) * microNorm(col("b_m"))) *
+          lit(1000000.0)).cast("long"))
+      .filter(col("cos_e6") >= tauE6)
+    val dropped = pairs.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("near"), max(col("cos_e6")).as("mx"))
+    mem.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        coalesce(col("near"), lit(0L)).as("n_prio_near"),
+        col("mx").as("max_cos_e6"),
+        when(col("near").isNotNull, "dropped").otherwise("kept").as("verdict"))
+  }
 }

@@ -834,30 +834,10 @@ object SimilarityQueries {
     * controlled by k; the kept/dropped rollup is a hash agg. The
     * k-row centroid model broadcasts (the q69 recipe); all cosines
     * are the exact micro-int dot/norm every ANN query uses. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val (assigned, _) = Similarity.kmeansFit(emb, SemDedupK, Dim, SemDedupIters)
-    val mem = assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m"))
-    val hi = mem.select(col("cluster"), col("vec_id").as("b_id"),
-      col("dist").as("b_dist"), col("m").as("b_m"))
-    val pairs = mem.join(hi, Seq("cluster"))
-      .filter(col("b_id") =!= col("vec_id"))
-      .filter(col("b_dist") > col("dist") ||
-        (col("b_dist") === col("dist") && col("b_id") < col("vec_id")))
-      .withColumn("cos_e6", round(
-        Similarity.intDot(col("m"), col("b_m")).cast("double") /
-          (Similarity.microNorm(col("m")) * Similarity.microNorm(col("b_m"))) *
-          lit(1000000.0)).cast("long"))
-      .filter(col("cos_e6") >= SemDedupTauE6)
-    val dropped = pairs.groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("near"), max(col("cos_e6")).as("mx"))
-    mem.join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("dist"),
-        coalesce(col("near"), lit(0L)).as("n_prio_near"),
-        col("mx").as("max_cos_e6"),
-        when(col("near").isNotNull, "dropped").otherwise("kept").as("verdict"))
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupVerdicts(Tables.embeddings(s, dir),
+      SemDedupK, Dim, SemDedupIters, SemDedupTauE6)
       .orderBy(col("vec_id"))
-  }
 
   val semDedupSql: String = {
     def dist(cm: String) = distExpr("v.m", cm)

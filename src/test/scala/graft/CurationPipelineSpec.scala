@@ -141,4 +141,33 @@ class CurationPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("curateSemantic prunes the semantic near-dup before the text pipeline") {
+    def body(i: Long) = (1 to 24).map(j => s"s${i}x$j").mkString(" ")
+    val docs = spark.createDataFrame(
+      (1L to 6L).map(i => (i, s"src$i", body(i))))
+      .toDF("doc_id", "source", "text")
+    // 8-dim embeddings: docs 4 and 5 are paraphrases (cos ~ 1) in the
+    // same k-means cluster; every other within-cluster cosine < 0.95
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = spark.createDataFrame(Seq(
+      (1L, v(1, 0, 0, 0, 0, 0, 0, 0)),      // seed A
+      (2L, v(0, 1, 0, 0, 0, 0, 0, 0)),      // seed B
+      (3L, v(0.6, 0, 0.8, 0, 0, 0, 0, 0)),  // cluster A, cos to 1 = 0.6
+      (4L, v(0, 0.6, 0, 0.8, 0, 0, 0, 0)),  // cluster B
+      (5L, v(0, 0.601, 0, 0.799, 0, 0, 0, 0)), // near-copy of 4
+      (6L, v(0.8, 0, -0.6, 0, 0, 0, 0, 0)))) // cluster A, cos to 3 = 0
+      .toDF("vec_id", "embedding")
+    val out = CurationPipeline.curateSemantic(docs, emb,
+      lit(false), split(col("text"), "\\. "),
+      semK = 2, semDim = 8, semTauE6 = 950000L,
+      surprisalTailMilli = 1000000L,
+      cfg = CurationPipeline.Config(minTokens = 5L, sampleDenom = 1, ctxLen = 64))
+      .collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // exactly one of the paraphrase pair survives; everything else does
+    assert(Set(1L, 2L, 3L, 6L).subsetOf(ids))
+    assert(ids.intersect(Set(4L, 5L)).size === 1, ids)
+    assert(ids.size === 5)
+  }
 }
