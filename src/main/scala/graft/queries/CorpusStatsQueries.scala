@@ -312,13 +312,105 @@ object CorpusStatsQueries {
        |  ${e6Sql("msq - musq")} AS trace_var_e6
        |FROM lab ORDER BY label""".stripMargin
 
+  // ---- q157: quality-filter agreement matrix -------------------------
+
+  /** q157: agreement matrix of the three quality-filter families —
+    * rule-based (q78's repetition thresholds), model-based (q133's
+    * hashed linear classifier) and LM-based (q127's surprisal tail) —
+    * the calibration diagnostic a pipeline runs before composing
+    * filters: the 2x2x2 contingency table of keep verdicts with each
+    * cell's share. Cells where the signals disagree are exactly the
+    * review queue (a filter that only echoes the others adds nothing;
+    * one that contradicts them on half the corpus is miscalibrated).
+    *
+    * Scale shape: three INDEPENDENT one-scan doc-keyed aggregates
+    * (each already plan-audited in its own query) joined
+    * co-partitioned on doc_id, collapsed by one 8-row hash agg; the
+    * share denominator is a window over those 8 rows (dim-sized by
+    * construction). */
+  def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rules = graft.operators.Curation.repetitionStats(docs, "text", "doc_id")
+      .select(col("doc_id"),
+        (col("n_tokens") >= CurationQueries.MinTokens &&
+          col("dup_token_e6") < CurationQueries.MaxDupE6 &&
+          col("top_bigram_e6") < CurationQueries.MaxBigramE6 &&
+          col("top_token_e6") < CurationQueries.MaxTokenE6).as("rules_keep"))
+    val clf = graft.operators.Curation.textClassifier(docs, "text", "doc_id",
+      CorpusOpsQueries.ClassifierBuckets)
+      .select(col("doc_id"), (col("score_sum") >= 0).as("clf_keep"))
+    val lm = graft.operators.Curation.unigramSurprisal(docs, "text", "doc_id")
+      .select(col("doc_id"),
+        (col("milli_bits_per_token") < CorpusOpsQueries.MiddleMaxMilli).as("lm_keep"))
+    val cells = rules.join(clf, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .groupBy(col("rules_keep"), col("clf_keep"), col("lm_keep"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()
+    cells
+      .withColumn("share_e6",
+        e6Col(col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double")))
+      .orderBy(col("rules_keep").desc, col("clf_keep").desc, col("lm_keep").desc)
+  }
+
+  val filterAgreementSql: String = {
+    import graft.functions.Hashing
+    val wExpr = s"${Hashing.affineSql("CAST(range AS BIGINT)", 7)} % 2001 - 1000"
+    val buckets = CorpusOpsQueries.ClassifierBuckets
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
+       |tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM pos GROUP BY doc_id, tok),
+       |toka AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct_tokens, MAX(cnt) AS top_tok_cnt
+       |  FROM tokc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b FROM pos WHERE i + 1 <= len(t)),
+       |bgc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY doc_id, b),
+       |bga AS (SELECT doc_id, MAX(cnt) AS top_bg_cnt FROM bgc GROUP BY doc_id),
+       |rv AS (SELECT toka.doc_id,
+       |    n_tokens >= ${CurationQueries.MinTokens}
+       |    AND ${e6Sql("CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens")} < ${CurationQueries.MaxDupE6}
+       |    AND ${e6Sql("CAST(COALESCE(top_bg_cnt, 0) AS DOUBLE) / GREATEST(n_tokens - 1, 1)")} < ${CurationQueries.MaxBigramE6}
+       |    AND ${e6Sql("CAST(top_tok_cnt AS DOUBLE) / n_tokens")} < ${CurationQueries.MaxTokenE6}
+       |    AS rules_keep
+       |  FROM toka LEFT JOIN bga ON toka.doc_id = bga.doc_id),
+       |feats AS (SELECT doc_id, tok AS feat FROM pos
+       |  UNION ALL
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS feat FROM pos WHERE i + 1 <= len(t)),
+       |fb AS (SELECT doc_id, ${Hashing.polyHashSql("feat")} % $buckets AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM feats GROUP BY doc_id, ${Hashing.polyHashSql("feat")} % $buckets),
+       |wt AS (SELECT CAST(range AS BIGINT) AS bucket, CAST($wExpr AS BIGINT) AS w
+       |  FROM range($buckets)),
+       |cv AS (SELECT doc_id, CAST(SUM(cnt * w) AS BIGINT) >= 0 AS clf_keep
+       |  FROM fb JOIN wt USING (bucket) GROUP BY doc_id),
+       |tokg AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM tokc GROUP BY tok),
+       |nt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n_total FROM tokg),
+       |bits AS (SELECT tok,
+       |    CAST(length(bin(n_total)) - length(bin(gcnt)) AS BIGINT) AS bits
+       |  FROM tokg CROSS JOIN nt),
+       |lv AS (SELECT doc_id,
+       |    (1000 * CAST(SUM(cnt * bits) AS BIGINT)) // CAST(SUM(cnt) AS BIGINT)
+       |      < ${CorpusOpsQueries.MiddleMaxMilli} AS lm_keep
+       |  FROM tokc JOIN bits USING (tok) GROUP BY doc_id),
+       |cells AS (SELECT rules_keep, clf_keep, lm_keep,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM rv JOIN cv USING (doc_id) JOIN lv USING (doc_id)
+       |  GROUP BY rules_keep, clf_keep, lm_keep),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cells)
+       |SELECT rules_keep, clf_keep, lm_keep, n_docs,
+       |  ${e6Sql("CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)")} AS share_e6
+       |FROM cells CROSS JOIN tot
+       |ORDER BY rules_keep DESC, clf_keep DESC, lm_keep DESC""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_ngram_contamination" -> (ngramContamination _),
     "q153_vocab_growth" -> (vocabGrowth _),
-    "q154_embed_anisotropy" -> (embedAnisotropy _))
+    "q154_embed_anisotropy" -> (embedAnisotropy _),
+    "q157_filter_agreement" -> (filterAgreement _))
 
   val oracles: Map[String, String] = Map(
     "q151_ngram_contamination" -> ngramContaminationSql,
     "q153_vocab_growth" -> vocabGrowthSql,
-    "q154_embed_anisotropy" -> embedAnisotropySql)
+    "q154_embed_anisotropy" -> embedAnisotropySql,
+    "q157_filter_agreement" -> filterAgreementSql)
 }

@@ -109,4 +109,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
   }
+
+  // ---- q157 -----------------------------------------------------------
+
+  test("q157: contingency cells reconcile with each filter's own marginal counts") {
+    val cells = CorpusStatsQueries.filterAgreement(spark, sfDir).collect()
+    val total = cells.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, sfDir).count())
+    // rounded shares sum to ~1e6 (at most 1 ulp of rounding per cell)
+    val shareSum = cells.map(_.getAs[Long]("share_e6")).sum
+    assert(math.abs(shareSum - 1000000L) <= cells.length)
+    // marginals match the source filters exactly
+    val rulesKept = cells.filter(_.getAs[Boolean]("rules_keep"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(rulesKept === graft.queries.CurationQueries.qualityFilter(spark, sfDir)
+      .filter(col("keep")).count())
+    val clfKept = cells.filter(_.getAs[Boolean]("clf_keep"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(clfKept === graft.queries.CorpusOpsQueries.qualityClassifier(spark, sfDir)
+      .filter(col("keep")).count())
+    val lmKept = cells.filter(_.getAs[Boolean]("lm_keep"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(lmKept === graft.queries.CorpusOpsQueries.lmSurprisal(spark, sfDir)
+      .filter(col("bucket") =!= "tail").count())
+  }
 }
