@@ -242,6 +242,135 @@ object CurationQueries {
        |FROM q ORDER BY lang""".stripMargin
   }
 
+  // ---- q158: DoReMi-style iterative domain reweighting ----
+
+  val DoremiRounds = 5
+  val DoremiEtaPerMilli = 1000L
+  val DoremiBudget = 1000L
+
+  /** q158: DoReMi-shaped domain reweighting (Xie et al. 2023) — the
+    * ITERATIVE member of the data-mix family (q77 fixed targets, q104
+    * temperature, q130 DSIR, q137 upsampling): domains whose LM loss
+    * exceeds the corpus reference gain mix weight multiplicatively,
+    * round by round. Losses are the q127 integer-bits surprisal
+    * aggregated per source; each of the 5 rounds multiplies weights
+    * by `1e6 + 1000·excess_milli` and renormalizes to Σ=1e6 with
+    * q77's largest-remainder split — every step pure integer
+    * arithmetic, so the whole trajectory is engine-exact. (In the
+    * full DoReMi loop each round's excess comes from a proxy-model
+    * training step; with static losses the ALGEBRA of the update —
+    * the part an engine owns — is what's pinned here.) Output per
+    * domain: corpus stats, loss, excess, final weight, and the doc
+    * quota the final mix assigns from a 1000-doc budget.
+    *
+    * Scale shape: the only corpus-scale work is one (doc, tok) hash
+    * agg chain (shared with q127); the iteration runs on the
+    * DOMAIN-count dim table collected as a bounded model (the k-row
+    * centroid recipe). */
+  def doremiMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dom = Curation.unigramSurprisal(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("total_bits")).as("total_bits"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("total_bits"),
+        expr("(1000 * total_bits) div n_tokens").as("loss_milli"))
+    // dim-sized domain model: collect, iterate exactly, re-emit
+    val rows = dom.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val refMilli = 1000L * rows.map(_._4).sum / rows.map(_._3).sum
+    val excess = rows.map { case (src, _, _, _, loss) =>
+      src -> math.max(0L, loss - refMilli) }.toMap
+    val k = rows.length
+    // round 0: uniform weights by largest remainder over the source order
+    var w: Seq[(String, Long)] = rows.zipWithIndex.map { case (r, i) =>
+      r._1 -> (1000000L / k + (if (i < (1000000L % k)) 1L else 0L)) }
+    (1 to DoremiRounds).foreach { _ =>
+      val raw = w.map { case (src, wv) =>
+        src -> wv * (1000000L + DoremiEtaPerMilli * excess(src)) / 1000000L }
+      val sum = raw.map(_._2).sum
+      val base = raw.map { case (src, rv) =>
+        (src, rv * 1000000L / sum, rv * 1000000L % sum) }
+      val rem = (1000000L - base.map(_._2).sum).toInt
+      val bump = base.sortBy { case (src, _, frac) => (-frac, src) }
+        .take(rem).map(_._1).toSet
+      w = base.map { case (src, b, _) =>
+        src -> (b + (if (bump(src)) 1L else 0L)) }
+    }
+    val wMap = w.toMap
+    val rawQ = rows.map { case (src, _, _, _, _) =>
+      (src, DoremiBudget * wMap(src) / 1000000L, DoremiBudget * wMap(src) % 1000000L) }
+    val remQ = (DoremiBudget - rawQ.map(_._2).sum).toInt
+    val bumpQ = rawQ.sortBy { case (src, _, frac) => (-frac, src) }
+      .take(remQ).map(_._1).toSet
+    import s.implicits._
+    rows.map { case (src, nDocs, nToks, bits, loss) =>
+      (src, nDocs, nToks, loss, excess(src), wMap(src),
+        rawQ.find(_._1 == src).get._2 + (if (bumpQ(src)) 1L else 0L))
+    }.toSeq.toDF("source", "n_docs", "n_tokens", "loss_milli",
+      "excess_milli", "weight_e6", "quota_docs")
+      .orderBy(col("source"))
+  }
+
+  val doremiMixSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH dt AS (SELECT doc_id, tok, COUNT(*) AS dc FROM
+         |    (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |tokc AS (SELECT tok, CAST(SUM(dc) AS BIGINT) AS cnt FROM dt GROUP BY tok),
+         |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tokc),
+         |bits AS (SELECT tok,
+         |    CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits
+         |  FROM tokc CROSS JOIN nt),
+         |dom AS (SELECT d.source,
+         |    CAST(COUNT(DISTINCT dt.doc_id) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dc) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(dc * bits.bits) AS BIGINT) AS total_bits
+         |  FROM dt JOIN bits USING (tok) JOIN documents d ON dt.doc_id = d.doc_id
+         |  GROUP BY d.source),
+         |ls AS (SELECT source, n_docs, n_tokens, total_bits,
+         |    (1000 * total_bits) // n_tokens AS loss_milli FROM dom),
+         |ref AS (SELECT (1000 * SUM(total_bits)) // SUM(n_tokens) AS ref_milli FROM ls),
+         |ex AS (SELECT source, n_docs, n_tokens, loss_milli,
+         |    GREATEST(0, loss_milli - ref_milli) AS excess_milli
+         |  FROM ls CROSS JOIN ref),
+         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ex),
+         |w0 AS (SELECT source,
+         |    1000000 // k + (CASE WHEN ROW_NUMBER() OVER (ORDER BY source) <= 1000000 % k
+         |      THEN 1 ELSE 0 END) AS w
+         |  FROM ex CROSS JOIN kk)""".stripMargin)
+    (1 to DoremiRounds).foreach { r =>
+      sb.append(s""",
+        |r$r AS (SELECT ex.source,
+        |    w0.w * (1000000 + $DoremiEtaPerMilli * excess_milli) // 1000000 AS raw
+        |  FROM w${r - 1} w0 JOIN ex ON w0.source = ex.source),
+        |n$r AS (SELECT source, raw * 1000000 // SUM(raw) OVER () AS base,
+        |    raw * 1000000 % SUM(raw) OVER () AS frac
+        |  FROM r$r),
+        |w$r AS (SELECT source, base + (CASE WHEN
+        |      ROW_NUMBER() OVER (ORDER BY frac DESC, source)
+        |        <= 1000000 - SUM(base) OVER () THEN 1 ELSE 0 END) AS w
+        |  FROM n$r)""".stripMargin)
+    }
+    sb.append(s""",
+      |q0 AS (SELECT source, $DoremiBudget * w // 1000000 AS rawq,
+      |    $DoremiBudget * w % 1000000 AS fracq, w
+      |  FROM w$DoremiRounds),
+      |q1 AS (SELECT source, w, rawq + (CASE WHEN
+      |      ROW_NUMBER() OVER (ORDER BY fracq DESC, source)
+      |        <= $DoremiBudget - SUM(rawq) OVER () THEN 1 ELSE 0 END) AS quota
+      |  FROM q0)
+      |SELECT ex.source, n_docs, n_tokens,
+      |  CAST(loss_milli AS BIGINT) AS loss_milli,
+      |  CAST(excess_milli AS BIGINT) AS excess_milli,
+      |  CAST(w AS BIGINT) AS weight_e6, CAST(quota AS BIGINT) AS quota_docs
+      |FROM ex JOIN q1 ON ex.source = q1.source
+      |ORDER BY ex.source""".stripMargin)
+    sb.toString
+  }
+
   // ---- q78: composite quality filter ----
 
   val MinTokens = 20L
@@ -414,7 +543,8 @@ object CurationQueries {
     "q78_quality_filter" -> (qualityFilter _),
     "q91_dup_ngrams" -> (dupNgrams _),
     "q99_corpus_split" -> (corpusSplit _),
-    "q104_temperature_mix" -> (temperatureMix _))
+    "q104_temperature_mix" -> (temperatureMix _),
+    "q158_doremi_mix" -> (doremiMix _))
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
@@ -427,5 +557,6 @@ object CurationQueries {
     "q78_quality_filter" -> qualityFilterSql,
     "q91_dup_ngrams" -> dupNgramsSql,
     "q99_corpus_split" -> corpusSplitSql,
-    "q104_temperature_mix" -> temperatureMixSql)
+    "q104_temperature_mix" -> temperatureMixSql,
+    "q158_doremi_mix" -> doremiMixSql)
 }

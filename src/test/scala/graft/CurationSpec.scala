@@ -150,4 +150,28 @@ class CurationSpec extends SparkSpec {
     // doc 4: "a b" and "c d" are non-first -> spans [1,2] and [4,5], "q" kept
     assert(row(3) == ((5L, 4L, 2L, "7694f4a66316e53c8cdd9d9954bd611d"))) // "q"
   }
+
+  test("q158 DoReMi mix: weights and quotas are exact budget splits, ordered by excess loss") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.CurationQueries.doremiMix(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("weight_e6")).sum === 1000000L)
+    assert(out.map(_.getAs[Long]("quota_docs")).sum ===
+      graft.queries.CurationQueries.DoremiBudget)
+    // a domain with zero excess never out-weighs one with positive excess
+    // (largest-remainder rounding can wiggle a weight by a few units)
+    val zero = out.filter(_.getAs[Long]("excess_milli") === 0L)
+    val pos = out.filter(_.getAs[Long]("excess_milli") > 0L)
+    if (zero.nonEmpty && pos.nonEmpty) {
+      val maxZero = zero.map(_.getAs[Long]("weight_e6")).max
+      val minPos = pos.map(_.getAs[Long]("weight_e6")).min
+      assert(maxZero <= minPos + 10, s"$maxZero vs $minPos")
+    }
+    // the iteration moved mass: unless all excesses are equal, some
+    // domain must sit above the uniform share and some below
+    val k = out.length
+    if (out.map(_.getAs[Long]("excess_milli")).distinct.length > 1) {
+      assert(out.exists(_.getAs[Long]("weight_e6") > 1000000L / k))
+      assert(out.exists(_.getAs[Long]("weight_e6") < 1000000L / k + 1))
+    }
+  }
 }
