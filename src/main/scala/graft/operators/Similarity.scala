@@ -612,7 +612,14 @@ object Similarity {
       tauE6: Long): DataFrame = {
     val (assigned, _) = kmeansFit(
       emb.select(col("vec_id"), col("embedding")), k, dim, iters)
-    val mem = assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m"))
+    semDedupVerdictsAssigned(
+      assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m")), tauE6)
+  }
+
+  /** The prune half of SemDeDup, for a corpus ALREADY assigned to
+    * clusters (mem: vec_id, cluster, dist, m) — the form a streaming
+    * ingest reuses against a fixed offline-trained quantizer. */
+  def semDedupVerdictsAssigned(mem: DataFrame, tauE6: Long): DataFrame = {
     val hi = mem.select(col("cluster"), col("vec_id").as("b_id"),
       col("dist").as("b_dist"), col("m").as("b_m"))
     val pairs = mem.join(hi, Seq("cluster"))
