@@ -171,6 +171,72 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q159: quality-aware cluster representative selection ----
+
+  /** q159: which member of each near-dup cluster SURVIVES — the
+    * representative-selection policy of a real pipeline (keep the
+    * LONGEST member: truncated mirrors and snippet copies lose to the
+    * full document), where q67's min-id convention is only a label.
+    * Per q67 cluster: member count, the quality representative by
+    * (token count desc, doc_id asc), and whether the policy moved the
+    * pick away from the min-id label. The argmax is one `max(struct)`
+    * hash aggregate — partial-agg, co-partitioned with the cluster
+    * labels, no corpus window (a per-cluster rank window would
+    * serialize the biggest cluster at 100 TB; max(struct) stays
+    * map-side combinable). */
+  def repSelection(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fold, tokens}
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id",
+      dfCap = Some(JaccardDfCap))
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+    val toks = reps(s, dir).select(col("doc_id"),
+      size(tokens(fold(col("text")))).cast("long").as("n_tokens"))
+    labels.join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"),
+          col("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        col("best.doc_id").as("rep_doc_id"),
+        col("best.n_tokens").as("rep_n_tokens"),
+        (col("best.doc_id") =!= col("cluster_id")).as("moved"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val repSelectionSql: String =
+    s"""WITH RECURSIVE $RepsCte,
+       |$ShinglesCte,
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $JaccardDfCap),
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |near AS (SELECT doc_a, doc_b
+       |  FROM cand JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE intersect_n * 2 >= sa.set_size + sb.set_size - intersect_n),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM near),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |tk AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM reps),
+       |r AS (SELECT lab.cluster_id, lab.doc_id, tk.n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+       |      ORDER BY tk.n_tokens DESC, lab.doc_id) AS rn
+       |  FROM lab JOIN tk ON lab.doc_id = tk.doc_id),
+       |g AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM lab GROUP BY cluster_id)
+       |SELECT g.cluster_id, g.n_members, r.doc_id AS rep_doc_id,
+       |  r.n_tokens AS rep_n_tokens, r.doc_id <> g.cluster_id AS moved
+       |FROM g JOIN r ON g.cluster_id = r.cluster_id AND r.rn = 1
+       |ORDER BY g.cluster_id""".stripMargin
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $RepsCte,
        |$ShinglesCte,
@@ -204,12 +270,14 @@ object DedupQueries {
     "q22_ngram_jaccard" -> (ngramJaccard _),
     "q23_minhash_lsh" -> (minhashLsh _),
     "q24_simhash" -> (simhashPairs _),
-    "q67_dedup_clusters" -> (dedupClusters _))
+    "q67_dedup_clusters" -> (dedupClusters _),
+    "q159_rep_selection" -> (repSelection _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> dedupExactSql,
     "q22_ngram_jaccard" -> ngramJaccardSql,
     "q23_minhash_lsh" -> minhashLshSql,
     "q24_simhash" -> simhashPairsSql,
-    "q67_dedup_clusters" -> dedupClustersSql)
+    "q67_dedup_clusters" -> dedupClustersSql,
+    "q159_rep_selection" -> repSelectionSql)
 }

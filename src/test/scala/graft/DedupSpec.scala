@@ -124,4 +124,29 @@ class DedupSpec extends SparkSpec {
     assert(nearKeptPairs.count() === 0)
     out.unpersist()
   }
+
+  test("q159: the quality representative is the longest member; moved implies strictly longer") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{fold, tokens}
+    val sel = graft.queries.DedupQueries.repSelection(spark, sfDir).cache()
+    val clusters = graft.queries.DedupQueries.dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    // same clusters, same member counts as q67
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    val joined = sel.join(sizes, Seq("cluster_id"))
+    assert(joined.count() === sel.count())
+    assert(joined.filter(col("n_members") =!= col("n")).count() === 0)
+    // the rep carries the cluster-max token count, and a moved rep is
+    // STRICTLY longer than the min-id label (ties keep the min id)
+    val toks = graft.operators.Dedup.exact(
+      Tables.documents(spark, sfDir), "text", "doc_id")
+      .select(col("doc_id"), size(tokens(fold(col("text")))).cast("long").as("nt"))
+    val memberMax = clusters.join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(max(col("nt")).as("max_nt"))
+    val k = sel.join(memberMax, Seq("cluster_id"))
+    assert(k.filter(col("rep_n_tokens") =!= col("max_nt")).count() === 0)
+    val labelToks = sel.join(toks.withColumnRenamed("doc_id", "cluster_id"), Seq("cluster_id"))
+    assert(labelToks.filter(col("moved") && col("rep_n_tokens") <= col("nt")).count() === 0)
+    sel.unpersist()
+  }
 }
