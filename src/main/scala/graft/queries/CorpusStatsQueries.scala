@@ -312,6 +312,81 @@ object CorpusStatsQueries {
        |  ${e6Sql("msq - musq")} AS trace_var_e6
        |FROM lab ORDER BY label""".stripMargin
 
+  // ---- q160: contamination operating curve over gram sizes -----------
+
+  val SweepGramSizes: Seq[Int] = Seq(5, 8, 13)
+
+  /** q160: the decontamination OPERATING CURVE — q151's gram-overlap
+    * check swept over the gram sizes the published recipes actually
+    * use (5 ~ aggressive, 8 ~ q147's grain, 13 ~ GPT-3/PaLM): per
+    * size, how many training docs have any gram (are testable), how many
+    * are clean / flagged / contaminated at 50%, and the corpus-level
+    * hit mass (Σ hits / Σ grams, e6). Shorter grams flag more — this
+    * is the curve a pipeline reads to pick its grain before a
+    * full-corpus decontamination run.
+    *
+    * Scale shape: ONE corpus tokenize staged and reused (the corpus
+    * is not re-read per size); per size a map-side shingle projection
+    * feeds the q151 join shape (distinct gram agg + broadcast bench
+    * set + doc rollup); output is 3 rows. */
+  def contaminationSweep(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.Dedup.stage(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(fold(col("text"))).as("toks")))
+    val perSize = SweepGramSizes.map { n =>
+      val grams = toks
+        .select(col("doc_id"), explode(tokenShingles(col("toks"), n)).as("gram"))
+        .distinct()
+      val bench = grams.filter(pmod(col("doc_id"), lit(ContamBenchMod)) === 0)
+        .select(col("gram")).distinct().withColumn("bhit", lit(1L))
+      grams.filter(pmod(col("doc_id"), lit(ContamBenchMod)) =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("bhit"), lit(0L))).as("n_hit"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hit") === 0, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("n_hit") > 0 &&
+            col("n_hit") * 2 < col("n_grams"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("n_hit") * 2 >= col("n_grams"), 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(col("n_hit")).as("hits"), sum(col("n_grams")).as("grams"))
+        .select(lit(n.toLong).as("gram_n"), col("n_docs"), col("n_clean"),
+          col("n_flagged"), col("n_contaminated"),
+          e6Col(col("hits").cast("double") / col("grams").cast("double"))
+            .as("corpus_hit_e6"))
+    }
+    perSize.reduce(_.unionByName(_)).orderBy(col("gram_n"))
+  }
+
+  val contaminationSweepSql: String = {
+    def chain(n: Int): String = {
+      val gram = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT CAST($n AS BIGINT) AS gram_n,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN n_hit > 0 AND n_hit * 2 < n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(SUM(CASE WHEN n_hit * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  ${e6Sql("CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)")} AS corpus_hit_e6
+         |FROM (
+         |  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM (SELECT DISTINCT doc_id, $gram AS gram
+         |        FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+         |        WHERE i + ${n - 1} <= len(t)) o
+         |  LEFT JOIN (SELECT DISTINCT gram FROM
+         |        (SELECT DISTINCT doc_id, $gram AS gram
+         |         FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+         |         WHERE i + ${n - 1} <= len(t)) bg
+         |        WHERE bg.doc_id % $ContamBenchMod = 0) b ON o.gram = b.gram
+         |  WHERE o.doc_id % $ContamBenchMod <> 0
+         |  GROUP BY o.doc_id)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents)
+       |${SweepGramSizes.map(chain).mkString("\nUNION ALL\n")}
+       |ORDER BY gram_n""".stripMargin
+  }
+
   // ---- q157: quality-filter agreement matrix -------------------------
 
   /** q157: agreement matrix of the three quality-filter families —
@@ -406,11 +481,13 @@ object CorpusStatsQueries {
     "q151_ngram_contamination" -> (ngramContamination _),
     "q153_vocab_growth" -> (vocabGrowth _),
     "q154_embed_anisotropy" -> (embedAnisotropy _),
-    "q157_filter_agreement" -> (filterAgreement _))
+    "q157_filter_agreement" -> (filterAgreement _),
+    "q160_contamination_sweep" -> (contaminationSweep _))
 
   val oracles: Map[String, String] = Map(
     "q151_ngram_contamination" -> ngramContaminationSql,
     "q153_vocab_growth" -> vocabGrowthSql,
     "q154_embed_anisotropy" -> embedAnisotropySql,
-    "q157_filter_agreement" -> filterAgreementSql)
+    "q157_filter_agreement" -> filterAgreementSql,
+    "q160_contamination_sweep" -> contaminationSweepSql)
 }

@@ -133,4 +133,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(lmKept === graft.queries.CorpusOpsQueries.lmSurprisal(spark, sfDir)
       .filter(col("bucket") =!= "tail").count())
   }
+
+  // ---- q160 -----------------------------------------------------------
+
+  test("q160: the operating curve is monotone — shorter grams flag more") {
+    val rows = CorpusStatsQueries.contaminationSweep(spark, sfDir)
+      .orderBy(col("gram_n")).collect()
+    assert(rows.map(_.getAs[Long]("gram_n")).toSeq ===
+      CorpusStatsQueries.SweepGramSizes.map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clean") + r.getAs[Long]("n_flagged") +
+        r.getAs[Long]("n_contaminated") === r.getAs[Long]("n_docs"))
+    }
+    rows.sliding(2).foreach { case Array(short, long) =>
+      // longer grams can only shrink the testable-doc set and the hit mass
+      assert(short.getAs[Long]("n_docs") >= long.getAs[Long]("n_docs"))
+      assert(short.getAs[Long]("corpus_hit_e6") >= long.getAs[Long]("corpus_hit_e6"))
+    }
+    // the 8-gram row agrees with q151's per-doc verdicts
+    val row8 = rows.find(_.getAs[Long]("gram_n") === 8L).get
+    val q151 = contam.filter(col("n_grams") > 0)
+    assert(row8.getAs[Long]("n_docs") === q151.count())
+    assert(row8.getAs[Long]("n_clean") === q151.filter(col("verdict") === "clean").count())
+    assert(row8.getAs[Long]("n_contaminated") ===
+      q151.filter(col("verdict") === "contaminated").count())
+  }
 }
