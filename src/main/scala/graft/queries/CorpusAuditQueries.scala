@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.functions.TextFunctions.{fold, tokens}
+
+/** Corpus-audit operators a pretraining pipeline runs on every frozen
+  * snapshot, extending SURVEY.md §2 layer D′: the Zipf frequency-
+  * spectrum fit (q161 — the power-law datasheet companion to q153's
+  * Heaps curve), per-source length-distribution drift vs the rest of
+  * the corpus (q162 — the KS/TV early-warning that one source changed
+  * shape between snapshots), a k-anonymity audit over quasi-identifier
+  * tuples (q164 — the privacy-side companion to q72's PII scrub), and
+  * the token-balanced shard manifest a writer emits next to its output
+  * (q166 — per-shard accounting with an order-free checksum).
+  */
+object CorpusAuditQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared oracle fragments (folded whitespace tokens, as DedupQueries)
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+  private val ToksSql = s"string_split_regex(trim($FoldSql), '\\s+')"
+  private def e6Sql(e: String) = s"CAST(ROUND(($e) * 1000000.0) AS BIGINT)"
+  private def e6Col(c: Column): Column =
+    round(c * lit(1000000.0)).cast("long")
+
+  // ---- q161: Zipf frequency-spectrum fit per source ------------------
+
+  /** q161: the Zipf power-law fit per source, taken on the FREQUENCY
+    * SPECTRUM (for each occurrence count f, the number of types seen
+    * exactly f times) instead of the rank-frequency curve — the same
+    * slope diagnostic, but computable with two hash aggregations and
+    * NO vocabulary-wide rank (a rank needs a global sort of the vocab;
+    * the spectrum needs only `groupBy(freq)`). Reported per source:
+    * vocabulary size, token mass, hapax (f=1) share — the classic
+    * "still growing" signal — and the OLS slope/intercept of
+    * ln(n_types) on ln(f), which for Zipfian text sits near -2 on the
+    * spectrum (1/(1+1/s) ~ slope -1-1/s mapping to the rank exponent).
+    *
+    * Determinism: each spectrum point's ln() is rounded to e6 BEFORE
+    * any aggregation, so the OLS moment sums are exact integer
+    * (decimal(38,0) vs DuckDB HUGEINT) and the only float step is one
+    * final IEEE division per source over identical integers.
+    *
+    * Scale shape: tokenize scan → (source, tok) partial-agg counts →
+    * (source, f) spectrum (output bounded by distinct counts, ~2·√mass
+    * points per source) → per-source moment agg. No windows, no sort,
+    * no join; every stage is map-side-combining hash agg. */
+  def zipfSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(fold(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+    val spectrum = tokCounts
+      .groupBy(col("source"), col("f")).agg(count(lit(1)).as("n_types"))
+      .withColumn("x", e6Col(log(col("f").cast("double"))))
+      .withColumn("y", e6Col(log(col("n_types").cast("double"))))
+    spectrum
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("n_types")).as("vocab"),
+        sum(col("f") * col("n_types")).as("n_tokens"),
+        sum(when(col("f") === 1, col("n_types")).otherwise(lit(0L))).as("hapax"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("den",
+        (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("slope",
+        when(col("den") =!= 0.0,
+          (col("n_points") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den")))
+      .withColumn("intercept_e6",
+        when(col("den") =!= 0.0,
+          round((col("sy").cast("double") -
+            col("slope") * col("sx").cast("double")) /
+            col("n_points").cast("double")).cast("long")))
+      .select(col("source"), col("n_points"), col("vocab"), col("n_tokens"),
+        col("hapax"),
+        e6Col(col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share_e6"),
+        e6Col(col("slope")).as("zipf_slope_e6"),
+        col("intercept_e6"))
+      .orderBy(col("source"))
+  }
+
+  val zipfSpectrumSql: String =
+    s"""WITH tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT source, unnest($ToksSql) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |sp AS (SELECT source, f, CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+       |    CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+       |  FROM tc GROUP BY source, f),
+       |m AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    CAST(SUM(n_types) AS BIGINT) AS vocab,
+       |    CAST(SUM(f * n_types) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN f = 1 THEN n_types ELSE 0 END) AS BIGINT) AS hapax,
+       |    SUM(CAST(x AS HUGEINT)) AS sx,
+       |    SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+       |  FROM sp GROUP BY source),
+       |fit AS (SELECT *,
+       |    CAST(n_points * sxx - sx * sx AS DOUBLE) AS den,
+       |    CASE WHEN CAST(n_points * sxx - sx * sx AS DOUBLE) <> 0.0
+       |      THEN CAST(n_points * sxy - sx * sy AS DOUBLE)
+       |           / CAST(n_points * sxx - sx * sx AS DOUBLE) END AS slope
+       |  FROM m)
+       |SELECT source, n_points, vocab, n_tokens, hapax,
+       |  ${e6Sql("CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)")} AS hapax_share_e6,
+       |  ${e6Sql("slope")} AS zipf_slope_e6,
+       |  CASE WHEN den <> 0.0 THEN CAST(ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       |       / CAST(n_points AS DOUBLE)) AS BIGINT) END AS intercept_e6
+       |FROM fit ORDER BY source""".stripMargin
+
+  // ---- q162: per-source length-distribution drift --------------------
+
+  /** q162: length-distribution drift per source against the REST of
+    * the corpus — the snapshot-over-snapshot early warning (a crawler
+    * that started truncating, a source that switched from articles to
+    * listings) read as two distribution distances on the doc
+    * token-length histogram: the KS statistic (max ECDF gap) and total
+    * variation, both e6, over power-of-two length bins (engine-exact
+    * via the binary-representation length, the q127 floor-log2 trick).
+    *
+    * Scale shape: one tokenize scan → per-doc length → (source, bin)
+    * hash agg (output: sources × ~20 bins); the ECDF windows then run
+    * on that DIM-SIZED table (every window partition is one source's
+    * ≤64 bins — nothing corpus-scale is ever sorted). The rest-of-
+    * corpus side is derived by broadcasting the per-bin global totals
+    * back onto the per-source rows, not by re-scanning. */
+  def lengthDrift(s: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(s, dir)
+      .select(col("source"),
+        length(bin(greatest(size(tokens(fold(col("text")))).cast("long"), lit(1L))))
+          .cast("long").as("bin"))
+    val sb = lens.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_sb"))
+    val tot = sb.groupBy(col("bin")).agg(sum(col("c_sb")).as("c_b"))
+    val grid = sb.select(col("source")).distinct()
+      .crossJoin(broadcast(tot))
+    val cells = grid.join(sb, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), col("c_b"),
+        coalesce(col("c_sb"), lit(0L)).as("c_sb"))
+      .withColumn("c_rb", col("c_b") - col("c_sb"))
+    val w = Window.partitionBy(col("source"))
+    val cw = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("n_s", sum(col("c_sb")).over(w))
+      .withColumn("n_r", sum(col("c_rb")).over(w))
+      .withColumn("cum_s", sum(col("c_sb")).over(cw))
+      .withColumn("cum_r", sum(col("c_rb")).over(cw))
+      .withColumn("gap_e6",
+        abs(e6Col(col("cum_s").cast("double") / col("n_s").cast("double")) -
+          e6Col(col("cum_r").cast("double") / col("n_r").cast("double"))))
+      .withColumn("tv_term_e6",
+        abs(e6Col(col("c_sb").cast("double") / col("n_s").cast("double")) -
+          e6Col(col("c_rb").cast("double") / col("n_r").cast("double"))))
+      .withColumn("max_c_sb", max(col("c_sb")).over(w))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        max(col("gap_e6")).as("ks_e6"),
+        expr("sum(tv_term_e6) div 2").as("tv_e6"),
+        max(when(col("c_sb") === col("max_c_sb"), col("bin"))).as("modal_bin"))
+      .orderBy(col("source"))
+  }
+
+  val lengthDriftSql: String =
+    s"""WITH lens AS (SELECT source,
+       |    CAST(length(bin(GREATEST(CAST(len($ToksSql) AS BIGINT), 1))) AS BIGINT) AS bin
+       |  FROM documents),
+       |sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_sb
+       |  FROM lens GROUP BY source, bin),
+       |tot AS (SELECT bin, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY bin),
+       |grid AS (SELECT s.source, t.bin, t.c_b FROM
+       |  (SELECT DISTINCT source FROM sb) s CROSS JOIN tot t),
+       |cells AS (SELECT g.source, g.bin, g.c_b,
+       |    COALESCE(sb.c_sb, 0) AS c_sb, g.c_b - COALESCE(sb.c_sb, 0) AS c_rb
+       |  FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.bin = sb.bin),
+       |win AS (SELECT *,
+       |    SUM(c_sb) OVER (PARTITION BY source) AS n_s,
+       |    SUM(c_rb) OVER (PARTITION BY source) AS n_r,
+       |    SUM(c_sb) OVER (PARTITION BY source ORDER BY bin) AS cum_s,
+       |    SUM(c_rb) OVER (PARTITION BY source ORDER BY bin) AS cum_r,
+       |    MAX(c_sb) OVER (PARTITION BY source) AS max_c_sb
+       |  FROM cells),
+       |terms AS (SELECT source, bin, c_sb, max_c_sb, n_s,
+       |    ABS(${e6Sql("CAST(cum_s AS DOUBLE) / CAST(n_s AS DOUBLE)")} -
+       |        ${e6Sql("CAST(cum_r AS DOUBLE) / CAST(n_r AS DOUBLE)")}) AS gap_e6,
+       |    ABS(${e6Sql("CAST(c_sb AS DOUBLE) / CAST(n_s AS DOUBLE)")} -
+       |        ${e6Sql("CAST(c_rb AS DOUBLE) / CAST(n_r AS DOUBLE)")}) AS tv_term_e6
+       |  FROM win)
+       |SELECT source,
+       |  CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+       |  CAST(MAX(gap_e6) AS BIGINT) AS ks_e6,
+       |  CAST(SUM(tv_term_e6) // 2 AS BIGINT) AS tv_e6,
+       |  CAST(MAX(CASE WHEN c_sb = max_c_sb THEN bin END) AS BIGINT) AS modal_bin
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q164: k-anonymity audit over quasi-identifiers ----------------
+
+  /** q164: k-anonymity audit over the quasi-identifier tuple
+    * (source, lang, power-of-two size bin) — the release-side privacy
+    * check that complements q72's content-side PII scrub: how much of
+    * each source sits in QI equivalence classes of size 1 (unique ⇒
+    * linkable), 2–4, 5–10, 11+. A real release gates on "no class
+    * smaller than k"; this emits the full class-size histogram plus
+    * each source's smallest class, so the gate is one filter away.
+    *
+    * Scale shape: two hash aggs — docs → QI classes (partial-agg
+    * friendly; output bounded by |sources|×|langs|×~20 bins), classes
+    * → (source, k band) histogram. No windows over doc-scale data;
+    * the share denominator window runs on the banded DIM table. */
+  def kanonAudit(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("long").as("size_bin"))
+      .groupBy(col("source"), col("lang"), col("size_bin"))
+      .agg(count(lit(1)).as("k"))
+    val banded = classes
+      .withColumn("k_band",
+        when(col("k") === 1, "1")
+          .when(col("k") <= 4, "2-4")
+          .when(col("k") <= 10, "5-10")
+          .otherwise("11+"))
+      .groupBy(col("source"), col("k_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_docs"),
+        min(col("k")).as("min_k"))
+    val w = Window.partitionBy(col("source"))
+    banded
+      .withColumn("doc_share_e6",
+        e6Col(col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double")))
+      .withColumn("source_min_k", min(col("min_k")).over(w))
+      .select(col("source"), col("k_band"), col("n_classes"), col("n_docs"),
+        col("doc_share_e6"), col("source_min_k"))
+      .orderBy(col("source"), col("k_band"))
+  }
+
+  val kanonAuditSql: String =
+    s"""WITH cls AS (SELECT source, lang,
+       |    CAST(length(bin(GREATEST(n_chars, 1))) AS BIGINT) AS size_bin,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM documents GROUP BY source, lang, size_bin),
+       |banded AS (SELECT source,
+       |    CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+       |         WHEN k <= 10 THEN '5-10' ELSE '11+' END AS k_band,
+       |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |    CAST(SUM(k) AS BIGINT) AS n_docs,
+       |    CAST(MIN(k) AS BIGINT) AS min_k
+       |  FROM cls GROUP BY source, k_band)
+       |SELECT source, k_band, n_classes, n_docs,
+       |  ${e6Sql("CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)")} AS doc_share_e6,
+       |  CAST(MIN(min_k) OVER (PARTITION BY source) AS BIGINT) AS source_min_k
+       |FROM banded ORDER BY source, k_band""".stripMargin
+
+  // ---- q166: token-balanced shard manifest ---------------------------
+
+  val ManifestShards = 16
+
+  /** q166: the shard MANIFEST a corpus writer emits next to its
+    * output — per shard (assignment = portable affine hash of doc_id,
+    * the q131 epoch-shuffle family, so shards are balanced without any
+    * global sort): doc/token/byte totals, the doc_id range, source
+    * mix (distinct sources + dominant-source share), and an ORDER-FREE
+    * checksum (sum of per-doc affine hashes mod p) that a reader can
+    * recompute shard-locally to verify integrity without assuming row
+    * order. This is the accounting layer every resumable 100 TB write
+    * needs: a reader diffs manifests, not data.
+    *
+    * Scale shape: one tokenize scan → per-(shard, source) partial
+    * aggs → 16×|sources| rollup; the dominant-source window runs on
+    * that dim-sized table. Checksum is an abelian sum — map-side
+    * combinable, insensitive to partitioning and order. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(tokens(fold(col("text")))).cast("long").as("n_toks"))
+      .withColumn("shard", Hashing.affine(col("doc_id"), 11) % ManifestShards)
+      .withColumn("chk", Hashing.affine(col("doc_id"), 13))
+    val bySrc = docs.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(col("chk")).as("chk_sum"))
+    val w = Window.partitionBy(col("shard"))
+    bySrc
+      .withColumn("shard_docs", sum(col("n_docs")).over(w))
+      .withColumn("top_docs", max(col("n_docs")).over(w))
+      .groupBy(col("shard"))
+      .agg(max(col("shard_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        min(col("min_doc")).as("min_doc_id"),
+        max(col("max_doc")).as("max_doc_id"),
+        count(lit(1)).as("n_sources"),
+        max(col("top_docs")).as("top_docs"),
+        sum(col("chk_sum")).as("chk_raw"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        col("min_doc_id"), col("max_doc_id"), col("n_sources"),
+        e6Col(col("top_docs").cast("double") / col("n_docs").cast("double"))
+          .as("top_source_share_e6"),
+        pmod(col("chk_raw"), lit(1000000007L)).as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val shardManifestSql: String = {
+    val shardExpr = s"${Hashing.affineSql("doc_id", 11)} % $ManifestShards"
+    val chkExpr = Hashing.affineSql("doc_id", 13)
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    CAST(len($ToksSql) AS BIGINT) AS n_toks,
+       |    $shardExpr AS shard, $chkExpr AS chk
+       |  FROM documents),
+       |bs AS (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+       |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |    CAST(SUM(chk) AS BIGINT) AS chk_sum
+       |  FROM d GROUP BY shard, source)
+       |SELECT shard,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       |  MIN(min_doc) AS min_doc_id,
+       |  MAX(max_doc) AS max_doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |  ${e6Sql("CAST(MAX(n_docs) AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE)")} AS top_source_share_e6,
+       |  ((CAST(SUM(chk_sum) AS BIGINT) % 1000000007) + 1000000007) % 1000000007 AS checksum
+       |FROM bs GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q161_zipf_spectrum" -> (zipfSpectrum _),
+    "q162_length_drift" -> (lengthDrift _),
+    "q164_kanon_audit" -> (kanonAudit _),
+    "q166_shard_manifest" -> (shardManifest _))
+
+  val oracles: Map[String, String] = Map(
+    "q161_zipf_spectrum" -> zipfSpectrumSql,
+    "q162_length_drift" -> lengthDriftSql,
+    "q164_kanon_audit" -> kanonAuditSql,
+    "q166_shard_manifest" -> shardManifestSql)
+}
