@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftInternals}
 
-import graft.expressions.{AdminIntervals, CountMembers, IntervalAdjacent, RepairSelector, StreamSignals, TokenCharStarts, TokenPrefixStarts, TokenShingles}
+import graft.expressions.{AdminIntervals, CountMembers, IntervalAdjacent, RepairSelector, SlicePhash, StreamSignals, TokenCharStarts, TokenPrefixStarts, TokenShingles}
 
 /** Column wrappers over graft's native codegen'd expressions — the
   * text-geometry family that replaced interpreted higher-order-function
@@ -35,6 +35,10 @@ object GraftFunctions {
   /** Space-joined n-token shingles; empty array below n tokens. */
   def tokenShingles(toks: Column, n: Int): Column =
     GraftInternals.column(TokenShingles(GraftInternals.expression(toks), n))
+
+  /** 16-slice perceptual-hash stub over a payload (multimodal near-dup key). */
+  def slicePhash(payload: Column): Column =
+    GraftInternals.column(SlicePhash(GraftInternals.expression(payload)))
 
   /** Count of tokens that are members of `words`. */
   def countMembers(toks: Column, words: Seq[String]): Column =

@@ -708,6 +708,127 @@ object CorpusOpsQueries {
        |ORDER BY r.rank_e6 DESC, r.source""".stripMargin
   }
 
+  // ---- q163: HITS hubs/authorities on the re-use-directed graph ----
+
+  val HitsRounds = 4
+
+  /** q163: HITS hubs and authorities — the directed companion to
+    * q138's PageRank. q138's shared-segment edges are symmetric, so
+    * HITS on them would collapse to hub = authority; here each edge is
+    * ORIENTED by provenance: for every df-capped shared segment the
+    * ORIGIN is the source holding the segment's globally-earliest
+    * doc_id (first publisher — unique, since doc_ids are), and every
+    * re-using source links to it. Authorities are heavily-copied
+    * origins; hubs aggregate many origins' content — exactly the
+    * template-hub / content-farm split a curation pipeline wants.
+    *
+    * Arithmetic is integer fixed-point like q138: per half-round, sum
+    * the counterpart score over edges, then L∞-normalize as
+    * `raw · 1e6 div max(raw)` (the HITS norm made exact — truncating
+    * integer division both engines share), so 4 rounds are
+    * bit-reproducible at any parallelism. Per-round cost is bounded
+    * by the DOMAIN graph (nodes = sources), each round
+    * localCheckpoints, and the edge build reuses q138's df-cap so no
+    * universal segment can go quadratic. Oracle = unrolled
+    * a/h CTE rounds AS MATERIALIZED. */
+  def domainHits(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode_outer(split(regexp_replace(col("text"), " batch ", ". "), "\\. "))
+          .as("seg"))
+      .withColumn("seg", trim(col("seg")))
+      .filter(col("seg").isNotNull && length(col("seg")) > 0)
+      .groupBy(col("source"), col("seg")).agg(min(col("doc_id")).as("min_doc"))
+    val dfq = segs.groupBy(col("seg")).agg(count(lit(1)).as("seg_df"))
+      .filter(col("seg_df") >= 2 && col("seg_df") <= PrSegDfCap)
+      .select(col("seg"))
+    val capped = Dedup.stage(segs.join(dfq, Seq("seg")))
+    val origin = capped.groupBy(col("seg"))
+      .agg(min_by(col("source"), col("min_doc")).as("origin"))
+    val edges = Dedup.stage(capped.join(origin, Seq("seg"))
+      .filter(col("source") =!= col("origin"))
+      .select(col("source").as("src"), col("origin").as("dst"))
+      .distinct())
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+    val nodes = Tables.documents(s, dir).select(col("source")).distinct()
+    var hub = nodes.withColumn("h_e6", lit(1000000L))
+    var auth = nodes.withColumn("a_e6", lit(0L))
+    for (_ <- 1 to HitsRounds) {
+      val aContrib = edges.join(hub, edges("src") === hub("source"))
+        .groupBy(col("dst")).agg(sum(col("h_e6")).as("raw"))
+        .withColumnRenamed("dst", "source")
+      val aRaw = nodes.join(aContrib, Seq("source"), "left")
+        .select(col("source"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val amx = aRaw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
+      auth = aRaw.crossJoin(broadcast(amx))
+        .select(col("source"), expr("raw * 1000000 div mx").as("a_e6"))
+        .localCheckpoint(false)
+      val hContrib = edges.join(auth, edges("dst") === auth("source"))
+        .groupBy(col("src")).agg(sum(col("a_e6")).as("raw"))
+        .withColumnRenamed("src", "source")
+      val hRaw = nodes.join(hContrib, Seq("source"), "left")
+        .select(col("source"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val hmx = hRaw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
+      hub = hRaw.crossJoin(broadcast(hmx))
+        .select(col("source"), expr("raw * 1000000 div mx").as("h_e6"))
+        .localCheckpoint(false)
+    }
+    nodes.join(hub, Seq("source")).join(auth, Seq("source"))
+      .join(outdeg.withColumnRenamed("src", "source"), Seq("source"), "left")
+      .join(indeg.withColumnRenamed("dst", "source"), Seq("source"), "left")
+      .select(col("source"), col("h_e6").as("hub_e6"), col("a_e6").as("auth_e6"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .orderBy(col("auth_e6").desc, col("hub_e6").desc, col("source"))
+  }
+
+  val domainHitsSql: String = {
+    val rounds = (1 to HitsRounds).map { i =>
+      s"""a${i}r AS MATERIALIZED (SELECT n.source,
+         |    COALESCE(CAST(SUM(h.h_e6) AS BIGINT), 0) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.source
+         |  LEFT JOIN h${i - 1} h ON h.source = e.src
+         |  GROUP BY n.source),
+         |a$i AS MATERIALIZED (SELECT source,
+         |    raw * 1000000 // (SELECT GREATEST(MAX(raw), 1) FROM a${i}r) AS a_e6
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (SELECT n.source,
+         |    COALESCE(CAST(SUM(a.a_e6) AS BIGINT), 0) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.src = n.source
+         |  LEFT JOIN a$i a ON a.source = e.dst
+         |  GROUP BY n.source),
+         |h$i AS MATERIALIZED (SELECT source,
+         |    raw * 1000000 // (SELECT GREATEST(MAX(raw), 1) FROM h${i}r) AS h_e6
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH segs AS (SELECT source, trim(seg) AS seg, MIN(doc_id) AS min_doc FROM (
+       |    SELECT doc_id, source, unnest(string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ')) AS seg
+       |    FROM documents) WHERE trim(seg) <> '' GROUP BY source, trim(seg)),
+       |dfq AS (SELECT seg FROM (SELECT seg, COUNT(*) AS seg_df FROM segs GROUP BY seg)
+       |  WHERE seg_df >= 2 AND seg_df <= $PrSegDfCap),
+       |capped AS (SELECT segs.source, segs.seg, segs.min_doc
+       |  FROM segs JOIN dfq ON segs.seg = dfq.seg),
+       |origin AS (SELECT seg, arg_min(source, min_doc) AS origin FROM capped GROUP BY seg),
+       |edges AS (SELECT DISTINCT c.source AS src, o.origin AS dst
+       |  FROM capped c JOIN origin o ON c.seg = o.seg WHERE c.source <> o.origin),
+       |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+       |indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg FROM edges GROUP BY dst),
+       |nodes AS (SELECT DISTINCT source FROM documents),
+       |h0 AS MATERIALIZED (SELECT source, CAST(1000000 AS BIGINT) AS h_e6 FROM nodes),
+       |$rounds
+       |SELECT n.source, h.h_e6 AS hub_e6, a.a_e6 AS auth_e6,
+       |  COALESCE(o.outdeg, 0) AS outdeg, COALESCE(i.indeg, 0) AS indeg
+       |FROM nodes n
+       |JOIN h$HitsRounds h ON h.source = n.source
+       |JOIN a$HitsRounds a ON a.source = n.source
+       |LEFT JOIN outdeg o ON o.src = n.source
+       |LEFT JOIN indeg i ON i.dst = n.source
+       |ORDER BY auth_e6 DESC, hub_e6 DESC, n.source""".stripMargin
+  }
+
   // ---- q139: distributed PCA direction via integer power iteration ----
 
   val PcaRounds = 4
@@ -1148,6 +1269,7 @@ object CorpusOpsQueries {
     "q136_pack_audit" -> (packAudit _),
     "q137_upsample_repeats" -> (upsampleRepeats _),
     "q138_domain_pagerank" -> (domainPagerank _),
+    "q163_domain_hits" -> (domainHits _),
     "q139_pca_power" -> (pcaPower _),
     "q140_collocations" -> (collocations _))
 
@@ -1170,6 +1292,7 @@ object CorpusOpsQueries {
     "q136_pack_audit" -> packAuditSql,
     "q137_upsample_repeats" -> upsampleRepeatsSql,
     "q138_domain_pagerank" -> domainPagerankSql,
+    "q163_domain_hits" -> domainHitsSql,
     "q139_pca_power" -> pcaPowerSql,
     "q140_collocations" -> collocationsSql)
 }

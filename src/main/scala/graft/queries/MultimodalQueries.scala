@@ -173,12 +173,91 @@ object MultimodalQueries {
        |FROM agg ORDER BY aspect_bucket, shard, batch_idx""".stripMargin
   }
 
+  val MinPhashChars = 16L
+  val PhashBucketCap = 64L
+
+  /** q165: near-duplicate ASSET detection via perceptual-hash banding —
+    * the multimodal counterpart of q23's MinHash-LSH: each payload gets
+    * a 16-slice perceptual hash (native `SlicePhash` expression — a
+    * decode stub, but with real pHash's locality: a local edit flips
+    * few bits), assets band by (power-of-two size bin, phash), and the
+    * candidate join probes the exact hash plus all 16 hamming-1
+    * variants, so every pair within hamming distance 1 in the same size
+    * bin surfaces with its exact distance.
+    *
+    * Scale shape: the hash is one map-side pass per asset (no explode,
+    * no shuffle before the band agg); the probe join fans each asset
+    * to 17 band keys, and TARGET buckets above `PhashBucketCap` are
+    * dropped before the join (the df-cap hub guard every dedup family
+    * member here uses) so no bucket can go quadratic. Pairs emit once:
+    * a hamming-1 pair matches exactly one probe, `doc_a < doc_b`
+    * orients it. */
+  def phashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.slicePhash
+    val hashes = Tables.documents(s, dir)
+      .filter(col("n_chars") >= MinPhashChars)
+      .select(col("doc_id"),
+        length(bin(col("n_chars"))).cast("long").as("len_bin"),
+        slicePhash(col("text")).as("phash"))
+    val okBuckets = hashes.groupBy(col("len_bin"), col("phash"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= PhashBucketCap)
+      .select(col("len_bin"), col("phash"))
+    val capped = hashes.join(okBuckets, Seq("len_bin", "phash"))
+    val probes = capped
+      .select(col("doc_id").as("doc_a"), col("len_bin"), col("phash").as("ph_a"),
+        explode(expr(
+          "concat(array(phash), transform(sequence(0, 15), j -> phash ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))))"))
+          .as("probe"))
+    probes
+      .join(capped.select(col("doc_id").as("doc_b"), col("len_bin"),
+          col("phash").as("probe"), col("phash").as("ph_b")),
+        Seq("len_bin", "probe"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("len_bin"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val phashNeardupSql: String =
+    s"""WITH cps AS (SELECT doc_id, n_chars,
+       |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS cp
+       |  FROM documents WHERE n_chars >= $MinPhashChars),
+       |el AS (SELECT doc_id, ((i - 1) * 16) // len(cp) AS slice, cp[i] AS v
+       |  FROM (SELECT doc_id, cp, generate_subscripts(cp, 1) AS i FROM cps)
+       |  WHERE len(cp) > 0),
+       |sl AS (SELECT doc_id, slice, CAST(SUM(v) AS BIGINT) AS s
+       |  FROM el GROUP BY doc_id, slice),
+       |tw AS (SELECT doc_id, slice, s,
+       |    CAST(SUM(s) OVER (PARTITION BY doc_id) AS BIGINT) AS total FROM sl),
+       |ph AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s * 16 > total THEN (CAST(1 AS BIGINT) << slice) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM tw GROUP BY doc_id),
+       |h AS (SELECT c.doc_id,
+       |    CAST(length(bin(c.n_chars)) AS BIGINT) AS len_bin, ph.phash
+       |  FROM cps c JOIN ph ON c.doc_id = ph.doc_id),
+       |ok AS (SELECT len_bin, phash FROM
+       |    (SELECT len_bin, phash, COUNT(*) AS bn FROM h GROUP BY len_bin, phash)
+       |  WHERE bn <= $PhashBucketCap),
+       |hc AS (SELECT h.doc_id, h.len_bin, h.phash FROM h JOIN ok USING (len_bin, phash)),
+       |pr AS (SELECT doc_id AS doc_a, len_bin, phash AS ph_a,
+       |    CASE WHEN j = 16 THEN phash
+       |         ELSE xor(phash, CAST(1 AS BIGINT) << j) END AS probe
+       |  FROM hc CROSS JOIN (SELECT unnest(range(0, 17)) AS j))
+       |SELECT pr.doc_a, b.doc_id AS doc_b, pr.len_bin,
+       |  CAST(bit_count(xor(pr.ph_a, b.phash)) AS BIGINT) AS hamming
+       |FROM pr JOIN hc b ON pr.len_bin = b.len_bin AND pr.probe = b.phash
+       |  AND pr.doc_a < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_binary_meta" -> (binaryMeta _),
     "q97_frame_sample" -> (frameSample _),
-    "q155_patch_batches" -> (patchBatches _))
+    "q155_patch_batches" -> (patchBatches _),
+    "q165_phash_neardup" -> (phashNeardup _))
   val oracles: Map[String, String] = Map(
     "q28_binary_meta" -> binaryMetaSql,
     "q97_frame_sample" -> frameSampleSql,
-    "q155_patch_batches" -> patchBatchesSql)
+    "q155_patch_batches" -> patchBatchesSql,
+    "q165_phash_neardup" -> phashNeardupSql)
 }
