@@ -751,7 +751,9 @@ object CorpusOpsQueries {
       .distinct())
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
-    val nodes = Tables.documents(s, dir).select(col("source")).distinct()
+    // staged: the node dim joins into every half-round — without the
+    // checkpoint each round would re-scan + re-distinct the corpus
+    val nodes = Dedup.stage(Tables.documents(s, dir).select(col("source")).distinct())
     var hub = nodes.withColumn("h_e6", lit(1000000L))
     var auth = nodes.withColumn("a_e6", lit(0L))
     for (_ <- 1 to HitsRounds) {
