@@ -339,15 +339,210 @@ object CorpusAuditQueries {
        |FROM bs GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ---- q167: held-out bigram LM surprisal with backoff ---------------
+
+  val HeldMod = 7
+  val BackoffBits = 3L
+
+  /** q167: HELD-OUT bigram LM evaluation — the conditional-LM upgrade
+    * of q127's unigram scoring, and the train/test split q127 doesn't
+    * have: a bigram LM with context counts trains on docs with
+    * `doc_id % 7 != 0`, and every held-out doc (`% 7 == 0`) reports
+    * its conditional surprisal over positions 2..n. Seen bigrams cost
+    * `floorlog2(c(prev)) - floorlog2(c(prev,cur))` bits; unseen ones
+    * BACK OFF to the add-one unigram with a 3-bit penalty (the
+    * Katz-shaped integer surrogate). Per doc: scored tokens, backoff
+    * count + e6 rate, total bits, milli-bits/token. All arithmetic is
+    * the engine-exact floor-log2 (`length(bin(x))`) — no
+    * transcendental ever enters the gate (the q127 rule).
+    *
+    * Scale shape: ONE (doc, prev, cur) hash agg is staged and feeds
+    * BOTH the LM build (filter train → re-agg) and the scoring rows
+    * (filter held) — the corpus is paired exactly once; scoring is
+    * token-keyed shuffle joins (bigram/context/unigram tables are
+    * corpus-vocabulary-sized, never broadcast, never windowed); the
+    * grand total is a 1-row broadcast. */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(fold(col("text"))).as("t"))
+    val dpc = Dedup.stage(toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(t)), i -> struct(element_at(t, i-1) AS prev, element_at(t, i) AS cur))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("dc")))
+    val train = pmod(col("doc_id"), lit(HeldMod.toLong)) =!= 0
+    val bc = dpc.filter(train)
+      .groupBy(col("prev"), col("cur")).agg(sum(col("dc")).as("bc"))
+    val cx = bc.groupBy(col("prev")).agg(sum(col("bc")).as("cx"))
+    val uc = toks.filter(train)
+      .select(explode(col("t")).as("cur"))
+      .groupBy(col("cur")).agg(count(lit(1)).as("uc"))
+    val nt = uc.agg(sum(col("uc")).as("nt"))
+    val scored = dpc.filter(pmod(col("doc_id"), lit(HeldMod.toLong)) === 0)
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(cx, Seq("prev"), "left")
+      .join(uc, Seq("cur"), "left")
+      .crossJoin(broadcast(nt))
+      .withColumn("backoff", col("bc").isNull)
+      .withColumn("bits",
+        when(!col("backoff"),
+          (length(bin(col("cx"))) - length(bin(col("bc")))).cast("long"))
+          .otherwise(lit(BackoffBits) +
+            (length(bin(col("nt"))) -
+              length(bin(coalesce(col("uc"), lit(0L)) + 1))).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_scored"),
+        sum(when(col("backoff"), col("dc")).otherwise(lit(0L))).as("n_backoff"),
+        sum(col("dc") * col("bits")).as("total_bits"))
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(HeldMod.toLong)) === 0)
+      .select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"))
+      .withColumn("milli_bits_per_token",
+        when(col("n_scored") > 0, expr("(1000 * total_bits) div n_scored"))
+          .otherwise(lit(0L)))
+      .withColumn("backoff_e6",
+        when(col("n_scored") > 0,
+          e6Col(col("n_backoff").cast("double") / col("n_scored").cast("double")))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramSurprisalSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pr AS (SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+       |  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks)
+       |  WHERE i >= 2),
+       |dpc AS (SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS dc
+       |  FROM pr GROUP BY doc_id, prev, cur),
+       |bc AS (SELECT prev, cur, CAST(SUM(dc) AS BIGINT) AS bc
+       |  FROM dpc WHERE doc_id % $HeldMod <> 0 GROUP BY prev, cur),
+       |cx AS (SELECT prev, CAST(SUM(bc) AS BIGINT) AS cx FROM bc GROUP BY prev),
+       |uc AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS uc FROM
+       |    (SELECT doc_id, unnest(t) AS cur FROM toks)
+       |  WHERE doc_id % $HeldMod <> 0 GROUP BY cur),
+       |nt AS (SELECT CAST(SUM(uc) AS BIGINT) AS nt FROM uc),
+       |sc AS (SELECT d.doc_id, d.dc, bc.bc IS NULL AS backoff,
+       |    CASE WHEN bc.bc IS NOT NULL
+       |      THEN CAST(length(bin(cx.cx)) - length(bin(bc.bc)) AS BIGINT)
+       |      ELSE $BackoffBits + CAST(length(bin(nt.nt)) -
+       |        length(bin(COALESCE(uc.uc, 0) + 1)) AS BIGINT) END AS bits
+       |  FROM dpc d
+       |  LEFT JOIN bc ON d.prev = bc.prev AND d.cur = bc.cur
+       |  LEFT JOIN cx ON d.prev = cx.prev
+       |  LEFT JOIN uc ON d.cur = uc.cur
+       |  CROSS JOIN nt
+       |  WHERE d.doc_id % $HeldMod = 0),
+       |pd AS (SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_scored,
+       |    CAST(SUM(CASE WHEN backoff THEN dc ELSE 0 END) AS BIGINT) AS n_backoff,
+       |    CAST(SUM(dc * bits) AS BIGINT) AS total_bits
+       |  FROM sc GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  COALESCE(n_scored, 0) AS n_scored,
+       |  COALESCE(n_backoff, 0) AS n_backoff,
+       |  COALESCE(total_bits, 0) AS total_bits,
+       |  CASE WHEN COALESCE(n_scored, 0) > 0
+       |    THEN (1000 * total_bits) // n_scored ELSE 0 END AS milli_bits_per_token,
+       |  CASE WHEN COALESCE(n_scored, 0) > 0
+       |    THEN ${e6Sql("CAST(n_backoff AS DOUBLE) / CAST(n_scored AS DOUBLE)")}
+       |    ELSE 0 END AS backoff_e6
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $HeldMod = 0) b
+       |LEFT JOIN pd ON b.doc_id = pd.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  // ---- q168: embedding-space decontamination -------------------------
+
+  val EmbedBenchMod = 41
+  val LeakCosE6 = 850000L
+  val SuspectCosE6 = 700000L
+
+  /** q168: EMBEDDING-SPACE decontamination — the semantic member of
+    * the leakage family (q73 exact-match, q151/q160 gram-overlap):
+    * a paraphrased eval item shares no 8-gram with its source, but
+    * its embedding still lands next to it. Vectors with
+    * `vec_id % 41 == 0` stand in for the embedded eval suite; every
+    * remaining corpus vector reports its maximum exact cosine against
+    * the suite (argmax eval id, smallest id on ties) and a verdict
+    * tier (`leaked` ≥ 0.85 / `suspect` ≥ 0.70 / `clean`).
+    *
+    * Scale shape: the eval suite is fixed dim-sized, so it BROADCASTS
+    * and the whole probe is map-side — one corpus scan, the max taken
+    * by a partial-agg `max(struct(cos, -id))`, NO shuffle keyed on
+    * anything corpus-sized and no TopK machinery needed (k=1 against
+    * a broadcast side is just an aggregate). The codegen'd float-dot
+    * (`ArrayDot`) keeps the inner loop in whole-stage codegen. */
+  def embedContamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFrom, dot, e6, norm}
+    val bench = broadcast(Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(EmbedBenchMod.toLong)) === 0)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .withColumn("b_norm", norm(col("b_emb"))))
+    Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(EmbedBenchMod.toLong)) =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("c_norm", norm(col("embedding")))
+      .crossJoin(bench)
+      .withColumn("cos_e6",
+        e6(cosineFrom(dot(col("embedding"), col("b_emb")), col("c_norm"), col("b_norm"))))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos_e6"), (-col("b_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.cos_e6").as("max_cos_e6"),
+        (-col("best.neg_id")).as("nearest_eval_id"))
+      .withColumn("verdict",
+        when(col("max_cos_e6") >= LeakCosE6, "leaked")
+          .when(col("max_cos_e6") >= SuspectCosE6, "suspect")
+          .otherwise("clean"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedContaminationSql: String = {
+    import graft.functions.VectorFunctions.{dotSql, normSql}
+    import graft.operators.Similarity
+    val d = Similarity.Dim
+    s"""WITH b AS (SELECT vec_id AS b_id, embedding AS b_emb,
+       |    ${normSql("embedding", d)} AS b_norm
+       |  FROM embeddings WHERE vec_id % $EmbedBenchMod = 0),
+       |c AS (SELECT vec_id, label, embedding,
+       |    ${normSql("embedding", d)} AS c_norm
+       |  FROM embeddings WHERE vec_id % $EmbedBenchMod <> 0),
+       |scored AS (SELECT c.vec_id, c.label, b.b_id,
+       |    ${e6Sql(s"(${dotSql("c.embedding", "b.b_emb", d)}) / (c.c_norm * b.b_norm)")} AS cos_e6
+       |  FROM c, b),
+       |best AS (SELECT vec_id, label,
+       |    MAX(cos_e6) AS max_cos_e6,
+       |    -- packed-long argmin (the q147 trick): (1e6 - cos) asc = cos
+       |    -- desc, then b_id asc breaks ties; ids stay below the 1e7 pack
+       |    CAST(MIN((1000000 - cos_e6) * 10000000 + b_id) % 10000000 AS BIGINT)
+       |      AS nearest_eval_id
+       |  FROM scored GROUP BY vec_id, label)
+       |SELECT vec_id, label, max_cos_e6, nearest_eval_id,
+       |  CASE WHEN max_cos_e6 >= $LeakCosE6 THEN 'leaked'
+       |       WHEN max_cos_e6 >= $SuspectCosE6 THEN 'suspect'
+       |       ELSE 'clean' END AS verdict
+       |FROM best ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q161_zipf_spectrum" -> (zipfSpectrum _),
     "q162_length_drift" -> (lengthDrift _),
     "q164_kanon_audit" -> (kanonAudit _),
-    "q166_shard_manifest" -> (shardManifest _))
+    "q166_shard_manifest" -> (shardManifest _),
+    "q167_bigram_surprisal" -> (bigramSurprisal _),
+    "q168_embed_contamination" -> (embedContamination _))
 
   val oracles: Map[String, String] = Map(
     "q161_zipf_spectrum" -> zipfSpectrumSql,
     "q162_length_drift" -> lengthDriftSql,
     "q164_kanon_audit" -> kanonAuditSql,
-    "q166_shard_manifest" -> shardManifestSql)
+    "q166_shard_manifest" -> shardManifestSql,
+    "q167_bigram_surprisal" -> bigramSurprisalSql,
+    "q168_embed_contamination" -> embedContaminationSql)
 }

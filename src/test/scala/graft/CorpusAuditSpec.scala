@@ -144,6 +144,92 @@ class CorpusAuditSpec extends SparkSpec {
     assert(sizes.max <= 3 * math.max(sizes.min, 1), sizes.mkString(","))
   }
 
+  // ---- q167 -----------------------------------------------------------
+
+  test("q167: held-out bigram surprisal matches an in-memory LM exactly") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(fold(col("text"))).as("t"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+    val mod = CorpusAuditQueries.HeldMod
+    val train = toks.filter(_._1 % mod != 0)
+    val bc = train.flatMap { case (_, t) => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val cx = bc.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val uc = train.flatMap(_._2).groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val nt = uc.values.sum
+    def lb(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val rows = CorpusAuditQueries.bigramSurprisal(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % mod == 0))
+    rows.foreach { r =>
+      val t = toks.toMap.apply(r.getAs[Long]("doc_id"))
+      val prs = t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+      val bits = prs.map { p =>
+        bc.get(p) match {
+          case Some(c) => lb(cx(p._1)) - lb(c)
+          case None => CorpusAuditQueries.BackoffBits + lb(nt) - lb(uc.getOrElse(p._2, 0L) + 1)
+        }
+      }.sum
+      val nBack = prs.count(p => !bc.contains(p)).toLong
+      assert(r.getAs[Long]("n_scored") === prs.length.toLong, r.toString)
+      assert(r.getAs[Long]("n_backoff") === nBack, r.toString)
+      assert(r.getAs[Long]("total_bits") === bits, r.toString)
+      if (prs.nonEmpty)
+        assert(r.getAs[Long]("milli_bits_per_token") ===
+          1000L * bits / prs.length, r.toString)
+    }
+  }
+
+  test("q167: held-out docs see some backoff but mostly seen bigrams") {
+    val agg = CorpusAuditQueries.bigramSurprisal(spark, sfDir)
+      .agg(sum(col("n_backoff")).as("b"), sum(col("n_scored")).as("s")).head()
+    assert(agg.getAs[Long]("s") > 0)
+    // the corpus shares vocabulary across the split: backoff is the
+    // exception, not the rule
+    assert(agg.getAs[Long]("b") * 2 < agg.getAs[Long]("s"))
+  }
+
+  // ---- q168 -----------------------------------------------------------
+
+  test("q168: max cosine vs the eval stripe matches an in-memory recompute") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    val mod = CorpusAuditQueries.EmbedBenchMod
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val bench = vecs.filter(_._1 % mod == 0)
+    val rows = CorpusAuditQueries.embedContamination(spark, sfDir).collect()
+    assert(rows.length === vecs.count(_._1 % mod != 0))
+    rows.foreach { r =>
+      val v = vecs.toMap.apply(r.getAs[Long]("vec_id"))
+      val scored = bench.map { case (bid, b) =>
+        (math.round(dot(v, b) / (nrm(v) * nrm(b)) * 1e6), bid)
+      }
+      val best = scored.maxBy { case (c, bid) => (c, -bid) }
+      assert(r.getAs[Long]("max_cos_e6") === best._1, r.toString)
+      assert(r.getAs[Long]("nearest_eval_id") === best._2, r.toString)
+      val expectVerdict =
+        if (best._1 >= CorpusAuditQueries.LeakCosE6) "leaked"
+        else if (best._1 >= CorpusAuditQueries.SuspectCosE6) "suspect"
+        else "clean"
+      assert(r.getAs[String]("verdict") === expectVerdict)
+    }
+  }
+
+  test("q168: the probe plan broadcasts the eval side and never shuffles the corpus pre-agg") {
+    val p = plan(CorpusAuditQueries.embedContamination(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q166: the checksum is order-free (recomputable from any layout)") {
     import graft.functions.Hashing
     val expected = Tables.documents(spark, sfDir)
