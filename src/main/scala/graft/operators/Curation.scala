@@ -342,28 +342,42 @@ object Curation {
     * the same operator serves newline splits, sentence splits, or any
     * other line notion. */
   def lineDedup(df: DataFrame, idCol: String, segsCol: Column,
-                joiner: String, minDf: Int = 2): DataFrame = {
+                joiner: String, minDf: Int = 2): DataFrame =
+    lineDedupKeyed(df, idCol, Nil, segsCol, joiner, minDf)
+
+  /** `lineDedup` with the document-frequency table keyed by
+    * `(scopeCols…, seg)` instead of the segment alone — the per-DOMAIN
+    * boilerplate notion of CCNet: a nav bar repeated across one site's
+    * pages is boilerplate even if no other site carries it, while a
+    * sentence shared by two sites is syndication, not boilerplate.
+    * Scope columns ride through to the output. Same shape: the df agg
+    * and the join-back share the `(scope, seg)` key, so they stay
+    * co-partitioned. */
+  def lineDedupKeyed(df: DataFrame, idCol: String, scopeCols: Seq[String],
+                     segsCol: Column, joiner: String, minDf: Int): DataFrame = {
     // the segment stream feeds two consumers (the df table and the
     // join-back); stage it once instead of re-scanning the corpus
     val segs = Dedup.stage(df
-      .select(col(idCol), posexplode_outer(segsCol).as(Seq("pos", "seg")))
+      .select(col(idCol) +: scopeCols.map(col) :+
+        posexplode_outer(segsCol).as(Seq("pos", "seg")): _*)
       .withColumn("seg", trim(col("seg")))
       .filter(col("seg").isNotNull && length(col("seg")) > 0))
-    val dfreq = segs.groupBy(col("seg"))
+    val dfKey = scopeCols :+ "seg"
+    val dfreq = segs.groupBy(dfKey.map(col): _*)
       .agg(count_distinct(col(idCol)).as("seg_df"))
     val dup = col("seg_df") >= minDf
-    segs.join(dfreq, Seq("seg"))
-      .groupBy(col(idCol))
+    segs.join(dfreq, dfKey)
+      .groupBy(col(idCol) +: scopeCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_segs"),
         sum(when(dup, 1L).otherwise(0L)).as("n_removed"),
         sum(when(dup, length(col("seg")).cast("long")).otherwise(0L)).as("chars_removed"),
         sum(when(!dup, length(col("seg")).cast("long")).otherwise(0L)).as("kept_chars"),
         array_sort(collect_list(when(!dup, struct(col("pos"), col("seg"))))).as("kept"))
-      .select(col(idCol), col("n_segs"), col("n_removed"), col("chars_removed"),
-        col("kept_chars"),
+      .select(col(idCol) +: scopeCols.map(col) :+ col("n_segs") :+
+        col("n_removed") :+ col("chars_removed") :+ col("kept_chars") :+
         array_join(transform(col("kept"), x => x.getField("seg")), joiner)
-          .as("kept_text"))
+          .as("kept_text"): _*)
   }
 
   // ---- unigram LM surprisal (CCNet-style quality scoring) ------------

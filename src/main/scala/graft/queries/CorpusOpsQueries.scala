@@ -62,6 +62,51 @@ object CorpusOpsQueries {
       |FROM pos JOIN dfq USING (seg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q169: per-SOURCE boilerplate line removal (CCNet domain grain) ----
+
+  /** Within-source document frequency at which a segment counts as
+    * boilerplate (3 = "on at least three of this site's pages"). */
+  val BoilerMinDf = 3
+
+  /** q169: boilerplate removal at the DOMAIN grain — CCNet's actual
+    * rule. q126 removes lines duplicated anywhere in the corpus; real
+    * boilerplate (nav bars, footers, cookie banners) is defined
+    * per-site: a segment repeated on >= 3 pages of the SAME source is
+    * template chrome, while the same sentence appearing on two
+    * different sites is syndication and stays. Per doc: kept/removed
+    * accounting + the md5 of the reassembled survivor text.
+    *
+    * Scale shape: identical to q126 with `source` added to the df key —
+    * the (source, seg) df agg and the join-back are co-partitioned, the
+    * per-doc re-agg is doc-keyed; nothing quadratic, no corpus windows,
+    * and a segment hot on ONE site never concentrates work because the
+    * df key spreads by site. */
+  def sourceBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Curation.lineDedupKeyed(
+      Tables.documents(s, dir), "doc_id", Seq("source"),
+      split(regexp_replace(col("text"), " batch ", ". "), "\\. "), ". ",
+      minDf = BoilerMinDf)
+      .withColumn("kept_md5", md5(col("kept_text"))).drop("kept_text")
+      .orderBy(col("doc_id"))
+
+  val sourceBoilerplateSql: String =
+    s"""WITH p AS (SELECT doc_id, source,
+       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |  FROM documents),
+       |pos AS (SELECT doc_id, source, trim(seg) AS seg, i FROM (
+       |    SELECT doc_id, source, unnest(segs) AS seg, generate_subscripts(segs, 1) AS i FROM p)
+       |  WHERE trim(seg) <> ''),
+       |dfq AS (SELECT source, seg, COUNT(DISTINCT doc_id) AS seg_df
+       |  FROM pos GROUP BY source, seg)
+       |SELECT doc_id, source,
+       |  COUNT(*) AS n_segs,
+       |  CAST(SUM(CASE WHEN seg_df >= $BoilerMinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(SUM(CASE WHEN seg_df >= $BoilerMinDf THEN length(seg) ELSE 0 END) AS BIGINT) AS chars_removed,
+       |  CAST(SUM(CASE WHEN seg_df < $BoilerMinDf THEN length(seg) ELSE 0 END) AS BIGINT) AS kept_chars,
+       |  md5(COALESCE(string_agg(seg, '. ' ORDER BY i) FILTER (WHERE seg_df < $BoilerMinDf), '')) AS kept_md5
+       |FROM pos JOIN dfq USING (source, seg)
+       |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   // ---- q127: unigram-LM surprisal quality score (CCNet style) ----
 
   /** Bucket thresholds in milli-bits/token, chosen so the synthetic
@@ -1259,6 +1304,7 @@ object CorpusOpsQueries {
     "q147_exact_substr" -> (exactSubstr _),
     "q145_length_batches" -> (lengthBatches _),
     "q126_line_dedup" -> (lineDedup _),
+    "q169_source_boilerplate" -> (sourceBoilerplate _),
     "q127_lm_surprisal" -> (lmSurprisal _),
     "q128_lsh_eval" -> (lshEval _),
     "q129_vocab_oov" -> (vocabOov _),
@@ -1282,6 +1328,7 @@ object CorpusOpsQueries {
     "q147_exact_substr" -> exactSubstrSql,
     "q145_length_batches" -> lengthBatchesSql,
     "q126_line_dedup" -> lineDedupSql,
+    "q169_source_boilerplate" -> sourceBoilerplateSql,
     "q127_lm_surprisal" -> lmSurprisalSql,
     "q128_lsh_eval" -> lshEvalSql,
     "q129_vocab_oov" -> vocabOovSql,

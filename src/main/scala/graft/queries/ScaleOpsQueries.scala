@@ -272,13 +272,95 @@ object ScaleOpsQueries {
        |  md5(array_to_string(t[start_tok + 1 : start_tok + $ChunkWindow], ' ')) AS chunk_md5
        |FROM starts ORDER BY doc_id, chunk_ord""".stripMargin
 
+  // ---- q171: count-min-sketch heavy hitters + measured overestimate ----
+
+  /** Sketch geometry: depth 3 (the affine poly-hash family, as q108's
+    * Bloom probes), width 32 — deliberately NARROW for the test
+    * vocabulary so collisions exist and the overestimate is a
+    * measurable, non-trivial number (the quantity a deployment sizes
+    * `w = e/ε` against). */
+  val CmsDepth = 3
+  val CmsWidth = 32L
+  val CmsTopK = 20
+
+  /** q171: the count-min sketch next to q102's KMV and q108's Bloom —
+    * the streaming-friendly heavy-hitter counter (Cormode &
+    * Muthukrishnan 2005). The sketch is built FROM THE VOCAB TABLE,
+    * not the corpus (the (tok) hash agg already exists in every
+    * pipeline; the sketch is a 3x32-cell fold of it), and the exact
+    * top-k rides along so each heavy hitter's estimate error is part
+    * of the gate — the eval-harness genre of q95/q128/q160.
+    *
+    * Scale shape: corpus → (tok) hash agg (vocab-sized) → 3-cell
+    * posexplode of the vocab → (d, cell) hash agg (96 rows). The exact
+    * top-k goes through TopKPerKeyExec's bounded heap; the probe joins
+    * the 96-row counter table BROADCAST. Nothing corpus-sized sorts,
+    * and CMS estimate >= exact count by construction — asserted in the
+    * spec, visible in the gate. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fold, tokens}
+    val uni = Dedup.stage(Tables.documents(s, dir)
+      .select(explode_outer(tokens(fold(col("text")))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("hs", Hashing.polyHash(col("tok"))))
+    val counters = uni
+      .select(col("c"), posexplode(array((0 until CmsDepth).map(d =>
+        Hashing.affine(col("hs"), d) % CmsWidth): _*)).as(Seq("d", "cell")))
+      .groupBy(col("d"), col("cell")).agg(sum(col("c")).as("cnt"))
+    val keyed = uni.withColumn("g", lit(1))
+    val top = Plans.topKPerKeyRanked(keyed, Seq(keyed("g")),
+      Seq((keyed("c"), true), (keyed("tok"), false)), CmsTopK, "rnk")
+      .select(col("rnk").cast("long").as("rnk"), col("tok"), col("c"), col("hs"))
+    top
+      .select(col("rnk"), col("tok"), col("c"),
+        posexplode(array((0 until CmsDepth).map(d =>
+          Hashing.affine(col("hs"), d) % CmsWidth): _*)).as(Seq("d", "cell")))
+      .join(broadcast(counters), Seq("d", "cell"))
+      .groupBy(col("rnk"), col("tok"), col("c"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("c"))
+      .withColumn("over_e6",
+        round(col("overcount").cast("double") / col("c").cast("double") *
+          lit(1000000.0)).cast("long"))
+      .select(col("rnk"), col("tok"), col("c").as("exact"), col("cms_est"),
+        col("overcount"), col("over_e6"))
+      .orderBy(col("rnk"))
+  }
+
+  val cmsHeavyHittersSql: String = {
+    def cellArm(src: String, d: Int) =
+      s"SELECT tok, c, $d AS d, (${Hashing.affineSql("hs", d)}) % $CmsWidth AS cell FROM $src"
+    val arms = (0 until CmsDepth).map(d => cellArm("h", d)).mkString("\n  UNION ALL ")
+    s"""WITH pos AS (SELECT unnest($ToksSql) AS tok FROM documents),
+       |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY tok),
+       |h AS (SELECT tok, c, ${Hashing.polyHashSql("tok")} AS hs FROM uni),
+       |cells AS ($arms),
+       |counters AS (SELECT d, cell, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY d, cell),
+       |topk AS (SELECT rn AS rnk, tok, c, hs FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM h)
+       |  WHERE rn <= $CmsTopK)
+       |SELECT t.rnk, t.tok, t.c AS exact,
+       |  MIN(co.cnt) AS cms_est,
+       |  MIN(co.cnt) - t.c AS overcount,
+       |  CAST(ROUND(CAST(MIN(co.cnt) - t.c AS DOUBLE) / CAST(t.c AS DOUBLE) * 1000000.0) AS BIGINT) AS over_e6
+       |FROM topk t
+       |JOIN cells pc ON pc.tok = t.tok
+       |JOIN counters co ON co.d = pc.d AND co.cell = pc.cell
+       |GROUP BY t.rnk, t.tok, t.c
+       |ORDER BY t.rnk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_bloom_filter" -> ((s, dir) => bloomFilter(s, dir)),
     "q109_sq8_ann" -> ((s, dir) => sq8Ann(s, dir)),
-    "q110_chunk_windows" -> ((s, dir) => chunkWindows(s, dir)))
+    "q110_chunk_windows" -> ((s, dir) => chunkWindows(s, dir)),
+    "q171_cms_heavy_hitters" -> ((s, dir) => cmsHeavyHitters(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q108_bloom_filter" -> bloomFilterSql,
     "q109_sq8_ann" -> sq8AnnSql,
-    "q110_chunk_windows" -> chunkWindowsSql)
+    "q110_chunk_windows" -> chunkWindowsSql,
+    "q171_cms_heavy_hitters" -> cmsHeavyHittersSql)
 }

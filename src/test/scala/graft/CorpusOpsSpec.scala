@@ -63,6 +63,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q169 matches an in-memory transcription of per-source boilerplate removal") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val segsOf: Map[Long, Seq[String]] = docs.map { case (id, _, text) =>
+      id -> text.replace(" batch ", ". ").split("\\. ", -1).toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    }.toMap
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    // df keyed by (source, seg): distinct docs of that source only
+    val dfreq = docs.flatMap { case (id, src, _) =>
+      segsOf(id).distinct.map(sg => (src, sg) -> id)
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct.size }
+    val rows = CorpusOpsQueries.sourceBoilerplate(spark, sfDir).collect()
+    assert(rows.length === docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val src = r.getAs[String]("source")
+      assert(src === srcOf(id))
+      val ss = segsOf(id)
+      val (dup, kept) = ss.partition(sg =>
+        dfreq((src, sg)) >= CorpusOpsQueries.BoilerMinDf)
+      assert(r.getAs[Long]("n_segs") === ss.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_removed") === dup.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("kept_chars") === kept.map(_.length.toLong).sum, s"doc $id")
+      assert(r.getAs[String]("kept_md5") === md5(kept.mkString(". ")), s"doc $id")
+    }
+    // the domain grain is a genuinely different verdict set from the
+    // corpus grain: some segment is corpus-duplicated (q126 removes it)
+    // yet on no single source 3 times (q169 keeps it)
+    val corpusDf = docs.flatMap { case (id, _, _) => segsOf(id).distinct }
+      .groupBy(identity).map { case (sg, xs) => sg -> xs.size }
+    val diverges = docs.exists { case (id, src, _) =>
+      segsOf(id).exists(sg => corpusDf(sg) >= 2 &&
+        dfreq((src, sg)) < CorpusOpsQueries.BoilerMinDf)
+    }
+    assert(diverges, "expected at least one syndicated-but-not-boilerplate segment")
+  }
+
   private lazy val lmRows = CorpusOpsQueries.lmSurprisal(spark, sfDir).collect()
 
   test("q127 surprisal is floor-div consistent and buckets match thresholds") {

@@ -77,4 +77,38 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q171 CMS never undercounts, collides at width 32, and matches exact top-k") {
+    import graft.functions.TextFunctions.{fold, tokens}
+    import org.apache.spark.sql.functions._
+    val rows = ScaleOpsQueries.cmsHeavyHitters(spark, sfDir).collect()
+    assert(rows.length === ScaleOpsQueries.CmsTopK)
+    // the defining CMS guarantee: estimate >= exact, always
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact"))
+      assert(r.getAs[Long]("overcount") === r.getAs[Long]("cms_est") - r.getAs[Long]("exact"))
+    }
+    // width 32 against this vocabulary must produce real collisions —
+    // otherwise the eval measures nothing
+    assert(rows.exists(_.getAs[Long]("overcount") > 0L),
+      "expected at least one colliding heavy hitter at width 32")
+    // the ranked heavy hitters are the true exact top-k
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(tokens(fold(col("text")))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(ScaleOpsQueries.CmsTopK)
+    rows.sortBy(_.getAs[Long]("rnk")).zip(exact).foreach { case (r, (t, c)) =>
+      assert(r.getAs[String]("tok") === t)
+      assert(r.getAs[Long]("exact") === c)
+    }
+  }
+
+  test("q171 plan: counter probe is a broadcast join, no corpus-scale sort") {
+    val p = ScaleOpsQueries.cmsHeavyHitters(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
 }
