@@ -30,6 +30,30 @@ object Curation {
 
   def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(EmailRegex), lit(0)))
 
+  /** Luhn mod-10 sum of the first `n` digits of a digit-string column,
+    * positions aligned for a 16-digit PAN (leftmost position 1;
+    * counting from the RIGHT of the full 16, even positions double, so
+    * odd LEFT indexes double). Unrolled to n fixed codegen'd terms —
+    * no fold, no UDF; `luhnSumSql` emits the identical expression for
+    * DuckDB. A candidate is Luhn-valid iff the 16-digit sum ≡ 0 mod 10
+    * — the checksum that separates card-shaped digit runs from real
+    * PANs in a PII sweep (validated redaction beats regex-only: a
+    * 1-in-10 false-positive rate drops to the checksum's). */
+  def luhnSum(c: Column, n: Int): Column =
+    (1 to n).map { i =>
+      val d = substring(c, i, 1).cast("int")
+      if (i % 2 == 1) { val dd = d * 2; when(dd > 9, dd - 9).otherwise(dd) }
+      else d
+    }.reduce(_ + _)
+
+  /** The DuckDB twin of [[luhnSum]] over SQL expression `e`. */
+  def luhnSumSql(e: String, n: Int): String =
+    (1 to n).map { i =>
+      val d = s"CAST(substr($e, $i, 1) AS INTEGER)"
+      if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString("(", " + ", ")")
+
   /** Phone matches are counted AFTER email removal (an email's digits
     * must not double-count), mirroring the scrub order. */
   def phoneCount(c: Column): Column =

@@ -1015,6 +1015,86 @@ object CorpusOpsQueries {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bg) AS rn FROM scored)
        |WHERE rn <= $CollocTopK ORDER BY rnk""".stripMargin
 
+  // ---- q172: windowed skipgram associations (word2vec context lift) ----
+
+  val SkipTopK = 15
+  val SkipMinCount = 5
+  val SkipMaxGap = 2
+
+  /** q172: windowed CO-OCCURRENCE associations — the word2vec context
+    * notion q140's adjacent bigrams don't capture: a pair can
+    * associate at distance 2 ("new … york" split by a modifier)
+    * without ever being adjacent. Directed pairs (t[i], t[i+g]) for
+    * gaps g = 1..2 rank by the e6 lift against the pair table's own
+    * left/right marginals at that gap (`c_ab·N_g / (c_a·c_b)` — the
+    * contingency-table lift, monotone in PMI, no `log` in the gate),
+    * top-15 PER GAP through TopKPerKeyExec's bounded per-key heaps.
+    *
+    * Scale shape: pair generation is MAP-SIDE array math (two shingle
+    * projections of the token array — no self-join on position, which
+    * would shuffle the corpus per gap); then one (gap, pair) hash agg.
+    * Marginals and N_g are derived from the pair-count table
+    * (vocab²-bounded, in practice vocab-sized) and joined BROADCAST.
+    * Nothing corpus-sized sorts. */
+  def skipgramAssoc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.tokenShingles
+    val toked = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(fold(col("text"))).as("toks"))
+    def pairsAt(g: Int): DataFrame = toked
+      .select(explode_outer(tokenShingles(col("toks"), g + 1)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(lit(g.toLong).as("gap"),
+        split(col("sh"), " ").getItem(0).as("a"),
+        split(col("sh"), " ").getItem(g).as("b"))
+    val counts = Dedup.stage(
+      (1 to SkipMaxGap).map(pairsAt).reduce(_ union _)
+        .groupBy(col("gap"), col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
+    val leftM = counts.groupBy(col("gap"), col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val rightM = counts.groupBy(col("gap"), col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val ng = counts.groupBy(col("gap")).agg(sum(col("c_ab")).as("n_g"))
+    val scored = counts.filter(col("c_ab") >= SkipMinCount)
+      .join(broadcast(leftM), Seq("gap", "a"))
+      .join(broadcast(rightM), Seq("gap", "b"))
+      .join(broadcast(ng), Seq("gap"))
+      .select(col("gap"), col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        e6Col((col("c_ab").cast("double") * col("n_g").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift_e6"))
+    val ranked = graft.plans.Plans.topKPerKeyRanked(scored, Seq(scored("gap")),
+      Seq((scored("lift_e6"), true), (scored("a"), false), (scored("b"), false)),
+      SkipTopK, "rnk")
+    ranked
+      .select(col("gap"), col("rnk").cast("long").as("rnk"), col("a"), col("b"),
+        col("c_ab"), col("c_a"), col("c_b"), col("lift_e6"))
+      .orderBy(col("gap"), col("rnk"))
+  }
+
+  val skipgramAssocSql: String = {
+    def pairArm(g: Int) =
+      s"SELECT $g AS gap, t[i] AS a, t[i + $g] AS b FROM pos WHERE i + $g <= len(t)"
+    val arms = (1 to SkipMaxGap).map(pairArm).mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT t, generate_subscripts(t, 1) AS i FROM toks),
+       |pairs AS ($arms),
+       |cnt AS (SELECT gap, a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM pairs GROUP BY gap, a, b),
+       |lm AS (SELECT gap, a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY gap, a),
+       |rm AS (SELECT gap, b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cnt GROUP BY gap, b),
+       |ng AS (SELECT gap, CAST(SUM(c_ab) AS BIGINT) AS n_g FROM cnt GROUP BY gap),
+       |scored AS (SELECT cnt.gap, cnt.a, cnt.b, c_ab, c_a, c_b,
+       |    ${e6Sql("""(CAST(c_ab AS DOUBLE) * CAST(n_g AS DOUBLE)) /
+       |      (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))""")} AS lift_e6
+       |  FROM cnt
+       |  JOIN lm ON cnt.gap = lm.gap AND cnt.a = lm.a
+       |  JOIN rm ON cnt.gap = rm.gap AND cnt.b = rm.b
+       |  JOIN ng ON cnt.gap = ng.gap
+       |  WHERE c_ab >= $SkipMinCount)
+       |SELECT CAST(gap AS BIGINT) AS gap, CAST(rn AS BIGINT) AS rnk, a, b,
+       |  c_ab, c_a, c_b, lift_e6
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY gap
+       |    ORDER BY lift_e6 DESC, a, b) AS rn FROM scored)
+       |WHERE rn <= $SkipTopK ORDER BY gap, rnk""".stripMargin
+  }
+
   // ---- q145: length-bucketed dynamic batching (padding-waste audit) ----
 
   val LenBatchSize = 16
@@ -1319,7 +1399,8 @@ object CorpusOpsQueries {
     "q138_domain_pagerank" -> (domainPagerank _),
     "q163_domain_hits" -> (domainHits _),
     "q139_pca_power" -> (pcaPower _),
-    "q140_collocations" -> (collocations _))
+    "q140_collocations" -> (collocations _),
+    "q172_skipgram_assoc" -> (skipgramAssoc _))
 
   val oracles: Map[String, String] = Map(
     "q150_source_overlap" -> sourceOverlapSql,
@@ -1343,5 +1424,6 @@ object CorpusOpsQueries {
     "q138_domain_pagerank" -> domainPagerankSql,
     "q163_domain_hits" -> domainHitsSql,
     "q139_pca_power" -> pcaPowerSql,
-    "q140_collocations" -> collocationsSql)
+    "q140_collocations" -> collocationsSql,
+    "q172_skipgram_assoc" -> skipgramAssocSql)
 }

@@ -91,6 +91,67 @@ object CurationQueries {
        |FROM scr GROUP BY segment ORDER BY segment""".stripMargin
   }
 
+  // ---- q170: Luhn-validated card-number audit (checksum PII tier) ----
+
+  /** q170: checksum-validated PII detection — the precision tier above
+    * q72's regex scrub. A 16-digit run is only treated as a card
+    * number when its Luhn mod-10 checksum holds, which is what drops
+    * regex false positives (order ids, timestamps) from the redaction
+    * set: a random digit run passes Luhn 1 time in 10, a real PAN
+    * always. The corpus has no natural PANs, so each customer derives
+    * a deterministic 16-digit candidate whose check digit is correct
+    * for custkey % 3 == 0 and off-by-5 otherwise (same expression in
+    * the oracle); the operator under test is the unrolled 16-term
+    * Luhn fold (`Curation.luhnSum` — pure codegen'd column math, no
+    * UDF, no HOF). Per market segment: candidates, Luhn-valid count,
+    * validated share, and the digits a validated-only redaction
+    * removes vs the regex tier's overcount. */
+  def luhnAudit(s: SparkSession, dir: String): DataFrame = {
+    val pan15 = lpad(((col("c_custkey") * 7919L + 13L) % 1000000000000000L)
+      .cast("string"), 15, "0")
+    val base = Tables.customer(s, dir)
+      .withColumn("pan15", pan15)
+      .withColumn("chk",
+        (lit(10) - (Curation.luhnSum(col("pan15"), 15) % 10)) % 10)
+      .withColumn("digit",
+        when(col("c_custkey") % 3 === 0, col("chk")).otherwise((col("chk") + 5) % 10))
+      .withColumn("pan", concat(col("pan15"), col("digit").cast("string")))
+      .withColumn("luhn_ok", Curation.luhnSum(col("pan"), 16) % 10 === 0)
+    base.groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("luhn_ok"), 1L).otherwise(0L)).as("n_luhn_valid"),
+        sum(when(!col("luhn_ok"), 1L).otherwise(0L)).as("n_rejected"))
+      .withColumn("valid_share_e6",
+        round(col("n_luhn_valid").cast("double") /
+          col("n_candidates").cast("double") * lit(1000000.0)).cast("long"))
+      .withColumn("digits_redacted", col("n_luhn_valid") * 16L)
+      .withColumn("regex_overcount_digits", col("n_rejected") * 16L)
+      .orderBy(col("segment"))
+  }
+
+  val luhnAuditSql: String = {
+    val pan15 =
+      "lpad(CAST((c_custkey * 7919 + 13) % 1000000000000000 AS VARCHAR), 15, '0')"
+    val sum15 = Curation.luhnSumSql("pan15", 15)
+    val sum16 = Curation.luhnSumSql("pan", 16)
+    s"""WITH b0 AS (SELECT c_mktsegment AS segment, c_custkey, $pan15 AS pan15 FROM customer),
+       |b1 AS (SELECT segment, c_custkey, pan15,
+       |    (10 - ($sum15 % 10)) % 10 AS chk FROM b0),
+       |b2 AS (SELECT segment, pan15 || CAST(
+       |    CASE WHEN c_custkey % 3 = 0 THEN chk ELSE (chk + 5) % 10 END AS VARCHAR) AS pan
+       |  FROM b1),
+       |b3 AS (SELECT segment, ($sum16 % 10 = 0) AS luhn_ok FROM b2),
+       |agg AS (SELECT segment, COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN luhn_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid,
+       |    CAST(SUM(CASE WHEN luhn_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected
+       |  FROM b3 GROUP BY segment)
+       |SELECT segment, n_candidates, n_luhn_valid, n_rejected,
+       |  CAST(ROUND(CAST(n_luhn_valid AS DOUBLE) / CAST(n_candidates AS DOUBLE) * 1000000.0) AS BIGINT) AS valid_share_e6,
+       |  n_luhn_valid * 16 AS digits_redacted,
+       |  n_rejected * 16 AS regex_overcount_digits
+       |FROM agg ORDER BY segment""".stripMargin
+  }
+
   // ---- q73: eval-set decontamination ----
 
   val EvalMod = 97
@@ -535,6 +596,7 @@ object CurationQueries {
   val queries: Map[String, Q] = Map(
     "q71_repetition_stats" -> (repetitionStats _),
     "q72_pii_scrub" -> (piiScrub _),
+    "q170_luhn_audit" -> (luhnAudit _),
     "q73_contamination" -> (contamination _),
     "q74_stratified_sample" -> (stratifiedSample _),
     "q75_sequence_pack" -> (sequencePack _),
@@ -549,6 +611,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
     "q72_pii_scrub" -> piiScrubSql,
+    "q170_luhn_audit" -> luhnAuditSql,
     "q73_contamination" -> contaminationSql,
     "q74_stratified_sample" -> stratifiedSampleSql,
     "q75_sequence_pack" -> sequencePackSql,

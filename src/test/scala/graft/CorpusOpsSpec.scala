@@ -105,6 +105,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(diverges, "expected at least one syndicated-but-not-boilerplate segment")
   }
 
+  test("q172 skipgram lift matches an in-memory recompute at both gaps") {
+    import graft.functions.TextFunctions.{fold, tokens}
+    val toks = Tables.documents(spark, sfDir)
+      .select(tokens(fold(col("text"))).as("t")).collect()
+      .map(_.getSeq[String](0))
+    val rows = CorpusOpsQueries.skipgramAssoc(spark, sfDir).collect()
+    (1 to CorpusOpsQueries.SkipMaxGap).foreach { g =>
+      val pairs = toks.flatMap(t => t.dropRight(g).zip(t.drop(g)))
+      val cnt = pairs.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      val cA = cnt.groupBy(_._1._1).map { case (a, xs) => a -> xs.values.sum }
+      val cB = cnt.groupBy(_._1._2).map { case (b, xs) => b -> xs.values.sum }
+      val nG = cnt.values.sum
+      val scored = cnt.toSeq
+        .filter(_._2 >= CorpusOpsQueries.SkipMinCount)
+        .map { case ((a, b), cab) =>
+          val lift = math.round(cab.toDouble * nG.toDouble /
+            (cA(a).toDouble * cB(b).toDouble) * 1000000.0)
+          (a, b, cab, cA(a), cB(b), lift)
+        }
+        .sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+        .take(CorpusOpsQueries.SkipTopK)
+      val got = rows.filter(_.getAs[Long]("gap") == g.toLong)
+        .sortBy(_.getAs[Long]("rnk"))
+      assert(got.length === scored.length, s"gap $g")
+      got.zip(scored).foreach { case (r, (a, b, cab, ca, cb, l)) =>
+        assert(r.getAs[String]("a") === a, s"gap $g")
+        assert(r.getAs[String]("b") === b, s"gap $g")
+        assert(r.getAs[Long]("c_ab") === cab)
+        assert(r.getAs[Long]("c_a") === ca)
+        assert(r.getAs[Long]("c_b") === cb)
+        assert(r.getAs[Long]("lift_e6") === l)
+      }
+    }
+    // the gap-2 list must surface an association the adjacent list
+    // cannot: distance-2 pairs are a different relation
+    val g1 = rows.filter(_.getAs[Long]("gap") == 1L).map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b"))).toSet
+    val g2 = rows.filter(_.getAs[Long]("gap") == 2L).map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b"))).toSet
+    assert(g2.nonEmpty && (g2 -- g1).nonEmpty)
+  }
+
   private lazy val lmRows = CorpusOpsQueries.lmSurprisal(spark, sfDir).collect()
 
   test("q127 surprisal is floor-div consistent and buckets match thresholds") {

@@ -174,4 +174,45 @@ class CurationSpec extends SparkSpec {
       assert(out.exists(_.getAs[Long]("weight_e6") < 1000000L / k + 1))
     }
   }
+
+  test("q170 Luhn audit matches an in-memory checksum replay") {
+    // reference Luhn: sum digits right-to-left, doubling every second
+    def luhnOk(pan: String): Boolean = {
+      val s = pan.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      s % 10 == 0
+    }
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = custs.groupBy(_._2).map { case (seg, xs) =>
+      val flags = xs.map { case (k, _) =>
+        val p15 = f"${(k * 7919L + 13L) % 1000000000000000L}%015d"
+        val sum15 = (p15 + "0").reverse.zipWithIndex.map { case (ch, i) =>
+          val d = ch - '0'
+          if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+        }.sum
+        val chk = (10 - sum15 % 10) % 10
+        val digit = if (k % 3 == 0) chk else (chk + 5) % 10
+        luhnOk(p15 + digit.toString)
+      }
+      seg -> (flags.length.toLong, flags.count(identity).toLong)
+    }
+    val rows = graft.queries.CurationQueries.luhnAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v) = expected(r.getAs[String]("segment"))
+      assert(r.getAs[Long]("n_candidates") === n)
+      assert(r.getAs[Long]("n_luhn_valid") === v)
+      assert(r.getAs[Long]("n_rejected") === n - v)
+      assert(r.getAs[Long]("digits_redacted") === v * 16L)
+    }
+    // the off-by-5 check digit always breaks Luhn, the exact one always
+    // passes: validated set == custkey % 3 == 0 set
+    val nValid = rows.map(_.getAs[Long]("n_luhn_valid")).sum
+    assert(nValid === custs.count(_._1 % 3 == 0).toLong)
+    assert(nValid > 0 && nValid < custs.length)
+  }
 }
