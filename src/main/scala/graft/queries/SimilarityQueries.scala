@@ -881,8 +881,80 @@ object SimilarityQueries {
        |ORDER BY mem.vec_id""".stripMargin
   }
 
+  // ---- q173: cluster-balanced diversity sampling ----
+
+  val DiversityBudget = 100L
+
+  /** q173: DIVERSITY-aware selection — the embedding-space member of
+    * the sampling family (q74 strata by metadata, q130 by target
+    * likelihood, q156 prunes duplicates): partition the corpus with
+    * q69's exact-integer k-means, then spend a fixed budget EQUALLY
+    * across clusters (floor split + cluster-id remainders, capped by
+    * availability). Equal-per-cluster is the point: a proportional
+    * sample reproduces the majority cluster's dominance, the balanced
+    * one upweights rare regions of embedding space — the
+    * cluster-balanced selection step of DiverseEvol-style pipelines.
+    * Per vector: its cluster, deterministic hash rank, the cluster's
+    * quota/alloc, and the picked verdict.
+    *
+    * Scale shape: training is the broadcast-centroid Lloyd recipe
+    * (corpus never shuffles for the model); the per-cluster rank is
+    * the two-level `stratumHashRank` (256 md5-prefix sub-shards +
+    * broadcast prefix offsets — q74's scale-safe form, no
+    * single-cluster sort); quota math touches only the k-row dim. */
+  def diversitySample(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val assigned = Similarity.kmeans(emb, KmeansK, Dim, KmeansIters)
+      .select(col("vec_id"), col("cluster"))
+    graft.operators.Curation.stratumHashRank(assigned, "cluster", "vec_id")
+      .withColumn("quota",
+        lit(DiversityBudget / KmeansK) +
+          when(col("cluster") < DiversityBudget % KmeansK, 1L).otherwise(0L))
+      .withColumn("alloc", least(col("quota"), col("stratum_n")))
+      .withColumn("picked", col("rk") <= col("alloc"))
+      .select(col("vec_id"), col("cluster"), col("rk"),
+        col("stratum_n").as("cluster_n"), col("quota"), col("alloc"),
+        col("picked"))
+      .orderBy(col("vec_id"))
+  }
+
+  val diversitySampleSql: String = {
+    def dist(cm: String) = distExpr("v.m", cm)
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, m AS cm FROM v WHERE vec_id < $KmeansK),
+       |d1 AS (SELECT v.vec_id, v.m, c.cid, ${dist("c.cm")} AS dist
+       |  FROM v CROSS JOIN c0 c),
+       |a1 AS (SELECT vec_id, m, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |u1 AS (SELECT cid, generate_subscripts(m, 1) AS d, unnest(m) AS val FROM a1),
+       |c1d AS (SELECT cid, d,
+       |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM u1 GROUP BY cid, d),
+       |c1 AS (SELECT cid, list(cv ORDER BY d) AS cm FROM c1d GROUP BY cid),
+       |d2 AS (SELECT v.vec_id, c.cid, ${dist("c.cm")} AS dist
+       |  FROM v CROSS JOIN c1 c),
+       |mem AS (SELECT vec_id, cid AS cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_n FROM mem GROUP BY cluster),
+       |rkd AS (SELECT vec_id, cluster,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+       |  FROM mem)
+       |SELECT r.vec_id, r.cluster, r.rk, sz.cluster_n,
+       |  CAST(${DiversityBudget / KmeansK} + CASE WHEN r.cluster < ${DiversityBudget % KmeansK} THEN 1 ELSE 0 END AS BIGINT) AS quota,
+       |  CAST(LEAST(${DiversityBudget / KmeansK} + CASE WHEN r.cluster < ${DiversityBudget % KmeansK} THEN 1 ELSE 0 END, sz.cluster_n) AS BIGINT) AS alloc,
+       |  r.rk <= LEAST(${DiversityBudget / KmeansK} + CASE WHEN r.cluster < ${DiversityBudget % KmeansK} THEN 1 ELSE 0 END, sz.cluster_n) AS picked
+       |FROM rkd r JOIN sz ON r.cluster = sz.cluster
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q156_semdedup" -> (semDedup _),
+    "q173_diversity_sample" -> (diversitySample _),
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
     "q27_ann_lsh" -> (annLsh _),
@@ -901,6 +973,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q156_semdedup" -> semDedupSql,
+    "q173_diversity_sample" -> diversitySampleSql,
     "q25_embed_neardup" -> embedNearDupSql,
     "q26_ann_bruteforce" -> annBruteforceSql,
     "q27_ann_lsh" -> annLshSql,

@@ -149,4 +149,36 @@ class DedupSpec extends SparkSpec {
     assert(labelToks.filter(col("moved") && col("rep_n_tokens") <= col("nt")).count() === 0)
     sel.unpersist()
   }
+
+  test("q173 diversity sample spends the budget equally across clusters") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.diversitySample(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    // quotas are an equal split of the budget (max spread 1) summing to B
+    val quotas = byCluster.map { case (_, rs) => rs.head.getAs[Long]("quota") }
+    assert(quotas.sum === SimilarityQueries.DiversityBudget)
+    assert(quotas.max - quotas.min <= 1L)
+    byCluster.foreach { case (c, rs) =>
+      val n = rs.length.toLong
+      val quota = rs.head.getAs[Long]("quota")
+      val alloc = rs.head.getAs[Long]("alloc")
+      assert(rs.forall(_.getAs[Long]("cluster_n") == n))
+      assert(alloc === math.min(quota, n))
+      // picked set is exactly the alloc lowest hash ranks
+      val picked = rs.filter(_.getAs[Boolean]("picked"))
+      assert(picked.length.toLong === alloc, s"cluster $c")
+      assert(picked.forall(_.getAs[Long]("rk") <= alloc))
+      // ranks are a permutation of 1..n within the cluster
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to n).toSeq)
+    }
+    // balanced beats proportional: some small cluster is sampled at a
+    // strictly higher rate than the corpus-wide budget share
+    val total = rows.length.toLong
+    val overSampled = byCluster.values.exists { rs =>
+      val n = rs.length.toLong
+      val alloc = rs.head.getAs[Long]("alloc")
+      alloc * total > SimilarityQueries.DiversityBudget * n
+    }
+    assert(overSampled, "expected a rare cluster sampled above its proportional share")
+  }
 }
