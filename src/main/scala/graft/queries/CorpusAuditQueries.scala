@@ -138,12 +138,26 @@ object CorpusAuditQueries {
     * ≤64 bins — nothing corpus-scale is ever sorted). The rest-of-
     * corpus side is derived by broadcasting the per-bin global totals
     * back onto the per-source rows, not by re-scanning. */
+  /** The power-of-two token-length bin shared by q162 and its
+    * streaming form (floor-log2 via binary-string length). */
+  def lengthBin(text: Column): Column =
+    length(bin(greatest(size(tokens(fold(text))).cast("long"), lit(1L))))
+      .cast("long")
+
   def lengthDrift(s: SparkSession, dir: String): DataFrame = {
     val lens = Tables.documents(s, dir)
-      .select(col("source"),
-        length(bin(greatest(size(tokens(fold(col("text")))).cast("long"), lit(1L))))
-          .cast("long").as("bin"))
+      .select(col("source"), lengthBin(col("text")).as("bin"))
     val sb = lens.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_sb"))
+    driftFromBins(sb)
+  }
+
+  /** The q162 drift verdict computed from an already-aggregated
+    * (source, bin, c_sb) histogram table — the piece the incremental
+    * monitor shares with the batch query: everything downstream of the
+    * corpus scan is dim-sized (sources × ~20 bins), so a streaming
+    * caller can fold per-batch histograms into state and re-derive the
+    * full verdict each batch at dim cost. */
+  def driftFromBins(sb: DataFrame): DataFrame = {
     val tot = sb.groupBy(col("bin")).agg(sum(col("c_sb")).as("c_b"))
     val grid = sb.select(col("source")).distinct()
       .crossJoin(broadcast(tot))
