@@ -1015,6 +1015,71 @@ object CorpusOpsQueries {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bg) AS rn FROM scored)
        |WHERE rn <= $CollocTopK ORDER BY rnk""".stripMargin
 
+  // ---- q175: per-snapshot vs global dedup accounting (FineWeb) ----
+
+  val SnapMod = 4L
+
+  /** q175: the per-snapshot/global dedup ledger — the accounting
+    * behind FineWeb's finding that deduplicating each crawl snapshot
+    * INDEPENDENTLY beats global dedup, taken at CCNet's actual dedup
+    * unit, the SEGMENT (paragraph/line hash): snapshots are doc_id
+    * mod 4 (the arrival partition); per snapshot: its segment
+    * occurrences, distinct segment signatures, within-snapshot
+    * duplicate mass (what per-snapshot dedup removes), the signatures
+    * KEPT by per-snapshot dedup that an earlier snapshot already
+    * holds (exactly the extra mass global dedup would also remove —
+    * the quantity the two policies disagree on), and the global-first
+    * signatures. Rates e6.
+    *
+    * Scale shape: one (sig, snap) hash agg over the corpus segments, a
+    * sig-keyed first-snapshot agg, and a sig-co-partitioned join —
+    * the q91 two-shuffle shape; output is snapshot-dim-sized. The
+    * staged (sig, snap) table feeds both consumers. */
+  def snapshotDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % SnapMod).as("snap"),
+        explode(split(regexp_replace(col("text"), " batch ", ". "), "\\. ")).as("seg"))
+      .withColumn("seg", trim(col("seg")))
+      .filter(length(col("seg")) > 0)
+      .select(col("snap"), md5(col("seg")).as("sig"))
+    val perSnap = Dedup.stage(
+      sigs.groupBy(col("sig"), col("snap")).agg(count(lit(1)).as("cnt")))
+    val firstSnap = perSnap.groupBy(col("sig")).agg(min(col("snap")).as("min_snap"))
+    perSnap.join(firstSnap, Seq("sig"))
+      .groupBy(col("snap"))
+      .agg(
+        sum(col("cnt")).as("n_segs"),
+        count(lit(1)).as("n_sigs"),
+        sum(col("cnt") - 1).as("dup_within"),
+        sum(when(col("snap") > col("min_snap"), 1L).otherwise(0L)).as("cross_dup_kept"),
+        sum(when(col("snap") === col("min_snap"), 1L).otherwise(0L)).as("kept_global"))
+      .withColumn("within_rate_e6",
+        e6Col(col("dup_within").cast("double") / col("n_segs").cast("double")))
+      .withColumn("cross_kept_rate_e6",
+        e6Col(col("cross_dup_kept").cast("double") / col("n_sigs").cast("double")))
+      .orderBy(col("snap"))
+  }
+
+  val snapshotDedupSql: String =
+    s"""WITH p AS (SELECT doc_id % $SnapMod AS snap,
+       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |  FROM documents),
+       |sigs AS (SELECT snap, md5(trim(seg)) AS sig FROM (
+       |    SELECT snap, unnest(segs) AS seg FROM p)
+       |  WHERE trim(seg) <> ''),
+       |ps AS (SELECT sig, snap, COUNT(*) AS cnt FROM sigs GROUP BY sig, snap),
+       |fs AS (SELECT sig, MIN(snap) AS min_snap FROM ps GROUP BY sig)
+       |SELECT snap,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_segs,
+       |  COUNT(*) AS n_sigs,
+       |  CAST(SUM(cnt - 1) AS BIGINT) AS dup_within,
+       |  CAST(SUM(CASE WHEN snap > min_snap THEN 1 ELSE 0 END) AS BIGINT) AS cross_dup_kept,
+       |  CAST(SUM(CASE WHEN snap = min_snap THEN 1 ELSE 0 END) AS BIGINT) AS kept_global,
+       |  ${e6Sql("CAST(SUM(cnt - 1) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)")} AS within_rate_e6,
+       |  ${e6Sql("CAST(SUM(CASE WHEN snap > min_snap THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS cross_kept_rate_e6
+       |FROM ps JOIN fs USING (sig)
+       |GROUP BY snap ORDER BY snap""".stripMargin
+
   // ---- q172: windowed skipgram associations (word2vec context lift) ----
 
   val SkipTopK = 15
@@ -1400,7 +1465,8 @@ object CorpusOpsQueries {
     "q163_domain_hits" -> (domainHits _),
     "q139_pca_power" -> (pcaPower _),
     "q140_collocations" -> (collocations _),
-    "q172_skipgram_assoc" -> (skipgramAssoc _))
+    "q172_skipgram_assoc" -> (skipgramAssoc _),
+    "q175_snapshot_dedup" -> (snapshotDedup _))
 
   val oracles: Map[String, String] = Map(
     "q150_source_overlap" -> sourceOverlapSql,
@@ -1425,5 +1491,6 @@ object CorpusOpsQueries {
     "q163_domain_hits" -> domainHitsSql,
     "q139_pca_power" -> pcaPowerSql,
     "q140_collocations" -> collocationsSql,
-    "q172_skipgram_assoc" -> skipgramAssocSql)
+    "q172_skipgram_assoc" -> skipgramAssocSql,
+    "q175_snapshot_dedup" -> snapshotDedupSql)
 }

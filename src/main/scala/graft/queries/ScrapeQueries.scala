@@ -228,17 +228,90 @@ object ScrapeQueries {
        |  regexp_extract(canonical, '^https?://[^/]+(/[^#]*)?', 1) AS path
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- q174: domain-suffix blocklist filtering (UT1-style URL gate) ----
+
+  /** The blocklist dim: a full registered domain, one exact subdomain,
+    * and a TLD-wide private suffix — the three rule shapes a UT1-style
+    * list mixes. */
+  val BlockRules: Seq[String] =
+    Seq("badsite.org", "ads.src1.example.com", "example.net")
+
+  /** q174: URL blocklist filtering at the domain-suffix grain — the
+    * crawl-side gate every pretraining pipeline runs before fetch
+    * (UT1/adult-blocklist style): a host is blocked when ANY suffix of
+    * its label chain (aligned at label boundaries, so "example.net"
+    * blocks "cdn.src3.example.net" but never "notexample.net") appears
+    * in the list. Hosts synthesize deterministically from (source,
+    * doc_id) across five shapes so every rule kind fires.
+    *
+    * Scale shape: suffix generation is MAP-SIDE — explode of at most
+    * `labels` rows per host with the suffix cut by codegen'd
+    * `substring_index`, then one BROADCAST join against the rule dim
+    * and a doc-keyed partial agg. No corpus shuffle before the per-doc
+    * rollup, nothing quadratic; the blocklist (thousands of rows in
+    * production) stays a broadcast dim. */
+  def urlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    // modulus 7 is coprime to the source cycle (source = src(doc_id %
+    // 20)), so every (shape, source) combination occurs — including
+    // the exact-subdomain rule's ads.src1 host
+    val host = when(col("doc_id") % 7 === 0, concat(lit("ads."), col("source"), lit(".example.com")))
+      .when(col("doc_id") % 7 === 1, concat(col("source"), lit(".example.com")))
+      .when(col("doc_id") % 7 === 2, lit("tracker.badsite.org"))
+      .when(col("doc_id") % 7 === 3, concat(lit("cdn."), col("source"), lit(".example.net")))
+      .otherwise(concat(lit("www."), col("source"), lit(".example.com")))
+    val rules = broadcast(
+      s.createDataFrame(BlockRules.map(Tuple1(_))).toDF("rule"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), host.as("host"))
+      .select(col("doc_id"), col("source"), col("host"),
+        explode(sequence(lit(1), size(split(col("host"), "\\.")))).as("k"))
+      .withColumn("suffix", expr("substring_index(host, '.', -k)"))
+      .join(rules, col("suffix") === col("rule"), "left")
+      .groupBy(col("doc_id"), col("source"), col("host"))
+      .agg(count(col("rule")).as("n_matched"),
+        array_join(array_sort(collect_list(col("rule"))), "|").as("matched_rules"))
+      .withColumn("blocked", col("n_matched") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val urlBlocklistSql: String = {
+    val values = BlockRules.map(r => s"('$r')").mkString(", ")
+    s"""WITH bl(rule) AS (VALUES $values),
+       |d AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 7 = 0 THEN 'ads.' || source || '.example.com'
+       |         WHEN doc_id % 7 = 1 THEN source || '.example.com'
+       |         WHEN doc_id % 7 = 2 THEN 'tracker.badsite.org'
+       |         WHEN doc_id % 7 = 3 THEN 'cdn.' || source || '.example.net'
+       |         ELSE 'www.' || source || '.example.com' END AS host
+       |  FROM documents),
+       |ks AS (SELECT doc_id, source, host,
+       |    unnest(range(1, len(string_split(host, '.')) + 1)) AS k
+       |  FROM d),
+       |sfx AS (SELECT doc_id, source, host,
+       |    array_to_string(string_split(host, '.')[-k:], '.') AS suffix
+       |  FROM ks)
+       |SELECT s.doc_id, s.source, s.host,
+       |  CAST(COUNT(bl.rule) AS BIGINT) AS n_matched,
+       |  COALESCE(string_agg(bl.rule, '|' ORDER BY bl.rule), '') AS matched_rules,
+       |  COUNT(bl.rule) > 0 AS blocked
+       |FROM sfx s LEFT JOIN bl ON s.suffix = bl.rule
+       |GROUP BY s.doc_id, s.source, s.host
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_html_extract" -> (htmlExtract _),
     "q40_sentences" -> (sentences _),
     "q41_bpe_tokens" -> (bpeTokens _),
     "q92_selector_repair" -> (selectorRepair _),
-    "q93_url_resolve" -> (urlResolve _))
+    "q93_url_resolve" -> (urlResolve _),
+    "q174_url_blocklist" -> (urlBlocklist _))
 
   val oracles: Map[String, String] = Map(
     "q39_html_extract" -> htmlExtractSql,
     "q40_sentences" -> sentencesSql,
     "q41_bpe_tokens" -> bpeTokensSql,
     "q92_selector_repair" -> selectorRepairSql,
-    "q93_url_resolve" -> urlResolveSql)
+    "q93_url_resolve" -> urlResolveSql,
+    "q174_url_blocklist" -> urlBlocklistSql)
 }

@@ -105,6 +105,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(diverges, "expected at least one syndicated-but-not-boilerplate segment")
   }
 
+  test("q175 snapshot ledger reconciles and exposes the policy gap") {
+    val rows = CorpusOpsQueries.snapshotDedup(spark, sfDir).collect()
+    assert(rows.length === CorpusOpsQueries.SnapMod.toInt)
+    // in-memory replay of both dedup policies at the segment grain
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val snap = r.getLong(0) % CorpusOpsQueries.SnapMod
+        r.getString(1).replace(" batch ", ". ").split("\\. ", -1).toSeq
+          .map(_.trim).filter(_.nonEmpty).map(sg => (snap, sg))
+      }
+    val bySnap = segs.groupBy(_._1)
+    val globalFirstSnap = segs.groupBy(_._2)
+      .map { case (sg, xs) => sg -> xs.map(_._1).min }
+    rows.foreach { r =>
+      val snap = r.getAs[Long]("snap")
+      val xs = bySnap(snap)
+      val sigs = xs.map(_._2).distinct
+      assert(r.getAs[Long]("n_segs") === xs.length.toLong)
+      assert(r.getAs[Long]("n_sigs") === sigs.length.toLong)
+      assert(r.getAs[Long]("dup_within") === (xs.length - sigs.length).toLong)
+      val cross = sigs.count(sg => globalFirstSnap(sg) < snap)
+      assert(r.getAs[Long]("cross_dup_kept") === cross.toLong)
+      assert(r.getAs[Long]("kept_global") === (sigs.length - cross).toLong)
+    }
+    // the two policies genuinely disagree on this corpus: some
+    // snapshot keeps a segment global dedup would drop
+    assert(rows.map(_.getAs[Long]("cross_dup_kept")).sum > 0L)
+    // snapshot 0 can never hold a cross-snapshot duplicate
+    assert(rows.find(_.getAs[Long]("snap") == 0L).get
+      .getAs[Long]("cross_dup_kept") === 0L)
+  }
+
   test("q172 skipgram lift matches an in-memory recompute at both gaps") {
     import graft.functions.TextFunctions.{fold, tokens}
     val toks = Tables.documents(spark, sfDir)

@@ -36,4 +36,36 @@ class UrlResolveSpec extends SparkSpec {
         || canonical == "http://" + r.getAs[String]("domain") + r.getAs[String]("path"))
     }
   }
+
+  test("q174 blocklist verdicts match label-boundary suffix semantics") {
+    // in-memory reference: a rule matches iff it equals the host or
+    // the host ends with "." + rule — never a mid-label substring
+    def matches(host: String, rule: String): Boolean =
+      host == rule || host.endsWith("." + rule)
+    val rows = ScrapeQueries.urlBlocklist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val host = r.getAs[String]("host")
+      val expect = ScrapeQueries.BlockRules.filter(matches(host, _)).sorted
+      assert(r.getAs[Long]("n_matched") === expect.length.toLong, host)
+      assert(r.getAs[String]("matched_rules") === expect.mkString("|"), host)
+      assert(r.getAs[Boolean]("blocked") === expect.nonEmpty, host)
+    }
+    // every rule shape fires somewhere; clean hosts exist too
+    val matched = rows.flatMap(_.getAs[String]("matched_rules").split('|')).filter(_.nonEmpty).toSet
+    assert(matched === ScrapeQueries.BlockRules.toSet)
+    assert(rows.exists(!_.getAs[Boolean]("blocked")))
+    // the boundary rule: "example.net" must never block a *.example.com
+    // host, and no host matches on a partial label
+    rows.filter(_.getAs[String]("host").endsWith(".example.com")).foreach { r =>
+      assert(!r.getAs[String]("matched_rules").contains("example.net"))
+    }
+  }
+
+  test("q174 plan: blocklist joins broadcast; no corpus shuffle before the doc agg") {
+    val p = ScrapeQueries.urlBlocklist(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
