@@ -1015,6 +1015,85 @@ object CorpusOpsQueries {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bg) AS rn FROM scored)
        |WHERE rn <= $CollocTopK ORDER BY rnk""".stripMargin
 
+  // ---- q177: curriculum data layout (easy→hard by LM surprisal) ----
+
+  val CurricShards = 8L
+
+  /** q177: CURRICULUM ordering — the data-layout step of curriculum
+    * learning: the corpus is laid out easy→hard (q127's surprisal
+    * buckets head < middle < tail), hash-shuffled WITHIN each bucket
+    * (deterministic md5 rank, so the curriculum is reproducible), then
+    * dealt round-robin into shards — every reader sees its own
+    * easy→hard ramp. Completes the layout family (q131 uniform
+    * shuffle, q75 packing, q145 length batching) with the
+    * quality-ordered variant.
+    *
+    * Scale shape: the surprisal signal is q127's staged (doc, tok)
+    * chain; the within-bucket rank is the two-level `stratumHashRank`
+    * (no single-bucket sort — a bucket is a third of the corpus, the
+    * exact shape the q74 fix exists for); bucket offsets are a window
+    * over the 3-row bucket dim, broadcast back. Shard/position are
+    * pure integer arithmetic on the global position. */
+  def curriculumLayout(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sur = Curation.unigramSurprisal(Tables.documents(s, dir), "text", "doc_id")
+      .withColumn("bucket",
+        when(col("milli_bits_per_token") < HeadMaxMilli, "head")
+          .when(col("milli_bits_per_token") < MiddleMaxMilli, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("milli_bits_per_token"), col("bucket"))
+    val ranked = Curation.stratumHashRank(sur, "bucket", "doc_id")
+    val bord = when(col("bucket") === "head", 0L)
+      .when(col("bucket") === "middle", 1L).otherwise(2L)
+    val offs = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("bord", bord)
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(Window.partitionBy(lit(1)).orderBy(col("bord"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    ranked.join(broadcast(offs), Seq("bucket"))
+      .withColumn("cur_pos", col("off") + col("rk"))
+      .withColumn("shard", (col("cur_pos") - 1) % CurricShards)
+      .withColumn("shard_pos", expr(s"(cur_pos - 1) div $CurricShards"))
+      .select(col("doc_id"), col("bucket"), col("milli_bits_per_token"),
+        col("cur_pos"), col("shard"), col("shard_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curriculumLayoutSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |dt AS (SELECT doc_id, tok, COUNT(*) AS dc FROM pos GROUP BY doc_id, tok),
+       |tokc AS (SELECT tok, CAST(SUM(dc) AS BIGINT) AS cnt FROM dt GROUP BY tok),
+       |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tokc),
+       |bits AS (SELECT tok,
+       |    CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits
+       |  FROM tokc CROSS JOIN n),
+       |sc AS (SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(dc * bits) AS BIGINT) AS total_bits
+       |  FROM dt JOIN bits USING (tok) GROUP BY doc_id),
+       |b AS (SELECT doc_id, (1000 * total_bits) // n_tokens AS milli_bits_per_token,
+       |    CASE WHEN (1000 * total_bits) // n_tokens < $HeadMaxMilli THEN 'head'
+       |         WHEN (1000 * total_bits) // n_tokens < $MiddleMaxMilli THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM sc),
+       |rkd AS (SELECT doc_id, milli_bits_per_token, bucket,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+       |  FROM b),
+       |bo AS (SELECT bucket, COUNT(*) AS bn,
+       |    CASE WHEN bucket = 'head' THEN 0 WHEN bucket = 'middle' THEN 1 ELSE 2 END AS bord
+       |  FROM b GROUP BY bucket),
+       |offs AS (SELECT bucket, COALESCE(SUM(bn) OVER (ORDER BY bord
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM bo)
+       |SELECT r.doc_id, r.bucket, r.milli_bits_per_token,
+       |  CAST(o.off + r.rk AS BIGINT) AS cur_pos,
+       |  CAST((o.off + r.rk - 1) % $CurricShards AS BIGINT) AS shard,
+       |  CAST((o.off + r.rk - 1) // $CurricShards AS BIGINT) AS shard_pos
+       |FROM rkd r JOIN offs o ON r.bucket = o.bucket
+       |ORDER BY r.doc_id""".stripMargin
+
   // ---- q175: per-snapshot vs global dedup accounting (FineWeb) ----
 
   val SnapMod = 4L
@@ -1466,7 +1545,8 @@ object CorpusOpsQueries {
     "q139_pca_power" -> (pcaPower _),
     "q140_collocations" -> (collocations _),
     "q172_skipgram_assoc" -> (skipgramAssoc _),
-    "q175_snapshot_dedup" -> (snapshotDedup _))
+    "q175_snapshot_dedup" -> (snapshotDedup _),
+    "q177_curriculum_layout" -> (curriculumLayout _))
 
   val oracles: Map[String, String] = Map(
     "q150_source_overlap" -> sourceOverlapSql,
@@ -1492,5 +1572,6 @@ object CorpusOpsQueries {
     "q139_pca_power" -> pcaPowerSql,
     "q140_collocations" -> collocationsSql,
     "q172_skipgram_assoc" -> skipgramAssocSql,
-    "q175_snapshot_dedup" -> snapshotDedupSql)
+    "q175_snapshot_dedup" -> snapshotDedupSql,
+    "q177_curriculum_layout" -> curriculumLayoutSql)
 }

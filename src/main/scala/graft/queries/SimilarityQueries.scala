@@ -881,6 +881,82 @@ object SimilarityQueries {
        |ORDER BY mem.vec_id""".stripMargin
   }
 
+  // ---- q176: Johnson-Lindenstrauss projection distortion eval ----
+
+  val JlK = 16
+  val JlSampleBound = 240L
+
+  /** q176: random-projection DISTORTION eval — the measurement a
+    * pipeline runs before committing to a JL dimension cut (64 → 16
+    * here) for cheaper ANN: project with the deterministic ±1
+    * hyperplane family (planes are integer-hash signs, so the
+    * projection of a micro-int vector is EXACT integer arithmetic) and
+    * report, for a fixed sample of vector pairs, the squared-distance
+    * ratio `d²_proj / (k·d²_orig)` — the quantity JL says concentrates
+    * near 1. The eval-harness genre of q95/q128/q160: the number this
+    * emits is the error budget the dimension cut buys.
+    *
+    * Scale posture: at deployment the projection itself is 16
+    * codegen'd map-side dots per vector; the DISTORTION eval — this
+    * query — runs on a bounded pair sample (vec_id < 240, the q95
+    * sampled-ground-truth recipe), so the per-plane signed-sum folds
+    * here never touch the full corpus. */
+  def jlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.embeddings(s, dir).filter(col("vec_id") < JlSampleBound)
+      .select(col("vec_id"), Similarity.microVec(col("embedding")).as("m"))
+    val left = m.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id div 2").as("pair_id"), col("vec_id").as("vec_a"),
+        col("m").as("ma"))
+    val right = m.filter(col("vec_id") % 2 === 1)
+      .select(expr("(vec_id - 1) div 2").as("pair_id"), col("vec_id").as("vec_b"),
+        col("m").as("mb"))
+    val paired = left.join(right, Seq("pair_id"))
+      .withColumn("d", Similarity.subVec(col("ma"), col("mb")))
+      .withColumn("d2_orig", Similarity.sqDist(col("ma"), col("mb")))
+    val d2Proj = (0 until JlK).map { p =>
+      val signs = array((0 until Dim).map(j =>
+        lit(if (Similarity.planeSign(p, j) > 0) 1L else -1L)): _*)
+      val sp = aggregate(zip_with(col("d"), signs, (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      sp * sp
+    }.reduce(_ + _)
+    paired
+      .withColumn("d2_proj", d2Proj)
+      .withColumn("ratio_e6", when(col("d2_orig") > 0,
+        round(col("d2_proj").cast("double") /
+          (col("d2_orig").cast("double") * lit(JlK.toDouble)) *
+          lit(1000000.0)).cast("long")))
+      .select(col("pair_id"), col("vec_a"), col("vec_b"), col("d2_orig"),
+        col("d2_proj"), col("ratio_e6"))
+      .orderBy(col("pair_id"))
+  }
+
+  val jlDistortionSql: String = {
+    def signsLit(p: Int): String = (0 until Dim).map(j =>
+      if (Similarity.planeSign(p, j) > 0) "1" else "-1").mkString("[", ", ", "]")
+    val projTerms = (0 until JlK).map { p =>
+      val sp = s"list_reduce(list_transform(range(1, ${Dim + 1}), k -> d[k] * (${signsLit(p)})[k]), (a, b) -> a + b)"
+      s"($sp) * ($sp)"
+    }.mkString("(", "\n    + ", ")")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings WHERE vec_id < $JlSampleBound),
+       |l AS (SELECT vec_id // 2 AS pair_id, vec_id AS vec_a, m AS ma FROM v WHERE vec_id % 2 = 0),
+       |r AS (SELECT (vec_id - 1) // 2 AS pair_id, vec_id AS vec_b, m AS mb FROM v WHERE vec_id % 2 = 1),
+       |p AS (SELECT pair_id, vec_a, vec_b,
+       |    list_transform(range(1, ${Dim + 1}), k -> ma[k] - mb[k]) AS d,
+       |    list_reduce(list_transform(range(1, ${Dim + 1}), k -> (ma[k] - mb[k]) * (ma[k] - mb[k])), (a, b) -> a + b) AS d2_orig
+       |  FROM l JOIN r USING (pair_id)),
+       |q AS (SELECT pair_id, vec_a, vec_b, d2_orig,
+       |    $projTerms AS d2_proj
+       |  FROM p)
+       |SELECT pair_id, vec_a, vec_b, d2_orig, CAST(d2_proj AS BIGINT) AS d2_proj,
+       |  CASE WHEN d2_orig > 0 THEN
+       |    CAST(ROUND(CAST(d2_proj AS DOUBLE) / (CAST(d2_orig AS DOUBLE) * ${JlK.toDouble}) * 1000000.0) AS BIGINT)
+       |  END AS ratio_e6
+       |FROM q ORDER BY pair_id""".stripMargin
+  }
+
   // ---- q173: cluster-balanced diversity sampling ----
 
   val DiversityBudget = 100L
@@ -955,6 +1031,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "q156_semdedup" -> (semDedup _),
     "q173_diversity_sample" -> (diversitySample _),
+    "q176_jl_distortion" -> (jlDistortion _),
     "q25_embed_neardup" -> (embedNearDup _),
     "q26_ann_bruteforce" -> (annBruteforce _),
     "q27_ann_lsh" -> (annLsh _),
@@ -974,6 +1051,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q156_semdedup" -> semDedupSql,
     "q173_diversity_sample" -> diversitySampleSql,
+    "q176_jl_distortion" -> jlDistortionSql,
     "q25_embed_neardup" -> embedNearDupSql,
     "q26_ann_bruteforce" -> annBruteforceSql,
     "q27_ann_lsh" -> annLshSql,

@@ -138,6 +138,43 @@ class CorpusOpsSpec extends SparkSpec {
       .getAs[Long]("cross_dup_kept") === 0L)
   }
 
+  test("q177 curriculum positions are a permutation ordered easy-to-hard") {
+    val rows = CorpusOpsQueries.curriculumLayout(spark, sfDir).collect()
+    assert(rows.length === 500)
+    // global positions are a permutation of 1..N
+    assert(rows.map(_.getAs[Long]("cur_pos")).sorted.toSeq === (1L to 500L).toSeq)
+    // bucket blocks are contiguous and ordered head < middle < tail
+    def rangeOf(b: String) = {
+      val ps = rows.filter(_.getAs[String]("bucket") == b).map(_.getAs[Long]("cur_pos"))
+      (ps.min, ps.max, ps.length)
+    }
+    val present = rows.map(_.getAs[String]("bucket")).distinct
+    val ordered = Seq("head", "middle", "tail").filter(present.contains)
+    assert(ordered.size >= 2, "corpus must exercise multiple buckets")
+    ordered.foldLeft(0L) { case (prevMax, b) =>
+      val (mn, mx, n) = rangeOf(b)
+      assert(mn === prevMax + 1, s"bucket $b not contiguous")
+      assert(mx === prevMax + n)
+      mx
+    }
+    // shard deal: shard/pos derive from cur_pos; every reader's stream
+    // is cur_pos-increasing, i.e. its own easy-to-hard ramp
+    rows.foreach { r =>
+      val p = r.getAs[Long]("cur_pos") - 1
+      assert(r.getAs[Long]("shard") === p % CorpusOpsQueries.CurricShards)
+      assert(r.getAs[Long]("shard_pos") === p / CorpusOpsQueries.CurricShards)
+    }
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.size === CorpusOpsQueries.CurricShards.toInt)
+    byShard.values.foreach { rs =>
+      val sortedByPos = rs.sortBy(_.getAs[Long]("shard_pos"))
+      val milliBuckets = sortedByPos.map(_.getAs[String]("bucket"))
+      // within a shard, bucket labels never go backwards
+      val ord = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+      assert(milliBuckets.map(ord).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
   test("q172 skipgram lift matches an in-memory recompute at both gaps") {
     import graft.functions.TextFunctions.{fold, tokens}
     val toks = Tables.documents(spark, sfDir)

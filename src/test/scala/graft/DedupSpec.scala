@@ -181,4 +181,34 @@ class DedupSpec extends SparkSpec {
     }
     assert(overSampled, "expected a rare cluster sampled above its proportional share")
   }
+
+  test("q176 JL ratios concentrate near 1 and match an in-memory projection") {
+    import graft.queries.SimilarityQueries
+    val rows = SimilarityQueries.jlDistortion(spark, sfDir).collect()
+    assert(rows.length === (SimilarityQueries.JlSampleBound / 2).toInt)
+    val ratios = rows.flatMap(r => Option(r.getAs[Long]("ratio_e6")))
+    assert(ratios.nonEmpty)
+    // JL with k=16: individual ratios spread but all stay positive and
+    // the sample mean concentrates near 1
+    assert(ratios.forall(_ > 0L))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 700000L && mean < 1300000L, s"mean ratio $mean")
+    // replay one pair end to end in plain Scala
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 2).orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).map(x =>
+        java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
+    val d = emb(0).zip(emb(1)).map { case (a, b) => a - b }
+    val d2o = d.map(x => x * x).sum
+    val d2p = (0 until SimilarityQueries.JlK).map { p =>
+      val sp = d.zipWithIndex.map { case (x, j) =>
+        if (graft.operators.Similarity.planeSign(p, j) > 0) x else -x
+      }.sum
+      sp * sp
+    }.sum
+    val r0 = rows.find(_.getAs[Long]("pair_id") == 0L).get
+    assert(r0.getAs[Long]("d2_orig") === d2o)
+    assert(r0.getAs[Long]("d2_proj") === d2p)
+  }
 }
