@@ -1015,6 +1015,83 @@ object CorpusOpsQueries {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bg) AS rn FROM scored)
        |WHERE rn <= $CollocTopK ORDER BY rnk""".stripMargin
 
+  // ---- q182: consecutive token-run detection (loop artifacts) ----
+
+  val RunPosBase = 1L << 20
+  val RunLoopMin = 4L
+
+  /** q182: consecutive-repeat RUN detection — the "the the the the"
+    * loop-artifact signal. q71's Gopher shares count global repetition;
+    * a decoding loop (or a scraper stutter) is CONSECUTIVE repetition,
+    * invisible to shares when the doc is long. Per doc: run count, the
+    * longest run (length, token, start — earliest wins ties), runs of
+    * length >= 3, and the looping verdict at >= 4.
+    *
+    * Scale shape: runs come from lag + cumulative-sum windows
+    * partitioned BY DOC over position (bounded partitions — a doc,
+    * never the corpus; the q132 window grain). The longest-run argmax
+    * is the q147 packed-long trick (`len·2²⁰ − start` under a plain
+    * max — a struct max with the token inside would carry a var-width
+    * buffer and fall to SortAggregate); the token rides in via a
+    * doc-keyed join-back on the staged run table. */
+  def tokenRuns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(fold(col("text")))).as(Seq("i", "tok")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = Dedup.stage(pos
+      .withColumn("new_run",
+        when(lag(col("tok"), 1).over(byDoc) === col("tok"), 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("new_run")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("tok")).as("tok"), count(lit(1)).as("len"),
+        min(col("i")).cast("long").as("start")))
+    val perDoc = runs
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("len")).as("n_tokens"),
+        count(lit(1)).as("n_runs"),
+        max(col("len") * RunPosBase - col("start")).as("best_key"),
+        sum(when(col("len") >= 3, 1L).otherwise(0L)).as("n_runs_ge3"))
+    perDoc
+      .join(runs.select(col("doc_id"),
+        (col("len") * RunPosBase - col("start")).as("best_key"),
+        col("tok").as("run_token"), col("len").as("max_run_len"),
+        col("start").as("run_start")), Seq("doc_id", "best_key"))
+      .select(col("doc_id"), col("n_tokens"), col("n_runs"),
+        col("max_run_len"), col("run_token"), col("run_start"),
+        col("n_runs_ge3"),
+        (col("max_run_len") >= RunLoopMin).as("looping"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenRunsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS i, unnest(t) AS tok FROM toks),
+       |nr AS (SELECT doc_id, i, tok,
+       |    CASE WHEN LAG(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok THEN 0 ELSE 1 END AS new_run
+       |  FROM pos),
+       |rid AS (SELECT doc_id, i, tok,
+       |    SUM(new_run) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM nr),
+       |runs AS (SELECT doc_id, run_id, MIN(tok) AS tok,
+       |    CAST(COUNT(*) AS BIGINT) AS len, CAST(MIN(i) AS BIGINT) AS start
+       |  FROM rid GROUP BY doc_id, run_id),
+       |pd AS (SELECT doc_id,
+       |    CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_runs,
+       |    CAST(MAX(len * $RunPosBase - start) AS BIGINT) AS best_key,
+       |    CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs_ge3
+       |  FROM runs GROUP BY doc_id)
+       |SELECT pd.doc_id, pd.n_tokens, pd.n_runs,
+       |  r.len AS max_run_len, r.tok AS run_token, r.start AS run_start,
+       |  pd.n_runs_ge3, r.len >= $RunLoopMin AS looping
+       |FROM pd JOIN runs r
+       |  ON pd.doc_id = r.doc_id AND r.len * $RunPosBase - r.start = pd.best_key
+       |ORDER BY pd.doc_id""".stripMargin
+
   // ---- q177: curriculum data layout (easy→hard by LM surprisal) ----
 
   val CurricShards = 8L
@@ -1546,7 +1623,8 @@ object CorpusOpsQueries {
     "q140_collocations" -> (collocations _),
     "q172_skipgram_assoc" -> (skipgramAssoc _),
     "q175_snapshot_dedup" -> (snapshotDedup _),
-    "q177_curriculum_layout" -> (curriculumLayout _))
+    "q177_curriculum_layout" -> (curriculumLayout _),
+    "q182_token_runs" -> (tokenRuns _))
 
   val oracles: Map[String, String] = Map(
     "q150_source_overlap" -> sourceOverlapSql,
@@ -1573,5 +1651,6 @@ object CorpusOpsQueries {
     "q140_collocations" -> collocationsSql,
     "q172_skipgram_assoc" -> skipgramAssocSql,
     "q175_snapshot_dedup" -> snapshotDedupSql,
-    "q177_curriculum_layout" -> curriculumLayoutSql)
+    "q177_curriculum_layout" -> curriculumLayoutSql,
+    "q182_token_runs" -> tokenRunsSql)
 }

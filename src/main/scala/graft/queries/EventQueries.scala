@@ -179,17 +179,92 @@ object EventQueries {
       |  day - last_active_day AS days_since_active
       |FROM ff ORDER BY user_id, day""".stripMargin
 
+  // ---- q179: watermark / late-arrival audit ----
+
+  val WatermarkDelayMicros: Long = 600L * 1000000 // 10 min allowed lateness
+
+  /** q179: the LATE-DATA audit a streaming deployment runs before
+    * picking its watermark delay — replayed batch-side so it can be
+    * oracle-gated: arrival order is event_id; at each event's arrival
+    * the stream's watermark is the max event-time seen BEFORE it minus
+    * the allowed delay, and the event is late iff its own timestamp is
+    * behind that. Per user: events, late events, the worst lateness
+    * (the number that sizes the delay), and the late rate e6 — exactly
+    * what `withWatermark` would drop at each candidate delay.
+    *
+    * The generated stream arrives perfectly ordered, so disorder is
+    * synthesized deterministically (the q72 recipe): every 7th event
+    * carries a timestamp a full DAY older than its arrival slot (a
+    * client flushing a day-old buffer — LATE at a 10-min delay
+    * whenever the user was active in the last day) and every 23rd is
+    * 5 min older (inside the allowance — on time), so both branches
+    * of the verdict are exercised and measurable against this
+    * stream's multi-hour per-user cadence.
+    *
+    * Scale shape: one shuffle on user_id; the running max is a
+    * per-user window ordered by arrival (bounded partitions — a user's
+    * history, never the stream). Timestamps compare as exact integer
+    * epoch-micros on both engines. */
+  def watermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val skew = when(col("event_id") % 7 === 0, lit(86400000000L))
+      .when(col("event_id") % 23 === 0, lit(300000000L))
+      .otherwise(lit(0L))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - skew).as("ts_us"))
+      .withColumn("max_seen_us", max(col("ts_us")).over(w))
+      .withColumn("late",
+        col("max_seen_us").isNotNull &&
+          col("ts_us") < col("max_seen_us") - WatermarkDelayMicros)
+      .withColumn("lateness_us",
+        when(col("late"), col("max_seen_us") - WatermarkDelayMicros - col("ts_us")))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(col("lateness_us")), lit(0L)).as("max_lateness_us"))
+      .withColumn("late_rate_e6",
+        round(col("n_late").cast("double") / col("n_events").cast("double") *
+          lit(1000000.0)).cast("long"))
+      .orderBy(col("user_id"))
+  }
+
+  val watermarkAuditSql: String =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |    epoch_us(ts) - (CASE WHEN event_id % 7 = 0 THEN 86400000000
+       |                         WHEN event_id % 23 = 0 THEN 300000000
+       |                         ELSE 0 END) AS ts_us
+       |  FROM events),
+       |m AS (SELECT user_id, event_id, ts_us,
+       |    MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen_us
+       |  FROM e),
+       |l AS (SELECT user_id, ts_us, max_seen_us,
+       |    max_seen_us IS NOT NULL AND ts_us < max_seen_us - $WatermarkDelayMicros AS late
+       |  FROM m)
+       |SELECT user_id,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  COALESCE(MAX(CASE WHEN late THEN max_seen_us - $WatermarkDelayMicros - ts_us END), 0) AS max_lateness_us,
+       |  CAST(ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS late_rate_e6
+       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_tumbling_agg" -> (tumblingAgg _),
     "q31_sessionize" -> (sessionize _),
     "q32_funnel" -> (funnel _),
     "q83_rolling_features" -> (rollingFeatures _),
-    "q100_gap_fill" -> (gapFill _))
+    "q100_gap_fill" -> (gapFill _),
+    "q179_watermark_audit" -> (watermarkAudit _))
 
   val oracles: Map[String, String] = Map(
     "q30_tumbling_agg" -> tumblingAggSql,
     "q31_sessionize" -> sessionizeSql,
     "q32_funnel" -> funnelSql,
     "q83_rolling_features" -> rollingFeaturesSql,
-    "q100_gap_fill" -> gapFillSql)
+    "q100_gap_fill" -> gapFillSql,
+    "q179_watermark_audit" -> watermarkAuditSql)
 }

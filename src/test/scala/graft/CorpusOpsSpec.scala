@@ -138,6 +138,41 @@ class CorpusOpsSpec extends SparkSpec {
       .getAs[Long]("cross_dup_kept") === 0L)
   }
 
+  test("q182 longest runs match an in-memory consecutive-repeat scan") {
+    import graft.functions.TextFunctions.{fold, tokens}
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(fold(col("text"))).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def runsOf(t: Seq[String]): Seq[(String, Int, Int)] = {
+      // (token, length, start)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var i = 0
+      while (i < t.length) {
+        var j = i
+        while (j < t.length && t(j) == t(i)) j += 1
+        out += ((t(i), j - i, i))
+        i = j
+      }
+      out.toSeq
+    }
+    val rows = CorpusOpsQueries.tokenRuns(spark, sfDir).collect()
+    assert(rows.length === toks.size)
+    rows.foreach { r =>
+      val t = toks(r.getAs[Long]("doc_id"))
+      val rs = runsOf(t)
+      val best = rs.maxBy { case (_, len, start) => (len, -start) }
+      assert(r.getAs[Long]("n_tokens") === t.length.toLong)
+      assert(r.getAs[Long]("n_runs") === rs.length.toLong)
+      assert(r.getAs[Long]("max_run_len") === best._2.toLong)
+      assert(r.getAs[String]("run_token") === best._1)
+      assert(r.getAs[Long]("run_start") === best._3.toLong)
+      assert(r.getAs[Long]("n_runs_ge3") === rs.count(_._2 >= 3).toLong)
+      assert(r.getAs[Boolean]("looping") === (best._2 >= CorpusOpsQueries.RunLoopMin))
+    }
+    // the corpus genuinely contains consecutive repeats
+    assert(rows.exists(_.getAs[Long]("max_run_len") >= 2L))
+  }
+
   test("q177 curriculum positions are a permutation ordered easy-to-hard") {
     val rows = CorpusOpsQueries.curriculumLayout(spark, sfDir).collect()
     assert(rows.length === 500)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.EventQueries
+
+/** q179: the watermark late-arrival audit, replayed sequentially. */
+class EventAuditSpec extends SparkSpec {
+
+  test("q179 matches a sequential watermark replay per user") {
+    val delay = EventQueries.WatermarkDelayMicros
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(1)
+        val skew = if (id % 7 == 0) 86400000000L
+        else if (id % 23 == 0) 300000000L else 0L
+        (r.getLong(0), id, r.getLong(2) - skew)
+      }
+    // sequential replay: per user in arrival (event_id) order, track
+    // the running max event time; an event is late when it is behind
+    // the watermark (max seen before it, minus the delay)
+    val expected = evs.groupBy(_._1).map { case (u, xs) =>
+      var maxSeen = Long.MinValue
+      var late = 0L
+      var worst = 0L
+      xs.sortBy(_._2).foreach { case (_, _, ts) =>
+        if (maxSeen != Long.MinValue && ts < maxSeen - delay) {
+          late += 1
+          worst = math.max(worst, maxSeen - delay - ts)
+        }
+        maxSeen = math.max(maxSeen, ts)
+      }
+      u -> (xs.length.toLong, late, worst)
+    }
+    val rows = EventQueries.watermarkAudit(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (n, late, worst) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("n_late") === late)
+      assert(r.getAs[Long]("max_lateness_us") === worst)
+    }
+    // the synthesized disorder makes lateness real and bounded
+    val totalLate = rows.map(_.getAs[Long]("n_late")).sum
+    assert(totalLate > 0L)
+    assert(rows.map(_.getAs[Long]("max_lateness_us")).max <= 86400000000L)
+    // the 5-min skew alone can never make an event late: lateness
+    // requires a backward jump past the 10-min allowance
+    assert(totalLate < rows.map(_.getAs[Long]("n_events")).sum / 4)
+  }
+}
