@@ -123,10 +123,21 @@ object Dedup {
   }
 
   /** (id, band_id, band_val) — banded LSH signature rows. */
-  def minhashBands(sig: DataFrame, idCol: String): DataFrame = {
-    val bands = (0 until MinhashBands).map(b =>
-      struct(lit(b).as("band_id"),
-        concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("band_val")))
+  def minhashBands(sig: DataFrame, idCol: String): DataFrame =
+    minhashBandsConfig(sig, idCol, MinhashBands, MinhashK / MinhashBands)
+
+  /** `minhashBands` at an explicit (bands × rows-per-band) geometry
+    * over the same K-value signature — the knob the q180 sweep turns:
+    * more rows per band → higher precision, fewer misses per band →
+    * higher recall. Requires bands·rows ≤ K. */
+  def minhashBandsConfig(sig: DataFrame, idCol: String, nBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(nBands * rowsPerBand <= MinhashK,
+      s"band geometry $nBands x $rowsPerBand exceeds K=$MinhashK")
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), concat_ws("_", cols: _*).as("band_val"))
+    }
     sig.select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_val"))
   }

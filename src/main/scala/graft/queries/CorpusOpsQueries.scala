@@ -1015,6 +1015,110 @@ object CorpusOpsQueries {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, bg) AS rn FROM scored)
        |WHERE rn <= $CollocTopK ORDER BY rnk""".stripMargin
 
+  // ---- q180: LSH band-geometry operating curve ----
+
+  /** The swept geometries over the same 8-value signature:
+    * 8 bands × 1 row (recall-max), the production 4×2, and 2×4
+    * (precision-max). */
+  val BandSweep: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4))
+
+  /** q180: the band-geometry OPERATING CURVE — q128 swept across LSH
+    * configurations, the q160 genre applied to the dedup family: the
+    * same 8-value MinHash signature banded 8×1 / 4×2 / 2×4, each
+    * config's candidates judged against the exact-Jaccard truth. One
+    * row per geometry with measured precision/recall — the curve a
+    * pipeline reads to pick its bands before a 100 TB dedup run,
+    * where a precision point is a quadratic candidate-volume term and
+    * a recall point is retained duplicate mass.
+    *
+    * Scale shape: the shingle stream, the truth pairs and the
+    * signature table are each staged ONCE and shared by all three
+    * configs (the q160 one-scan recipe); each config adds only its
+    * band explode + bucket self-join + one-row fold. */
+  def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val reps = Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+    val sh = Dedup.stage(Dedup.shingles(reps, "text", "doc_id"))
+    val truth = Dedup.stage(
+      Dedup.jaccardPairs(sh, "doc_id", dfCap = Some(DedupQueries.JaccardDfCap))
+        .select(col("doc_a"), col("doc_b"), lit(true).as("is_true")))
+    val sig = Dedup.stage(Dedup.minhashSignatures(sh, "doc_id"))
+    BandSweep.map { case (nb, rpb) =>
+      val bands = Dedup.minhashBandsConfig(sig, "doc_id", nb, rpb)
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_val"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_val"))
+      val cand = a.join(b, Seq("band_id", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("is_cand", lit(true))
+      truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("is_true") && col("is_cand"), 1L).otherwise(0L)).as("n_hit"))
+        .select(lit(nb.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
+          col("n_true"), col("n_cand"), col("n_hit"),
+          (col("n_cand") - col("n_hit")).as("n_false_pos"),
+          (col("n_true") - col("n_hit")).as("n_false_neg"),
+          round(lit(1000000.0) * col("n_hit").cast("double") /
+            greatest(col("n_cand"), lit(1L)).cast("double")).cast("long").as("precision_e6"),
+          round(lit(1000000.0) * col("n_hit").cast("double") /
+            greatest(col("n_true"), lit(1L)).cast("double")).cast("long").as("recall_e6"))
+    }.reduce(_ union _)
+      .orderBy(col("rows_per_band"))
+  }
+
+  val lshBandSweepSql: String = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"MIN(${Hashing.affineSql("h_base", k)}) AS h$k")
+      .mkString(",\n    ")
+    def armCtes(nb: Int, rpb: Int): String = {
+      val bandSelects = (0 until nb).map { b =>
+        val bv = (0 until rpb).map(r => s"CAST(h${b * rpb + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band_id, $bv AS band_val FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""bands_${nb}x$rpb AS (
+         |  $bandSelects),
+         |cand_${nb}x$rpb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_${nb}x$rpb a JOIN bands_${nb}x$rpb b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |agg_${nb}x$rpb AS (SELECT
+         |    CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |    CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM (SELECT t.doc_a IS NOT NULL AS is_true, c.doc_a IS NOT NULL AS is_cand
+         |    FROM truth t FULL OUTER JOIN cand_${nb}x$rpb c
+         |      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b))""".stripMargin
+    }
+    def armSelect(nb: Int, rpb: Int): String =
+      s"""SELECT CAST($nb AS BIGINT) AS bands, CAST($rpb AS BIGINT) AS rows_per_band,
+         |  n_true, n_cand, n_hit,
+         |  n_cand - n_hit AS n_false_pos,
+         |  n_true - n_hit AS n_false_neg,
+         |  ${e6Sql("CAST(n_hit AS DOUBLE) / GREATEST(n_cand, 1)")} AS precision_e6,
+         |  ${e6Sql("CAST(n_hit AS DOUBLE) / GREATEST(n_true, 1)")} AS recall_e6
+         |FROM agg_${nb}x$rpb""".stripMargin
+    s"""WITH ${DedupQueries.RepsCte},
+       |${DedupQueries.ShinglesCte},
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= ${DedupQueries.JaccardDfCap}),
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT doc_a, doc_b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE intersect_n * 2 >= sa.set_size + sb.set_size - intersect_n),
+       |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("shingle")} AS h_base FROM sh),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
+       |${BandSweep.map { case (nb, rpb) => armCtes(nb, rpb) }.mkString(",\n")}
+       |${BandSweep.map { case (nb, rpb) => armSelect(nb, rpb) }.mkString("\nUNION ALL\n")}
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   // ---- q182: consecutive token-run detection (loop artifacts) ----
 
   val RunPosBase = 1L << 20
@@ -1624,6 +1728,7 @@ object CorpusOpsQueries {
     "q172_skipgram_assoc" -> (skipgramAssoc _),
     "q175_snapshot_dedup" -> (snapshotDedup _),
     "q177_curriculum_layout" -> (curriculumLayout _),
+    "q180_lsh_band_sweep" -> (lshBandSweep _),
     "q182_token_runs" -> (tokenRuns _))
 
   val oracles: Map[String, String] = Map(
@@ -1652,5 +1757,6 @@ object CorpusOpsQueries {
     "q172_skipgram_assoc" -> skipgramAssocSql,
     "q175_snapshot_dedup" -> snapshotDedupSql,
     "q177_curriculum_layout" -> curriculumLayoutSql,
+    "q180_lsh_band_sweep" -> lshBandSweepSql,
     "q182_token_runs" -> tokenRunsSql)
 }

@@ -265,13 +265,103 @@ object DedupQueries {
        |  doc_id = cluster_id AS keep
        |FROM sized ORDER BY doc_id""".stripMargin
 
+  // ---- q178: MinHash source-similarity sketch vs exact Jaccard ----
+
+  val SrcSimK = 64
+
+  /** q178: the source×source SIMILARITY matrix by MinHash SKETCH, with
+    * the exact Jaccard riding along — mirror/syndication detection at
+    * the grain where a 100 TB deployment actually runs it: per-source
+    * signatures are k=64 minima of the affine poly-hash family over
+    * the source's distinct segment set, so comparing two SOURCES costs
+    * 64 integer equality tests instead of a segment-set join, and the
+    * full matrix costs sources²·k — independent of corpus size once
+    * the one signature pass is paid. The exact grain (q150) emits
+    * shared-segment counts; this emits the resemblance estimate
+    * `matches/k` next to the true Jaccard, so the gate carries the
+    * sketch's measured error (the q128/q95 eval genre).
+    *
+    * Scale shape: ONE staged distinct-(source, seg) pass feeds both
+    * the signature build (64 min aggs — partial, map-side) and the
+    * exact intersection (segment-keyed self-join whose fan-out is
+    * bounded by sources², since the distinct grain caps a segment's df
+    * at the source count). Signatures and sizes are a sources-sized
+    * dim, broadcast; the matrix math never touches the corpus. */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val segs = Dedup.stage(Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(regexp_replace(col("text"), " batch ", ". "), "\\. ")).as("seg"))
+      .withColumn("seg", trim(col("seg")))
+      .filter(length(col("seg")) > 0)
+      .distinct())
+    val withH = segs.withColumn("hs", Hashing.polyHash(col("seg")))
+    val sigAggs = count(lit(1)).as("n_segs") +:
+      (0 until SrcSimK).map(k => min(Hashing.affine(col("hs"), k)).as(s"m$k"))
+    val sig = withH.groupBy(col("source")).agg(sigAggs.head, sigAggs.tail: _*)
+    def side(tag: String) = sig.select(
+      col("source").as(s"source_$tag"), col("n_segs").as(s"n_$tag"),
+      array((0 until SrcSimK).map(k => col(s"m$k")): _*).as(s"sig_$tag"))
+    val inter = segs.as("a")
+      .join(segs.as("b"), col("a.seg") === col("b.seg") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    broadcast(side("a")).join(broadcast(side("b")), col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("n_match",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x))
+      .withColumn("exact_e6", expr("n_inter * 1000000 div n_union"))
+      .withColumn("est_e6", expr(s"n_match * 1000000 div $SrcSimK"))
+      .withColumn("err_e6", col("est_e6") - col("exact_e6"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"), col("exact_e6"), col("est_e6"),
+        col("err_e6"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceSimilaritySql: String = {
+    val minCols = (0 until SrcSimK)
+      .map(k => s"MIN(${Hashing.affineSql("hs", k)}) AS m$k").mkString(",\n    ")
+    val matchSum = (0 until SrcSimK)
+      .map(k => s"(CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH p AS (SELECT source,
+       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |  FROM documents),
+       |segs AS (SELECT DISTINCT source, trim(seg) AS seg FROM (
+       |    SELECT source, unnest(segs) AS seg FROM p)
+       |  WHERE trim(seg) <> ''),
+       |h AS (SELECT source, seg, ${Hashing.polyHashSql("seg")} AS hs FROM segs),
+       |sig AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |    $minCols
+       |  FROM h GROUP BY source),
+       |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM segs a JOIN segs b ON a.seg = b.seg AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT x.source AS source_a, y.source AS source_b,
+       |  x.n_segs AS n_a, y.n_segs AS n_b,
+       |  COALESCE(i.n_inter, 0) AS n_inter,
+       |  x.n_segs + y.n_segs - COALESCE(i.n_inter, 0) AS n_union,
+       |  COALESCE(i.n_inter, 0) * 1000000 // (x.n_segs + y.n_segs - COALESCE(i.n_inter, 0)) AS exact_e6,
+       |  CAST(($matchSum) * 1000000 // $SrcSimK AS BIGINT) AS est_e6,
+       |  CAST(($matchSum) * 1000000 // $SrcSimK AS BIGINT)
+       |    - COALESCE(i.n_inter, 0) * 1000000 // (x.n_segs + y.n_segs - COALESCE(i.n_inter, 0)) AS err_e6
+       |FROM sig x JOIN sig y ON x.source < y.source
+       |LEFT JOIN inter i ON i.source_a = x.source AND i.source_b = y.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_dedup_exact" -> (dedupExact _),
     "q22_ngram_jaccard" -> (ngramJaccard _),
     "q23_minhash_lsh" -> (minhashLsh _),
     "q24_simhash" -> (simhashPairs _),
     "q67_dedup_clusters" -> (dedupClusters _),
-    "q159_rep_selection" -> (repSelection _))
+    "q159_rep_selection" -> (repSelection _),
+    "q178_source_minhash" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> dedupExactSql,
@@ -279,5 +369,6 @@ object DedupQueries {
     "q23_minhash_lsh" -> minhashLshSql,
     "q24_simhash" -> simhashPairsSql,
     "q67_dedup_clusters" -> dedupClustersSql,
-    "q159_rep_selection" -> repSelectionSql)
+    "q159_rep_selection" -> repSelectionSql,
+    "q178_source_minhash" -> sourceSimilaritySql)
 }

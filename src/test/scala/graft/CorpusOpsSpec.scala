@@ -138,6 +138,34 @@ class CorpusOpsSpec extends SparkSpec {
       .getAs[Long]("cross_dup_kept") === 0L)
   }
 
+  test("q180 band sweep is monotone and its 4x2 row equals q128") {
+    val rows = CorpusOpsQueries.lshBandSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    assert(rows.length === CorpusOpsQueries.BandSweep.length)
+    // truth is config-independent
+    assert(rows.map(_.getAs[Long]("n_true")).distinct.length === 1)
+    // more rows per band can only shrink the candidate set (bands at
+    // rpb are refinements): recall non-increasing, candidates
+    // non-increasing along 1 -> 2 -> 4
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        assert(w(0).getAs[Long]("n_cand") >= w(1).getAs[Long]("n_cand"))
+        assert(w(0).getAs[Long]("recall_e6") >= w(1).getAs[Long]("recall_e6"))
+      }
+    }
+    // the curve is a real tradeoff on this corpus: the recall-max and
+    // precision-max endpoints differ
+    assert(rows.head.getAs[Long]("n_cand") > rows.last.getAs[Long]("n_cand"))
+    // the production 4x2 row must equal q128's verdict exactly
+    val mid = rows.find(r => r.getAs[Long]("bands") == 4L).get
+    val q128 = CorpusOpsQueries.lshEval(spark, sfDir).head()
+    assert(mid.getAs[Long]("n_true") === q128.getAs[Long]("n_true"))
+    assert(mid.getAs[Long]("n_cand") === q128.getAs[Long]("n_cand"))
+    assert(mid.getAs[Long]("n_hit") === q128.getAs[Long]("n_hit"))
+    assert(mid.getAs[Long]("precision_e6") === q128.getAs[Long]("precision_e6"))
+    assert(mid.getAs[Long]("recall_e6") === q128.getAs[Long]("recall_e6"))
+  }
+
   test("q182 longest runs match an in-memory consecutive-repeat scan") {
     import graft.functions.TextFunctions.{fold, tokens}
     val toks = Tables.documents(spark, sfDir)

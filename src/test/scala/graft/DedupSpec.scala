@@ -182,6 +182,41 @@ class DedupSpec extends SparkSpec {
     assert(overSampled, "expected a rare cluster sampled above its proportional share")
   }
 
+  test("q178 source MinHash matrix matches an in-memory sketch replay") {
+    import graft.functions.Hashing
+    val rows = graft.queries.DedupQueries.sourceSimilarity(spark, sfDir).collect()
+    val segsBySource = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).replace(" batch ", ". ").split("\\. ", -1).toSeq
+          .map(_.trim).filter(_.nonEmpty).map(sg => (r.getString(0), sg))
+      }.distinct.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val sources = segsBySource.keys.toSeq.sorted
+    assert(rows.length === sources.size * (sources.size - 1) / 2)
+    def poly(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val sigs = segsBySource.map { case (s, set) =>
+      val hs = set.map(poly)
+      s -> (0 until graft.queries.DedupQueries.SrcSimK).map(k =>
+        hs.map(h => (Hashing.hashA(k) * h + Hashing.hashB(k)) % 1000000007L).min)
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (sa, sb) = (segsBySource(a), segsBySource(b))
+      val inter = (sa & sb).size.toLong
+      val union = sa.size + sb.size - inter
+      assert(r.getAs[Long]("n_inter") === inter)
+      assert(r.getAs[Long]("exact_e6") === inter * 1000000L / union)
+      val matches = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      assert(r.getAs[Long]("est_e6") === matches * 1000000L /
+        graft.queries.DedupQueries.SrcSimK)
+    }
+    // the sketch is a usable estimator at k=64: errors bounded, mean tight
+    val errs = rows.map(r => math.abs(r.getAs[Long]("err_e6")))
+    assert(errs.max <= 350000L, s"worst |err| ${errs.max}")
+    assert(errs.sum / errs.length <= 120000L, s"mean |err| ${errs.sum / errs.length}")
+  }
+
   test("q176 JL ratios concentrate near 1 and match an in-memory projection") {
     import graft.queries.SimilarityQueries
     val rows = SimilarityQueries.jlDistortion(spark, sfDir).collect()
