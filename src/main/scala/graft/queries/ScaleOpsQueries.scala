@@ -297,6 +297,27 @@ object ScaleOpsQueries {
     * the 96-row counter table BROADCAST. Nothing corpus-sized sorts,
     * and CMS estimate >= exact count by construction — asserted in the
     * spec, visible in the gate. */
+  /** The (d, cell) counter table folded from a (tok, c) count table —
+    * shared by the batch query and `StreamingCmsCounter` (the sketch
+    * is an abelian sum, so per-batch counters fold to exactly the
+    * batch sketch in any arrival order). */
+  def cmsCounters(tokCounts: DataFrame): DataFrame =
+    tokCounts
+      .withColumn("hs", Hashing.polyHash(col("tok")))
+      .select(col("c"), posexplode(array((0 until CmsDepth).map(d =>
+        Hashing.affine(col("hs"), d) % CmsWidth): _*)).as(Seq("d", "cell")))
+      .groupBy(col("d"), col("cell")).agg(sum(col("c")).as("cnt"))
+
+  /** CMS estimates (min over depth rows) for a (tok) probe set against
+    * a counter table. */
+  def cmsEstimates(probes: DataFrame, counters: DataFrame): DataFrame =
+    probes
+      .withColumn("hs", Hashing.polyHash(col("tok")))
+      .select(col("tok"), posexplode(array((0 until CmsDepth).map(d =>
+        Hashing.affine(col("hs"), d) % CmsWidth): _*)).as(Seq("d", "cell")))
+      .join(broadcast(counters), Seq("d", "cell"))
+      .groupBy(col("tok")).agg(min(col("cnt")).as("cms_est"))
+
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{fold, tokens}
     val uni = Dedup.stage(Tables.documents(s, dir)
@@ -304,10 +325,7 @@ object ScaleOpsQueries {
       .filter(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("hs", Hashing.polyHash(col("tok"))))
-    val counters = uni
-      .select(col("c"), posexplode(array((0 until CmsDepth).map(d =>
-        Hashing.affine(col("hs"), d) % CmsWidth): _*)).as(Seq("d", "cell")))
-      .groupBy(col("d"), col("cell")).agg(sum(col("c")).as("cnt"))
+    val counters = cmsCounters(uni.select(col("tok"), col("c")))
     val keyed = uni.withColumn("g", lit(1))
     val top = Plans.topKPerKeyRanked(keyed, Seq(keyed("g")),
       Seq((keyed("c"), true), (keyed("tok"), false)), CmsTopK, "rnk")
