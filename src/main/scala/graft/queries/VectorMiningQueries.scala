@@ -117,9 +117,129 @@ object VectorMiningQueries {
        |ORDER BY v.vec_id""".stripMargin
   }
 
+  // ---- q184: MMR diversified reranking ----
+
+  val MmrShortlist = 12
+  val MmrK = 5
+  // lambda = 0.7, scaled x10 so the score stays integer
+  val MmrRelW = 7L
+  val MmrDivW = 3L
+
+  /** q184: maximal-marginal-relevance reranking (Carbonell & Goldstein,
+    * SIGIR'98) — the de-redundancy pass between ANN retrieval and a RAG
+    * prompt: from each query's top-`MmrShortlist` cosine shortlist,
+    * greedily select `MmrK` results maximizing
+    * `7*rel_e6 - 3*max_sim_to_selected_e6` (lambda = 0.7 in integer
+    * tenths), so near-duplicate hits stop crowding out coverage.
+    *
+    * Scale shape: the corpus is touched ONLY by the q26 brute-force
+    * shortlist pass (broadcast queries, bounded heaps); everything
+    * after — the candidate-candidate similarity table and the greedy
+    * rounds — lives on n_queries x shortlist^2 rows. The greedy loop
+    * is inherently sequential in k, but each of its `MmrK` rounds is
+    * one bounded distributed plan (anti-join + max-sim agg + per-query
+    * argmax through bounded heaps), so reranking a million queries
+    * runs the same 5 rounds — work per round scales with queries, not
+    * selections. All ranking integer: ties by vec_id. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val sl = Dedup.stage(Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < SimilarityQueries.QuerySetBound),
+      emb.filter(col("vec_id") >= SimilarityQueries.QuerySetBound), MmrShortlist)
+      .select(col("q_vec_id"), col("vec_id"), col("cos_e6").as("rel_e6")))
+    val withEmb = sl.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("nrm", norm(col("embedding")))
+    val sims = Dedup.stage(withEmb
+      .select(col("q_vec_id"), col("vec_id").as("c1"), col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(withEmb.select(col("q_vec_id"), col("vec_id").as("c2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), Seq("q_vec_id"))
+      .filter(col("c1") =!= col("c2"))
+      .select(col("q_vec_id"), col("c1"), col("c2"),
+        e6(cosineFrom(dot(col("e1"), col("e2")), col("n1"), col("n2"))).as("sim_e6")))
+    def pick(scored: DataFrame): DataFrame =
+      Plans.topKPerKeyRanked(scored, Seq(scored("q_vec_id")),
+        Seq((scored("mmr_score"), true), (scored("vec_id"), false)), 1, "pick_rnk")
+        .drop("pick_rnk")
+    val first = sl
+      .withColumn("msim_e6", lit(0L))
+      .withColumn("mmr_score", col("rel_e6") * MmrRelW)
+    var sel = Dedup.stage(pick(first).withColumn("step", lit(1L)))
+    for (step <- 2 to MmrK) {
+      val cand = sl.join(sel.select(col("q_vec_id"), col("vec_id")),
+        Seq("q_vec_id", "vec_id"), "left_anti")
+      val ms = cand
+        .join(sims
+          .join(sel.select(col("q_vec_id"), col("vec_id").as("c2")), Seq("q_vec_id", "c2"))
+          .groupBy(col("q_vec_id"), col("c1").as("vec_id"))
+          .agg(max(col("sim_e6")).as("msim_e6")), Seq("q_vec_id", "vec_id"), "left")
+        .withColumn("msim_e6", coalesce(col("msim_e6"), lit(0L)))
+        .withColumn("mmr_score", col("rel_e6") * MmrRelW - col("msim_e6") * MmrDivW)
+      sel = Dedup.stage(sel.union(pick(ms).withColumn("step", lit(step.toLong))))
+    }
+    sel.select(col("q_vec_id"), col("step"), col("vec_id"),
+      col("rel_e6"), col("msim_e6"), col("mmr_score"))
+      .orderBy(col("q_vec_id"), col("step"))
+  }
+
+  val mmrRerankSql: String = {
+    val b = SimilarityQueries.QuerySetBound
+    val dotQC = dotSql("q_emb", "embedding", Dim)
+    val dot12 = dotSql("a.e1", "b.e2", Dim)
+    // unrolled greedy: sel1 is the per-query relevance argmax; each
+    // later step anti-joins the accumulated selection, takes the max
+    // sim to it, and picks the mmr argmax — generated per step from
+    // the same constants as the Spark side
+    val steps = (2 to MmrK).map { t =>
+      s"""cand$t AS (SELECT sl.* FROM sl WHERE NOT EXISTS (
+         |  SELECT 1 FROM selall${t - 1} s
+         |  WHERE s.q_vec_id = sl.q_vec_id AND s.vec_id = sl.vec_id)),
+         |ms$t AS (SELECT c.q_vec_id, c.vec_id, c.rel_e6,
+         |    COALESCE(MAX(s.sim_e6), 0) AS msim_e6
+         |  FROM cand$t c LEFT JOIN (
+         |    SELECT sims.q_vec_id, sims.c1, sims.sim_e6 FROM sims
+         |    JOIN selall${t - 1} sa ON sims.q_vec_id = sa.q_vec_id AND sims.c2 = sa.vec_id) s
+         |    ON s.q_vec_id = c.q_vec_id AND s.c1 = c.vec_id
+         |  GROUP BY c.q_vec_id, c.vec_id, c.rel_e6),
+         |sel$t AS (SELECT q_vec_id, vec_id, rel_e6, msim_e6,
+         |    rel_e6 * $MmrRelW - msim_e6 * $MmrDivW AS mmr_score, CAST($t AS BIGINT) AS step
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+         |      ORDER BY rel_e6 * $MmrRelW - msim_e6 * $MmrDivW DESC, vec_id) AS rn
+         |    FROM ms$t) WHERE rn = 1),
+         |selall$t AS (SELECT * FROM selall${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, ${normSql("embedding", Dim)} AS q_norm
+       |  FROM embeddings WHERE vec_id < $b),
+       |c AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS c_norm
+       |  FROM embeddings WHERE vec_id >= $b),
+       |sl AS (SELECT q_vec_id, vec_id, rel_e6 FROM (
+       |    SELECT q_vec_id, vec_id, ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} AS rel_e6,
+       |      ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |        ORDER BY ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} DESC, vec_id) AS rnk
+       |    FROM c, q) WHERE rnk <= $MmrShortlist),
+       |we AS (SELECT sl.q_vec_id, sl.vec_id, sl.rel_e6, e.embedding,
+       |    ${normSql("e.embedding", Dim)} AS nrm
+       |  FROM sl JOIN embeddings e ON sl.vec_id = e.vec_id),
+       |sims AS (SELECT a.q_vec_id, a.vec_id AS c1, b.vec_id AS c2,
+       |    ${e6Sql(s"($dot12) / (a.n1 * b.n2)")} AS sim_e6
+       |  FROM (SELECT q_vec_id, vec_id, embedding AS e1, nrm AS n1 FROM we) a
+       |  JOIN (SELECT q_vec_id, vec_id, embedding AS e2, nrm AS n2 FROM we) b
+       |    ON a.q_vec_id = b.q_vec_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT q_vec_id, vec_id, rel_e6, CAST(0 AS BIGINT) AS msim_e6,
+       |    rel_e6 * $MmrRelW AS mmr_score, CAST(1 AS BIGINT) AS step
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY rel_e6 DESC, vec_id) AS rn FROM sl) WHERE rn = 1),
+       |selall1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT q_vec_id, step, vec_id, rel_e6, msim_e6, mmr_score
+       |FROM selall$MmrK
+       |ORDER BY q_vec_id, step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q183_knn_graph" -> (knnGraph _))
+    "q183_knn_graph" -> (knnGraph _),
+    "q184_mmr_rerank" -> (mmrRerank _))
 
   val oracles: Map[String, String] = Map(
-    "q183_knn_graph" -> knnGraphSql)
+    "q183_knn_graph" -> knnGraphSql,
+    "q184_mmr_rerank" -> mmrRerankSql)
 }

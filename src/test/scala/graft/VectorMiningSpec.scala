@@ -31,6 +31,66 @@ class VectorMiningSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("recip_edges") > 0), "mutual neighbors exist")
   }
 
+  test("q184 matches a driver-side transcription of the MMR greedy") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions._
+    import graft.queries.SimilarityQueries
+    val emb = Tables.embeddings(spark, sfDir)
+    val sl = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < SimilarityQueries.QuerySetBound),
+      emb.filter(col("vec_id") >= SimilarityQueries.QuerySetBound),
+      VectorMiningQueries.MmrShortlist)
+      .select(col("q_vec_id"), col("vec_id"), col("cos_e6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val withEmb = spark.createDataFrame(spark.sparkContext.parallelize(
+      sl.map(t => org.apache.spark.sql.Row(t._1, t._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType))))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("nrm", norm(col("embedding")))
+    val sims = withEmb
+      .select(col("q_vec_id"), col("vec_id").as("c1"), col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(withEmb.select(col("q_vec_id"), col("vec_id").as("c2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), Seq("q_vec_id"))
+      .filter(col("c1") =!= col("c2"))
+      .select(col("q_vec_id"), col("c1"), col("c2"),
+        e6(cosineFrom(dot(col("e1"), col("e2")), col("n1"), col("n2"))).as("sim_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // greedy MMR per query, integer math, ties by vec_id
+    val expected = sl.groupBy(_._1).flatMap { case (q, cands0) =>
+      var cands = cands0.map(t => (t._2, t._3)).toSeq // (vec, rel)
+      var selected = Seq.empty[Long]
+      (1 to VectorMiningQueries.MmrK).map { step =>
+        val scored = cands.map { case (v, rel) =>
+          val msim = if (selected.isEmpty) 0L
+            else selected.map(sv => sims((q, v, sv))).max
+          (v, rel, msim, rel * VectorMiningQueries.MmrRelW - msim * VectorMiningQueries.MmrDivW)
+        }
+        val pick = scored.minBy { case (v, _, _, score) => (-score, v) }
+        selected :+= pick._1
+        cands = cands.filterNot(_._1 == pick._1)
+        (q, step.toLong) -> ((pick._1, pick._2, pick._3, pick._4))
+      }
+    }.toMap
+    val rows = VectorMiningQueries.mmrRerank(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("q_vec_id"), r.getAs[Long]("step"))
+      val (v, rel, msim, score) = expected(key)
+      assert(r.getAs[Long]("vec_id") === v, s"pick at $key")
+      assert(r.getAs[Long]("rel_e6") === rel)
+      assert(r.getAs[Long]("msim_e6") === msim)
+      assert(r.getAs[Long]("mmr_score") === score)
+    }
+    // the greedy objective is non-increasing within each query:
+    // candidates shrink and max-sim penalties only grow
+    rows.groupBy(_.getAs[Long]("q_vec_id")).values.foreach { g =>
+      val scores = g.sortBy(_.getAs[Long]("step")).map(_.getAs[Long]("mmr_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a })
+    }
+  }
+
   test("q183 edges match a row_number window over the same candidates") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Similarity.cosinePairsLsh(emb, -2.0)
