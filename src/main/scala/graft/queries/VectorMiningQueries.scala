@@ -235,11 +235,95 @@ object VectorMiningQueries {
        |ORDER BY q_vec_id, step""".stripMargin
   }
 
+  // ---- q186: contrastive hard-negative mining ----
+
+  val TripletMarginE6 = 100000L // 0.1 in cosine units
+
+  /** q186: training-pair mining for embedding-model fine-tuning — for
+    * every anchor, the closest SAME-label peer (the easy positive) and
+    * the closest DIFFERENT-label peer (the hard negative) among its
+    * LSH candidates, plus the triplet-margin verdict
+    * `neg_cos >= pos_cos - 0.1` that marks the semi-hard region
+    * triplet-loss training actually learns from (Schroff et al.,
+    * FaceNet CVPR'15). Production miners shortlist by ANN exactly like
+    * this — the global argmax is neither needed nor wanted (the
+    * hardest negatives beyond the ANN horizon are too easy to matter).
+    *
+    * Scale shape: candidates are the shared q25 band self-join; labels
+    * ride the n*k candidate table through vec_id-keyed joins; the two
+    * per-anchor argmaxes run through bounded heaps (k=1). Anchors
+    * whose bands found no positive or no negative drop out — the
+    * miner's contract is pairs it can actually form. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val pairs = Dedup.stage(Similarity.cosinePairsLsh(emb, -2.0))
+    val both = pairs.select(col("vec_id_a").as("anchor"), col("vec_id_b").as("peer"), col("cos_e6"))
+      .union(pairs.select(col("vec_id_b").as("anchor"), col("vec_id_a").as("peer"), col("cos_e6")))
+      .join(labels.select(col("vec_id").as("anchor"), col("label").as("a_label")), Seq("anchor"))
+      .join(labels.select(col("vec_id").as("peer"), col("label").as("p_label")), Seq("peer"))
+    def best(df: DataFrame, idName: String, cosName: String): DataFrame =
+      Plans.topKPerKeyRanked(df, Seq(df("anchor")),
+        Seq((df("cos_e6"), true), (df("peer"), false)), 1, "r")
+        .select(col("anchor"), col("peer").as(idName), col("cos_e6").as(cosName))
+    val pos = best(both.filter(col("a_label") === col("p_label")), "pos_id", "pos_cos_e6")
+    val neg = best(both.filter(col("a_label") =!= col("p_label")), "neg_id", "neg_cos_e6")
+    pos.join(neg, Seq("anchor"))
+      .join(labels.select(col("vec_id").as("anchor"), col("label")), Seq("anchor"))
+      .select(col("anchor").as("vec_id"), col("label"),
+        col("pos_id"), col("pos_cos_e6"), col("neg_id"), col("neg_cos_e6"),
+        (col("pos_cos_e6") - col("neg_cos_e6")).as("margin_e6"),
+        (col("neg_cos_e6") >= col("pos_cos_e6") - TripletMarginE6).as("violates_margin"))
+      .orderBy(col("vec_id"))
+  }
+
+  val hardNegativesSql: String = {
+    val dotAB = dotSql("a.emb_a", "b.emb_b", Dim)
+    val bandSelects = (0 until Similarity.NeardupBands).map { b =>
+      s"SELECT vec_id, $b AS band_id, ${Similarity.neardupBandSql("embedding", b)} AS band_val FROM base"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm FROM embeddings),
+       |labels AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |banded AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT vec_id_a, vec_id_b,
+       |    ${e6Sql(s"($dotAB) / (a.norm_a * b.norm_b)")} AS cos_e6
+       |  FROM cand
+       |  JOIN (SELECT vec_id AS vec_id_a, embedding AS emb_a, nrm AS norm_a FROM base) a USING (vec_id_a)
+       |  JOIN (SELECT vec_id AS vec_id_b, embedding AS emb_b, nrm AS norm_b FROM base) b USING (vec_id_b)),
+       |both_dir AS (SELECT vec_id_a AS anchor, vec_id_b AS peer, cos_e6 FROM pairs
+       |  UNION ALL SELECT vec_id_b AS anchor, vec_id_a AS peer, cos_e6 FROM pairs),
+       |lab AS (SELECT bd.anchor, bd.peer, bd.cos_e6, la.label AS a_label, lp.label AS p_label
+       |  FROM both_dir bd
+       |  JOIN labels la ON bd.anchor = la.vec_id
+       |  JOIN labels lp ON bd.peer = lp.vec_id),
+       |pos AS (SELECT anchor, peer AS pos_id, cos_e6 AS pos_cos_e6 FROM (
+       |    SELECT anchor, peer, cos_e6,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos_e6 DESC, peer) AS r
+       |    FROM lab WHERE a_label = p_label) WHERE r = 1),
+       |neg AS (SELECT anchor, peer AS neg_id, cos_e6 AS neg_cos_e6 FROM (
+       |    SELECT anchor, peer, cos_e6,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos_e6 DESC, peer) AS r
+       |    FROM lab WHERE a_label <> p_label) WHERE r = 1)
+       |SELECT pos.anchor AS vec_id, l.label,
+       |  pos.pos_id, pos.pos_cos_e6, neg.neg_id, neg.neg_cos_e6,
+       |  pos.pos_cos_e6 - neg.neg_cos_e6 AS margin_e6,
+       |  neg.neg_cos_e6 >= pos.pos_cos_e6 - $TripletMarginE6 AS violates_margin
+       |FROM pos JOIN neg ON pos.anchor = neg.anchor
+       |JOIN labels l ON pos.anchor = l.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q183_knn_graph" -> (knnGraph _),
-    "q184_mmr_rerank" -> (mmrRerank _))
+    "q184_mmr_rerank" -> (mmrRerank _),
+    "q186_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "q183_knn_graph" -> knnGraphSql,
-    "q184_mmr_rerank" -> mmrRerankSql)
+    "q184_mmr_rerank" -> mmrRerankSql,
+    "q186_hard_negatives" -> hardNegativesSql)
 }

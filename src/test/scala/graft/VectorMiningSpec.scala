@@ -91,6 +91,42 @@ class VectorMiningSpec extends SparkSpec {
     }
   }
 
+  test("q186 triplets are label-correct and match a window re-derivation") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val triplets = VectorMiningQueries.hardNegatives(spark, sfDir).collect()
+    assert(triplets.nonEmpty)
+    triplets.foreach { r =>
+      val (a, p, n) = (r.getAs[Long]("vec_id"), r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))
+      assert(p != a && n != a)
+      assert(labels(p) === labels(a), "positive must share the anchor's label")
+      assert(labels(n) !== labels(a), "negative must differ in label")
+      assert(r.getAs[Long]("margin_e6") ===
+        r.getAs[Long]("pos_cos_e6") - r.getAs[Long]("neg_cos_e6"))
+      assert(r.getAs[Boolean]("violates_margin") ===
+        (r.getAs[Long]("neg_cos_e6") >= r.getAs[Long]("pos_cos_e6") - VectorMiningQueries.TripletMarginE6))
+    }
+    assert(triplets.exists(_.getAs[Boolean]("violates_margin")),
+      "semi-hard triplets must exist — that is the point of mining")
+    // window re-derivation of both argmaxes pins the bounded-heap path
+    val pairs = Similarity.cosinePairsLsh(emb, -2.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byAnchor = (pairs.map(t => (t._1, t._2, t._3)) ++ pairs.map(t => (t._2, t._1, t._3)))
+      .groupBy(_._1)
+    triplets.foreach { r =>
+      val a = r.getAs[Long]("vec_id")
+      val cands = byAnchor(a)
+      val pos = cands.filter(c => labels(c._2) == labels(a))
+        .minBy(c => (-c._3, c._2))
+      val neg = cands.filter(c => labels(c._2) != labels(a))
+        .minBy(c => (-c._3, c._2))
+      assert(r.getAs[Long]("pos_id") === pos._2 && r.getAs[Long]("pos_cos_e6") === pos._3)
+      assert(r.getAs[Long]("neg_id") === neg._2 && r.getAs[Long]("neg_cos_e6") === neg._3)
+    }
+  }
+
   test("q183 edges match a row_number window over the same candidates") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Similarity.cosinePairsLsh(emb, -2.0)
