@@ -209,13 +209,86 @@ object TokenizerQueries {
     sb.toString
   }
 
+  // ---- q185: unigram-LM Viterbi segmentation (SentencePiece-style) ----
+
+  val UnigramTopV = 64
+
+  /** q185: the OTHER mainstream subword tokenizer next to BPE — a
+    * unigram-LM piece vocabulary (top-64 substrings by mass, plus
+    * every character) with integer floor-log2 bit costs, and the exact
+    * Viterbi minimum-cost decomposition of every dictionary word
+    * (Kudo 2018). Per word: optimal piece count, bit cost and the
+    * segmentation itself; tie-breaks total on (cost, n_pieces, seg).
+    *
+    * Scale shape: see operators/UnigramLm.scala — dictionary-sized
+    * throughout: one corpus scan builds (word, freq); the DP runs
+    * MaxWordLen bounded rounds against the broadcast vocabulary with
+    * k=1 heaps; the corpus-side encode (not gated here) is the same
+    * broadcast dictionary join q125 uses for BPE. */
+  def unigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val words = graft.operators.Bpe.dictionaryWithWords(Tables.documents(s, dir), "text")
+      .select(col("word"), col("freq"))
+    val vocab = graft.operators.UnigramLm.pieceVocab(words, UnigramTopV)
+    graft.operators.UnigramLm.viterbiSegment(words, vocab)
+      .orderBy(col("word"))
+  }
+
+  val unigramSegmentSql: String = {
+    val P = graft.operators.UnigramLm.MaxPieceLen
+    val L = graft.operators.UnigramLm.MaxWordLen
+    // DP steps unrolled from the same constants as the Spark loop; the
+    // dp CTEs are MATERIALIZED (the q121 lesson: DuckDB otherwise
+    // re-inlines each referenced CTE exponentially)
+    val steps = (1 to L).map { i =>
+      val branches = (math.max(0, i - P) until i).map { j =>
+        s"""SELECT w.word, d.cost + v.bits AS cost, d.np + 1 AS np,
+           |    CASE WHEN d.seg = '' THEN v.piece ELSE d.seg || ' ' || v.piece END AS seg
+           |  FROM wl w JOIN dp$j d ON w.word = d.word
+           |  JOIN vocab v ON v.piece = substr(w.word, $j + 1, ${i - j})
+           |  WHERE w.len >= $i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""dp$i AS MATERIALIZED (SELECT word, cost, np, seg FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, np, seg) AS rn FROM (
+         |$branches))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to L).map { i =>
+      s"""SELECT w.word, w.freq, w.len AS n_chars, d.np AS n_pieces, d.cost AS cost_bits, d.seg
+         |FROM wl w JOIN dp$i d ON w.word = d.word AND w.len = $i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |pieces AS (SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM words
+       |  CROSS JOIN UNNEST(range(1, ${P + 1})) AS tl(l)
+       |  CROSS JOIN UNNEST(range(1, ${L + 1})) AS ts(s)
+       |  WHERE l <= length(word) AND s + l - 1 <= length(word)
+       |  GROUP BY 1),
+       |ranked AS (SELECT piece, cnt, length(piece) AS pl,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn FROM pieces),
+       |vocab0 AS (SELECT piece, cnt FROM ranked WHERE pl = 1 OR rn <= $UnigramTopV),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab0),
+       |vocab AS (SELECT piece,
+       |    CAST(length(bin(t)) - length(bin(cnt)) AS BIGINT) AS bits
+       |  FROM vocab0 CROSS JOIN tot),
+       |wl AS (SELECT word, freq, CAST(length(word) AS BIGINT) AS len FROM words),
+       |dp0 AS (SELECT word, CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS np, '' AS seg FROM wl),
+       |$steps
+       |$finals
+       |ORDER BY word""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_bpe_merges" -> (bpeMerges _),
     "q125_bpe_encode" -> (bpeEncode _),
-    "q152_tokenizer_fertility" -> (fertility _))
+    "q152_tokenizer_fertility" -> (fertility _),
+    "q185_unigram_segment" -> (unigramSegment _))
 
   val oracles: Map[String, String] = Map(
     "q121_bpe_merges" -> bpeMergesSql,
     "q125_bpe_encode" -> bpeEncodeSql,
-    "q152_tokenizer_fertility" -> fertilitySql)
+    "q152_tokenizer_fertility" -> fertilitySql,
+    "q185_unigram_segment" -> unigramSegmentSql)
 }
