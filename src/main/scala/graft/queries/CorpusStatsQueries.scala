@@ -477,17 +477,86 @@ object CorpusStatsQueries {
        |ORDER BY rules_keep DESC, clf_keep DESC, lm_keep DESC""".stripMargin
   }
 
+  // ---- q187: char-bigram entropy (compressibility proxy) -------------
+
+  /** q187: per-document character-bigram Shannon-entropy surrogate —
+    * the compressibility signal gzip-filtering pipelines threshold on
+    * (low entropy = machine-generated boilerplate / repetition;
+    * abnormally high = encoded junk). The entropy uses the engine-exact
+    * floor-log2 trick throughout (q127's `length(bin(x))` — no
+    * transcendental ln in any compared value): each bigram contributes
+    * `count * (len(bin(T)) - len(bin(count)))` bits, normalized to
+    * milli-bits per bigram. A doc is flagged `low_entropy` below the
+    * integer corpus mean.
+    *
+    * Scale shape: bigram extraction is map-side position math; one
+    * (doc, bigram) hash agg + a doc-keyed rollup; the corpus mean is a
+    * 1-row broadcast. Nothing corpus-wide sorts or windows. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), fold(col("text")).as("s"))
+      .withColumn("len", length(col("s")).cast("long"))
+      .filter(col("len") >= 2)
+    val bg = base
+      .select(col("doc_id"), col("s"), col("len"),
+        explode(sequence(lit(1), (col("len") - 1).cast("int"))).as("i"))
+      .select(col("doc_id"), col("len"),
+        expr("substring(s, i, 2)").as("bg"))
+      .groupBy(col("doc_id"), col("len"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = bg
+      .groupBy(col("doc_id"))
+      .agg(max(col("len") - 1).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * (length(bin(col("len") - 1)) - length(bin(col("c")))).cast("long"))
+          .as("total_bits"))
+      .withColumn("entropy_milli", expr("total_bits * 1000 div n_bigrams"))
+      .withColumn("distinct_e6", expr("n_distinct * 1000000 div n_bigrams"))
+    val mean = perDoc.agg(sum(col("entropy_milli")).as("se"), count(lit(1)).as("n"))
+      .select(expr("se div n").as("mean_entropy_milli"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        col("entropy_milli"), col("distinct_e6"),
+        (col("entropy_milli") < col("mean_entropy_milli")).as("low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String =
+    s"""WITH d AS (SELECT doc_id, $FoldSql AS s FROM documents),
+       |base AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) AS len
+       |  FROM d WHERE length(s) >= 2),
+       |bg AS (SELECT doc_id, len, substr(s, CAST(i AS INT), 2) AS bg,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM base CROSS JOIN UNNEST(range(1, CAST(len AS INT))) AS t(i)
+       |  GROUP BY 1, 2, 3),
+       |pd AS (SELECT doc_id,
+       |    MAX(len - 1) AS n_bigrams,
+       |    COUNT(*) AS n_distinct,
+       |    CAST(SUM(c * (length(bin(len - 1)) - length(bin(c)))) AS BIGINT) AS total_bits
+       |  FROM bg GROUP BY doc_id),
+       |pd2 AS (SELECT doc_id, n_bigrams, n_distinct,
+       |    total_bits * 1000 // n_bigrams AS entropy_milli,
+       |    n_distinct * 1000000 // n_bigrams AS distinct_e6
+       |  FROM pd),
+       |m AS (SELECT CAST(SUM(entropy_milli) AS BIGINT) // COUNT(*) AS mean_entropy_milli FROM pd2)
+       |SELECT doc_id, n_bigrams, n_distinct, entropy_milli, distinct_e6,
+       |  entropy_milli < mean_entropy_milli AS low_entropy
+       |FROM pd2 CROSS JOIN m
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q151_ngram_contamination" -> (ngramContamination _),
     "q153_vocab_growth" -> (vocabGrowth _),
     "q154_embed_anisotropy" -> (embedAnisotropy _),
     "q157_filter_agreement" -> (filterAgreement _),
-    "q160_contamination_sweep" -> (contaminationSweep _))
+    "q160_contamination_sweep" -> (contaminationSweep _),
+    "q187_char_entropy" -> (charEntropy _))
 
   val oracles: Map[String, String] = Map(
     "q151_ngram_contamination" -> ngramContaminationSql,
     "q153_vocab_growth" -> vocabGrowthSql,
     "q154_embed_anisotropy" -> embedAnisotropySql,
     "q157_filter_agreement" -> filterAgreementSql,
-    "q160_contamination_sweep" -> contaminationSweepSql)
+    "q160_contamination_sweep" -> contaminationSweepSql,
+    "q187_char_entropy" -> charEntropySql)
 }

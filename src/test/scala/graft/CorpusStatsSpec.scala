@@ -158,4 +158,38 @@ class CorpusStatsSpec extends SparkSpec {
     assert(row8.getAs[Long]("n_contaminated") ===
       q151.filter(col("verdict") === "contaminated").count())
   }
+
+  test("q187 entropy matches a driver-side bigram transcription") {
+    def foldText(t: String): String = {
+      val hyphens = "-\u2010\u2011\u2012\u2013\u2014\u2015"
+      val noHyphen = t.map(c => if (hyphens.contains(c)) ' ' else c)
+        .filterNot(_ == '\u00ad')
+      java.text.Normalizer.normalize(noHyphen, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "").toLowerCase
+    }
+    def bitsLen(x: Long): Int = java.lang.Long.toBinaryString(x).length
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> foldText(r.getString(1))).filter(_._2.length >= 2)
+    val expected = docs.map { case (id, s) =>
+      val bgs = s.sliding(2).toSeq
+      val t = bgs.length.toLong
+      val counts = bgs.groupBy(identity).view.mapValues(_.size.toLong)
+      val totalBits = counts.values.map(c => c * (bitsLen(t) - bitsLen(c))).sum
+      id -> ((t, counts.size.toLong, totalBits * 1000 / t, counts.size.toLong * 1000000 / t))
+    }.toMap
+    val meanEntropy = expected.values.map(_._3).sum / expected.size
+    val rows = CorpusStatsQueries.charEntropy(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (t, nd, ent, de6) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") === t)
+      assert(r.getAs[Long]("n_distinct") === nd)
+      assert(r.getAs[Long]("entropy_milli") === ent)
+      assert(r.getAs[Long]("distinct_e6") === de6)
+      assert(r.getAs[Boolean]("low_entropy") === (ent < meanEntropy))
+    }
+    assert(rows.exists(_.getAs[Boolean]("low_entropy")))
+    assert(rows.exists(!_.getAs[Boolean]("low_entropy")))
+  }
 }
