@@ -1028,7 +1028,89 @@ object SimilarityQueries {
        |ORDER BY r.vec_id""".stripMargin
   }
 
+  // ---- q188: clustering-quality eval (purity + exact Rand/ARI) ----
+
+  /** q188: external validation of the q69 trained clustering against
+    * the embedding labels — per-cluster size, majority label and e6
+    * purity, plus the corpus Rand index and Adjusted Rand Index from
+    * EXACT integer pair counts (Hubert & Arabie 1985). The standard
+    * "is the quantizer carving real structure" check run before an
+    * IVF layout or a cluster-balanced sample (q173) trusts the
+    * clusters.
+    *
+    * Scale shape: the only corpus-scale work is q69's training itself;
+    * everything after lives on the clusters x labels CONTINGENCY table
+    * (dim-sized by construction — 8x10 here, bounded by k x |labels|
+    * at any corpus size). Pair counts C(n,2) are exact longs; the two
+    * indices are single IEEE divisions of identical integer inputs,
+    * rounded to e6 — no order-dependent float aggregation anywhere. */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = Similarity.kmeans(
+      emb.select(col("vec_id"), col("embedding")), KmeansK, Dim, KmeansIters)
+    val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val cell = Dedup.stage(assigned.join(lab, Seq("vec_id"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("nij")))
+    val byCluster = cell.groupBy(col("cluster"))
+      .agg(sum(col("nij")).as("n"), count(lit(1)).as("n_labels"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("nij").desc, col("label"))
+    val majority = cell.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("majority_label"), col("nij").as("majority_n"))
+    val sij = cell.agg(sum(expr("nij * (nij - 1) div 2")).as("sij"))
+    val sa = cell.groupBy(col("cluster")).agg(sum(col("nij")).as("a"))
+      .agg(sum(expr("a * (a - 1) div 2")).as("sa"), sum(col("a")).as("n_total"))
+    val sb = cell.groupBy(col("label")).agg(sum(col("nij")).as("b"))
+      .agg(sum(expr("b * (b - 1) div 2")).as("sb"))
+    val globals = sij.crossJoin(sa).crossJoin(sb)
+      .withColumn("cn2", expr("n_total * (n_total - 1) div 2"))
+      // Rand: agreeing pairs / all pairs; ARI: chance-corrected — both
+      // single divisions of the same exact integers on either engine
+      .withColumn("rand_e6", expr(
+        "cast(round(((cast(cn2 as double) - sa - sb + 2 * sij) / cast(cn2 as double)) * 1000000.0) as bigint)"))
+      .withColumn("ari_e6", expr(
+        "cast(round(((sij - (cast(sa as double) * sb) / cn2) / ((cast(sa as double) + sb) / 2.0 - (cast(sa as double) * sb) / cn2)) * 1000000.0) as bigint)"))
+      .select(col("n_total"), col("rand_e6"), col("ari_e6"))
+    byCluster.join(majority, Seq("cluster"))
+      .withColumn("purity_e6", expr("majority_n * 1000000 div n"))
+      .crossJoin(broadcast(globals))
+      .select(col("cluster"), col("n"), col("n_labels"),
+        col("majority_label"), col("majority_n"), col("purity_e6"),
+        col("n_total"), col("rand_e6"), col("ari_e6"))
+      .orderBy(col("cluster"))
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH $trainedCentCtes,
+       |cell AS (SELECT a2.cid AS cluster, CAST(e.label AS BIGINT) AS label,
+       |    CAST(COUNT(*) AS BIGINT) AS nij
+       |  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |bycl AS (SELECT cluster, CAST(SUM(nij) AS BIGINT) AS n, COUNT(*) AS n_labels
+       |  FROM cell GROUP BY cluster),
+       |maj AS (SELECT cluster, label AS majority_label, nij AS majority_n FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY nij DESC, label) AS rn
+       |    FROM cell) WHERE rn = 1),
+       |gsij AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sij FROM cell),
+       |gsa AS (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS sa,
+       |    CAST(SUM(a) AS BIGINT) AS n_total
+       |  FROM (SELECT cluster, CAST(SUM(nij) AS BIGINT) AS a FROM cell GROUP BY cluster)),
+       |gsb AS (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS sb
+       |  FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS b FROM cell GROUP BY label)),
+       |g AS (SELECT n_total,
+       |    CAST(ROUND(((CAST(cn2 AS DOUBLE) - sa - sb + 2 * sij) / CAST(cn2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS rand_e6,
+       |    CAST(ROUND(((sij - (CAST(sa AS DOUBLE) * sb) / cn2) / ((CAST(sa AS DOUBLE) + sb) / 2.0 - (CAST(sa AS DOUBLE) * sb) / cn2)) * 1000000.0) AS BIGINT) AS ari_e6
+       |  FROM (SELECT sij, sa, sb, n_total, n_total * (n_total - 1) // 2 AS cn2
+       |    FROM gsij CROSS JOIN gsa CROSS JOIN gsb))
+       |SELECT bycl.cluster, bycl.n, bycl.n_labels,
+       |  maj.majority_label, maj.majority_n,
+       |  maj.majority_n * 1000000 // bycl.n AS purity_e6,
+       |  g.n_total, g.rand_e6, g.ari_e6
+       |FROM bycl JOIN maj ON bycl.cluster = maj.cluster CROSS JOIN g
+       |ORDER BY bycl.cluster""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q188_cluster_purity" -> (clusterPurity _),
     "q156_semdedup" -> (semDedup _),
     "q173_diversity_sample" -> (diversitySample _),
     "q176_jl_distortion" -> (jlDistortion _),
@@ -1049,6 +1131,7 @@ object SimilarityQueries {
     "q96_pq_local_codebooks" -> (pqLocalCodebooks _))
 
   val oracles: Map[String, String] = Map(
+    "q188_cluster_purity" -> clusterPuritySql,
     "q156_semdedup" -> semDedupSql,
     "q173_diversity_sample" -> diversitySampleSql,
     "q176_jl_distortion" -> jlDistortionSql,

@@ -127,6 +127,44 @@ class VectorMiningSpec extends SparkSpec {
     }
   }
 
+  test("q188 purity and Rand/ARI match a driver-side contingency transcription") {
+    import graft.operators.Similarity
+    import graft.queries.SimilarityQueries
+    val emb = Tables.embeddings(spark, sfDir)
+    val assigned = Similarity.kmeans(emb.select(col("vec_id"), col("embedding")),
+      SimilarityQueries.KmeansK, Similarity.Dim, SimilarityQueries.KmeansIters)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = assigned.toSeq.map { case (v, c) => (c, labels(v)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def c2(n: Long) = n * (n - 1) / 2
+    val sij = cells.values.map(c2).sum
+    val aCl = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val bLb = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = aCl.values.sum
+    val (sa, sb, cn2) = (aCl.values.map(c2).sum, bLb.values.map(c2).sum, c2(n))
+    val randE6 = math.round(((cn2.toDouble - sa - sb + 2 * sij) / cn2.toDouble) * 1e6)
+    val exp = sa.toDouble * sb / cn2
+    val ariE6 = math.round(((sij - exp) / ((sa.toDouble + sb) / 2.0 - exp)) * 1e6)
+    val rows = SimilarityQueries.clusterPurity(spark, sfDir).collect()
+    assert(rows.length === aCl.size)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      val inCluster = cells.filter(_._1._1 == c)
+      val (majLabel, majN) = inCluster.toSeq.map { case ((_, l), m) => (l, m) }
+        .minBy { case (l, m) => (-m, l) }
+      assert(r.getAs[Long]("n") === aCl(c))
+      assert(r.getAs[Long]("n_labels") === inCluster.size.toLong)
+      assert(r.getAs[Long]("majority_label") === majLabel)
+      assert(r.getAs[Long]("majority_n") === majN)
+      assert(r.getAs[Long]("purity_e6") === majN * 1000000L / aCl(c))
+      assert(r.getAs[Long]("n_total") === n)
+      assert(r.getAs[Long]("rand_e6") === randE6)
+      assert(r.getAs[Long]("ari_e6") === ariE6)
+    }
+  }
+
   test("q183 edges match a row_number window over the same candidates") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Similarity.cosinePairsLsh(emb, -2.0)
