@@ -43,14 +43,21 @@ object VectorMiningQueries {
     * in-degree/reciprocity joins touch only the n*k edge table, keyed
     * by vec_id. Exactly the candidate+rank recipe an HNSW/NSG builder
     * distributes at 100 TB. */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** The staged directed k-NN edge table (src, dst, cos_e6, rnk) —
+    * shared by the graph audit (q183) and the triangle count (q189). */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     // threshold -2 keeps every scored candidate (cos >= -1 always)
     val pairs = Dedup.stage(Similarity.cosinePairsLsh(emb, -2.0))
     val both = pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_e6"))
       .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_e6")))
-    val edges = Dedup.stage(Plans.topKPerKeyRanked(both, Seq(both("src")),
+    Dedup.stage(Plans.topKPerKeyRanked(both, Seq(both("src")),
       Seq((both("cos_e6"), true), (both("dst"), false)), KnnK, "rnk"))
+  }
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val edges = knnEdges(s, dir)
     val outd = edges.groupBy(col("src")).agg(
       count(lit(1)).as("degree"), sum(col("cos_e6")).as("sum_cos_e6"))
     val ind = edges.groupBy(col("dst").as("src")).agg(count(lit(1)).as("in_degree"))
@@ -74,12 +81,14 @@ object VectorMiningQueries {
       .orderBy(col("vec_id"))
   }
 
-  val knnGraphSql: String = {
+  /** The CTE prefix ending in `edges(src, dst, cos_e6, rnk)` — the
+    * SQL twin of [[knnEdges]], shared by the q183 and q189 oracles. */
+  private def knnEdgesCtes: String = {
     val dotAB = dotSql("a.emb_a", "b.emb_b", Dim)
     val bandSelects = (0 until Similarity.NeardupBands).map { b =>
       s"SELECT vec_id, $b AS band_id, ${Similarity.neardupBandSql("embedding", b)} AS band_val FROM base"
     }.mkString("\nUNION ALL\n")
-    s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm FROM embeddings),
+    s"""base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm FROM embeddings),
        |banded AS (
        |$bandSelects),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -92,10 +101,14 @@ object VectorMiningQueries {
        |  JOIN (SELECT vec_id AS vec_id_b, embedding AS emb_b, nrm AS norm_b FROM base) b USING (vec_id_b)),
        |both_dir AS (SELECT vec_id_a AS src, vec_id_b AS dst, cos_e6 FROM pairs
        |  UNION ALL SELECT vec_id_b AS src, vec_id_a AS dst, cos_e6 FROM pairs),
-       |edges AS (SELECT src, dst, cos_e6, rnk FROM (
+       |edges AS MATERIALIZED (SELECT src, dst, cos_e6, rnk FROM (
        |    SELECT src, dst, cos_e6,
        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_e6 DESC, dst) AS rnk
-       |    FROM both_dir) WHERE rnk <= $KnnK),
+       |    FROM both_dir) WHERE rnk <= $KnnK)""".stripMargin
+  }
+
+  val knnGraphSql: String = {
+    s"""WITH $knnEdgesCtes,
        |outd AS (SELECT src, COUNT(*) AS degree,
        |    CAST(SUM(cos_e6) AS BIGINT) AS sum_cos_e6 FROM edges GROUP BY src),
        |ind AS (SELECT dst AS src, COUNT(*) AS in_degree FROM edges GROUP BY dst),
@@ -317,13 +330,122 @@ object VectorMiningQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q189: triangle count / clustering coefficient ----
+
+  /** q189: triangles and local clustering coefficients of the
+    * (undirected) k-NN graph — the manifold-structure audit: a high
+    * coefficient says neighborhoods are locally flat (neighbors of
+    * neighbors are neighbors — embeddings lie on a manifold), a low
+    * one says the metric is noise; and the triangle distribution is
+    * the standard input to graph-index navigability analysis.
+    *
+    * Scale shape: the classic degree-ordered orientation (Schank &
+    * Wagner's forward algorithm): each undirected edge points from its
+    * (degree, id)-smaller endpoint to the larger, so every triangle is
+    * counted exactly once at its smallest corner and — the part that
+    * matters at 100 TB — a high-degree hub has its edges oriented
+    * AWAY, bounding every adjacency list the wedge join touches by
+    * O(sqrt(edges)) instead of the hub degree. Wedge build and closure
+    * are two self-joins on vertex keys; per-corner counts explode each
+    * triangle to its three corners. */
+  def knnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val edges = knnEdges(s, dir)
+    val und = Dedup.stage(edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val deg = Dedup.stage(und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    // orient a<->b toward the (deg, id)-larger endpoint
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = Dedup.stage(withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("dv")))
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), Seq("u"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val tris = Dedup.stage(wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y")))
+    val perNode = tris.select(col("u").as("node"))
+      .union(tris.select(col("x").as("node")))
+      .union(tris.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val globals = tris.agg(count(lit(1)).as("total_triangles"))
+      .crossJoin(deg.agg(sum(expr("deg * (deg - 1) div 2")).as("total_wedges")))
+      .withColumn("transitivity_e6", expr(
+        "cast(round((3.0 * total_triangles / cast(total_wedges as double)) * 1000000.0) as bigint)"))
+    emb.select(col("vec_id").as("node"))
+      .join(deg, Seq("node"), "left")
+      .join(perNode, Seq("node"), "left")
+      .select(col("node").as("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc_e6",
+        when(col("degree") >= 2,
+          expr("triangles * 2000000 div (degree * (degree - 1))")).otherwise(lit(0L)))
+      .crossJoin(broadcast(globals))
+      .select(col("vec_id"), col("degree"), col("triangles"), col("lcc_e6"),
+        col("total_triangles"), col("total_wedges"), col("transitivity_e6"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnTrianglesSql: String =
+    s"""WITH $knnEdgesCtes,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+       |deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+       |  GROUP BY node),
+       |oriented AS MATERIALIZED (SELECT u, v, dv FROM (
+       |    SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+       |           CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+       |    FROM und
+       |    JOIN (SELECT node AS a, deg AS da FROM deg) USING (a)
+       |    JOIN (SELECT node AS b, deg AS db FROM deg) USING (b))
+       |  JOIN (SELECT node AS v, deg AS dv FROM deg) USING (v)),
+       |wedges AS (SELECT w1.u, w1.v AS x, w2.v AS y
+       |  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+       |  WHERE w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v)),
+       |tris AS MATERIALIZED (SELECT w.u, w.x, w.y
+       |  FROM wedges w JOIN oriented o ON o.u = w.x AND o.v = w.y),
+       |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+       |    SELECT u AS node FROM tris UNION ALL SELECT x AS node FROM tris
+       |    UNION ALL SELECT y AS node FROM tris)
+       |  GROUP BY node),
+       |g AS (SELECT total_triangles, total_wedges,
+       |    CAST(ROUND((3.0 * total_triangles / CAST(total_wedges AS DOUBLE)) * 1000000.0) AS BIGINT) AS transitivity_e6
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tris)
+       |  CROSS JOIN (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS total_wedges FROM deg))
+       |SELECT e.vec_id,
+       |  COALESCE(deg.deg, 0) AS degree,
+       |  COALESCE(pn.triangles, 0) AS triangles,
+       |  CASE WHEN COALESCE(deg.deg, 0) >= 2
+       |    THEN COALESCE(pn.triangles, 0) * 2000000 // (deg.deg * (deg.deg - 1))
+       |    ELSE 0 END AS lcc_e6,
+       |  g.total_triangles, g.total_wedges, g.transitivity_e6
+       |FROM (SELECT vec_id FROM embeddings) e
+       |LEFT JOIN deg ON e.vec_id = deg.node
+       |LEFT JOIN pn ON e.vec_id = pn.node
+       |CROSS JOIN g
+       |ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q183_knn_graph" -> (knnGraph _),
     "q184_mmr_rerank" -> (mmrRerank _),
-    "q186_hard_negatives" -> (hardNegatives _))
+    "q186_hard_negatives" -> (hardNegatives _),
+    "q189_knn_triangles" -> (knnTriangles _))
 
   val oracles: Map[String, String] = Map(
     "q183_knn_graph" -> knnGraphSql,
     "q184_mmr_rerank" -> mmrRerankSql,
-    "q186_hard_negatives" -> hardNegativesSql)
+    "q186_hard_negatives" -> hardNegativesSql,
+    "q189_knn_triangles" -> knnTrianglesSql)
 }

@@ -165,6 +165,46 @@ class VectorMiningSpec extends SparkSpec {
     }
   }
 
+  test("q189 triangles match a driver-side brute-force count") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = Similarity.cosinePairsLsh(emb, -2.0)
+    val both = pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_e6"))
+      .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_e6")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_e6").desc, col("dst"))
+    val und = both.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= VectorMiningQueries.KnnK)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (und.toSeq ++ und.toSeq.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // brute-force: count triangles per node by neighbor-pair closure
+    val triOf = adj.map { case (n, nb) =>
+      val nbs = nb.toSeq.sorted
+      n -> (for {
+        i <- nbs.indices; j <- (i + 1) until nbs.length
+        if und.contains((math.min(nbs(i), nbs(j)), math.max(nbs(i), nbs(j))))
+      } yield 1).size.toLong
+    }
+    val totalTri = triOf.values.sum / 3
+    val totalWedges = adj.values.map(nb => nb.size.toLong * (nb.size - 1) / 2).sum
+    val rows = VectorMiningQueries.knnTriangles(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val deg = adj.get(id).map(_.size.toLong).getOrElse(0L)
+      val tri = triOf.getOrElse(id, 0L)
+      assert(r.getAs[Long]("degree") === deg, s"degree of $id")
+      assert(r.getAs[Long]("triangles") === tri, s"triangles of $id")
+      val lcc = if (deg >= 2) tri * 2000000L / (deg * (deg - 1)) else 0L
+      assert(r.getAs[Long]("lcc_e6") === lcc)
+      assert(r.getAs[Long]("total_triangles") === totalTri)
+      assert(r.getAs[Long]("total_wedges") === totalWedges)
+    }
+    assert(totalTri > 0, "the similarity graph must close some triangles")
+  }
+
   test("q183 edges match a row_number window over the same candidates") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Similarity.cosinePairsLsh(emb, -2.0)
