@@ -156,13 +156,20 @@ object Similarity {
     * completeness of the quadratic scan (impossible at 100 TB) for
     * bounded work, the standard LSH contract (same shape as q23's
     * MinHash bands). */
+  /** Exploded multi-band signature rows (idCol, band_id, band_val) —
+    * the near-dup banding as data, for index builds (batch or
+    * streaming) that persist and probe the bands separately. */
+  def neardupBandRows(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val bandStructs = (0 until NeardupBands).map(b =>
+      struct(lit(b).as("band_id"), neardupBandCol(embCol, b).as("band_val")))
+    df.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+  }
+
   def cosinePairsLsh(vecs: DataFrame, threshold: Double): DataFrame = {
     val base = vecs.select(col("vec_id"), col("embedding")).withColumn("nrm", norm(col("embedding")))
-    val bandStructs = (0 until NeardupBands).map(b =>
-      struct(lit(b).as("band_id"), neardupBandCol("embedding", b).as("band_val")))
-    val banded = base
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_id"), col("band.band_val"))
+    val banded = neardupBandRows(base, "vec_id", "embedding")
     val cand = banded.select(col("vec_id").as("vec_id_a"), col("band_id"), col("band_val"))
       .join(banded.select(col("vec_id").as("vec_id_b"), col("band_id"), col("band_val")),
         Seq("band_id", "band_val"))

@@ -55,9 +55,10 @@ object VectorMiningQueries {
       Seq((both("cos_e6"), true), (both("dst"), false)), KnnK, "rnk"))
   }
 
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val edges = knnEdges(s, dir)
+  /** The per-node audit over a ranked edge table (src, dst, cos_e6,
+    * rnk) and a node list — shared by q183 and the streaming fold
+    * (StreamingKnnGraph replays to exactly this). */
+  def knnAudit(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(
       count(lit(1)).as("degree"), sum(col("cos_e6")).as("sum_cos_e6"))
     val ind = edges.groupBy(col("dst").as("src")).agg(count(lit(1)).as("in_degree"))
@@ -67,7 +68,7 @@ object VectorMiningQueries {
       .groupBy(col("src")).agg(count(lit(1)).as("recip_edges"))
     val top1 = edges.filter(col("rnk") === 1L)
       .select(col("src"), col("dst").as("top1_id"), col("cos_e6").as("top1_cos_e6"))
-    emb.select(col("vec_id").as("src"))
+    nodes.select(col("vec_id").as("src"))
       .join(outd, Seq("src"), "left")
       .join(ind, Seq("src"), "left")
       .join(rec, Seq("src"), "left")
@@ -80,6 +81,9 @@ object VectorMiningQueries {
         coalesce(col("sum_cos_e6"), lit(0L)).as("sum_cos_e6"))
       .orderBy(col("vec_id"))
   }
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnAudit(Tables.embeddings(s, dir), knnEdges(s, dir))
 
   /** The CTE prefix ending in `edges(src, dst, cos_e6, rnk)` — the
     * SQL twin of [[knnEdges]], shared by the q183 and q189 oracles. */

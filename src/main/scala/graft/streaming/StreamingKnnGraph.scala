@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import graft.plans.Plans
+import graft.queries.VectorMiningQueries
+
+/** Incremental k-NN graph maintenance — the streaming form of q183,
+  * the index-build side of ANN ingest: as vectors arrive, the
+  * candidate edge set of the graph grows EXACTLY as the batch build
+  * would have grown it, so the graph audit can be refreshed at any
+  * point without rescanning the corpus.
+  *
+  * Each micro-batch: (1) band-signature the arrivals (the shared q25
+  * multi-band family), (2) probe the historical band index plus the
+  * batch's own bands with one (band_id, band_val) equi-join, (3)
+  * score every candidate pair ONCE — exactly in the batch where its
+  * later member arrives — via a vec_id-keyed join against the
+  * persisted vector table, and append the scored edges (both
+  * directions) to the edge log, (4) append the arrivals' bands and
+  * vectors to the state. Because bands depend only on content, the
+  * union of all batches' candidate pairs IS the batch q183 candidate
+  * set on the union corpus, each pair exactly once — so folding the
+  * edge log through the same bounded top-k + audit reproduces batch
+  * q183 bit-for-bit under ANY batching (spec-pinned).
+  *
+  * Scale shape: state is two append-only PARQUET tables — the band
+  * index keyed by (band_id, band_val) and the normalized vector
+  * table keyed by vec_id — corpus-sized state on disk, not in the
+  * state store; per-batch cost is a banded index seek plus a
+  * pair-keyed score join whose left side is one micro-batch
+  * (broadcastable). The fold's top-k runs through TopKPerKeyExec
+  * bounded heaps, and the top-k of a growing edge set is refreshable
+  * from the log alone: top-k(old ∪ new) = top-k(top-k(old) ∪ new). */
+class StreamingKnnGraph(val stateDir: String) {
+
+  private def bandsDir = s"$stateDir/bands"
+  private def vecsDir = s"$stateDir/vecs"
+
+  private val bandSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("band_id", IntegerType),
+    StructField("band_val", LongType)))
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("nrm", org.apache.spark.sql.types.DoubleType)))
+
+  private def readOrEmpty(s: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val d = new java.io.File(dir)
+    val hasData = d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+    if (hasData) s.read.schema(schema).parquet(dir)
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+  }
+
+  def historicalBands(s: SparkSession): DataFrame = readOrEmpty(s, bandsDir, bandSchema)
+  def historicalVecs(s: SparkSession): DataFrame = readOrEmpty(s, vecsDir, vecSchema)
+
+  /** One micro-batch: returns this batch's scored directed edge deltas
+    * (src, dst, cos_e6 — both directions of each new candidate pair)
+    * and appends the arrivals' bands and vectors to the state. Deltas
+    * are materialized BEFORE the append so the probe never sees its
+    * own output. */
+  def processBatch(arrivals: DataFrame): DataFrame = {
+    val s = arrivals.sparkSession
+    val newVecs = arrivals.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .localCheckpoint()
+    val newBands = Similarity.neardupBandRows(newVecs, "vec_id", "embedding")
+      .select(col("vec_id"), col("band_id").cast("int"), col("band_val"))
+      .localCheckpoint()
+    val targetBands = historicalBands(s).unionByName(newBands)
+    val cand = newBands.select(col("vec_id").as("p_id"), col("band_id"), col("band_val"))
+      .join(targetBands.select(col("vec_id").as("t_id"), col("band_id"), col("band_val")),
+        Seq("band_id", "band_val"))
+      .filter(col("p_id") =!= col("t_id"))
+      .select(least(col("p_id"), col("t_id")).as("vec_id_a"),
+        greatest(col("p_id"), col("t_id")).as("vec_id_b"))
+      .distinct()
+    val allVecs = historicalVecs(s).unionByName(newVecs)
+    val scored = cand
+      .join(allVecs.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("norm_a")), Seq("vec_id_a"))
+      .join(allVecs.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("norm_b")), Seq("vec_id_b"))
+      .withColumn("cos_e6",
+        e6(cosineFrom(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b"))))
+    val edges = scored.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_e6"))
+      .union(scored.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_e6")))
+      .localCheckpoint()
+    newBands.write.mode("append").parquet(bandsDir)
+    newVecs.write.mode("append").parquet(vecsDir)
+    edges
+  }
+
+  /** Fold an edge log into the current graph audit — exactly q183's
+    * output on the vectors ingested so far. */
+  def graphAudit(s: SparkSession, edgeLogDir: String): DataFrame = {
+    val log = s.read.parquet(edgeLogDir)
+    val ranked = Plans.topKPerKeyRanked(log, Seq(log("src")),
+      Seq((log("cos_e6"), true), (log("dst"), false)), VectorMiningQueries.KnnK, "rnk")
+    VectorMiningQueries.knnAudit(
+      historicalVecs(s).select(col("vec_id")), ranked)
+  }
+
+  /** Drive an embedding stream through foreachBatch, appending each
+    * batch's edge deltas to `edgeLogDir`. */
+  def run(stream: DataFrame, edgeLogDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch).write.mode("append").parquet(edgeLogDir)
+        ()
+      }
+      .start()
+}
