@@ -261,6 +261,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q181 CDC chunking is windowless; chunk-hash agg is partial") {
+    val p = plan(graft.queries.CdcQueries.cdcChunks(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q183/q189 graph audits are window- and cartesian-free") {
+    // the edge ranking itself runs through TopKPerKeyExec inside the
+    // staged (localCheckpointed) build — asserted by the q26 test on
+    // the shared helper; here the downstream audit must add no corpus
+    // window and no cartesian product
+    for (df <- Seq(
+        graft.queries.VectorMiningQueries.knnGraph(spark, sfDir),
+        graft.queries.VectorMiningQueries.knnTriangles(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q184 MMR greedy rounds add no corpus window") {
+    // shortlist + per-pick argmaxes run through bounded heaps inside
+    // staged builds; the composed plan must stay window-free
+    val p = plan(graft.queries.VectorMiningQueries.mmrRerank(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q185 unigram DP joins the vocabulary broadcast") {
+    val p = plan(graft.queries.TokenizerQueries.unigramSegment(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q147 gram argmin is a HashAggregate; only doc-grain windows") {
     val p = plan(graft.queries.CorpusOpsQueries.exactSubstr(spark, sfDir))
     // packed-long min keeps the gram stats in HashAggregate with
