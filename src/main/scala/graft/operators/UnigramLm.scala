@@ -68,9 +68,14 @@ object UnigramLm {
   def viterbiSegment(words: DataFrame, vocab: DataFrame): DataFrame = {
     val w = Dedup.stage(words.withColumn("len", length(col("word")).cast("long")))
     val vb = broadcast(vocab.select(col("piece"), col("bits")))
+    // rounds beyond the longest word are dead joins — the probe is a
+    // 1-row dictionary-sized collect (the BPE argmax precedent), and
+    // MaxWordLen stays the contract bound the oracle unrolls to
+    val maxLen = math.min(MaxWordLen,
+      w.agg(max(col("len"))).collect()(0).getLong(0).toInt)
     var dp = Dedup.stage(w.select(col("word"), lit(0L).as("pos"),
       lit(0L).as("cost"), lit(0L).as("np"), lit("").as("seg")))
-    for (i <- 1 to MaxWordLen) {
+    for (i <- 1 to maxLen) {
       val cand = dp
         .filter(col("pos") >= lit((i - MaxPieceLen).toLong) && col("pos") <= lit((i - 1).toLong))
         .join(w.select(col("word"), col("len")), Seq("word"))
