@@ -8,6 +8,7 @@ import graft.Tables
 import graft.functions.GraftFunctions.tokenShingles
 import graft.functions.TextFunctions.{fold, tokens}
 import graft.operators.Similarity
+import graft.plans.Plans
 
 /** Corpus-level measurement operators a pretraining pipeline runs
   * before freezing a data mix, extending SURVEY.md §2 layers D′/E:
@@ -544,7 +545,132 @@ object CorpusStatsQueries {
        |FROM pd2 CROSS JOIN m
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q190: token burstiness (dispersion index) ---------------------
+
+  val BurstTopK = 32
+  val BurstVmrE6 = 2000000L // D > 2 — clearly over-dispersed
+
+  /** q190: per-token BURSTINESS — the variance-to-mean dispersion index
+    * of a token's per-document counts (over ALL docs, zeros included):
+    * D ≈ 1 is Poisson scatter (function words), D >> 1 is bursty
+    * content vocabulary that clumps into few docs — the
+    * term-weighting / stopword-detection signal IDF alone cannot see
+    * (two tokens with identical df can differ 10x in D). Reported for
+    * the top-`BurstTopK` tokens by corpus count; D comes from three
+    * exact longs (Σc, Σc², N) as `Σc²/Σc − Σc/N` — two IEEE divisions
+    * in fixed order, rounded to e6.
+    *
+    * Scale shape: one (doc, tok) hash agg (partial-agg friendly), one
+    * token-keyed rollup carrying (df, Σc, Σc²), the top-k through a
+    * constant-key bounded heap (the q129 vocab pick — nothing
+    * corpus-sized sorts), and N is a 1-row broadcast. */
+  def tokenBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(fold(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tokStats = docTok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cnt"),
+        sum(col("c") * col("c")).as("s2"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val g = tokStats.withColumn("g", lit(1))
+    Plans.topKPerKeyRanked(g, Seq(g("g")),
+      Seq((g("cnt"), true), (g("tok"), false)), BurstTopK, "rnk")
+      .crossJoin(broadcast(n))
+      .withColumn("df_e6", expr("df * 1000000 div n_docs"))
+      .withColumn("vmr_e6", expr(
+        "cast(round((cast(s2 as double) / cnt - cast(cnt as double) / n_docs) * 1000000.0) as bigint)"))
+      .select(col("rnk"), col("tok"), col("df"), col("cnt"), col("s2"),
+        col("n_docs"), col("df_e6"), col("vmr_e6"),
+        (col("vmr_e6") > BurstVmrE6).as("bursty"))
+      .orderBy(col("rnk"))
+  }
+
+  val tokenBurstinessSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+       |ts AS (SELECT tok, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS cnt,
+       |    CAST(SUM(c * c) AS BIGINT) AS s2
+       |  FROM dt GROUP BY tok),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |top AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM ts)
+       |SELECT rnk, tok, df, cnt, s2, n_docs,
+       |  df * 1000000 // n_docs AS df_e6,
+       |  CAST(ROUND((CAST(s2 AS DOUBLE) / cnt - CAST(cnt AS DOUBLE) / n_docs) * 1000000.0) AS BIGINT) AS vmr_e6,
+       |  CAST(ROUND((CAST(s2 AS DOUBLE) / cnt - CAST(cnt AS DOUBLE) / n_docs) * 1000000.0) AS BIGINT) > $BurstVmrE6 AS bursty
+       |FROM top CROSS JOIN n
+       |WHERE rnk <= $BurstTopK
+       |ORDER BY rnk""".stripMargin
+
+  // ---- q191: per-source quality-percentile normalization -------------
+
+  /** q191: rank-normalization of a quality signal WITHIN each source —
+    * the step a multi-source mix runs before thresholding, because raw
+    * scores aren't comparable across sources (one site's median is
+    * another's tail). Each doc gets its source-local cumulative
+    * percentile (cume_dist) of the q187 entropy score.
+    *
+    * Scale shape: the textbook plan is `cume_dist() OVER (PARTITION BY
+    * source ORDER BY score)` — a corpus-wide sort with one task per
+    * source, the q74 anti-shape. Instead: scores are INTEGER
+    * (milli-bits), so the distribution lives on the (source, score)
+    * dim table — one hash agg, a window over the score DIM within
+    * source (bounded by score resolution, not corpus size), and a
+    * broadcast join back. Identical percentiles, no corpus window. */
+  def qualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = charEntropy(s, dir).select(col("doc_id"), col("entropy_milli"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(score, Seq("doc_id"))
+    val dim = docs.groupBy(col("source"), col("entropy_milli"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("entropy_milli"))
+    val cum = dim
+      .withColumn("n_le", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_source", sum(col("c")).over(
+        Window.partitionBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("entropy_milli"), col("n_le"), col("n_source"))
+    docs.join(broadcast(cum), Seq("source", "entropy_milli"))
+      .withColumn("pct_e6", expr("n_le * 1000000 div n_source"))
+      .select(col("doc_id"), col("source"), col("entropy_milli"),
+        col("n_le"), col("n_source"), col("pct_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityPercentileSql: String =
+    s"""WITH d0 AS (SELECT doc_id, $FoldSql AS s FROM documents),
+       |base AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) AS len
+       |  FROM d0 WHERE length(s) >= 2),
+       |bg AS (SELECT doc_id, len, substr(s, CAST(i AS INT), 2) AS bg,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM base CROSS JOIN UNNEST(range(1, CAST(len AS INT))) AS t(i)
+       |  GROUP BY 1, 2, 3),
+       |pd AS (SELECT doc_id,
+       |    MAX(len - 1) AS n_bigrams,
+       |    CAST(SUM(c * (length(bin(len - 1)) - length(bin(c)))) AS BIGINT) AS total_bits
+       |  FROM bg GROUP BY doc_id),
+       |sc AS (SELECT doc_id, total_bits * 1000 // n_bigrams AS entropy_milli FROM pd),
+       |docs AS (SELECT d.doc_id, d.source, sc.entropy_milli
+       |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+       |dim AS (SELECT source, entropy_milli, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM docs GROUP BY source, entropy_milli),
+       |cum AS (SELECT source, entropy_milli,
+       |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY entropy_milli
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le,
+       |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_source
+       |  FROM dim)
+       |SELECT docs.doc_id, docs.source, docs.entropy_milli,
+       |  cum.n_le, cum.n_source,
+       |  cum.n_le * 1000000 // cum.n_source AS pct_e6
+       |FROM docs JOIN cum
+       |  ON docs.source = cum.source AND docs.entropy_milli = cum.entropy_milli
+       |ORDER BY docs.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q190_token_burstiness" -> (tokenBurstiness _),
+    "q191_quality_percentile" -> (qualityPercentile _),
     "q151_ngram_contamination" -> (ngramContamination _),
     "q153_vocab_growth" -> (vocabGrowth _),
     "q154_embed_anisotropy" -> (embedAnisotropy _),
@@ -553,6 +679,8 @@ object CorpusStatsQueries {
     "q187_char_entropy" -> (charEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q190_token_burstiness" -> tokenBurstinessSql,
+    "q191_quality_percentile" -> qualityPercentileSql,
     "q151_ngram_contamination" -> ngramContaminationSql,
     "q153_vocab_growth" -> vocabGrowthSql,
     "q154_embed_anisotropy" -> embedAnisotropySql,

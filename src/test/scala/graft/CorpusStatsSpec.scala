@@ -192,4 +192,54 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("low_entropy")))
     assert(rows.exists(!_.getAs[Boolean]("low_entropy")))
   }
+
+  test("q190 burstiness matches a driver-side dispersion transcription") {
+    def foldText(t: String): String = {
+      val hyphens = "-\u2010\u2011\u2012\u2013\u2014\u2015"
+      val noHyphen = t.map(c => if (hyphens.contains(c)) ' ' else c)
+        .filterNot(_ == '\u00ad')
+      java.text.Normalizer.normalize(noHyphen, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "").toLowerCase
+    }
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> foldText(r.getString(1)).trim.split("\\s+").toSeq)
+    val nDocs = docs.length.toLong
+    val perTok = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues { occ =>
+        val byDoc = occ.groupBy(_._2).view.mapValues(_.size.toLong).values.toSeq
+        (byDoc.size.toLong, byDoc.sum, byDoc.map(c => c * c).sum)
+      }.toMap
+    val top = perTok.toSeq.sortBy { case (t, (_, c, _)) => (-c, t) }
+      .take(CorpusStatsQueries.BurstTopK)
+    val rows = CorpusStatsQueries.tokenBurstiness(spark, sfDir).collect()
+    assert(rows.length === math.min(CorpusStatsQueries.BurstTopK, perTok.size))
+    rows.zip(top).foreach { case (r, (tok, (df, cnt, s2))) =>
+      assert(r.getAs[String]("tok") === tok)
+      assert(r.getAs[Long]("df") === df)
+      assert(r.getAs[Long]("cnt") === cnt)
+      assert(r.getAs[Long]("s2") === s2)
+      val vmr = math.round((s2.toDouble / cnt - cnt.toDouble / nDocs) * 1e6)
+      assert(r.getAs[Long]("vmr_e6") === vmr, s"vmr of $tok")
+      assert(r.getAs[Boolean]("bursty") === (vmr > CorpusStatsQueries.BurstVmrE6))
+    }
+  }
+
+  test("q191 percentiles equal a per-source cume_dist over the score") {
+    val rows = CorpusStatsQueries.qualityPercentile(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, g) =>
+      val n = g.length.toLong
+      g.foreach { r =>
+        val score = r.getAs[Long]("entropy_milli")
+        val nLe = g.count(_.getAs[Long]("entropy_milli") <= score).toLong
+        assert(r.getAs[Long]("n_source") === n)
+        assert(r.getAs[Long]("n_le") === nLe)
+        assert(r.getAs[Long]("pct_e6") === nLe * 1000000L / n)
+      }
+      // the per-source max always sits at exactly 100%
+      assert(g.map(_.getAs[Long]("pct_e6")).max === 1000000L)
+    }
+    assert(bySource.size > 1, "percentiles must be per-source to mean anything")
+  }
 }
