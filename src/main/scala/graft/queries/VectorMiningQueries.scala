@@ -441,15 +441,122 @@ object VectorMiningQueries {
        |CROSS JOIN g
        |ORDER BY e.vec_id""".stripMargin
 
+  // ---- q192: 2-core peeling of the k-NN graph ----
+
+  val CoreK = 2
+  val PeelRounds = 6
+
+  /** q192: k-core decomposition (k=2, synchronized peeling) of the
+    * undirected k-NN graph — the dense-region membership signal: a
+    * node outside the 2-core hangs off the similarity structure by a
+    * tendril (its neighborhood never closes), while 2-core members sit
+    * in genuinely dense semantic regions (the SemDeDup-adjacent
+    * "paraphrase mass"). Emits each node's original degree, the peel
+    * round that removed it (0 = survived — coreness depth as a
+    * signal), and its residual degree inside the core.
+    *
+    * Scale shape: the third iterative-graph genre next to PageRank
+    * (q138) and min-label components (q67) — synchronized PEELING:
+    * each of the `PeelRounds` fixed rounds is one degree hash-agg +
+    * two vec_id-keyed anti-joins on the shrinking edge set, staged per
+    * round (the q67 lineage recipe). Rounds are FIXED on both engines
+    * (the fixpoint arrives in 2-3 rounds here; later rounds are
+    * no-ops) so the oracle unrolls the identical schedule. */
+  def knnKcore(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val und0 = Dedup.stage(knnEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val deg0 = und0.select(col("a").as("node")).union(und0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg0"))
+    var edges = und0
+    // peeling needs an explicit ALIVE set: a node whose last edge
+    // vanishes because its neighbor dropped would otherwise never
+    // appear in a degree table again and would silently "survive"
+    var alive = Dedup.stage(deg0.select(col("node")))
+    var removed = s.emptyDataFrame
+    var removedInit = false
+    for (round <- 1 to PeelRounds) {
+      val deg = edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val drop = alive.join(deg, Seq("node"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < CoreK)
+        .select(col("node"), lit(round.toLong).as("removed_round"))
+      edges = Dedup.stage(edges
+        .join(drop.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(drop.select(col("node").as("b")), Seq("b"), "left_anti"))
+      alive = Dedup.stage(alive.join(drop, Seq("node"), "left_anti"))
+      removed = if (!removedInit) { removedInit = true; Dedup.stage(drop) }
+        else Dedup.stage(removed.unionByName(drop))
+    }
+    val coreDeg = edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    emb.select(col("vec_id").as("node"))
+      .join(deg0, Seq("node"), "left")
+      .join(removed, Seq("node"), "left")
+      .join(coreDeg, Seq("node"), "left")
+      .select(col("node").as("vec_id"),
+        coalesce(col("deg0"), lit(0L)).as("degree"),
+        coalesce(col("removed_round"),
+          when(col("deg0").isNull, 1L).otherwise(0L)).as("removed_round"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        (coalesce(col("removed_round"), lit(0L)) === 0L && col("deg0").isNotNull)
+          .as("in_core"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnKcoreSql: String = {
+    val rounds = (1 to PeelRounds).map { r =>
+      s"""deg$r AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS node FROM e${r - 1} UNION ALL SELECT b AS node FROM e${r - 1})
+         |  GROUP BY node),
+         |drop$r AS (SELECT al.node, CAST($r AS BIGINT) AS removed_round
+         |  FROM alive${r - 1} al LEFT JOIN deg$r dg ON al.node = dg.node
+         |  WHERE COALESCE(dg.d, 0) < $CoreK),
+         |alive$r AS MATERIALIZED (SELECT al.node FROM alive${r - 1} al
+         |  WHERE NOT EXISTS (SELECT 1 FROM drop$r x WHERE x.node = al.node)),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         |  WHERE NOT EXISTS (SELECT 1 FROM drop$r x WHERE x.node = e.a)
+         |    AND NOT EXISTS (SELECT 1 FROM drop$r y WHERE y.node = e.b))""".stripMargin
+    }.mkString(",\n")
+    val allDrops = (1 to PeelRounds)
+      .map(r => s"SELECT * FROM drop$r").mkString("\nUNION ALL\n")
+    s"""WITH $knnEdgesCtes,
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+       |deg0t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg0 FROM (
+       |    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+       |  GROUP BY node),
+       |alive0 AS (SELECT node FROM deg0t),
+       |$rounds,
+       |removed AS (
+       |$allDrops),
+       |coredeg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+       |    SELECT a AS node FROM e$PeelRounds UNION ALL SELECT b AS node FROM e$PeelRounds)
+       |  GROUP BY node)
+       |SELECT v.vec_id,
+       |  COALESCE(deg0t.deg0, 0) AS degree,
+       |  COALESCE(removed.removed_round,
+       |    CASE WHEN deg0t.node IS NULL THEN 1 ELSE 0 END) AS removed_round,
+       |  COALESCE(coredeg.core_deg, 0) AS core_deg,
+       |  COALESCE(removed.removed_round, 0) = 0 AND deg0t.node IS NOT NULL AS in_core
+       |FROM (SELECT vec_id FROM embeddings) v
+       |LEFT JOIN deg0t ON v.vec_id = deg0t.node
+       |LEFT JOIN removed ON v.vec_id = removed.node
+       |LEFT JOIN coredeg ON v.vec_id = coredeg.node
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q183_knn_graph" -> (knnGraph _),
     "q184_mmr_rerank" -> (mmrRerank _),
     "q186_hard_negatives" -> (hardNegatives _),
-    "q189_knn_triangles" -> (knnTriangles _))
+    "q189_knn_triangles" -> (knnTriangles _),
+    "q192_knn_kcore" -> (knnKcore _))
 
   val oracles: Map[String, String] = Map(
     "q183_knn_graph" -> knnGraphSql,
     "q184_mmr_rerank" -> mmrRerankSql,
     "q186_hard_negatives" -> hardNegativesSql,
-    "q189_knn_triangles" -> knnTrianglesSql)
+    "q189_knn_triangles" -> knnTrianglesSql,
+    "q192_knn_kcore" -> knnKcoreSql)
 }

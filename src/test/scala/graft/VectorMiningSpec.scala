@@ -205,6 +205,53 @@ class VectorMiningSpec extends SparkSpec {
     assert(totalTri > 0, "the similarity graph must close some triangles")
   }
 
+  test("q192 peeling matches a driver-side transcription and reaches its fixpoint") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = Similarity.cosinePairsLsh(emb, -2.0)
+    val both = pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_e6"))
+      .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_e6")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_e6").desc, col("dst"))
+    var und = both.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= VectorMiningQueries.KnnK)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg0 = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var alive = deg0.keySet
+    val removedAt = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (round <- 1 to VectorMiningQueries.PeelRounds) {
+      val d = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val drop = alive.filter(n => d.getOrElse(n, 0L) < VectorMiningQueries.CoreK)
+      drop.foreach(n => removedAt(n) = round.toLong)
+      und = und.filterNot { case (a, b) => drop(a) || drop(b) }
+      alive = alive -- drop
+    }
+    val coreDeg = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = VectorMiningQueries.knnKcore(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("degree") === deg0.getOrElse(id, 0L))
+      val expRound =
+        if (!deg0.contains(id)) 1L else removedAt.getOrElse(id, 0L)
+      assert(r.getAs[Long]("removed_round") === expRound, s"round of $id")
+      assert(r.getAs[Long]("core_deg") === coreDeg.getOrElse(id, 0L))
+      assert(r.getAs[Boolean]("in_core") === alive.contains(id))
+      // core membership means the residual degree satisfies k
+      if (r.getAs[Boolean]("in_core"))
+        assert(r.getAs[Long]("core_deg") >= VectorMiningQueries.CoreK)
+    }
+    // the fixed round budget actually reaches the fixpoint here:
+    // one more peel round would remove nobody
+    assert(alive.forall(n => coreDeg.getOrElse(n, 0L) >= VectorMiningQueries.CoreK))
+    assert(rows.exists(_.getAs[Boolean]("in_core")))
+    assert(rows.exists(r => r.getAs[Long]("removed_round") > 0))
+  }
+
   test("q183 edges match a row_number window over the same candidates") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Similarity.cosinePairsLsh(emb, -2.0)
