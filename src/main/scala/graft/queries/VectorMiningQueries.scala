@@ -546,17 +546,130 @@ object VectorMiningQueries {
        |ORDER BY v.vec_id""".stripMargin
   }
 
+  // ---- q193: semi-supervised label propagation + accuracy eval ----
+
+  val SeedMod = 3
+  val PropRounds = 2
+  // labels are 0..9; pack = cnt*16 + (15 - label) makes one integer
+  // max pick (count desc, label asc)
+  val LabelPackBase = 16L
+
+  /** q193: label propagation over the k-NN graph — the model-free
+    * semi-supervised labeler data-curation pipelines use to stretch a
+    * small labeled set across a corpus (Zhu & Ghahramani 2002): seeds
+    * (vec_id % 3 == 0) keep their true label; each synchronized round,
+    * every unlabeled node adopts the majority label among its LABELED
+    * neighbors (ties → smallest label; isolated from labels → stays
+    * unlabeled). Two rounds, then the eval every such labeler ships
+    * with: per-node verdicts against the held-back true labels plus
+    * corpus accuracy and coverage — measuring how far the q188
+    * cluster structure actually supports label transfer. (On this
+    * corpus q188 measures ARI ~ 0 — the labels carry no geometric
+    * signal — so accuracy correctly sits at the 10% chance floor;
+    * REPORTING that before anyone trusts propagated labels is the
+    * eval's whole job.)
+    *
+    * Scale shape: per round one neighbor join (edge-table-sized, keyed
+    * by vec_id) + an anti-join against the labeled set + a (node,
+    * label) hash agg whose argmax is a packed-long MAX (a struct max
+    * would fall to SortAggregate — the q147/q182 trick); rounds
+    * staged. The eval is one doc-keyed join + a 1-row broadcast. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val und = Dedup.stage(knnEdges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val nb = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    var lab = Dedup.stage(truth.filter(pmod(col("vec_id"), lit(SeedMod)) === 0)
+      .select(col("vec_id").as("node"), col("label").as("plab"), lit(0L).as("pred_round")))
+    for (round <- 1 to PropRounds) {
+      val votes = nb
+        .join(lab.select(col("node").as("nbr"), col("plab")), Seq("nbr"))
+        .join(lab.select(col("node")), Seq("node"), "left_anti")
+        .groupBy(col("node"), col("plab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(col("cnt") * LabelPackBase + (lit(LabelPackBase - 1) - col("plab"))).as("pack"))
+        .select(col("node"),
+          (lit(LabelPackBase - 1) - pmod(col("pack"), lit(LabelPackBase))).as("plab"),
+          lit(round.toLong).as("pred_round"))
+      lab = Dedup.stage(lab.unionByName(votes))
+    }
+    val out = truth.select(col("vec_id"), col("label"))
+      .join(lab.select(col("node").as("vec_id"), col("plab"), col("pred_round")),
+        Seq("vec_id"), "left")
+      .withColumn("is_seed", pmod(col("vec_id"), lit(SeedMod)) === 0)
+      .withColumn("correct",
+        when(col("is_seed") || col("plab").isNull, lit(null).cast("boolean"))
+          .otherwise(col("plab") === col("label")))
+    val globals = out.agg(
+      sum(when(col("correct").isNotNull, 1L).otherwise(0L)).as("n_pred"),
+      sum(when(col("correct") === true, 1L).otherwise(0L)).as("n_correct"),
+      sum(when(!col("is_seed"), 1L).otherwise(0L)).as("n_unlabeled"))
+      .withColumn("acc_e6",
+        when(col("n_pred") > 0, expr("n_correct * 1000000 div n_pred")).otherwise(0L))
+      .withColumn("coverage_e6",
+        when(col("n_unlabeled") > 0, expr("n_pred * 1000000 div n_unlabeled")).otherwise(0L))
+    out.crossJoin(broadcast(globals))
+      .select(col("vec_id"), col("is_seed"), col("label"),
+        col("plab").as("pred_label"), col("pred_round"), col("correct"),
+        col("n_pred"), col("n_correct"), col("acc_e6"), col("coverage_e6"))
+      .orderBy(col("vec_id"))
+  }
+
+  val labelPropSql: String = {
+    val B = LabelPackBase
+    val rounds = (1 to PropRounds).map { r =>
+      s"""votes$r AS (SELECT node,
+         |    CAST(${B - 1} AS BIGINT) - (MAX(cnt * $B + (${B - 1} - plab)) % $B) AS plab,
+         |    CAST($r AS BIGINT) AS pred_round
+         |  FROM (SELECT nb.node, l.plab, CAST(COUNT(*) AS BIGINT) AS cnt
+         |    FROM nb JOIN lab${r - 1} l ON nb.nbr = l.node
+         |    WHERE NOT EXISTS (SELECT 1 FROM lab${r - 1} x WHERE x.node = nb.node)
+         |    GROUP BY nb.node, l.plab)
+         |  GROUP BY node),
+         |lab$r AS MATERIALIZED (SELECT * FROM lab${r - 1} UNION ALL SELECT * FROM votes$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnEdgesCtes,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+       |nb AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b AS node, a AS nbr FROM und),
+       |truth AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |lab0 AS (SELECT vec_id AS node, label AS plab, CAST(0 AS BIGINT) AS pred_round
+       |  FROM truth WHERE vec_id % $SeedMod = 0),
+       |$rounds,
+       |outt AS (SELECT t.vec_id, t.vec_id % $SeedMod = 0 AS is_seed, t.label,
+       |    l.plab AS pred_label, l.pred_round,
+       |    CASE WHEN t.vec_id % $SeedMod = 0 OR l.plab IS NULL THEN NULL
+       |         ELSE l.plab = t.label END AS correct
+       |  FROM truth t LEFT JOIN lab$PropRounds l ON t.vec_id = l.node),
+       |g AS (SELECT n_pred, n_correct,
+       |    CASE WHEN n_pred > 0 THEN n_correct * 1000000 // n_pred ELSE 0 END AS acc_e6,
+       |    CASE WHEN n_unlabeled > 0 THEN n_pred * 1000000 // n_unlabeled ELSE 0 END AS coverage_e6
+       |  FROM (SELECT
+       |      CAST(SUM(CASE WHEN correct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |      CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |      CAST(SUM(CASE WHEN NOT is_seed THEN 1 ELSE 0 END) AS BIGINT) AS n_unlabeled
+       |    FROM outt))
+       |SELECT vec_id, is_seed, label, pred_label, pred_round, correct,
+       |  g.n_pred, g.n_correct, g.acc_e6, g.coverage_e6
+       |FROM outt CROSS JOIN g
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q183_knn_graph" -> (knnGraph _),
     "q184_mmr_rerank" -> (mmrRerank _),
     "q186_hard_negatives" -> (hardNegatives _),
     "q189_knn_triangles" -> (knnTriangles _),
-    "q192_knn_kcore" -> (knnKcore _))
+    "q192_knn_kcore" -> (knnKcore _),
+    "q193_label_prop" -> (labelProp _))
 
   val oracles: Map[String, String] = Map(
     "q183_knn_graph" -> knnGraphSql,
     "q184_mmr_rerank" -> mmrRerankSql,
     "q186_hard_negatives" -> hardNegativesSql,
     "q189_knn_triangles" -> knnTrianglesSql,
-    "q192_knn_kcore" -> knnKcoreSql)
+    "q192_knn_kcore" -> knnKcoreSql,
+    "q193_label_prop" -> labelPropSql)
 }
