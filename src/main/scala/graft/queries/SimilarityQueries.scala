@@ -1109,8 +1109,93 @@ object SimilarityQueries {
        |FROM bycl JOIN maj ON bycl.cluster = maj.cluster CROSS JOIN g
        |ORDER BY bycl.cluster""".stripMargin
 
+  // ---- q194: k-means elbow sweep (choose-k operating curve) ----
+
+  val ElbowKs: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** q194: the CHOOSE-K operating curve for the coarse quantizer — the
+    * q69 exact-integer training swept across k ∈ {2,4,8,16}, reporting
+    * per k the EXACT integer inertia (Σ squared L2 to the assigned
+    * centroid), cluster balance (min/max/used), and the e6 inertia
+    * drop vs the previous k — the elbow read before an IVF layout
+    * commits to a list count. Completes the operating-curve trilogy
+    * next to q180 (LSH band geometry) and q160 (decontamination gram
+    * size): measure the knob, then set it.
+    *
+    * Scale shape: each k is q69's training (broadcast centroids, the
+    * corpus never shuffled, ArgMinCodebook assignment) plus one
+    * corpus sum and a k-row balance agg; the sweep output is a 4-row
+    * dim and the drop column a window over it. Inertia is exact
+    * integer so the curve is engine-identical; the drop ratio is one
+    * IEEE division rounded to e6. */
+  def kmeansElbow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val perK = ElbowKs.map { k =>
+      val assigned = Similarity.kmeans(emb, k, Dim, KmeansIters)
+      val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      assigned.agg(sum(col("dist")).as("inertia"), count(lit(1)).as("n_vectors"))
+        .crossJoin(sizes.agg(count(lit(1)).as("n_used"),
+          max(col("n")).as("max_cluster"), min(col("n")).as("min_cluster")))
+        .select(lit(k.toLong).as("k"), col("inertia"), col("n_vectors"),
+          col("n_used"), col("max_cluster"), col("min_cluster"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy(lit(1)).orderBy(col("k"))
+    perK
+      .withColumn("prev_inertia", lag(col("inertia"), 1).over(w))
+      .withColumn("drop_e6", expr(
+        "cast(round((cast(prev_inertia - inertia as double) / prev_inertia) * 1000000.0) as bigint)"))
+      .select(col("k"), col("inertia"), col("n_vectors"), col("n_used"),
+        col("max_cluster"), col("min_cluster"), col("drop_e6"))
+      .orderBy(col("k"))
+  }
+
+  val kmeansElbowSql: String = {
+    def distE(m: String, cm: String) =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> ($m[i] - $cm[i]) * ($m[i] - $cm[i])), (x, y) -> x + y)"
+    val blocks = ElbowKs.map { k =>
+      val p = s"k$k"
+      s"""${p}c0 AS (SELECT vec_id AS cid, m AS cm FROM v WHERE vec_id < $k),
+         |${p}d1 AS (SELECT v.vec_id, v.m, c.cid, ${distE("v.m", "c.cm")} AS dist
+         |  FROM v CROSS JOIN ${p}c0 c),
+         |${p}a1 AS (SELECT vec_id, m, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ${p}d1)
+         |  WHERE rn = 1),
+         |${p}u1 AS (SELECT cid, generate_subscripts(m, 1) AS d, unnest(m) AS val FROM ${p}a1),
+         |${p}c1d AS (SELECT cid, d,
+         |    CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM ${p}u1 GROUP BY cid, d),
+         |${p}c1 AS (SELECT cid, list(cv ORDER BY d) AS cm FROM ${p}c1d GROUP BY cid),
+         |${p}d2 AS (SELECT v.vec_id, c.cid, ${distE("v.m", "c.cm")} AS dist
+         |  FROM v CROSS JOIN ${p}c1 c),
+         |${p}a2 AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ${p}d2)
+         |  WHERE rn = 1),
+         |${p}row AS (SELECT CAST($k AS BIGINT) AS k,
+         |    CAST(SUM(dist) AS BIGINT) AS inertia,
+         |    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |    (SELECT COUNT(*) FROM (SELECT DISTINCT cid FROM ${p}a2)) AS n_used,
+         |    (SELECT CAST(MAX(n) AS BIGINT) FROM (SELECT COUNT(*) AS n FROM ${p}a2 GROUP BY cid)) AS max_cluster,
+         |    (SELECT CAST(MIN(n) AS BIGINT) FROM (SELECT COUNT(*) AS n FROM ${p}a2 GROUP BY cid)) AS min_cluster
+         |  FROM ${p}a2)""".stripMargin
+    }.mkString(",\n")
+    val unioned = ElbowKs.map(k => s"SELECT * FROM k${k}row").mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |$blocks,
+       |curve AS (
+       |$unioned)
+       |SELECT k, inertia, n_vectors, n_used, max_cluster, min_cluster,
+       |  CAST(ROUND((CAST(LAG(inertia) OVER (ORDER BY k) - inertia AS DOUBLE)
+       |    / LAG(inertia) OVER (ORDER BY k)) * 1000000.0) AS BIGINT) AS drop_e6
+       |FROM curve
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q188_cluster_purity" -> (clusterPurity _),
+    "q194_kmeans_elbow" -> (kmeansElbow _),
     "q156_semdedup" -> (semDedup _),
     "q173_diversity_sample" -> (diversitySample _),
     "q176_jl_distortion" -> (jlDistortion _),
@@ -1132,6 +1217,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q188_cluster_purity" -> clusterPuritySql,
+    "q194_kmeans_elbow" -> kmeansElbowSql,
     "q156_semdedup" -> semDedupSql,
     "q173_diversity_sample" -> diversitySampleSql,
     "q176_jl_distortion" -> jlDistortionSql,

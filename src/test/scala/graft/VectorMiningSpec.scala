@@ -316,6 +316,33 @@ class VectorMiningSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("pred_round") === 2L), "round 2 must add nodes")
   }
 
+  test("q194 elbow curve reconciles with per-k trainings and is monotone") {
+    import graft.operators.Similarity
+    import graft.queries.SimilarityQueries
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val rows = SimilarityQueries.kmeansElbow(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq ===
+      SimilarityQueries.ElbowKs.map(_.toLong))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k").toInt
+      val assigned = Similarity.kmeans(emb, k, Similarity.Dim,
+        SimilarityQueries.KmeansIters)
+        .collect().map(x => (x.getAs[Long]("cluster"), x.getAs[Long]("dist")))
+      assert(r.getAs[Long]("inertia") === assigned.map(_._2).sum, s"inertia k=$k")
+      assert(r.getAs[Long]("n_vectors") === assigned.length.toLong)
+      val sizes = assigned.groupBy(_._1).view.mapValues(_.size.toLong)
+      assert(r.getAs[Long]("n_used") === sizes.size.toLong)
+      assert(r.getAs[Long]("max_cluster") === sizes.values.max)
+      assert(r.getAs[Long]("min_cluster") === sizes.values.min)
+    }
+    // more centroids can only tighten the exact-integer objective here
+    val inertias = rows.map(_.getAs[Long]("inertia")).toSeq
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a },
+      s"inertia should fall as k doubles: $inertias")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("drop_e6")))
+    rows.tail.foreach(r => assert(r.getAs[Long]("drop_e6") >= 0L))
+  }
+
   test("q183 edges match a row_number window over the same candidates") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = Similarity.cosinePairsLsh(emb, -2.0)
