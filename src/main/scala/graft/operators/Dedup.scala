@@ -110,6 +110,44 @@ object Dedup {
           (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
   }
 
+  /** CONTAINMENT pairs — |A∩B| / min(|A|,|B|) >= `thrE6/1e6` via the
+    * same df-capped inverted-index join as [[jaccardPairs]]. The
+    * asymmetric complement of Jaccard: a short document fully embedded
+    * in a long one (a quote, an aggregator page) has containment ~ 1
+    * while Jaccard is diluted by the big union — exactly the pairs the
+    * LSH-Ensemble line of work exists for. The threshold predicate is
+    * exact integer (`1e6·inter >= thrE6·min`); the reported ratios are
+    * single IEEE divisions rounded to e6. `asym` marks the pairs
+    * symmetric Jaccard would have missed at its own 0.5 gate. */
+  def containmentPairs(sh: DataFrame, idCol: String, thrE6: Long,
+      dfCap: Option[Int] = None): DataFrame = {
+    val cappedPlan = dfCap match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("shingle"))
+        sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
+      case None => sh
+    }
+    val capped = stage(cappedPlan)
+    val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val a = capped.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = capped.select(col(idCol).as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("intersect_n"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .withColumn("min_size", least(col("size_a"), col("size_b")))
+      .filter(col("intersect_n") * 1000000L >= col("min_size") * thrE6)
+      .withColumn("containment_e6",
+        round(lit(1000000.0) *
+          (col("intersect_n").cast("double") / col("min_size").cast("double"))).cast("long"))
+      .withColumn("jaccard_e6",
+        round(lit(1000000.0) * (col("intersect_n").cast("double") /
+          (col("size_a") + col("size_b") - col("intersect_n")).cast("double"))).cast("long"))
+      .withColumn("asym", col("intersect_n") * 2 < col("size_a") + col("size_b") - col("intersect_n"))
+  }
+
   val MinhashK = 8
   val MinhashBands = 4 // 2 rows per band
 

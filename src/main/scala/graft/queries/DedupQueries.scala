@@ -354,7 +354,57 @@ object DedupQueries {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  // ---- q195: containment (asymmetric-Jaccard) dedup ----
+
+  val ContainThrE6 = 800000L
+
+  /** q195: CONTAINMENT near-dup pairs — |A∩B| / min(|A|,|B|) >= 0.8
+    * over the q22 shingle sets. The asymmetric complement of q22's
+    * Jaccard: a short doc fully embedded in a long one (quotes,
+    * aggregator pages) scores containment ~ 1 while Jaccard is diluted
+    * by the union — the LSH-Ensemble case. `asym` marks pairs q22's
+    * own 0.5 gate would have missed; on this corpus every
+    * high-containment pair is also high-Jaccard (near-equal-length
+    * near-dups), and the ledger REPORTING that absence is the point —
+    * a real crawl corpus lights the column up.
+    *
+    * Scale shape: identical to q22 — df-capped inverted-index join
+    * (Sum(df²) bound), sizes doc-keyed; threshold predicate exact
+    * integer, ratios single IEEE divisions. */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+      graft.operators.Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id",
+      ContainThrE6, dfCap = Some(JaccardDfCap))
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("size_a"),
+        col("size_b"), col("min_size"), col("containment_e6"),
+        col("jaccard_e6"), col("asym"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val containmentDedupSql: String =
+    s"""WITH $RepsCte,
+       |$ShinglesCte,
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $JaccardDfCap),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS intersect_n
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, intersect_n,
+       |  sa.sz AS size_a, sb.sz AS size_b,
+       |  LEAST(sa.sz, sb.sz) AS min_size,
+       |  CAST(ROUND(1000000.0 * (CAST(intersect_n AS DOUBLE) / LEAST(sa.sz, sb.sz))) AS BIGINT) AS containment_e6,
+       |  CAST(ROUND(1000000.0 * (CAST(intersect_n AS DOUBLE) / (sa.sz + sb.sz - intersect_n))) AS BIGINT) AS jaccard_e6,
+       |  intersect_n * 2 < sa.sz + sb.sz - intersect_n AS asym
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE intersect_n * 1000000 >= LEAST(sa.sz, sb.sz) * $ContainThrE6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q195_containment" -> (containmentDedup _),
     "q21_dedup_exact" -> (dedupExact _),
     "q22_ngram_jaccard" -> (ngramJaccard _),
     "q23_minhash_lsh" -> (minhashLsh _),
@@ -364,6 +414,7 @@ object DedupQueries {
     "q178_source_minhash" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
+    "q195_containment" -> containmentDedupSql,
     "q21_dedup_exact" -> dedupExactSql,
     "q22_ngram_jaccard" -> ngramJaccardSql,
     "q23_minhash_lsh" -> minhashLshSql,

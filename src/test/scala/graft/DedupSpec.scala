@@ -246,4 +246,53 @@ class DedupSpec extends SparkSpec {
     assert(r0.getAs[Long]("d2_orig") === d2o)
     assert(r0.getAs[Long]("d2_proj") === d2p)
   }
+
+  test("q195 containment matches a driver-side set transcription") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.DedupQueries
+    def foldText(t: String): String = {
+      val hyphens = "-\u2010\u2011\u2012\u2013\u2014\u2015"
+      val noHyphen = t.map(c => if (hyphens.contains(c)) ' ' else c)
+        .filterNot(_ == '\u00ad')
+      java.text.Normalizer.normalize(noHyphen, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "").toLowerCase
+    }
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // reps: min doc_id per exact text
+    val keep = docs.groupBy(_._2).values.map(g => g.minBy(_._1)).map(_._1).toSet
+    val shingleSets = docs.filter(d => keep(d._1)).map { case (id, t) =>
+      val toks = foldText(t).trim.split("\\s+")
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    // df cap
+    val df = shingleSets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val capped = shingleSets.view.mapValues(_.filter(sh =>
+      df(sh) <= DedupQueries.JaccardDfCap)).toMap
+    val ids = capped.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (capped(a) & capped(b)).size.toLong
+      minSz = math.min(capped(a).size, capped(b).size).toLong
+      if minSz > 0 && inter * 1000000L >= minSz * DedupQueries.ContainThrE6
+    } yield (a, b) -> ((inter, capped(a).size.toLong, capped(b).size.toLong))).toMap
+    val rows = DedupQueries.containmentDedup(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (inter, sa, sb) = expected(key)
+      assert(r.getAs[Long]("intersect_n") === inter)
+      assert(r.getAs[Long]("size_a") === sa)
+      assert(r.getAs[Long]("size_b") === sb)
+      val minSz = math.min(sa, sb)
+      assert(r.getAs[Long]("containment_e6") ===
+        math.round(1e6 * inter.toDouble / minSz))
+      assert(r.getAs[Boolean]("asym") === (inter * 2 < sa + sb - inter))
+    }
+    // containment can only exceed (or equal) Jaccard — the asymmetry
+    rows.foreach(r => assert(
+      r.getAs[Long]("containment_e6") >= r.getAs[Long]("jaccard_e6")))
+  }
 }
