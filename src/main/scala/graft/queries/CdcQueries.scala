@@ -42,12 +42,15 @@ object CdcQueries {
   val CdcPows: Seq[Long] =
     Iterator.iterate(1L)(p => p * CdcBase % CdcMod).take(CdcWindow).toSeq
 
-  /** H at end-position `i` (1-based): sum_j code(i-j) * B^j mod M over
-    * the window j = 0..W-1. */
-  private def hashAt(cs: Column, i: Column): Column =
-    CdcPows.zipWithIndex.map { case (p, j) =>
-      element_at(cs, (i - lit(j.toLong)).cast("int")) * lit(p)
-    }.reduce(_ + _) % CdcMod
+  /** Chunk array column — the native one-pass chunker (rolling hash,
+    * boundary test and substring split in one loop; see
+    * expressions/CdcChunks.scala — the HOF fold it replaced ran
+    * interpreted per character). */
+  def cdcChunksCol(s: Column): Column =
+    org.apache.spark.sql.GraftInternals.column(
+      graft.expressions.CdcChunks(
+        org.apache.spark.sql.GraftInternals.expression(s),
+        CdcWindow, CdcPows, CdcMod, CdcDivisor))
 
   private def hashAtSql: String =
     "(" + CdcPows.zipWithIndex.map { case (p, j) =>
@@ -76,26 +79,12 @@ object CdcQueries {
       .select(col("doc_id"), fold(col("text")).as("s"))
       .withColumn("len", length(col("s")).cast("long"))
       .filter(col("len") > 0)
-      // per-char code points, computed once per doc (docs are folded
-      // single-line text; the lookahead split is the repo-wide
-      // char-split idiom)
-      .withColumn("cs",
-        transform(split(col("s"), "(?!^)(?=.)"), c => ascii(c).cast("long")))
-    val withBounds = base
-      .withColumn("bs",
-        when(col("len") >= CdcWindow,
-          filter(sequence(lit(CdcWindow.toLong), col("len")),
-            i => (i < col("len")) && (hashAt(col("cs"), i) % CdcDivisor === 0)))
-          .otherwise(array().cast("array<bigint>")))
-      .withColumn("st", concat(array(lit(0L)), col("bs")))
-      .withColumn("en", concat(col("bs"), array(col("len"))))
-    val chunks = Dedup.stage(withBounds
-      .select(col("doc_id"), col("len"), col("s"),
-        posexplode(arrays_zip(col("st"), col("en"))).as(Seq("k", "span")))
-      .select(col("doc_id"), col("len"), col("k"),
-        (col("span.en") - col("span.st")).as("clen"),
-        md5(col("s").substr((col("span.st") + 1).cast("int"),
-          (col("span.en") - col("span.st")).cast("int"))).as("h")))
+    val chunks = Dedup.stage(base
+      .select(col("doc_id"), col("len"),
+        explode(cdcChunksCol(col("s"))).as("chunk"))
+      .select(col("doc_id"), col("len"),
+        length(col("chunk")).cast("long").as("clen"),
+        md5(col("chunk")).as("h")))
     val df = chunks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     chunks.join(df, Seq("h"))
       .groupBy(col("doc_id"))

@@ -498,21 +498,27 @@ object CorpusStatsQueries {
       .select(col("doc_id"), fold(col("text")).as("s"))
       .withColumn("len", length(col("s")).cast("long"))
       .filter(col("len") >= 2)
+    // one O(len) char split per doc, then O(1) array reads — the naive
+    // substring(s, i, 2) per position re-scans the UTF8 string from the
+    // start each call (O(len²) per doc)
     val bg = base
-      .select(col("doc_id"), col("s"), col("len"),
-        explode(sequence(lit(1), (col("len") - 1).cast("int"))).as("i"))
+      .withColumn("cs", split(col("s"), "(?!^)(?=.)"))
       .select(col("doc_id"), col("len"),
-        expr("substring(s, i, 2)").as("bg"))
+        explode(sequence(lit(1), (col("len") - 1).cast("int"))).as("i"),
+        col("cs"))
+      .select(col("doc_id"), col("len"),
+        concat(element_at(col("cs"), col("i")),
+          element_at(col("cs"), col("i") + 1)).as("bg"))
       .groupBy(col("doc_id"), col("len"), col("bg"))
       .agg(count(lit(1)).as("c"))
-    val perDoc = bg
+    val perDoc = graft.operators.Dedup.stage(bg
       .groupBy(col("doc_id"))
       .agg(max(col("len") - 1).as("n_bigrams"),
         count(lit(1)).as("n_distinct"),
         sum(col("c") * (length(bin(col("len") - 1)) - length(bin(col("c")))).cast("long"))
           .as("total_bits"))
       .withColumn("entropy_milli", expr("total_bits * 1000 div n_bigrams"))
-      .withColumn("distinct_e6", expr("n_distinct * 1000000 div n_bigrams"))
+      .withColumn("distinct_e6", expr("n_distinct * 1000000 div n_bigrams")))
     val mean = perDoc.agg(sum(col("entropy_milli")).as("se"), count(lit(1)).as("n"))
       .select(expr("se div n").as("mean_entropy_milli"))
     perDoc.crossJoin(broadcast(mean))

@@ -444,7 +444,7 @@ object VectorMiningQueries {
   // ---- q192: 2-core peeling of the k-NN graph ----
 
   val CoreK = 2
-  val PeelRounds = 6
+  val PeelRounds = 3
 
   /** q192: k-core decomposition (k=2, synchronized peeling) of the
     * undirected k-NN graph — the dense-region membership signal: a
