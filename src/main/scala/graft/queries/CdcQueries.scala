@@ -74,17 +74,24 @@ object CdcQueries {
     * per-doc rollup (doc_id keyed). The chunk table is staged once and
     * feeds both, the q91 gram-df shape. At 100 TB the chunk-hash agg
     * IS the storage-dedup index build; nothing here is quadratic. */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), fold(col("text")).as("s"))
+  /** The (doc_id, len, clen, h) chunk table of a document set —
+    * map-side chunking via the native expression. */
+  def chunkTable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), fold(col(textCol)).as("s"))
       .withColumn("len", length(col("s")).cast("long"))
       .filter(col("len") > 0)
-    val chunks = Dedup.stage(base
       .select(col("doc_id"), col("len"),
         explode(cdcChunksCol(col("s"))).as("chunk"))
       .select(col("doc_id"), col("len"),
         length(col("chunk")).cast("long").as("clen"),
-        md5(col("chunk")).as("h")))
+        md5(col("chunk")).as("h"))
+
+  /** q181's audit over a chunk table: the md5-keyed occurrence count
+    * plus the per-doc dedup rollup — shared with the streaming fold
+    * (StreamingCdcDedup replays to exactly this). */
+  def chunkAudit(chunks0: DataFrame): DataFrame = {
+    val chunks = Dedup.stage(chunks0)
     val df = chunks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     chunks.join(df, Seq("h"))
       .groupBy(col("doc_id"))
@@ -101,6 +108,9 @@ object CdcQueries {
         col("dup_chunks"), col("dup_chars"), col("dup_share_e6"))
       .orderBy(col("doc_id"))
   }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    chunkAudit(chunkTable(Tables.documents(s, dir), "text", "doc_id"))
 
   val cdcChunksSql: String =
     s"""WITH d AS (SELECT doc_id, $FoldSql AS s FROM documents),

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.queries.CdcQueries
+
+/** Incremental content-defined-chunk dedup — the streaming form of
+  * q181, the storage-dedup gate at ingest: each arriving document is
+  * chunked map-side (the native CdcChunks pass), its chunk hashes are
+  * probed against the persisted chunk index PLUS the batch itself, and
+  * the arrival's INGEST verdict (how many of its chars the store
+  * already holds — the bytes a dedup store would not write) is emitted
+  * before the chunks append. The at-ingest verdict is the causal
+  * prefix of q181's global one: it counts duplication against the
+  * PAST, while the batch audit also sees the future — so per doc
+  * `dup_chars_at_ingest <= dup_chars` (spec-pinned), and folding the
+  * full chunk log through the SHARED `CdcQueries.chunkAudit` gives
+  * exactly the batch q181 output on the union under any batching
+  * (same table, same aggregation — spec-pinned).
+  *
+  * Scale shape: state is the append-only chunk-hash parquet table — a
+  * storage-dedup index lives on disk, not in the state store; the
+  * per-batch probe is an md5-keyed equi-join whose left side is one
+  * micro-batch (broadcastable), so incremental cost is an index seek
+  * per arriving chunk, never a corpus scan. */
+class StreamingCdcDedup(val chunkDir: String) {
+
+  private val chunkSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("len", LongType),
+    StructField("clen", LongType),
+    StructField("h", StringType)))
+
+  /** The persisted chunk index (empty before the first batch). */
+  def historicalChunks(s: SparkSession): DataFrame = {
+    val dir = new java.io.File(chunkDir)
+    val hasData = dir.isDirectory &&
+      dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    if (hasData) s.read.schema(chunkSchema).parquet(chunkDir)
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], chunkSchema)
+  }
+
+  /** One micro-batch: returns the arrivals' at-ingest verdicts
+    * (doc_id, n_chars, n_chunks, dup_chunks_at_ingest,
+    * dup_chars_at_ingest, dup_share_at_ingest_e6) and appends the
+    * batch's chunks to the index. A chunk is a dup at ingest when its
+    * hash already exists in the store OR occurs more than once within
+    * history + this batch (the second copy inside one batch is just as
+    * dedupable). Verdicts are materialized BEFORE the append. */
+  def processBatch(arrivals: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val s = arrivals.sparkSession
+    val newChunks = CdcQueries.chunkTable(arrivals, textCol, idCol)
+      .localCheckpoint()
+    val target = historicalChunks(s).unionByName(newChunks)
+    val dfAll = target.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val verdicts = newChunks.join(dfAll, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("len")).as("n_chars"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_chunks_at_ingest"),
+        sum(when(col("df") >= 2, col("clen")).otherwise(0L)).as("dup_chars_at_ingest"))
+      .withColumn("dup_share_at_ingest_e6",
+        expr("dup_chars_at_ingest * 1000000 div n_chars"))
+      .localCheckpoint()
+    newChunks.write.mode("append").parquet(chunkDir)
+    verdicts
+  }
+
+  /** Fold the chunk index into the batch q181 audit on everything
+    * ingested so far — the SAME aggregation the batch query runs. */
+  def foldAudit(s: SparkSession): DataFrame =
+    CdcQueries.chunkAudit(historicalChunks(s))
+
+  /** Drive a document stream through foreachBatch, appending each
+    * batch's at-ingest verdicts to `verdictDir`. */
+  def run(stream: DataFrame, textCol: String, idCol: String,
+      verdictDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, textCol, idCol).write.mode("append").parquet(verdictDir)
+        ()
+      }
+      .start()
+}
