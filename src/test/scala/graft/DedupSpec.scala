@@ -295,4 +295,23 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(
       r.getAs[Long]("containment_e6") >= r.getAs[Long]("jaccard_e6")))
   }
+
+  test("q195 asym fires on a genuinely embedded document (synthetic)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a long doc and a short doc fully quoted inside it: containment
+    // of the short one is 1.0 while Jaccard is diluted by the union —
+    // the case the corpus lacks but the operator must catch
+    val quote = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val long = (1 to 60).map(i => s"word$i").mkString(" ") + " " + quote
+    val docs = Seq((1L, long), (2L, quote)).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.containmentPairs(
+      graft.operators.Dedup.shingles(docs, "text", "doc_id"), "doc_id",
+      graft.queries.DedupQueries.ContainThrE6).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("containment_e6") === 1000000L)
+    assert(r.getAs[Long]("jaccard_e6") < 500000L)
+    assert(r.getAs[Boolean]("asym"), "the embedded quote is exactly the asym case")
+  }
 }
