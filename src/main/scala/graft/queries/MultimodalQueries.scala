@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
+import graft.operators.Dedup
 
 /** Layer F of SURVEY.md §2 (oracle-checkable part): binary-column
   * metadata extraction. The text payload is cast to `binary` and all
@@ -250,14 +251,117 @@ object MultimodalQueries {
        |  AND pr.doc_a < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q196: windowed-energy activity segmentation (the VAD shape) ----
+
+  val VadWindow = 32L
+  val VadCenter = 100L
+  val VadEnergyThr = 20000L
+  private val FoldSql =
+    "lower(strip_accents(translate(text, '-‐‑‒–—―­', '       ')))"
+
+  /** q196: voice-activity-detection-SHAPED segmentation over an
+    * audio-like byte stream — the audio leg of the multimodal
+    * plumbing: samples (payload bytes; the codec decode is the
+    * sanctioned stub, so byte values stand in for PCM), fixed
+    * 32-sample windows with exact integer energy Σ(s−100)², an
+    * active/silent verdict per window, and the RUN structure every VAD
+    * emits: segment count, longest active segment (earliest wins) and
+    * the active ratio. Real VAD swaps the energy formula for a model;
+    * every plan shape — window agg, per-asset run detection — is the
+    * production one.
+    *
+    * Scale shape: sample rows are map-side position math off one scan;
+    * window energies are ONE (asset, window) hash agg
+    * (partial-agg-friendly); runs use lag + cumulative-sum windows
+    * partitioned BY ASSET over window index (bounded — the q182
+    * grain); longest-segment argmax is the packed-long trick. */
+  def audioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.fold(col("text")).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+      .filter(col("len") > 0)
+      .withColumn("cs", split(col("t"), "(?!^)(?=.)"))
+    val win = base
+      .select(col("doc_id"), col("len"),
+        explode(sequence(lit(1), col("len").cast("int"))).as("i"), col("cs"))
+      .select(col("doc_id"),
+        expr(s"(i - 1) div $VadWindow").as("w"),
+        (ascii(element_at(col("cs"), col("i"))).cast("long") - VadCenter).as("d"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sum(col("d") * col("d")).as("energy"), count(lit(1)).as("n_samples"))
+      .withColumn("active", col("energy") >= VadEnergyThr)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+    val runs = Dedup.stage(win
+      .withColumn("new_run",
+        when(lag(col("active"), 1).over(byDoc) === col("active"), 0L).otherwise(1L))
+      .withColumn("run_id", sum(col("new_run")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("run_id"), col("active"))
+      .agg(count(lit(1)).as("rlen"), min(col("w")).as("rstart")))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(sum(col("rlen")).as("n_windows"),
+        sum(when(col("active"), col("rlen")).otherwise(0L)).as("n_active"),
+        sum(when(col("active"), 1L).otherwise(0L)).as("n_segments"),
+        max(when(col("active"), col("rlen") * 1048576L - col("rstart"))).as("best_key"))
+    perDoc
+      .join(runs.filter(col("active"))
+        .select(col("doc_id"),
+          (col("rlen") * 1048576L - col("rstart")).as("best_key"),
+          col("rlen").as("longest_seg"), col("rstart").as("longest_start")),
+        Seq("doc_id", "best_key"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_active"),
+        col("n_segments"),
+        coalesce(col("longest_seg"), lit(0L)).as("longest_seg"),
+        col("longest_start"),
+        expr("n_active * 1000000 div n_windows").as("active_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  val audioEnergySql: String =
+    s"""WITH d AS (SELECT doc_id, $FoldSql AS t FROM documents),
+       |base AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS len
+       |  FROM d WHERE length(t) > 0),
+       |win AS (SELECT doc_id, (i - 1) // $VadWindow AS w,
+       |    CAST(SUM((ascii(substr(t, CAST(i AS INT), 1)) - $VadCenter)
+       |      * (ascii(substr(t, CAST(i AS INT), 1)) - $VadCenter)) AS BIGINT) AS energy,
+       |    COUNT(*) AS n_samples
+       |  FROM base CROSS JOIN UNNEST(range(1, CAST(len AS INT) + 1)) AS u(i)
+       |  GROUP BY doc_id, 2),
+       |act AS (SELECT doc_id, w, energy >= $VadEnergyThr AS active FROM win),
+       |nr AS (SELECT doc_id, w, active,
+       |    CASE WHEN LAG(active) OVER (PARTITION BY doc_id ORDER BY w) = active
+       |      THEN 0 ELSE 1 END AS new_run FROM act),
+       |rid AS (SELECT doc_id, w, active,
+       |    SUM(new_run) OVER (PARTITION BY doc_id ORDER BY w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM nr),
+       |runs AS (SELECT doc_id, run_id, active,
+       |    CAST(COUNT(*) AS BIGINT) AS rlen, CAST(MIN(w) AS BIGINT) AS rstart
+       |  FROM rid GROUP BY doc_id, run_id, active),
+       |pd AS (SELECT doc_id,
+       |    CAST(SUM(rlen) AS BIGINT) AS n_windows,
+       |    CAST(SUM(CASE WHEN active THEN rlen ELSE 0 END) AS BIGINT) AS n_active,
+       |    CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+       |    CAST(MAX(CASE WHEN active THEN rlen * 1048576 - rstart END) AS BIGINT) AS best_key
+       |  FROM runs GROUP BY doc_id)
+       |SELECT pd.doc_id, pd.n_windows, pd.n_active, pd.n_segments,
+       |  COALESCE(r.rlen, 0) AS longest_seg, r.rstart AS longest_start,
+       |  pd.n_active * 1000000 // pd.n_windows AS active_e6
+       |FROM pd LEFT JOIN runs r
+       |  ON pd.doc_id = r.doc_id AND r.active
+       |    AND r.rlen * 1048576 - r.rstart = pd.best_key
+       |ORDER BY pd.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_binary_meta" -> (binaryMeta _),
     "q97_frame_sample" -> (frameSample _),
     "q155_patch_batches" -> (patchBatches _),
-    "q165_phash_neardup" -> (phashNeardup _))
+    "q165_phash_neardup" -> (phashNeardup _),
+    "q196_audio_energy" -> (audioEnergy _))
   val oracles: Map[String, String] = Map(
     "q28_binary_meta" -> binaryMetaSql,
     "q97_frame_sample" -> frameSampleSql,
     "q155_patch_batches" -> patchBatchesSql,
-    "q165_phash_neardup" -> phashNeardupSql)
+    "q165_phash_neardup" -> phashNeardupSql,
+    "q196_audio_energy" -> audioEnergySql)
 }

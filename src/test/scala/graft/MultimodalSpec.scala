@@ -103,4 +103,53 @@ class MultimodalSpec extends SparkSpec {
       s"sorted $sortedUtil should beat arrival-order $arrivalUtil")
     b.unpersist()
   }
+
+  test("q196 windowed-energy segmentation matches a driver-side transcription") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.MultimodalQueries
+    def foldText(t: String): String = {
+      val hyphens = "-\u2010\u2011\u2012\u2013\u2014\u2015"
+      val noHyphen = t.map(c => if (hyphens.contains(c)) ' ' else c)
+        .filterNot(_ == '\u00ad')
+      java.text.Normalizer.normalize(noHyphen, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "").toLowerCase
+    }
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> foldText(r.getString(1))).filter(_._2.nonEmpty)
+    val W = MultimodalQueries.VadWindow.toInt
+    val expected = docs.map { case (id, t) =>
+      val energies = t.grouped(W).map(g =>
+        g.map(c => { val d = c.toLong - MultimodalQueries.VadCenter; d * d }).sum).toSeq
+      val active = energies.map(_ >= MultimodalQueries.VadEnergyThr)
+      // runs of equal activity
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Int, Int)]
+      active.zipWithIndex.foreach { case (a, w) =>
+        if (runs.nonEmpty && runs.last._1 == a)
+          runs(runs.length - 1) = (a, runs.last._2 + 1, runs.last._3)
+        else runs += ((a, 1, w))
+      }
+      val act = runs.filter(_._1)
+      val best = if (act.isEmpty) None
+        else Some(act.minBy { case (_, l, st) => (-l, st) })
+      id -> ((energies.length.toLong, active.count(identity).toLong,
+        act.length.toLong, best.map(_._2.toLong).getOrElse(0L),
+        best.map(_._3.toLong)))
+    }.toMap
+    val rows = MultimodalQueries.audioEnergy(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nw, na, ns, ls, lst) = expected(id)
+      assert(r.getAs[Long]("n_windows") === nw)
+      assert(r.getAs[Long]("n_active") === na, s"active of $id")
+      assert(r.getAs[Long]("n_segments") === ns, s"segments of $id")
+      assert(r.getAs[Long]("longest_seg") === ls, s"longest of $id")
+      assert(Option(r.get(r.fieldIndex("longest_start")))
+        .map(_.asInstanceOf[Long]) === lst)
+      assert(r.getAs[Long]("active_e6") === na * 1000000L / nw)
+    }
+    // both verdicts must occur or the threshold is vacuous
+    assert(rows.exists(_.getAs[Long]("n_active") > 0))
+    assert(rows.exists(r => r.getAs[Long]("n_active") < r.getAs[Long]("n_windows")))
+  }
 }
