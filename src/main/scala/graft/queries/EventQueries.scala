@@ -252,7 +252,86 @@ object EventQueries {
        |  CAST(ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS late_rate_e6
        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q197: watermark-delay sizing sweep ----
+
+  val SweepDelaysUs: Seq[Long] =
+    Seq(60000000L, 600000000L, 3600000000L, 86400000000L)
+
+  /** q197: the watermark SIZING curve — q179's late-data audit swept
+    * across candidate allowed-delays (1 min / 10 min / 1 h / 1 d),
+    * reporting per delay the corpus totals of the tradeoff a streaming
+    * deployment actually prices: events DROPPED as too late (lost
+    * data) vs out-of-order events the state store must buffer and
+    * merge (state cost). Longer delays drop less and buffer more; the
+    * curve says where the knee is BEFORE `withWatermark` commits.
+    * Extends the operating-curve family (q160 grams, q180 bands, q194
+    * k) to the streaming dimension.
+    *
+    * Scale shape: the expensive part — the per-user arrival-ordered
+    * running max — is computed ONCE on a staged base (bounded
+    * partitions, q179's shape); the four delays then fan out map-side
+    * (a 4x explode of an already-aggregable row) into one
+    * partial-agg-friendly 4-group aggregation. */
+  def watermarkSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val skew = when(col("event_id") % 7 === 0, lit(86400000000L))
+      .when(col("event_id") % 23 === 0, lit(300000000L))
+      .otherwise(lit(0L))
+    val base = graft.operators.Dedup.stage(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - skew).as("ts_us"))
+      .withColumn("max_seen_us", max(col("ts_us")).over(w)))
+    base
+      .withColumn("delay_us", explode(array(SweepDelaysUs.map(lit): _*)))
+      .withColumn("late",
+        col("max_seen_us").isNotNull &&
+          col("ts_us") < col("max_seen_us") - col("delay_us"))
+      .withColumn("ooo_buffered",
+        col("max_seen_us").isNotNull && col("ts_us") < col("max_seen_us") && !col("late"))
+      .groupBy(col("delay_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("ooo_buffered"), 1L).otherwise(0L)).as("n_ooo_buffered"),
+        coalesce(max(when(col("late"),
+          col("max_seen_us") - col("delay_us") - col("ts_us"))), lit(0L))
+          .as("max_lateness_us"))
+      .withColumn("late_rate_e6",
+        round(col("n_late").cast("double") / col("n_events").cast("double") *
+          lit(1000000.0)).cast("long"))
+      .select(col("delay_us"), col("n_events"), col("n_late"),
+        col("n_ooo_buffered"), col("max_lateness_us"), col("late_rate_e6"))
+      .orderBy(col("delay_us"))
+  }
+
+  val watermarkSweepSql: String = {
+    val delays = SweepDelaysUs.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT user_id, event_id,
+       |    epoch_us(ts) - (CASE WHEN event_id % 7 = 0 THEN 86400000000
+       |                         WHEN event_id % 23 = 0 THEN 300000000
+       |                         ELSE 0 END) AS ts_us
+       |  FROM events),
+       |m AS (SELECT user_id, event_id, ts_us,
+       |    MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen_us
+       |  FROM e),
+       |f AS (SELECT m.*, CAST(d.delay_us AS BIGINT) AS delay_us,
+       |    max_seen_us IS NOT NULL AND ts_us < max_seen_us - d.delay_us AS late,
+       |    max_seen_us IS NOT NULL AND ts_us < max_seen_us
+       |      AND NOT (max_seen_us IS NOT NULL AND ts_us < max_seen_us - d.delay_us) AS ooo_buffered
+       |  FROM m CROSS JOIN UNNEST($delays) AS d(delay_us))
+       |SELECT delay_us,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  CAST(SUM(CASE WHEN ooo_buffered THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo_buffered,
+       |  COALESCE(MAX(CASE WHEN late THEN max_seen_us - delay_us - ts_us END), 0) AS max_lateness_us,
+       |  CAST(ROUND(CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS BIGINT) AS late_rate_e6
+       |FROM f GROUP BY delay_us ORDER BY delay_us""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_watermark_sweep" -> (watermarkSweep _),
     "q30_tumbling_agg" -> (tumblingAgg _),
     "q31_sessionize" -> (sessionize _),
     "q32_funnel" -> (funnel _),
@@ -261,6 +340,7 @@ object EventQueries {
     "q179_watermark_audit" -> (watermarkAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q197_watermark_sweep" -> watermarkSweepSql,
     "q30_tumbling_agg" -> tumblingAggSql,
     "q31_sessionize" -> sessionizeSql,
     "q32_funnel" -> funnelSql,

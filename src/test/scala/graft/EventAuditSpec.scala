@@ -50,4 +50,31 @@ class EventAuditSpec extends SparkSpec {
     // requires a backward jump past the 10-min allowance
     assert(totalLate < rows.map(_.getAs[Long]("n_events")).sum / 4)
   }
+
+  test("q197 sweep rows reconcile with q179 and trade monotonically") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.EventQueries
+    val rows = EventQueries.watermarkSweep(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("delay_us")).toSeq ===
+      EventQueries.SweepDelaysUs)
+    // totals are corpus-constant across delays
+    val n = rows.head.getAs[Long]("n_events")
+    rows.foreach(r => assert(r.getAs[Long]("n_events") === n))
+    // a longer allowed delay can only ACCEPT more: late mass falls,
+    // buffered out-of-order mass rises, and their sum (all out-of-order
+    // events) is delay-invariant
+    val lates = rows.map(_.getAs[Long]("n_late")).toSeq
+    val buffered = rows.map(_.getAs[Long]("n_ooo_buffered")).toSeq
+    assert(lates.zip(lates.tail).forall { case (a, b) => b <= a }, lates.toString)
+    assert(buffered.zip(buffered.tail).forall { case (a, b) => b >= a })
+    val totalOoo = lates.zip(buffered).map { case (l, b) => l + b }.distinct
+    assert(totalOoo.size === 1, "late + buffered must be the fixed out-of-order mass")
+    // the 10-minute row is exactly q179's audit rolled up to the corpus
+    val q179 = EventQueries.watermarkAudit(spark, sfDir).collect()
+    val row10 = rows.find(_.getAs[Long]("delay_us") === 600000000L).get
+    assert(row10.getAs[Long]("n_late") === q179.map(_.getAs[Long]("n_late")).sum)
+    assert(row10.getAs[Long]("max_lateness_us") ===
+      q179.map(_.getAs[Long]("max_lateness_us")).max)
+    assert(rows.exists(_.getAs[Long]("n_late") > 0), "the sweep must see late data")
+  }
 }
