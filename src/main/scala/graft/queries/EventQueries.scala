@@ -330,8 +330,80 @@ object EventQueries {
        |FROM f GROUP BY delay_us ORDER BY delay_us""".stripMargin
   }
 
+  // ---- q198: inter-arrival SLO percentiles (HDR-style buckets) ----
+
+  /** q198: the latency-SLO report shape over event inter-arrival
+    * times: per-user gaps (arrival order ts, then event_id) land in
+    * exponential (floor-log2 ms) buckets — the HDR-histogram recipe
+    * every SLO system uses, because exact percentiles of raw
+    * microsecond values would make the percentile pass scale with the
+    * CORPUS's distinct values while log2 buckets are a fixed ~40-row
+    * dim at any scale. Per event type: gap count, bucket-resolution
+    * p50/p95/p99 (reported as the bucket's inclusive upper bound in
+    * ms) and the exact max gap.
+    *
+    * Scale shape: one shuffle on user_id for the per-user lag
+    * (bounded partitions); one (type, bucket) hash agg; the
+    * cumulative/percentile pass windows over the BUCKET dim within
+    * type (~40 rows). Integer predicates pick percentile buckets
+    * (cum*2 >= n etc.), so both engines agree exactly. */
+  def gapSlo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_ms", expr("(ts_us - prev_us) div 1000"))
+      .withColumn("bucket", length(bin(col("gap_ms") + 1)).cast("long"))
+    val cell = gaps.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"), max(col("gap_ms")).as("bmax"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val cum = cell
+      .withColumn("cum", sum(col("c")).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def pick(pred: org.apache.spark.sql.Column) =
+      min(when(pred, expr("cast(pow(2, bucket) as bigint) - 1")))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        pick(col("cum") * 2 >= col("n")).as("p50_ms_ub"),
+        pick(col("cum") * 20 >= col("n") * 19).as("p95_ms_ub"),
+        pick(col("cum") * 100 >= col("n") * 99).as("p99_ms_ub"),
+        max(col("bmax")).as("max_gap_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val gapSloSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |g AS (SELECT event_type,
+       |    (ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) // 1000 AS gap_ms
+       |  FROM e),
+       |gb AS (SELECT event_type, gap_ms,
+       |    CAST(length(bin(gap_ms + 1)) AS BIGINT) AS bucket
+       |  FROM g WHERE gap_ms IS NOT NULL),
+       |cell AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(MAX(gap_ms) AS BIGINT) AS bmax
+       |  FROM gb GROUP BY event_type, bucket),
+       |cum AS (SELECT event_type, bucket, c, bmax,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM cell)
+       |SELECT event_type,
+       |  MAX(n) AS n_gaps,
+       |  CAST(MIN(CASE WHEN cum * 2 >= n THEN CAST(pow(2, bucket) AS BIGINT) - 1 END) AS BIGINT) AS p50_ms_ub,
+       |  CAST(MIN(CASE WHEN cum * 20 >= n * 19 THEN CAST(pow(2, bucket) AS BIGINT) - 1 END) AS BIGINT) AS p95_ms_ub,
+       |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN CAST(pow(2, bucket) AS BIGINT) - 1 END) AS BIGINT) AS p99_ms_ub,
+       |  MAX(bmax) AS max_gap_ms
+       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q197_watermark_sweep" -> (watermarkSweep _),
+    "q198_gap_slo" -> (gapSlo _),
     "q30_tumbling_agg" -> (tumblingAgg _),
     "q31_sessionize" -> (sessionize _),
     "q32_funnel" -> (funnel _),
@@ -341,6 +413,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q197_watermark_sweep" -> watermarkSweepSql,
+    "q198_gap_slo" -> gapSloSql,
     "q30_tumbling_agg" -> tumblingAggSql,
     "q31_sessionize" -> sessionizeSql,
     "q32_funnel" -> funnelSql,

@@ -77,4 +77,44 @@ class EventAuditSpec extends SparkSpec {
       q179.map(_.getAs[Long]("max_lateness_us")).max)
     assert(rows.exists(_.getAs[Long]("n_late") > 0), "the sweep must see late data")
   }
+
+  test("q198 percentile buckets match a driver-side HDR transcription") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.EventQueries
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gaps = events.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._4, e._2))
+      sorted.sliding(2).collect { case Array(a, b) =>
+        (b._3, (b._4 - a._4) / 1000) // later event's type, gap ms
+      }
+    }.toSeq
+    def bucketOf(ms: Long): Long = java.lang.Long.toBinaryString(ms + 1).length.toLong
+    val rows = EventQueries.gapSlo(spark, sfDir).collect()
+    val byType = gaps.groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val ms = byType(t).map(_._2).sorted
+      assert(r.getAs[Long]("n_gaps") === ms.length.toLong)
+      assert(r.getAs[Long]("max_gap_ms") === ms.max)
+      def pctBucketUb(p: Double): Long = {
+        val counts = ms.groupBy(bucketOf).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val n = ms.length.toLong
+        var cum = 0L
+        val b = counts.collectFirst {
+          case (bk, c) if { cum += c; cum >= p * n - 1e-9 } => bk
+        }.get
+        (1L << b) - 1
+      }
+      assert(r.getAs[Long]("p50_ms_ub") === pctBucketUb(0.5), s"p50 of $t")
+      assert(r.getAs[Long]("p95_ms_ub") === pctBucketUb(0.95), s"p95 of $t")
+      assert(r.getAs[Long]("p99_ms_ub") === pctBucketUb(0.99), s"p99 of $t")
+      // percentile bounds are ordered and below the exact max
+      assert(r.getAs[Long]("p50_ms_ub") <= r.getAs[Long]("p95_ms_ub"))
+      assert(r.getAs[Long]("p95_ms_ub") <= r.getAs[Long]("p99_ms_ub"))
+    }
+  }
 }
