@@ -1530,6 +1530,151 @@ object CorpusOpsQueries {
        |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q199: team-draft interleaving (online ranker A/B) ----
+
+  val InterleaveK = 3
+
+  /** q199: TEAM-DRAFT interleaving of the dense (q26 cosine) and
+    * sparse (q134 BM25) rankings — the online-evaluation serving
+    * artifact (Radlinski et al., CIKM'08): per query the two rankers'
+    * top-3 lists merge round by round, each round's first pick decided
+    * by a deterministic portable hash coin (so the interleave is
+    * reproducible — a real deployment logs its coin), each team
+    * contributing its best not-yet-taken item; clicks on the served
+    * list then credit the team that supplied the clicked slot. The
+    * missing half of offline eval (q95/q128 measure against ground
+    * truth; interleaving is how rankers are compared on LIVE traffic).
+    *
+    * Scale shape: both input rankings are the already-gated bounded
+    * operators; the draft runs 2k = 6 unrolled steps, each one
+    * bounded distributed plan (anti-join on the selection + per-query
+    * k=1 heaps) over queries x k rows — a million queries still cost
+    * six rounds. Slot renumbering is a per-query window over <= 6
+    * rows. */
+  def teamDraft(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val dense = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < SimilarityQueries.QuerySetBound),
+      emb.filter(col("vec_id") >= SimilarityQueries.QuerySetBound), InterleaveK)
+      .select(col("q_vec_id").cast("long").as("query_id"),
+        col("vec_id").as("item_id"), col("rank").cast("long").as("team_rank"))
+      .withColumn("team", lit("dense"))
+    val qt = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+    val sparse = Curation.bm25TopK(Tables.documents(s, dir), "text", "doc_id",
+      qt, InterleaveK)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").as("item_id"), col("rnk").cast("long").as("team_rank"))
+      .withColumn("team", lit("sparse"))
+    val lists = Dedup.stage(dense.unionByName(sparse))
+    val both = lists.groupBy(col("query_id"), col("item_id"))
+      .agg(count(lit(1)).as("nl")).withColumn("in_both", col("nl") === 2L)
+      .select(col("query_id"), col("item_id"), col("in_both"))
+    def pickTeamCol(t: Int): org.apache.spark.sql.Column = {
+      val r = (t + 1) / 2
+      val first = when(
+        graft.functions.Hashing.polyHash(
+          concat(col("query_id").cast("string"), lit(s":r$r"))) % 2 === 0,
+        "dense").otherwise("sparse")
+      if (t % 2 == 1) first
+      else when(first === "dense", "sparse").otherwise("dense")
+    }
+    def pickAt(t: Int, sel: DataFrame): DataFrame = {
+      val cand0 = lists.withColumn("pick_team", pickTeamCol(t))
+        .filter(col("team") === col("pick_team"))
+      val cand = if (sel == null) cand0
+        else cand0.join(sel.select(col("query_id"), col("item_id")),
+          Seq("query_id", "item_id"), "left_anti")
+      graft.plans.Plans.topKPerKeyRanked(cand, Seq(cand("query_id")),
+        Seq((cand("team_rank"), false), (cand("item_id"), false)), 1, "pr")
+        .select(col("query_id"), col("item_id"), col("team"),
+          col("team_rank"), lit(t.toLong).as("step"))
+    }
+    var sel = Dedup.stage(pickAt(1, null))
+    for (t <- 2 to 2 * InterleaveK)
+      sel = Dedup.stage(sel.unionByName(pickAt(t, sel)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("step"))
+    sel.withColumn("slot", row_number().over(w).cast("long"))
+      .join(both, Seq("query_id", "item_id"))
+      .select(col("query_id"), col("slot"), col("step"), col("item_id"),
+        col("team"), col("team_rank"), col("in_both"))
+      .orderBy(col("query_id"), col("slot"))
+  }
+
+  val teamDraftSql: String = {
+    import graft.functions.VectorFunctions.{dotSql, normSql}
+    val dim = SimilarityQueries.Dim
+    val dotQC = dotSql("q_emb", "embedding", dim)
+    val values = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    def pickTeamSql(t: Int): String = {
+      val r = (t + 1) / 2
+      val h = graft.functions.Hashing.polyHashSql(s"CAST(query_id AS VARCHAR) || ':r$r'")
+      val first = s"CASE WHEN ($h) % 2 = 0 THEN 'dense' ELSE 'sparse' END"
+      if (t % 2 == 1) first
+      else s"CASE WHEN ($first) = 'dense' THEN 'sparse' ELSE 'dense' END"
+    }
+    val steps = (1 to 2 * InterleaveK).map { t =>
+      val prevSel = if (t == 1) "" else
+        s"""AND NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+           |      WHERE x.query_id = l.query_id AND x.item_id = l.item_id)""".stripMargin
+      val pick =
+        s"""pick$t AS (SELECT query_id, item_id, team, team_rank, CAST($t AS BIGINT) AS step
+           |  FROM (SELECT l.*, ROW_NUMBER() OVER (PARTITION BY l.query_id
+           |      ORDER BY l.team_rank, l.item_id) AS pr
+           |    FROM lists l
+           |    WHERE l.team = (${pickTeamSql(t)}) $prevSel)
+           |  WHERE pr = 1)""".stripMargin
+      val sel = if (t == 1) s"sel1 AS (SELECT * FROM pick1)"
+        else s"sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"
+      pick + ",\n" + sel
+    }.mkString(",\n")
+    s"""WITH dq AS (SELECT vec_id AS q_vec_id, embedding AS q_emb,
+       |    ${normSql("embedding", dim)} AS q_norm
+       |  FROM embeddings WHERE vec_id < ${SimilarityQueries.QuerySetBound}),
+       |dc AS (SELECT vec_id, embedding, ${normSql("embedding", dim)} AS c_norm
+       |  FROM embeddings WHERE vec_id >= ${SimilarityQueries.QuerySetBound}),
+       |dense AS (SELECT CAST(q_vec_id AS BIGINT) AS query_id, vec_id AS item_id,
+       |    CAST(rnk AS BIGINT) AS team_rank, 'dense' AS team FROM (
+       |    SELECT q_vec_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY
+       |        CAST(ROUND((($dotQC) / (q_norm * c_norm)) * 1000000.0) AS BIGINT) DESC, vec_id) AS rnk
+       |    FROM dc, dq) WHERE rnk <= $InterleaveK),
+       |toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM pos GROUP BY doc_id, tok),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |norms AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+       |q(query_id, term) AS (VALUES $values),
+       |sscored AS (SELECT q.query_id, tf.doc_id,
+       |    ${e6Sql("""(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |      (CAST(n_docs AS DOUBLE) + 0.5) *
+       |      ((CAST(tf AS DOUBLE) * 2.25) /
+       |        (CAST(tf AS DOUBLE) + 1.25 *
+       |          (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |            (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""")} AS score_e6
+       |  FROM tf JOIN q ON tf.tok = q.term
+       |  JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN norms),
+       |spq AS (SELECT query_id, doc_id, CAST(SUM(score_e6) AS BIGINT) AS score_e6
+       |  FROM sscored GROUP BY query_id, doc_id),
+       |sparse AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS item_id,
+       |    CAST(rnk AS BIGINT) AS team_rank, 'sparse' AS team
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_e6 DESC, doc_id) AS rnk FROM spq)
+       |  WHERE rnk <= $InterleaveK),
+       |lists AS MATERIALIZED (SELECT * FROM dense UNION ALL SELECT * FROM sparse),
+       |both_f AS (SELECT query_id, item_id, COUNT(*) = 2 AS in_both
+       |  FROM lists GROUP BY query_id, item_id),
+       |$steps
+       |SELECT s.query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.step) AS BIGINT) AS slot,
+       |  s.step, s.item_id, s.team, s.team_rank, b.in_both
+       |FROM sel${2 * InterleaveK} s JOIN both_f b
+       |  ON s.query_id = b.query_id AND s.item_id = b.item_id
+       |ORDER BY s.query_id, slot""".stripMargin
+  }
+
   // ---- q148: sliding-window chunking with overlap (RAG / stride eval) ----
 
   val ChunkSize = 32
@@ -1729,6 +1874,7 @@ object CorpusOpsQueries {
     "q175_snapshot_dedup" -> (snapshotDedup _),
     "q177_curriculum_layout" -> (curriculumLayout _),
     "q180_lsh_band_sweep" -> (lshBandSweep _),
+    "q199_team_draft" -> (teamDraft _),
     "q182_token_runs" -> (tokenRuns _))
 
   val oracles: Map[String, String] = Map(
@@ -1758,5 +1904,6 @@ object CorpusOpsQueries {
     "q175_snapshot_dedup" -> snapshotDedupSql,
     "q177_curriculum_layout" -> curriculumLayoutSql,
     "q180_lsh_band_sweep" -> lshBandSweepSql,
+    "q199_team_draft" -> teamDraftSql,
     "q182_token_runs" -> tokenRunsSql)
 }

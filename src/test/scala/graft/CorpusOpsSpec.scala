@@ -744,4 +744,60 @@ class CorpusOpsSpec extends SparkSpec {
       assert(covered === docs(id), s"doc $id covers $covered of ${docs(id)}")
     }
   }
+
+  test("q199 interleave matches a driver-side team-draft transcription") {
+    import graft.queries.{CorpusOpsQueries, SimilarityQueries}
+    import graft.operators.{Curation, Similarity}
+    val emb = Tables.embeddings(spark, sfDir)
+    val K = CorpusOpsQueries.InterleaveK
+    val dense = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < SimilarityQueries.QuerySetBound),
+      emb.filter(col("vec_id") >= SimilarityQueries.QuerySetBound), K)
+      .collect().map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id")))
+    val qt = spark.createDataFrame(CorpusOpsQueries.Bm25Queries).toDF("query_id", "term")
+    val sparse = Curation.bm25TopK(Tables.documents(spark, sfDir), "text", "doc_id", qt, K)
+      .collect().map(r => (r.getAs[Number]("query_id").longValue, r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id")))
+    def listOf(xs: Array[(Long, Long, Long)], q: Long): Seq[Long] =
+      xs.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+    def coin(q: Long, r: Int): String = {
+      // the PolyHash fold: seeded with the first char code, then
+      // (a*31 + code) % 1000000007 per char
+      val codes = s"$q:r$r".map(_.toLong)
+      val h = codes.reduce((a, b) => (a * 31 + b) % 1000000007L)
+      if (h % 2 == 0) "dense" else "sparse"
+    }
+    val queries = (dense.map(_._1) ++ sparse.map(_._1)).distinct.sorted
+    val expected = queries.flatMap { q =>
+      val lists = Map("dense" -> listOf(dense, q), "sparse" -> listOf(sparse, q))
+      val taken = scala.collection.mutable.LinkedHashSet.empty[(Long, String, Long)]
+      val used = scala.collection.mutable.HashSet.empty[Long]
+      for (t <- 1 to 2 * K) {
+        val r = (t + 1) / 2
+        val first = coin(q, r)
+        val team = if (t % 2 == 1) first
+          else (if (first == "dense") "sparse" else "dense")
+        val ranked = lists(team).zipWithIndex.filterNot { case (it, _) => used(it) }
+        ranked.headOption.foreach { case (it, idx) =>
+          used += it; taken += ((it, team, idx + 1L))
+        }
+      }
+      taken.toSeq.zipWithIndex.map { case ((it, team, tr), i) =>
+        (q, i + 1L) -> ((it, team, tr))
+      }
+    }.toMap
+    val rows = CorpusOpsQueries.teamDraft(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("slot"))
+      val (it, team, tr) = expected(key)
+      assert(r.getAs[Long]("item_id") === it, s"item at $key")
+      assert(r.getAs[String]("team") === team, s"team at $key")
+      assert(r.getAs[Long]("team_rank") === tr, s"rank at $key")
+    }
+    // both teams get slots somewhere, and overlap dedup happens
+    assert(rows.exists(_.getAs[String]("team") == "dense"))
+    assert(rows.exists(_.getAs[String]("team") == "sparse"))
+  }
 }
