@@ -403,8 +403,83 @@ object DedupQueries {
        |WHERE intersect_n * 1000000 >= LEAST(sa.sz, sb.sz) * $ContainThrE6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q201: Jaccard dedup-threshold operating curve ----
+
+  val JaccardCurveThrE6: Seq[Long] = Seq(300000L, 500000L, 700000L)
+
+  /** q201: the CHOOSE-THRESHOLD curve for near-dup dedup — the q22
+    * pair machinery evaluated at Jaccard gates 0.3 / 0.5 / 0.7: per
+    * threshold the surviving pair count, the documents touched by at
+    * least one pair (the mass a keep-one-per-cluster pass would
+    * thin), and the touched-doc rate. Lower gates delete more and
+    * risk false merges; the curve prices that before a corpus-wide
+    * dedup commits. Operating-curve family (q160/q180/q194/q197/q200)
+    * on the dedup axis.
+    *
+    * Scale shape: the candidate pair table (df-capped inverted-index
+    * join, threshold-free) computes ONCE; per-doc max-Jaccard is one
+    * doc-keyed agg over its two directions; all three gates price as
+    * conditional sums in a single aggregation — nothing is re-joined
+    * per threshold. */
+  def jaccardCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.stage(Dedup.containmentPairs(
+      Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id",
+      0L, dfCap = Some(JaccardDfCap))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e6")))
+    val docMax = pairs.select(col("doc_a").as("doc_id"), col("jaccard_e6"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("jaccard_e6")))
+      .groupBy(col("doc_id")).agg(max(col("jaccard_e6")).as("max_j"))
+    val nDocs = reps(s, dir).agg(count(lit(1)).as("n_docs"))
+    val thr = s.createDataFrame(JaccardCurveThrE6.map(Tuple1(_))).toDF("thr_e6")
+    val pairCounts = pairs.crossJoin(broadcast(thr))
+      .groupBy(col("thr_e6"))
+      .agg(sum(when(col("jaccard_e6") >= col("thr_e6"), 1L).otherwise(0L)).as("n_pairs"))
+    val docCounts = docMax.crossJoin(broadcast(thr))
+      .groupBy(col("thr_e6"))
+      .agg(sum(when(col("max_j") >= col("thr_e6"), 1L).otherwise(0L)).as("n_docs_affected"))
+    pairCounts.join(docCounts, Seq("thr_e6"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("affected_rate_e6", expr("n_docs_affected * 1000000 div n_docs"))
+      .select(col("thr_e6"), col("n_pairs"), col("n_docs_affected"),
+        col("n_docs"), col("affected_rate_e6"))
+      .orderBy(col("thr_e6"))
+  }
+
+  val jaccardCurveSql: String = {
+    val thrs = JaccardCurveThrE6.mkString("[", ", ", "]")
+    s"""WITH $RepsCte,
+       |$ShinglesCte,
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $JaccardDfCap),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b,
+       |    CAST(ROUND(1000000.0 * (CAST(i AS DOUBLE) / (sa.sz + sb.sz - i))) AS BIGINT) AS jaccard_e6
+       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id),
+       |dm AS (SELECT doc_id, CAST(MAX(jaccard_e6) AS BIGINT) AS max_j FROM (
+       |    SELECT doc_a AS doc_id, jaccard_e6 FROM pairs
+       |    UNION ALL SELECT doc_b AS doc_id, jaccard_e6 FROM pairs)
+       |  GROUP BY doc_id),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM reps),
+       |pc AS (SELECT CAST(t.thr_e6 AS BIGINT) AS thr_e6,
+       |    CAST(SUM(CASE WHEN jaccard_e6 >= t.thr_e6 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+       |  FROM pairs CROSS JOIN UNNEST($thrs) AS t(thr_e6) GROUP BY 1),
+       |dc AS (SELECT CAST(t.thr_e6 AS BIGINT) AS thr_e6,
+       |    CAST(SUM(CASE WHEN max_j >= t.thr_e6 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected
+       |  FROM dm CROSS JOIN UNNEST($thrs) AS t(thr_e6) GROUP BY 1)
+       |SELECT pc.thr_e6, pc.n_pairs, dc.n_docs_affected, nd.n_docs,
+       |  dc.n_docs_affected * 1000000 // nd.n_docs AS affected_rate_e6
+       |FROM pc JOIN dc ON pc.thr_e6 = dc.thr_e6 CROSS JOIN nd
+       |ORDER BY pc.thr_e6""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q195_containment" -> (containmentDedup _),
+    "q201_jaccard_curve" -> (jaccardCurve _),
     "q21_dedup_exact" -> (dedupExact _),
     "q22_ngram_jaccard" -> (ngramJaccard _),
     "q23_minhash_lsh" -> (minhashLsh _),
@@ -415,6 +490,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q195_containment" -> containmentDedupSql,
+    "q201_jaccard_curve" -> jaccardCurveSql,
     "q21_dedup_exact" -> dedupExactSql,
     "q22_ngram_jaccard" -> ngramJaccardSql,
     "q23_minhash_lsh" -> minhashLshSql,

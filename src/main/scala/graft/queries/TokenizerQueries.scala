@@ -280,15 +280,80 @@ object TokenizerQueries {
        |ORDER BY word""".stripMargin
   }
 
+  // ---- q200: vocab-size OOV operating curve ----
+
+  val VocabCurveSizes: Seq[Long] = Seq(16L, 64L, 256L, 1024L)
+
+  /** q200: the CHOOSE-VOCAB-SIZE operating curve — q129's OOV analysis
+    * swept across vocab sizes {16, 64, 256, 1024}: per size the corpus
+    * token mass left out-of-vocabulary, the covered type count, and
+    * the e6 OOV rate. The curve a tokenizer build reads before fixing
+    * its vocabulary budget; completes the operating-curve family
+    * (q160 grams, q180 bands, q194 k, q197 delay) on the tokenizer
+    * axis.
+    *
+    * Scale shape: ONE (doc, tok) scan folds to the token-count table;
+    * a single global rank (bounded heap at the LARGEST size — rank
+    * once, slice per size) prices every vocab size in one conditional
+    * aggregation; the curve is a 4-row dim. Nothing is re-scanned per
+    * size. */
+  def vocabCurve(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.fold(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val g = docTok.withColumn("g", lit(1))
+    val maxV = VocabCurveSizes.max.toInt
+    val ranked = graft.plans.Plans.topKPerKeyRanked(g, Seq(g("g")),
+      Seq((g("cnt"), true), (g("tok"), false)), maxV, "rnk")
+      .select(col("tok"), col("cnt"), col("rnk"))
+    val full = graft.operators.Dedup.stage(
+      docTok.join(ranked.select(col("tok"), col("rnk")), Seq("tok"), "left"))
+    val sizes = s.createDataFrame(VocabCurveSizes.map(Tuple1(_))).toDF("vocab_size")
+    full.crossJoin(broadcast(sizes))
+      .withColumn("in_vocab", col("rnk").isNotNull && col("rnk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("in_vocab"), 1L).otherwise(0L)).as("covered_types"),
+        sum(when(!col("in_vocab"), col("cnt")).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate_e6", expr("oov_tokens * 1000000 div n_tokens"))
+      .orderBy(col("vocab_size"))
+  }
+
+  val vocabCurveSql: String = {
+    val sizes = VocabCurveSizes.mkString("[", ", ", "]")
+    val fold = "lower(strip_accents(translate(text, '-\u2010\u2011\u2012\u2013\u2014\u2015\u00ad', '       ')))"
+    s"""WITH toks AS (SELECT string_split_regex(trim($fold), '\\s+') AS t FROM documents),
+       |tokc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(t) AS tok FROM toks) WHERE tok <> '' GROUP BY tok),
+       |ranked AS (SELECT tok, cnt,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM tokc),
+       |f AS (SELECT r.*, CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       |    r.rnk <= v.vocab_size AS in_vocab
+       |  FROM ranked r CROSS JOIN UNNEST($sizes) AS v(vocab_size))
+       |SELECT vocab_size,
+       |  COUNT(*) AS n_types,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT) AS covered_types,
+       |  CAST(SUM(CASE WHEN NOT in_vocab THEN cnt ELSE 0 END) AS BIGINT) AS oov_tokens,
+       |  CAST(SUM(CASE WHEN NOT in_vocab THEN cnt ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(SUM(cnt) AS BIGINT) AS oov_rate_e6
+       |FROM f GROUP BY vocab_size ORDER BY vocab_size""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_bpe_merges" -> (bpeMerges _),
     "q125_bpe_encode" -> (bpeEncode _),
     "q152_tokenizer_fertility" -> (fertility _),
-    "q185_unigram_segment" -> (unigramSegment _))
+    "q185_unigram_segment" -> (unigramSegment _),
+    "q200_vocab_curve" -> (vocabCurve _))
 
   val oracles: Map[String, String] = Map(
     "q121_bpe_merges" -> bpeMergesSql,
     "q125_bpe_encode" -> bpeEncodeSql,
     "q152_tokenizer_fertility" -> fertilitySql,
-    "q185_unigram_segment" -> unigramSegmentSql)
+    "q185_unigram_segment" -> unigramSegmentSql,
+    "q200_vocab_curve" -> vocabCurveSql)
 }

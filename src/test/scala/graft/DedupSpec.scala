@@ -314,4 +314,26 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_e6") < 500000L)
     assert(r.getAs[Boolean]("asym"), "the embedded quote is exactly the asym case")
   }
+
+  test("q201 threshold curve is monotone and its 0.5 row equals q22's pair set") {
+    import graft.queries.DedupQueries
+    val rows = DedupQueries.jaccardCurve(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("thr_e6")).toSeq === DedupQueries.JaccardCurveThrE6)
+    val pairs = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    val docs = rows.map(_.getAs[Long]("n_docs_affected")).toSeq
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a })
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("affected_rate_e6") ===
+        r.getAs[Long]("n_docs_affected") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+    // the 0.5 gate IS q22's own threshold — counts must agree exactly
+    val q22pairs = DedupQueries.ngramJaccard(spark, sfDir).count()
+    val row05 = rows.find(_.getAs[Long]("thr_e6") === 500000L).get
+    assert(row05.getAs[Long]("n_pairs") === q22pairs)
+    // this corpus's near-dup pairs all sit at ~0.95 Jaccard, so the
+    // curve is flat across these gates — the measurement a dedup run
+    // reads as "threshold choice does not matter here"
+    assert(pairs.head >= pairs.last)
+  }
 }

@@ -74,4 +74,36 @@ class TokenizerSpec extends SparkSpec {
     assert(strata.filter(col("n_tokens") >= col("n_syms")).count() === 0)
     strata.unpersist()
   }
+
+  test("q200 vocab curve is monotone and reconciles with a driver count") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TokenizerQueries
+    val rows = TokenizerQueries.vocabCurve(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("vocab_size")).toSeq ===
+      TokenizerQueries.VocabCurveSizes)
+    def foldText(t: String): String = {
+      val hyphens = "-\u2010\u2011\u2012\u2013\u2014\u2015"
+      val noHyphen = t.map(c => if (hyphens.contains(c)) ' ' else c)
+        .filterNot(_ == '\u00ad')
+      java.text.Normalizer.normalize(noHyphen, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "").toLowerCase
+    }
+    val counts = Tables.documents(spark, sfDir).select(col("text")).collect()
+      .flatMap(r => foldText(r.getString(0)).trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = counts.values.sum
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vocab_size").toInt
+      val oov = ranked.drop(v).map(_._2).sum
+      assert(r.getAs[Long]("n_types") === counts.size.toLong)
+      assert(r.getAs[Long]("n_tokens") === total)
+      assert(r.getAs[Long]("covered_types") === math.min(v, counts.size).toLong)
+      assert(r.getAs[Long]("oov_tokens") === oov, s"oov at v=$v")
+      assert(r.getAs[Long]("oov_rate_e6") === oov * 1000000L / total)
+    }
+    val oovs = rows.map(_.getAs[Long]("oov_tokens")).toSeq
+    assert(oovs.zip(oovs.tail).forall { case (a, b) => b <= a },
+      "a bigger vocabulary can only cover more")
+  }
 }
