@@ -501,8 +501,12 @@ object Curation {
     * seek — only query terms survive the probe); df is token-keyed,
     * dl doc-keyed, the one-row norms broadcast; ranking runs through
     * TopKPerKeyExec's bounded per-query heaps, never a corpus sort. */
-  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
-               queryTerms: DataFrame, k: Int): DataFrame = {
+  /** Staged BM25 corpus statistics — the (doc, tok) tf table (staged
+    * once), token document frequencies, per-doc lengths and the one-row
+    * norms. Shared by the base ranking and any re-scoring pass (q206's
+    * pseudo-relevance feedback probes the same staged tables twice). */
+  def bm25Stats(df: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docTok = Dedup.stage(df
       .select(col(idCol), explode_outer(tokens(fold(col(textCol)))).as("tok"))
       .filter(col("tok").isNotNull)
@@ -510,12 +514,20 @@ object Curation {
     val dfreq = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val dl = docTok.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val norms = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-    val scored = docTok
+    (docTok, dfreq, dl, norms)
+  }
+
+  /** Per-(query, doc, term) e6-rounded BM25 term scores for a
+    * (query_id, term) workload — the broadcast inverted-index probe. */
+  def bm25TermScores(docTok: DataFrame, dfreq: DataFrame, dl: DataFrame,
+                     norms: DataFrame, idCol: String,
+                     queryTerms: DataFrame): DataFrame =
+    docTok
       .join(broadcast(queryTerms), docTok("tok") === queryTerms("term"))
       .join(dfreq, Seq("tok"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(norms))
-      .select(col("query_id"), col(idCol),
+      .select(col("query_id"), col(idCol), col("tok"),
         e6((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
             (col("n_docs").cast("double") + lit(0.5)) *
           ((col("tf").cast("double") * lit(2.25)) /
@@ -523,6 +535,18 @@ object Curation {
               (lit(0.25) + lit(0.75) * col("dl").cast("double") /
                 (col("total").cast("double") / col("n_docs").cast("double"))))))
           .as("score_e6"))
+
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: DataFrame, k: Int): DataFrame = {
+    val (docTok, dfreq, dl, norms) = bm25Stats(df, textCol, idCol)
+    bm25Rank(docTok, dfreq, dl, norms, idCol, queryTerms, k)
+  }
+
+  /** Base BM25 ranking against already-staged stats. */
+  def bm25Rank(docTok: DataFrame, dfreq: DataFrame, dl: DataFrame,
+               norms: DataFrame, idCol: String,
+               queryTerms: DataFrame, k: Int): DataFrame = {
+    val scored = bm25TermScores(docTok, dfreq, dl, norms, idCol, queryTerms)
     val perQd = scored.groupBy(col("query_id"), col(idCol))
       .agg(sum(col("score_e6")).as("score_e6"),
         count(lit(1)).as("n_terms_hit"))

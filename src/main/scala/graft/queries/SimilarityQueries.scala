@@ -322,7 +322,7 @@ object SimilarityQueries {
   /** The q69/q70 training unrolled: two exact-integer Lloyd rounds plus
     * the final refresh, ending in `cent(cid, cm)` — shared by the
     * trained-IVF (q70) and IVF-PQ (q80) oracles. Also defines `v`. */
-  private def trainedCentCtes: String =
+  private[queries] def trainedCentCtes: String =
     s"""v AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
        |  FROM embeddings),
@@ -350,7 +350,7 @@ object SimilarityQueries {
 
   /** The q70 probe/list/score CTE segment (follows `trainedCentCtes`),
     * shared by the trained-IVF top-k (q70) and the recall eval (q95). */
-  private def trainedScoredCtes: String = {
+  private[queries] def trainedScoredCtes: String = {
     def ssq(m: String) =
       s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
     val intDot =
