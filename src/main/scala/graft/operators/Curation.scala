@@ -249,6 +249,36 @@ object Curation {
       .drop("__h", "__sub", "__sub_rk", "__off")
   }
 
+  /** Two-level EXACT rank within a stratum under a VALUE ordering
+    * (`valueCol` desc, `idCol` asc) — [[stratumHashRank]]'s trick
+    * generalized from hash order to priority order: sub-shards are
+    * VALUE RANGES (`valueCol div bucketWidth`), contiguous in the sort
+    * order, so each (stratum, bucket) ranks independently and the
+    * per-bucket counts prefix-sum (descending) into offsets on a tiny
+    * dim. The rank is identical to `row_number() over (partition by
+    * stratum order by value desc, id)`, but no task ever sorts more
+    * than one value-bucket of a stratum. Requires non-negative
+    * values (truncating div would fold negatives into bucket 0).
+    * Returns the input plus `rk`. */
+  def stratumValueRank(df: DataFrame, stratumCol: String, valueCol: String,
+      idCol: String, bucketWidth: Long): DataFrame = {
+    val keyed = df.withColumn("__b", expr(s"$valueCol div $bucketWidth"))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val offs = keyed.groupBy(col(stratumCol), col("__b"))
+      .agg(count(lit(1)).as("__sub_n"))
+      .withColumn("__off", coalesce(
+        sum(col("__sub_n")).over(byStratum.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(stratumCol), col("__b"), col("__off"))
+    val subRk = Window.partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col(valueCol).desc, col(idCol))
+    keyed
+      .withColumn("__sub_rk", row_number().over(subRk).cast("long"))
+      .join(broadcast(offs), Seq(stratumCol, "__b"))
+      .withColumn("rk", col("__off") + col("__sub_rk"))
+      .drop("__b", "__sub_rk", "__off")
+  }
+
   /** Exact per-stratum quota sample: rank rows inside each stratum by a
     * deterministic content hash and keep the first ceil(n/denom) —
     * pure integer quota, reproducible everywhere. The ranking is the

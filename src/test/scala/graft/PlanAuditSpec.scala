@@ -261,6 +261,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q204 frontier rank is two-level — no single-domain priority window") {
+    val p = plan(graft.queries.WebOpsQueries.crawlSchedule(spark, sfDir))
+    // every row_number runs inside a (domain, priority-bucket) window;
+    // the offsets dim joins back broadcast (the q74 lesson applied to
+    // a value ordering)
+    val rnLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rnLines.nonEmpty, p)
+    assert(rnLines.forall(_.contains("__b")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q181 CDC chunking is windowless; chunk-hash agg is partial") {
     val p = plan(graft.queries.CdcQueries.cdcChunks(spark, sfDir))
     assert(!p.contains("Window"), p)
