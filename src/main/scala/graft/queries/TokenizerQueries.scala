@@ -343,17 +343,120 @@ object TokenizerQueries {
        |FROM f GROUP BY vocab_size ORDER BY vocab_size""".stripMargin
   }
 
+  // ---- q209: WordPiece greedy longest-match segmentation ----
+
+  val WpMaxPieceLen = 4
+  val WpMinDf = 8
+  /** Contract bound the oracle's candidate ranges cover (cf. q185's
+    * MaxWordLen); longer words are excluded on both engines. */
+  val WpMaxWordLen = 16
+
+  /** q209: the THIRD mainstream subword tokenizer next to BPE (q121/
+    * q125) and unigram-LM Viterbi (q185): WordPiece's greedy
+    * longest-match-first segmentation (Wu et al. 2016, the BERT
+    * tokenizer). The vocabulary distinguishes word-initial pieces from
+    * continuation pieces (the `##` class): every single character plus
+    * every 2..[[WpMaxPieceLen]]-char substring occurring in at least
+    * [[WpMinDf]] distinct dictionary words, per class. Encoding walks
+    * each word left to right, always consuming the LONGEST vocabulary
+    * piece at the cursor — single characters guarantee totality, so no
+    * UNK arises on the training corpus.
+    *
+    * Shape: everything is dictionary-sized (the corpus collapses to
+    * (word, freq) in one scan). The longest-match table is a relational
+    * join (candidates x broadcast vocab, max piece length per (word,
+    * position)) and the greedy walk folds over the per-word max-length
+    * array — bounded by word length, no driver iteration; the
+    * corpus-side encode is the same broadcast dictionary join q125
+    * uses for BPE. */
+  def wordpieceSegment(s: SparkSession, dir: String): DataFrame = {
+    val words = graft.operators.Bpe
+      .dictionaryWithWords(Tables.documents(s, dir), "text")
+      .select(col("word"), col("freq"))
+    val w = graft.operators.Dedup.stage(
+      words.withColumn("len", length(col("word")).cast("long"))
+        .filter(col("len") <= WpMaxWordLen))
+    val cand = graft.operators.Dedup.stage(w
+      .select(col("word"), col("len"),
+        explode(sequence(lit(1), col("len").cast("int"))).as("s"))
+      .select(col("word"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(WpMaxPieceLen), (col("len") - col("s") + 1).cast("int")))).as("l"))
+      .withColumn("piece", expr("substring(word, s, l)"))
+      .withColumn("cont", col("s") > 1))
+    val vocab = cand.groupBy(col("piece"), col("cont"))
+      .agg(countDistinct(col("word")).as("wdf"))
+      .filter(length(col("piece")) === 1 || col("wdf") >= WpMinDf)
+      .select(col("piece"), col("cont"))
+    val jump = cand.join(broadcast(vocab), Seq("piece", "cont"))
+      .groupBy(col("word"), col("s"))
+      .agg(max(col("l")).as("maxl"))
+    val jumpArr = jump
+      .groupBy(col("word"))
+      .agg(expr("transform(sort_array(collect_list(struct(s, maxl))), x -> x.maxl)")
+        .as("ml"))
+    w.join(jumpArr, Seq("word"))
+      .select(col("word"), col("freq"), col("len").as("n_chars"), expr(
+        """aggregate(
+          |  sequence(1, CAST(len AS INT)),
+          |  named_struct('pos', 1, 'np', CAST(0 AS BIGINT), 'seg', ''),
+          |  (acc, i) -> IF(i = acc.pos,
+          |    named_struct(
+          |      'pos', acc.pos + element_at(ml, i),
+          |      'np', acc.np + 1L,
+          |      'seg', concat(acc.seg,
+          |        IF(acc.seg = '', '', ' '),
+          |        IF(i > 1, '##', ''),
+          |        substring(word, i, element_at(ml, i)))),
+          |    acc))""".stripMargin).as("fin"))
+      .select(col("word"), col("freq"), col("n_chars"),
+        col("fin.np").as("n_pieces"), col("fin.seg").as("seg"))
+      .orderBy(col("word"))
+  }
+
+  val wordpieceSegmentSql: String =
+    s"""WITH RECURSIVE words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |wl AS (SELECT word, freq, CAST(length(word) AS BIGINT) AS len FROM words
+       |  WHERE length(word) <= $WpMaxWordLen),
+       |cand AS MATERIALIZED (SELECT word, s, l,
+       |    substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece, s > 1 AS cont
+       |  FROM wl
+       |  CROSS JOIN UNNEST(range(1, $WpMaxWordLen + 1)) AS ts(s)
+       |  CROSS JOIN UNNEST(range(1, $WpMaxPieceLen + 1)) AS tl(l)
+       |  WHERE s <= len AND s + l - 1 <= len),
+       |vocab AS (SELECT piece, cont FROM (
+       |    SELECT piece, cont, COUNT(DISTINCT word) AS wdf FROM cand GROUP BY 1, 2)
+       |  WHERE length(piece) = 1 OR wdf >= $WpMinDf),
+       |jmp AS MATERIALIZED (SELECT word, s, CAST(MAX(l) AS BIGINT) AS maxl
+       |  FROM cand JOIN vocab USING (piece, cont) GROUP BY word, s),
+       |walk AS (
+       |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np, '' AS seg
+       |  FROM wl
+       |  UNION ALL
+       |  SELECT w.word, w.pos + j.maxl, w.np + 1,
+       |    (CASE WHEN w.seg = '' THEN '' ELSE w.seg || ' ' END) ||
+       |    (CASE WHEN w.pos > 1 THEN '##' ELSE '' END) ||
+       |    substr(w.word, CAST(w.pos AS INT), CAST(j.maxl AS INT))
+       |  FROM walk w JOIN jmp j ON j.word = w.word AND j.s = w.pos)
+       |SELECT w.word, w.freq, w.len AS n_chars, k.np AS n_pieces, k.seg
+       |FROM wl w JOIN walk k ON k.word = w.word AND k.pos = w.len + 1
+       |ORDER BY w.word""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q121_bpe_merges" -> (bpeMerges _),
     "q125_bpe_encode" -> (bpeEncode _),
     "q152_tokenizer_fertility" -> (fertility _),
     "q185_unigram_segment" -> (unigramSegment _),
-    "q200_vocab_curve" -> (vocabCurve _))
+    "q200_vocab_curve" -> (vocabCurve _),
+    "q209_wordpiece_segment" -> (wordpieceSegment _))
 
   val oracles: Map[String, String] = Map(
     "q121_bpe_merges" -> bpeMergesSql,
     "q125_bpe_encode" -> bpeEncodeSql,
     "q152_tokenizer_fertility" -> fertilitySql,
     "q185_unigram_segment" -> unigramSegmentSql,
-    "q200_vocab_curve" -> vocabCurveSql)
+    "q200_vocab_curve" -> vocabCurveSql,
+    "q209_wordpiece_segment" -> wordpieceSegmentSql)
 }
