@@ -346,13 +346,91 @@ object SinkPayloadQueries {
       |  CASE WHEN n_invalid = 0 THEN n_articles ELSE 0 END AS n_stored
       |FROM agg ORDER BY batch_id""".stripMargin
 
+  // ---- q222: Mongo article-store serialize/deserialize round-trip ----
+
+  /** q222: `MongoArticleRepository._serialize_article` /
+    * `_deserialize_article`
+    * (infrastructure/repositories/mongo_article_repository.py:78-116)
+    * replayed set-wise — the STORE-side boundary, the companion of
+    * q141's sink side. Quirks pinned:
+    *
+    *  - `cities_extraction` enters the stored document ONLY when not
+    *    None (`:91-93` — the key is conditionally present);
+    *  - on read, `raw` is a COPY of the stored raw dict and the
+    *    extraction metadata is merged into it only when the metadata
+    *    exists AND raw does not already carry the key (`:103-105` —
+    *    raw's own value wins over the document-level one);
+    *  - `cities` reads through `data.get("cities") or ()` — a null or
+    *    EMPTY stored list both collapse to no mentions (`:100`);
+    *  - `summary`/`classification` read via `.get` (None default),
+    *    so both survive a round-trip as nullable passthrough (unlike
+    *    q141's client, which LOSES classification).
+    *
+    * The sibling delegation adapters carry no extra semantics and are
+    * covered by the components they forward to:
+    * `queue_news_repository.py` → StreamingCollector's queue,
+    * `extraction_result_store_writer.py` → q114/q60's store ops,
+    * `mongo_portal_repository.py` → q142's selector/portal coercions
+    * (same .get defaults, same truthy-only listing_summary). */
+  def articleStoreRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    Tables.orders(s, dir).select(
+      k.as("article_key"),
+      when(k % 2 === 0, concat(lit("meta-v"), k % 5))
+        .otherwise(lit(null).cast("string")).as("extraction_meta"),
+      (k % 3 === 0).as("raw_had_own"),
+      when(k % 3 === 0, concat(lit("raw-v"), k % 7))
+        .otherwise(lit(null).cast("string")).as("raw_own_value"),
+      when(k % 4 === 0, lit(0L)).otherwise(k % 4).as("n_cities_stored"),
+      when(k % 5 === 0, lit(null).cast("string"))
+        .when(k % 5 === 1, lit("")).otherwise(concat(lit("s"), k % 5))
+        .as("summary"))
+      .select(
+        col("article_key"),
+        // serialize: the document carries the key only when not null
+        col("extraction_meta").isNotNull.as("doc_has_meta_key"),
+        // deserialize: cities `or ()` — empty and null both collapse
+        col("n_cities_stored").as("n_cities_rt"),
+        (col("n_cities_stored") === 0).as("cities_collapsed"),
+        // raw merge: own value wins; metadata fills only the gap
+        when(col("raw_had_own"), col("raw_own_value"))
+          .otherwise(col("extraction_meta")).as("raw_extraction_rt"),
+        (!col("raw_had_own") && col("extraction_meta").isNotNull)
+          .as("meta_merged"),
+        // summary passthrough: '' stays '', null stays null
+        col("summary").as("summary_rt"))
+      .orderBy(col("article_key"))
+  }
+
+  val articleStoreRoundTripSql: String =
+    """WITH a AS (SELECT o_orderkey AS article_key,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'meta-v' || o_orderkey % 5 END AS extraction_meta,
+      |    o_orderkey % 3 = 0 AS raw_had_own,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'raw-v' || o_orderkey % 7 END AS raw_own_value,
+      |    CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE o_orderkey % 4 END AS n_cities_stored,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |         WHEN o_orderkey % 5 = 1 THEN ''
+      |         ELSE 's' || o_orderkey % 5 END AS summary
+      |  FROM orders)
+      |SELECT article_key,
+      |  extraction_meta IS NOT NULL AS doc_has_meta_key,
+      |  CAST(n_cities_stored AS BIGINT) AS n_cities_rt,
+      |  n_cities_stored = 0 AS cities_collapsed,
+      |  CASE WHEN raw_had_own THEN raw_own_value ELSE extraction_meta END AS raw_extraction_rt,
+      |  NOT raw_had_own AND extraction_meta IS NOT NULL AS meta_merged,
+      |  summary AS summary_rt
+      |FROM a
+      |ORDER BY article_key""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q141_sink_roundtrip" -> (sinkRoundTrip _),
     "q142_portal_payload" -> (portalPayload _),
-    "q143_batch_validation" -> (batchValidation _))
+    "q143_batch_validation" -> (batchValidation _),
+    "q222_article_store_roundtrip" -> (articleStoreRoundTrip _))
 
   val oracles: Map[String, String] = Map(
     "q141_sink_roundtrip" -> sinkRoundTripSql,
     "q142_portal_payload" -> portalPayloadSql,
-    "q143_batch_validation" -> batchValidationSql)
+    "q143_batch_validation" -> batchValidationSql,
+    "q222_article_store_roundtrip" -> articleStoreRoundTripSql)
 }

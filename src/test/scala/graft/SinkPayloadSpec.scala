@@ -12,6 +12,7 @@ class SinkPayloadSpec extends SparkSpec {
 
   private lazy val rt = SinkPayloadQueries.sinkRoundTrip(spark, sfDir).cache()
   private lazy val pp = SinkPayloadQueries.portalPayload(spark, sfDir).cache()
+  private lazy val ar = SinkPayloadQueries.articleStoreRoundTrip(spark, sfDir).cache()
 
   // ---- q141: publications sink round-trip ----
 
@@ -181,5 +182,41 @@ class SinkPayloadSpec extends SparkSpec {
     // (untouched articles and the portal-less multi-copy fan-out need
     // key spaces that first diverge at sf0.01 — the oracle gate covers
     // both there)
+  }
+
+  // ---- q222: Mongo article-store round-trip ----
+
+  test("q222 replays a literal transcription of _serialize/_deserialize per key") {
+    // mongo_article_repository.py:78-116 transcribed: document build
+    // with the conditional cities_extraction key, then the read-side
+    // raw merge and `or ()` collapse
+    ar.collect().foreach { r =>
+      val k = r.getAs[Long]("article_key")
+      val meta = if (k % 2 == 0) Some(s"meta-v${k % 5}") else None
+      val rawOwn = if (k % 3 == 0) Some(s"raw-v${k % 7}") else None
+      // serialize: key present iff metadata is not None
+      assert(r.getAs[Boolean]("doc_has_meta_key") === meta.isDefined)
+      // deserialize raw merge: raw's own value wins; metadata fills the gap
+      val expectedRt = rawOwn.orElse(meta)
+      assert(Option(r.getAs[String]("raw_extraction_rt")) === expectedRt, s"key $k")
+      assert(r.getAs[Boolean]("meta_merged") === (rawOwn.isEmpty && meta.isDefined))
+      // cities `or ()`: zero stored mentions collapse exactly when the list is empty
+      assert(r.getAs[Boolean]("cities_collapsed") === (r.getAs[Long]("n_cities_rt") == 0L))
+      // summary passthrough: '' survives as '', null as null
+      val sumExp = (k % 5) match {
+        case 0 => null; case 1 => ""; case m => s"s$m"
+      }
+      assert(r.getAs[String]("summary_rt") === sumExp)
+    }
+  }
+
+  test("q222 exercises every branch: both merge outcomes and both collapse states") {
+    val rows = ar.collect()
+    assert(rows.exists(r => r.getAs[Boolean]("meta_merged")))
+    assert(rows.exists(r => !r.getAs[Boolean]("meta_merged") &&
+      r.getAs[String]("raw_extraction_rt") != null)) // raw's own won
+    assert(rows.exists(_.getAs[String]("raw_extraction_rt") == null))
+    assert(rows.exists(_.getAs[Boolean]("cities_collapsed")))
+    assert(rows.exists(!_.getAs[Boolean]("cities_collapsed")))
   }
 }
