@@ -238,4 +238,43 @@ object Streaming {
             st.errCount, Option(st.errFirst), Option(st.errLast), st.lastSeq)
       }
   }
+
+  // ---- streaming leaky-bucket rate limiter (q210's stateful form) ----
+
+  case class BucketEvent(user_id: Long, ts_us: Long, event_id: Long)
+  case class BucketState(lastUs: Long, level: Long)
+  case class BucketOut(user_id: Long, event_id: Long, ts_us: Long,
+      level_micro: Long, over_cap: Boolean)
+
+  /** Leaky-bucket rate limiting AT INGEST — the stateful dual of
+    * q210's batch closed form: the batch side solves the Lindley
+    * recursion as two window aggregates over history, the stream side
+    * RUNS the recursion forward with one (lastUs, level) record per
+    * user, emitting each event's post-deposit level and its over-cap
+    * verdict in the micro-batch where it arrives. Within a batch
+    * events sort by (ts, id); across batches per-user arrival order is
+    * the stream's time order (the same contract the sessionizer
+    * carries). Spec-pinned: per-event levels ≡ the sequential bucket,
+    * and the per-user rollup ≡ batch q210 on the union. */
+  def rateLimit(events: Dataset[BucketEvent], costMicro: Long,
+      capMicro: Long): Dataset[BucketOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, BucketOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (u: Long, rows: Iterator[BucketEvent], state: GroupState[BucketState]) =>
+          var st = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val lvl = st match {
+              case Some(prev) =>
+                math.max(0L, prev.level - (e.ts_us - prev.lastUs)) + costMicro
+              case None => costMicro
+            }
+            st = Some(BucketState(e.ts_us, lvl))
+            BucketOut(u, e.event_id, e.ts_us, lvl, lvl > capMicro)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
 }
