@@ -45,7 +45,7 @@ object VectorMiningQueries {
     * distributes at 100 TB. */
   /** The staged directed k-NN edge table (src, dst, cos_e6, rnk) —
     * shared by the graph audit (q183) and the triangle count (q189). */
-  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def knnEdges(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     // threshold -2 keeps every scored candidate (cos >= -1 always)
     val pairs = Dedup.stage(Similarity.cosinePairsLsh(emb, -2.0))
@@ -87,7 +87,7 @@ object VectorMiningQueries {
 
   /** The CTE prefix ending in `edges(src, dst, cos_e6, rnk)` — the
     * SQL twin of [[knnEdges]], shared by the q183 and q189 oracles. */
-  private def knnEdgesCtes: String = {
+  private[queries] def knnEdgesCtes: String = {
     val dotAB = dotSql("a.emb_a", "b.emb_b", Dim)
     val bandSelects = (0 until Similarity.NeardupBands).map { b =>
       s"SELECT vec_id, $b AS band_id, ${Similarity.neardupBandSql("embedding", b)} AS band_val FROM base"
