@@ -385,8 +385,75 @@ object EventOpsQueries {
        |FROM km WHERE i > 0
        |ORDER BY t_day""".stripMargin
 
+  // ---- q230: last-touch marketing attribution ----
+
+  /** Purchases attribute to the latest preceding touch within 7 days. */
+  val AttribWindowMicros: Long = 7L * 86400 * 1000000
+
+  /** q230: last-touch revenue attribution — every purchase is credited
+    * to the user's most recent click/view within [[AttribWindowMicros]]
+    * (else the 'direct' channel), then channels roll up purchases,
+    * cents, mean latency and revenue share. The attribution lookup is
+    * a BACKWARD-looking ignore-nulls `last()` window over the same
+    * per-user ordered pass sessionization uses — no as-of self-join,
+    * no range join, one shuffle on user_id. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col("event_type") === "click" || col("event_type") === "view"
+    val wAll = Window.partitionBy()
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("lt_ts", last(when(touch, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("lt_ts").isNotNull &&
+          col("ts_us") - col("lt_ts") <= AttribWindowMicros, col("lt_type"))
+          .otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("cents"),
+        sum(when(col("channel") =!= "direct", col("ts_us") - col("lt_ts")))
+          .as("latency_sum_us"))
+      .withColumn("mean_latency_s",
+        expr("latency_sum_us div (greatest(n_purchases, 1) * 1000000)"))
+      .withColumn("share_e6", expr("n_purchases * 1000000 div sum(n_purchases) over ()"))
+      .select(col("channel"), col("n_purchases"), col("cents"),
+        col("mean_latency_s"), col("share_e6"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+       |t AS (SELECT *,
+       |    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts_us END IGNORE NULLS)
+       |      OVER w AS lt_ts,
+       |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+       |      OVER w AS lt_type
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |p AS (SELECT *,
+       |    CASE WHEN lt_ts IS NOT NULL AND ts_us - lt_ts <= $AttribWindowMicros
+       |      THEN lt_type ELSE 'direct' END AS channel
+       |  FROM t WHERE event_type = 'purchase'),
+       |g AS (SELECT channel, COUNT(*) AS n_purchases,
+       |    CAST(SUM(cents) AS BIGINT) AS cents,
+       |    CAST(SUM(CASE WHEN channel <> 'direct' THEN ts_us - lt_ts END) AS BIGINT) AS latency_sum_us
+       |  FROM p GROUP BY channel)
+       |SELECT channel, n_purchases, cents,
+       |  latency_sum_us // (GREATEST(n_purchases, 1) * 1000000) AS mean_latency_s,
+       |  n_purchases * 1000000 // CAST(SUM(n_purchases) OVER () AS BIGINT) AS share_e6
+       |FROM g
+       |ORDER BY channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q202_temporal_dedup" -> (temporalDedup _),
+    "q230_attribution" -> (attribution _),
     "q208_cusum_changepoint" -> (cusumChangepoint _),
     "q210_leaky_bucket" -> (leakyBucket _),
     "q211_markov_transitions" -> (markovTransitions _),
@@ -394,6 +461,7 @@ object EventOpsQueries {
 
   val oracles: Map[String, String] = Map(
     "q202_temporal_dedup" -> temporalDedupSql,
+    "q230_attribution" -> attributionSql,
     "q208_cusum_changepoint" -> cusumChangepointSql,
     "q210_leaky_bucket" -> leakyBucketSql,
     "q211_markov_transitions" -> markovTransitionsSql,

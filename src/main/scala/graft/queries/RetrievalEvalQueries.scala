@@ -49,22 +49,26 @@ object RetrievalEvalQueries {
     * empirical accuracy; ECE is the n-weighted mean absolute gap.
     * Shape: classifier inference (broadcast model), one doc-keyed
     * label join, one bin aggregation — the corpus never sorts. */
-  def scoreCalibration(s: SparkSession, dir: String): DataFrame = {
+  /** The binned (bin, n, n_pos, conf_sum) calibration table — shared
+    * by the reliability diagram (q205) and the isotonic fit (q231). */
+  private[queries] def calibBins(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val scored = Curation.textClassifier(docs, "text", "doc_id",
+    Curation.textClassifier(docs, "text", "doc_id",
       CorpusOpsQueries.ClassifierBuckets)
       .join(docs.select(col("doc_id"), (col("lang") === "en").as("label")),
         Seq("doc_id"))
       .withColumn("conf_e6", expr(
         s"500000 + (milli_score * 500000) div ($ConfScaleMilli + abs(milli_score))"))
       .withColumn("bin", expr("conf_e6 div 100000"))
-    val wAll = Window.partitionBy()
-    scored
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
         sum(col("conf_e6")).as("conf_sum"))
+  }
+
+  def scoreCalibration(s: SparkSession, dir: String): DataFrame =
+    calibBins(s, dir)
       .withColumn("conf_e6", expr("conf_sum div n"))
       .withColumn("acc_e6", expr("n_pos * 1000000 div n"))
       .withColumn("gap_e6", abs(col("acc_e6") - col("conf_e6")))
@@ -72,12 +76,13 @@ object RetrievalEvalQueries {
       .select(col("bin"), col("n"), col("n_pos"), col("conf_e6"),
         col("acc_e6"), col("gap_e6"), col("ece_e6"))
       .orderBy(col("bin"))
-  }
 
-  val scoreCalibrationSql: String = {
+  /** SQL twin of [[calibBins]] — the CTE chain ending in
+    * `binned(bin, n, n_pos, conf_sum)`, shared by q205 and q231. */
+  private[queries] val calibBinsCtes: String = {
     val wExpr = s"${Hashing.affineSql("CAST(range AS BIGINT)", 7)} % 2001 - 1000"
     val b = CorpusOpsQueries.ClassifierBuckets
-    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks),
        |feats AS (SELECT doc_id, tok AS feat FROM pos
        |  UNION ALL
@@ -101,7 +106,11 @@ object RetrievalEvalQueries {
        |    CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |    CAST(SUM(conf_e6) AS BIGINT) AS conf_sum
-       |  FROM conf GROUP BY 1),
+       |  FROM conf GROUP BY 1)""".stripMargin
+  }
+
+  val scoreCalibrationSql: String =
+    s"""WITH $calibBinsCtes,
        |g AS (SELECT bin, n, n_pos,
        |    conf_sum // n AS conf_e6,
        |    n_pos * 1000000 // n AS acc_e6,
@@ -111,7 +120,6 @@ object RetrievalEvalQueries {
        |  CAST(SUM(n * gap_e6) OVER () AS BIGINT) // CAST(SUM(n) OVER () AS BIGINT) AS ece_e6
        |FROM g
        |ORDER BY bin""".stripMargin
-  }
 
   // ---- q206: pseudo-relevance-feedback query expansion (RM3-lite) ----
 
@@ -339,13 +347,104 @@ object RetrievalEvalQueries {
        |ORDER BY i.q_vec_id""".stripMargin
   }
 
+  // ---- q231: isotonic calibration (pool adjacent violators) ----
+
+  /** q231: isotonic regression over the q205 calibration bins — the
+    * pool-adjacent-violators fit (Ayer et al. 1955) that turns a
+    * miscalibrated score into the best monotone probability map: scan
+    * bins in confidence order, merge any block whose rate DROPS below
+    * its predecessor's (violation tests are exact integer
+    * cross-multiplications), report each bin's calibrated rate = its
+    * final block's pooled rate. q205 MEASURES miscalibration; q231
+    * FIXES it — the standard post-hoc calibration pass.
+    *
+    * Shape: the corpus-scale work is the shared binning (one inference
+    * pass + one hash agg); PAV runs on the 10-row bin dim — a bounded
+    * model computation (the q211 stationary-distribution precedent),
+    * broadcast-joined back. The oracle replays the same stack machine
+    * as a recursive CTE over list state. */
+  def isotonicFit(s: SparkSession, dir: String): DataFrame = {
+    val bins = graft.operators.Dedup.stage(calibBins(s, dir))
+    val sorted = bins.select(col("bin"), col("n"), col("n_pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // PAV stack: (pos, n, nbins)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    sorted.foreach { case (_, n, pos) =>
+      stack += ((pos, n, 1L))
+      while (stack.size >= 2 &&
+        stack(stack.size - 2)._1 * stack.last._2 >
+          stack.last._1 * stack(stack.size - 2)._2) {
+        val b = stack.remove(stack.size - 1)
+        val a = stack.remove(stack.size - 1)
+        stack += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+    val assign = Seq.newBuilder[(Long, Long, Long, Long)] // bin, block_id, bpos, bn
+    var idx = 0
+    stack.zipWithIndex.foreach { case ((bpos, bn, bcnt), blk) =>
+      (0L until bcnt).foreach { _ =>
+        assign += ((sorted(idx)._1, blk + 1L, bpos, bn)); idx += 1
+      }
+    }
+    val fit = s.createDataFrame(assign.result())
+      .toDF("bin", "block_id", "block_pos", "block_n")
+    bins.join(broadcast(fit), Seq("bin"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("raw_rate_e6"),
+        col("block_id"), col("block_n"),
+        expr("block_pos * 1000000 div block_n").as("iso_rate_e6"))
+      .orderBy(col("bin"))
+  }
+
+  val isotonicFitSql: String = {
+    val viol = "len(p.pos) >= 2 AND p.pos[-2] * p.ns[-1] > p.pos[-1] * p.ns[-2]"
+    s"""WITH RECURSIVE $calibBinsCtes,
+       |rb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS i,
+       |    bin, n, n_pos FROM binned),
+       |pav AS (
+       |  SELECT CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS step,
+       |    [(SELECT n_pos FROM rb WHERE i = 1)] AS pos,
+       |    [(SELECT n FROM rb WHERE i = 1)] AS ns,
+       |    [CAST(1 AS BIGINT)] AS cnt
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN $viol THEN p.i ELSE p.i + 1 END,
+       |    p.step + 1,
+       |    CASE WHEN $viol
+       |      THEN list_append(list_slice(p.pos, 1, len(p.pos) - 2), p.pos[-2] + p.pos[-1])
+       |      ELSE list_append(p.pos, (SELECT n_pos FROM rb WHERE rb.i = p.i + 1)) END,
+       |    CASE WHEN $viol
+       |      THEN list_append(list_slice(p.ns, 1, len(p.ns) - 2), p.ns[-2] + p.ns[-1])
+       |      ELSE list_append(p.ns, (SELECT n FROM rb WHERE rb.i = p.i + 1)) END,
+       |    CASE WHEN $viol
+       |      THEN list_append(list_slice(p.cnt, 1, len(p.cnt) - 2), p.cnt[-2] + p.cnt[-1])
+       |      ELSE list_append(p.cnt, CAST(1 AS BIGINT)) END
+       |  FROM pav p
+       |  WHERE ($viol) OR p.i < (SELECT COUNT(*) FROM rb)),
+       |fin AS (SELECT pos, ns, cnt FROM pav ORDER BY step DESC LIMIT 1),
+       |blocks AS (SELECT CAST(b.k AS BIGINT) AS block_id,
+       |    f.pos[CAST(b.k AS INT)] AS bpos,
+       |    f.ns[CAST(b.k AS INT)] AS bn,
+       |    f.cnt[CAST(b.k AS INT)] AS bcnt,
+       |    COALESCE(list_sum(list_slice(f.cnt, 1, CAST(b.k AS INT) - 1)), 0) AS start0
+       |  FROM fin f CROSS JOIN UNNEST(range(1, len(f.pos) + 1)) AS b(k))
+       |SELECT rb.bin, rb.n, rb.n_pos,
+       |  rb.n_pos * 1000000 // rb.n AS raw_rate_e6,
+       |  bl.block_id, bl.bn AS block_n,
+       |  bl.bpos * 1000000 // bl.bn AS iso_rate_e6
+       |FROM rb JOIN blocks bl ON rb.i > bl.start0 AND rb.i <= bl.start0 + bl.bcnt
+       |ORDER BY rb.bin""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q205_score_calibration" -> (scoreCalibration _),
+    "q231_isotonic_fit" -> (isotonicFit _),
     "q206_prf_expansion" -> (prfExpansion _),
     "q207_ndcg_eval" -> (ndcgEval _))
 
   val oracles: Map[String, String] = Map(
     "q205_score_calibration" -> scoreCalibrationSql,
+    "q231_isotonic_fit" -> isotonicFitSql,
     "q206_prf_expansion" -> prfExpansionSql,
     "q207_ndcg_eval" -> ndcgEvalSql)
 }
