@@ -385,6 +385,50 @@ object EventOpsQueries {
        |FROM km WHERE i > 0
        |ORDER BY t_day""".stripMargin
 
+  // ---- q218: per-type dwell-time profile ----
+
+  /** q218: dwell time per event type — the gap from each event to the
+    * user's NEXT event, attributed to the current event's type (how
+    * long does a user linger after a click vs an error?). Exact
+    * integer microsecond gaps; per type: events with a successor,
+    * mean dwell, max dwell, and the share of dwells under one minute.
+    * One lead() over the per-user ordered pass; type-keyed rollup. */
+  def dwellTime(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("dwell_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dwell_us")).as("dwell_sum_us"),
+        max(col("dwell_us")).as("max_dwell_us"),
+        sum(when(col("dwell_us") < 60000000L, 1L).otherwise(0L)).as("n_under_min"))
+      .withColumn("mean_dwell_us", expr("dwell_sum_us div n"))
+      .withColumn("under_min_e6", expr("n_under_min * 1000000 div n"))
+      .select(col("event_type"), col("n"), col("mean_dwell_us"),
+        col("max_dwell_us"), col("n_under_min"), col("under_min_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  val dwellTimeSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+      |d AS (SELECT event_type,
+      |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dwell_us
+      |  FROM e),
+      |g AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(dwell_us) AS BIGINT) AS dwell_sum_us,
+      |    CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us,
+      |    CAST(SUM(CASE WHEN dwell_us < 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_under_min
+      |  FROM d WHERE dwell_us IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n,
+      |  dwell_sum_us // n AS mean_dwell_us,
+      |  max_dwell_us, n_under_min,
+      |  n_under_min * 1000000 // n AS under_min_e6
+      |FROM g
+      |ORDER BY event_type""".stripMargin
+
   // ---- q230: last-touch marketing attribution ----
 
   /** Purchases attribute to the latest preceding touch within 7 days. */
@@ -453,6 +497,7 @@ object EventOpsQueries {
 
   val queries: Map[String, Q] = Map(
     "q202_temporal_dedup" -> (temporalDedup _),
+    "q218_dwell_time" -> (dwellTime _),
     "q230_attribution" -> (attribution _),
     "q208_cusum_changepoint" -> (cusumChangepoint _),
     "q210_leaky_bucket" -> (leakyBucket _),
@@ -461,6 +506,7 @@ object EventOpsQueries {
 
   val oracles: Map[String, String] = Map(
     "q202_temporal_dedup" -> temporalDedupSql,
+    "q218_dwell_time" -> dwellTimeSql,
     "q230_attribution" -> attributionSql,
     "q208_cusum_changepoint" -> cusumChangepointSql,
     "q210_leaky_bucket" -> leakyBucketSql,

@@ -156,4 +156,20 @@ class EventOpsSpec extends SparkSpec {
       assert(se <= prev); prev = se
     }
   }
+
+  test("q218 dwell times match a sequential per-user gap walk") {
+    val exp = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._5))
+      sorted.zip(sorted.drop(1)).map { case (cur, nxt) => (cur._2, nxt._4 - cur._4) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = graft.queries.EventOpsQueries.dwellTime(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === exp.keySet)
+    rows.foreach { r =>
+      val ds = exp(r.getString(0))
+      assert(r.getAs[Long]("n") === ds.size.toLong)
+      assert(r.getAs[Long]("mean_dwell_us") === ds.sum / ds.size)
+      assert(r.getAs[Long]("max_dwell_us") === ds.max)
+      assert(r.getAs[Long]("n_under_min") === ds.count(_ < 60000000L).toLong)
+    }
+  }
 }
