@@ -103,6 +103,12 @@ object IntegritySimQueries {
     * over ALL shared terms of a candidate pair. */
   val SpDfCap = 20L
   val SpCosThreshold = 200000L
+  /** Candidate pairs must share at least this many capped (rare)
+    * shingles before the exact dot runs — the prefix-filter pruning of
+    * Bayardo et al. 2007: a single shared rare shingle cannot reach
+    * the cosine threshold on these vectors, and dropping those pairs
+    * removes the bulk of the candidate mass. */
+  val SpMinRareShared = 2L
 
   /** q233: exact tf-idf cosine similarity between documents with
     * df-capped candidate generation — the lexical-VECTOR member of the
@@ -133,7 +139,10 @@ object IntegritySimQueries {
       .select(col("tok"), col("doc_id"))
     val cand = rare.join(rare.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
       .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= SpMinRareShared)
+      .select(col("doc_a"), col("doc_b"))
     val dots = cand
       .join(weighted.select(col("doc_id").as("doc_a"), col("tok"), col("w").as("wa")),
         Seq("doc_a"))
@@ -167,8 +176,10 @@ object IntegritySimQueries {
        |  FROM tf JOIN dfq USING (tok) CROSS JOIN nd),
        |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2 FROM wt GROUP BY doc_id),
        |rare AS (SELECT tok, doc_id FROM wt WHERE df <= $SpDfCap),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= $SpMinRareShared),
        |dots AS (SELECT c.doc_a, c.doc_b,
        |    CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot,
        |    CAST(COUNT(*) AS BIGINT) AS n_shared

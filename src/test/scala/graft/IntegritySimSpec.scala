@@ -72,7 +72,9 @@ class IntegritySimSpec extends SparkSpec {
       (t, df) <- dfm.toSeq if df <= IntegritySimQueries.SpDfCap
       ids = vecs.collect { case (id, v) if v.contains(t) => id }.toSeq.sorted
       a <- ids; b <- ids if a < b
-    } yield (a, b)).distinct
+    } yield (a, b)).groupBy(identity).toSeq.collect {
+      case (pair, occ) if occ.size >= IntegritySimQueries.SpMinRareShared => pair
+    }
     val expect = cand.flatMap { case (a, b) =>
       val (va, vb) = (wv(a), wv(b))
       val shared = va.keySet.intersect(vb.keySet)
