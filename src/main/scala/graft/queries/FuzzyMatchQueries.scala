@@ -55,8 +55,14 @@ object FuzzyMatchQueries {
       .withColumn("blk", explode(expr("array(tlen div 4 - 1, tlen div 4, tlen div 4 + 1)")))
     a.join(b, Seq("pfx", "blk"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("title_a"), col("title_b")).cast("long"))
-      .filter(col("dist") <= FzMaxDist && col("dist") > 0)
+      // necessary conditions first (codegen'd, cheap), then the BANDED
+      // threshold Levenshtein — O(k*n) early-exit instead of the full
+      // O(n^2) DP per candidate (returns -1 above the threshold)
+      .filter(abs(length(col("title_a")) - length(col("title_b"))) <= FzMaxDist)
+      .filter(col("title_a") =!= col("title_b"))
+      .withColumn("dist",
+        levenshtein(col("title_a"), col("title_b"), FzMaxDist.toInt).cast("long"))
+      .filter(col("dist") > 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
