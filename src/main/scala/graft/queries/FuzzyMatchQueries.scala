@@ -44,26 +44,32 @@ object FuzzyMatchQueries {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         expr(s"concat(substring(title, 1, CAST(doc_id % 20 + 2 AS INT)), " +
           s"substring(title, CAST(doc_id % 20 + 4 AS INT), $FzTitleLen))").as("title"))
-    val titles = base.unionByName(reposts)
+    val all = base.unionByName(reposts)
+    // collapse IDENTICAL titles first (a clone-heavy corpus would
+    // otherwise multiply every bucket quadratically); distance work
+    // runs on distinct titles, members expand back afterwards
+    val groups = graft.operators.Dedup.stage(
+      all.groupBy(col("title"))
+        .agg(collect_list(col("doc_id")).as("members")))
+    val titles = groups
       .withColumn("tlen", length(col("title")))
       .withColumn("pfx", substring(col("title"), 1, 2))
     val a = titles.select(col("pfx"), expr("tlen div 4").as("blk"),
-      col("doc_id").as("doc_a"), col("title").as("title_a"))
+      col("title").as("title_a"), col("members").as("members_a"))
     // probe own and adjacent length blocks so a +-2 length change stays visible
     val b = titles
-      .select(col("pfx"), col("tlen"), col("doc_id").as("doc_b"), col("title").as("title_b"))
+      .select(col("pfx"), col("tlen"), col("title").as("title_b"), col("members").as("members_b"))
       .withColumn("blk", explode(expr("array(tlen div 4 - 1, tlen div 4, tlen div 4 + 1)")))
     a.join(b, Seq("pfx", "blk"))
-      .filter(col("doc_a") < col("doc_b"))
-      // necessary conditions first (codegen'd, cheap), then the BANDED
-      // threshold Levenshtein — O(k*n) early-exit instead of the full
-      // O(n^2) DP per candidate (returns -1 above the threshold)
+      .filter(col("title_a") < col("title_b"))
       .filter(abs(length(col("title_a")) - length(col("title_b"))) <= FzMaxDist)
-      .filter(col("title_a") =!= col("title_b"))
       .withColumn("dist",
         levenshtein(col("title_a"), col("title_b"), FzMaxDist.toInt).cast("long"))
       .filter(col("dist") > 0)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .select(col("dist"), explode(col("members_a")).as("m_a"), col("members_b"))
+      .select(col("dist"), col("m_a"), explode(col("members_b")).as("m_b"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("dist"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -77,16 +83,20 @@ object FuzzyMatchQueries {
        |    substr(title, 1, CAST(doc_id % 20 + 2 AS INT)) ||
        |      substr(title, CAST(doc_id % 20 + 4 AS INT), $FzTitleLen) AS title
        |  FROM t0 WHERE doc_id % 3 = 0),
-       |k AS (SELECT doc_id, title, length(title) AS tlen,
-       |    substr(title, 1, 2) AS pfx FROM t),
-       |a AS (SELECT pfx, tlen // 4 AS blk, doc_id AS doc_a, title AS title_a FROM k),
-       |b AS (SELECT pfx, u.blk, doc_id AS doc_b, title AS title_b
-       |  FROM k, UNNEST([tlen // 4 - 1, tlen // 4, tlen // 4 + 1]) AS u(blk))
-       |SELECT DISTINCT a.doc_a, b.doc_b,
-       |  CAST(levenshtein(a.title_a, b.title_b) AS BIGINT) AS dist
-       |FROM a JOIN b ON a.pfx = b.pfx AND a.blk = b.blk AND a.doc_a < b.doc_b
-       |WHERE levenshtein(a.title_a, b.title_b) <= $FzMaxDist
-       |  AND levenshtein(a.title_a, b.title_b) > 0
+       |g AS (SELECT title, list(doc_id) AS members FROM t GROUP BY title),
+       |k AS (SELECT title, members, length(title) AS tlen,
+       |    substr(title, 1, 2) AS pfx FROM g),
+       |a AS (SELECT pfx, tlen // 4 AS blk, title AS title_a, members AS members_a FROM k),
+       |b AS (SELECT pfx, u.blk, title AS title_b, members AS members_b
+       |  FROM k, UNNEST([tlen // 4 - 1, tlen // 4, tlen // 4 + 1]) AS u(blk)),
+       |rp AS (SELECT DISTINCT a.title_a, b.title_b, a.members_a, b.members_b,
+       |    CAST(levenshtein(a.title_a, b.title_b) AS BIGINT) AS dist
+       |  FROM a JOIN b ON a.pfx = b.pfx AND a.blk = b.blk AND a.title_a < b.title_b
+       |  WHERE abs(length(a.title_a) - length(b.title_b)) <= $FzMaxDist
+       |    AND levenshtein(a.title_a, b.title_b) <= $FzMaxDist
+       |    AND levenshtein(a.title_a, b.title_b) > 0)
+       |SELECT DISTINCT LEAST(ma.m, mb.m) AS doc_a, GREATEST(ma.m, mb.m) AS doc_b, dist
+       |FROM rp, UNNEST(rp.members_a) AS ma(m), UNNEST(rp.members_b) AS mb(m)
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
