@@ -272,6 +272,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("r8 session queries: per-key windows only, no cartesian products") {
+    // q220/q230: the sequence/attribution lookups ride per-USER windows
+    for (df <- Seq(
+        graft.queries.PatternMiningQueries.eventPattern(spark, sfDir),
+        graft.queries.EventOpsQueries.attribution(spark, sfDir))) {
+      val p = plan(df)
+      val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.nonEmpty, p)
+      // the corpus-grain lookup window partitions by user; any other
+      // window sits above the channel/dim aggregation
+      assert(wins.exists(_.contains("user_id")), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // q233/q239/q213: bucketed candidate joins — never a cartesian
+    for (df <- Seq(
+        graft.queries.IntegritySimQueries.sparseCosine(spark, sfDir),
+        graft.queries.FuzzyMatchQueries.fuzzyTitles(spark, sfDir),
+        graft.queries.InfraOpsQueries.geohashJoin(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // q208/q210: the closed-form recurrences are windows, not joins
+    for (df <- Seq(
+        graft.queries.EventOpsQueries.leakyBucket(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), p)
+    }
+  }
+
   test("q181 CDC chunking is windowless; chunk-hash agg is partial") {
     val p = plan(graft.queries.CdcQueries.cdcChunks(spark, sfDir))
     assert(!p.contains("Window"), p)
