@@ -46,11 +46,11 @@ object Bench {
       val b = runOnce(name)
       if (a < 0 || b < 0) return -1.0
       val m = math.min(a, b)
-      // Sub-second queries still swing 1.5-2.5x run-to-run from
-      // cross-query JIT/GC state (two rounds of judge tails flagged
-      // phantom regressions on them); a third sample keeps the min
-      // honest while costing <1s each.
-      if (m >= 1.0) m
+      // Queries under ~2.5s still swing 1.5-2.5x run-to-run from
+      // cross-query JIT/GC state (judge tails twice flagged phantom
+      // regressions in the 1-2.5s band that re-benching dissolved); a
+      // third sample keeps the min honest while costing <2.5s each.
+      if (m >= 2.5) m
       else {
         val c = runOnce(name)
         if (c < 0) m else math.min(m, c)
@@ -80,7 +80,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val filterKey = only.fold("")(o =>
       "\"filter\":\"" + o.toSeq.sorted.mkString(",") + "\",")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$filterKey"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec",$filterKey"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json captures only a log tail, which has
+    // truncated the per-query map past ~60 queries and broken
+    // cross-round diffs. Persist the full map in-repo (unfiltered
+    // sweeps only, so a subset run can't shadow a full record).
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

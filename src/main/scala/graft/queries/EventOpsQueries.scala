@@ -291,11 +291,16 @@ object EventOpsQueries {
        |    CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT) AS pi
        |  FROM states
        |  UNION ALL
-       |  SELECT it.round + 1, p.to_type,
-       |    CAST(SUM(it.pi * p.p_e6 // 1000000) AS BIGINT)
-       |  FROM it JOIN p ON p.from_type = it.t
+       |  -- every state keeps a row each round (CROSS JOIN states +
+       |  -- LEFT JOIN): a source-only state (never a to_type) must
+       |  -- carry pi = 0 forward, matching the Spark side's dense
+       |  -- states.map fold, instead of vanishing from the fixpoint
+       |  SELECT it.round + 1, s.t,
+       |    CAST(COALESCE(SUM(it.pi * p.p_e6 // 1000000), 0) AS BIGINT)
+       |  FROM it CROSS JOIN states s
+       |  LEFT JOIN p ON p.from_type = it.t AND p.to_type = s.t
        |  WHERE it.round < $MarkovRounds
-       |  GROUP BY it.round + 1, p.to_type)
+       |  GROUP BY it.round + 1, s.t)
        |SELECT p.from_type, p.to_type, p.n, p.p_e6, it.pi AS pi_from_e6
        |FROM p JOIN it ON it.t = p.from_type AND it.round = $MarkovRounds
        |ORDER BY p.from_type, p.to_type""".stripMargin

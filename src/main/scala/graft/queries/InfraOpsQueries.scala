@@ -261,7 +261,10 @@ object InfraOpsQueries {
     * that makes consistent placement cheap to grow (spec-asserted).
     * Output: the (shard_before, shard_after) transition matrix with
     * moved counts. Pure map-side argmax over a constant-size score
-    * array — no shuffle until the matrix aggregation. */
+    * array — no shuffle until the matrix aggregation. Hash ties break
+    * toward the LARGEST shard id on both engines: Spark's
+    * greatest(struct(h,k)) compares k after h, and the oracle orders
+    * `k DESC` behind the score. */
   def rendezvousShards(s: SparkSession, dir: String): DataFrame = {
     def argmaxShard(n: Int): org.apache.spark.sql.Column =
       greatest((0 until n).map(k =>
@@ -283,7 +286,7 @@ object InfraOpsQueries {
     def argmax(n: Int) =
       s"""(SELECT k FROM (
          |    SELECT unnest(range(0, $n)) AS k) ks
-         |    ORDER BY CASE ${(0 until n).map(k => s"WHEN ks.k = $k THEN ${score(k)}").mkString(" ")} END DESC, k
+         |    ORDER BY CASE ${(0 until n).map(k => s"WHEN ks.k = $k THEN ${score(k)}").mkString(" ")} END DESC, k DESC
          |    LIMIT 1)""".stripMargin
     s"""WITH a AS (SELECT doc_id,
        |    ${argmax(ShardsBefore)} AS shard_before,

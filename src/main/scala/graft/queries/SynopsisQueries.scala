@@ -55,7 +55,13 @@ object SynopsisQueries {
       val s2 = p2(b + 1) - p2(a)
       s2 * 1000L - s1 * s1 * 1000L / n
     }
-    val B = math.min(VoptBuckets, nV)
+    // Contract: the corpus must populate at least VoptBuckets value
+    // cells. The oracle's backtrack chain is generated for exactly
+    // VoptBuckets levels, so a degenerate corpus would otherwise
+    // diverge silently (NULL SQL bounds) instead of failing loudly.
+    require(nV >= VoptBuckets,
+      s"vopt synopsis contract: need >= $VoptBuckets value cells, corpus has $nV")
+    val B = VoptBuckets
     val best = Array.fill(B + 1, nV + 1)(Long.MaxValue / 4)
     val cut = Array.fill(B + 1, nV + 1)(0)
     best(0)(0) = 0L

@@ -265,12 +265,19 @@ object Streaming {
         (u: Long, rows: Iterator[BucketEvent], state: GroupState[BucketState]) =>
           var st = state.getOption
           val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            // The in-order contract says ts_us never regresses across
+            // batches, but a violation must not CORRUPT the bucket: a
+            // late event would make (ts - lastUs) negative and ADD
+            // tokens. Clamp the drain at zero and keep lastUs
+            // monotone, so a late arrival pays full cost with no
+            // drain — the conservative (over-limiting) failure mode —
+            // instead of silently inflating the level.
             val lvl = st match {
               case Some(prev) =>
-                math.max(0L, prev.level - (e.ts_us - prev.lastUs)) + costMicro
+                math.max(0L, prev.level - math.max(0L, e.ts_us - prev.lastUs)) + costMicro
               case None => costMicro
             }
-            st = Some(BucketState(e.ts_us, lvl))
+            st = Some(BucketState(math.max(e.ts_us, st.fold(Long.MinValue)(_.lastUs)), lvl))
             BucketOut(u, e.event_id, e.ts_us, lvl, lvl > capMicro)
           }
           st.foreach(state.update)

@@ -57,4 +57,37 @@ class StreamingRateLimitSpec extends SparkSpec {
       assert(rolled === batch)
     } finally q.stop()
   }
+
+  test("a late cross-batch event cannot inflate the bucket (drain clamp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.BucketEvent]
+    val q = Streaming.rateLimit(input.toDS(), C, Cap)
+      .writeStream.format("memory").queryName("bucket_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: two in-order events 10s apart -> level drains between
+      input.addData(Seq(
+        Streaming.BucketEvent(7L, 10_000_000L, 1L),
+        Streaming.BucketEvent(7L, 20_000_000L, 2L)))
+      q.processAllAvailable()
+      // batch 2: a LATE event (ts before the last seen) violating the
+      // in-order contract. Un-clamped, (ts - lastUs) < 0 would ADD
+      // 15s of tokens; clamped, the late event pays full cost with no
+      // drain and lastUs stays monotone.
+      input.addData(Seq(Streaming.BucketEvent(7L, 5_000_000L, 3L)))
+      q.processAllAvailable()
+      // batch 3: back in order; drain measured from the MONOTONE
+      // lastUs (20s), not the late 5s timestamp.
+      input.addData(Seq(Streaming.BucketEvent(7L, 21_000_000L, 4L)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, level_micro FROM bucket_late")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val afterTwo = math.max(0L, C - 10_000_000L) + C
+      assert(got(1L) === C)
+      assert(got(2L) === afterTwo)
+      assert(got(3L) === afterTwo + C) // no drain, no inflation
+      assert(got(4L) === math.max(0L, afterTwo + C - 1_000_000L) + C)
+    } finally q.stop()
+  }
 }
