@@ -284,4 +284,56 @@ object Streaming {
           out.iterator
       }
   }
+
+  // ---- streaming pending-news delivery queue (q243's stateful form) ----
+
+  case class QueueEvent(url: String, seq: Long, op: String)
+  case class QueueState(queuedN: Long, inflight: Boolean, droppedN: Long,
+      ackedN: Long, retriedN: Long, lastSeq: Long)
+  case class QueueSnapshot(url: String, queued_n: Long, inflight: Boolean,
+      dropped_n: Long, acked_n: Long, retried_n: Long, last_seq: Long)
+
+  /** The pending-news queue's at-least-once accounting AT INGEST —
+    * the stateful dual of batch q243: one (depth, inflight, counters)
+    * record per url, advanced by each micro-batch's enqueue / pull /
+    * ack / retry events in seq order
+    * (pending_news_queue.py:26-71 semantics: an enqueue while the url
+    * is in flight is DROPPED, duplicates in the waiting queue are
+    * legal, retry returns the in-flight document to the queue). Each
+    * batch emits the url's current snapshot (update-mode semantics,
+    * like newsRepoState); the global queued/inflight depths are an
+    * aggregation over snapshots downstream. Spec-pinned: incremental
+    * replay across micro-batch splits ≡ the batch q243 fold on the
+    * union. */
+  def pendingQueue(events: Dataset[QueueEvent]): Dataset[QueueSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.url)
+      .mapGroupsWithState[QueueState, QueueSnapshot](GroupStateTimeout.NoTimeout()) {
+        (url: String, rows: Iterator[QueueEvent], state: GroupState[QueueState]) =>
+          var st = state.getOption.getOrElse(QueueState(0L, false, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.seq).foreach { e =>
+            e.op match {
+              case "enqueue" =>
+                if (st.inflight) st = st.copy(droppedN = st.droppedN + 1L)
+                else st = st.copy(queuedN = st.queuedN + 1L)
+              case "pull" =>
+                // a faithful log only pulls queued documents; the
+                // inflight dict replaces on a duplicate pull
+                st = st.copy(queuedN = math.max(0L, st.queuedN - 1L), inflight = true)
+              case "ack" =>
+                st = st.copy(inflight = false, ackedN = st.ackedN + 1L)
+              case "retry" =>
+                if (st.inflight)
+                  st = st.copy(inflight = false, queuedN = st.queuedN + 1L,
+                    retriedN = st.retriedN + 1L)
+              case other =>
+                throw new IllegalArgumentException(s"unknown queue op: $other")
+            }
+            st = st.copy(lastSeq = math.max(st.lastSeq, e.seq))
+          }
+          state.update(st)
+          QueueSnapshot(url, st.queuedN, st.inflight, st.droppedN, st.ackedN,
+            st.retriedN, st.lastSeq)
+      }
+  }
 }
