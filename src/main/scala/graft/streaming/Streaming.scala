@@ -256,6 +256,24 @@ object Streaming {
     * the stream's time order (the same contract the sessionizer
     * carries). Spec-pinned: per-event levels ≡ the sequential bucket,
     * and the per-user rollup ≡ batch q210 on the union. */
+  /** One clamped leaky-bucket step — shared by [[rateLimit]] and the
+    * ingest pipeline's admission gate. The in-order contract says
+    * ts_us never regresses across batches, but a violation must not
+    * CORRUPT the bucket: a late event would make (ts - lastUs)
+    * negative and ADD tokens. Clamp the drain at zero and keep lastUs
+    * monotone, so a late arrival pays full cost with no drain — the
+    * conservative (over-limiting) failure mode — instead of silently
+    * inflating the level. Returns (state after, level after deposit). */
+  def advanceBucket(prev: Option[BucketState], tsUs: Long,
+      costMicro: Long): (BucketState, Long) = {
+    val lvl = prev match {
+      case Some(p) =>
+        math.max(0L, p.level - math.max(0L, tsUs - p.lastUs)) + costMicro
+      case None => costMicro
+    }
+    (BucketState(math.max(tsUs, prev.fold(Long.MinValue)(_.lastUs)), lvl), lvl)
+  }
+
   def rateLimit(events: Dataset[BucketEvent], costMicro: Long,
       capMicro: Long): Dataset[BucketOut] = {
     import events.sparkSession.implicits._
@@ -265,19 +283,8 @@ object Streaming {
         (u: Long, rows: Iterator[BucketEvent], state: GroupState[BucketState]) =>
           var st = state.getOption
           val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            // The in-order contract says ts_us never regresses across
-            // batches, but a violation must not CORRUPT the bucket: a
-            // late event would make (ts - lastUs) negative and ADD
-            // tokens. Clamp the drain at zero and keep lastUs
-            // monotone, so a late arrival pays full cost with no
-            // drain — the conservative (over-limiting) failure mode —
-            // instead of silently inflating the level.
-            val lvl = st match {
-              case Some(prev) =>
-                math.max(0L, prev.level - math.max(0L, e.ts_us - prev.lastUs)) + costMicro
-              case None => costMicro
-            }
-            st = Some(BucketState(math.max(e.ts_us, st.fold(Long.MinValue)(_.lastUs)), lvl))
+            val (next, lvl) = advanceBucket(st, e.ts_us, costMicro)
+            st = Some(next)
             BucketOut(u, e.event_id, e.ts_us, lvl, lvl > capMicro)
           }
           st.foreach(state.update)
