@@ -349,4 +349,31 @@ class PlanAuditSpec extends SparkSpec {
     val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.forall(_.contains("doc")), p)
   }
+
+  test("q239 fuzzy titles: blocked join, no cartesian, no corpus window") {
+    // identical-title collapse -> (prefix, length-block) equi-join ->
+    // threshold Levenshtein; the quadratic is bounded by bucket size
+    val p = plan(graft.queries.FuzzyMatchQueries.fuzzyTitles(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q240 vopt histogram collapses the corpus before the DP") {
+    // the only corpus work is the one hash aggregation onto the
+    // <=134-cell value dim (partial + final); the DP itself runs on
+    // the bounded model, so the executed plan the corpus sees must be
+    // agg-only: no join, no window, no cartesian
+    val cells = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr(
+        s"n_chars div ${graft.queries.SynopsisQueries.VoptRes}").as("v"))
+      .groupBy("v").count()
+    val p = plan(cells)
+    assert(p.contains("HashAggregate") && p.contains("partial_count"), p)
+    // and the full query's final output is the bucket dim joined back
+    // to nothing corpus-sized: its plan contains no corpus scan at all
+    val pq = plan(graft.queries.SynopsisQueries.voptHistogram(spark, sfDir))
+    assert(!pq.contains("Scan parquet"), pq)
+    assert(!pq.contains("CartesianProduct"), pq)
+  }
 }
