@@ -76,11 +76,14 @@ object DatetimeCascade {
         hh.between(0, 23) && mi.between(0, 59) && ss.between(0, 59),
       unix_micros(make_timestamp(y, mo, dd, hh, mi, ss.cast("int"))))
 
-  /** `_try_parse_isoformat` as epoch micros: NULL unless the WHOLE
-    * normalized value is the ISO shape; offsets fold to UTC, naive
-    * values pass through, a date-only value is midnight. */
-  def isoUs(v: Column): Column = {
-    def g(i: Int): Column = regexp_extract(v, IsoPattern, i)
+  /** ISO leg from PRE-EXTRACTED components: `matched` is the anchored
+    * rlike verdict, `g(i)` the i-th capture group. Callers on a hot
+    * path MUST bind `g(i)` to staged columns (each regex evaluated
+    * once per row): everything here sits under `when(...)` branches,
+    * which whole-stage codegen excludes from subexpression
+    * elimination — inlining the extracts re-runs each regex at every
+    * reference and costs ~10x (measured on q242). */
+  def isoUsFrom(matched: Column, g: Int => Column): Column = {
     val hasTime = g(4) =!= ""
     val base = epochUs(
       g(1).cast("int"), g(2).cast("int"), g(3).cast("int"),
@@ -94,16 +97,21 @@ object DatetimeCascade {
           (when(substring(tz, 1, 1) === "-", -1L).otherwise(1L)) *
             (substring(tz, 2, 2).cast("long") * 60L +
               substring(tz, 5, 2).cast("long")))
-    when(v.rlike(IsoPattern), base - offMin * 60000000L)
+    when(matched, base - offMin * 60000000L)
   }
 
-  /** `_try_parse_br_datetime` as epoch micros: date and time are
-    * searched INDEPENDENTLY anywhere in the value (first match each,
-    * exactly `re.search`); no time means midnight; an invalid
-    * component (99/99/2024, hour 25) is NULL, not an error. */
-  def brUs(v: Column): Column = {
-    def d(i: Int): Column = regexp_extract(v, BrDatePattern, i)
-    def t(i: Int): Column = regexp_extract(v, BrTimePattern, i)
+  /** `_try_parse_isoformat` as epoch micros: NULL unless the WHOLE
+    * normalized value is the ISO shape; offsets fold to UTC, naive
+    * values pass through, a date-only value is midnight. Convenience
+    * single-expression form (fine on dims/specs; stage the extracts
+    * via [[isoUsFrom]] on corpus-sized scans). */
+  def isoUs(v: Column): Column =
+    isoUsFrom(v.rlike(IsoPattern), i => regexp_extract(v, IsoPattern, i))
+
+  /** BR leg from PRE-EXTRACTED components: `d(i)` / `t(i)` are the
+    * date / time capture groups (index 0 = whole match). Same staging
+    * contract as [[isoUsFrom]]. */
+  def brUsFrom(d: Int => Column, t: Int => Column): Column = {
     val hasDate = d(0) =!= ""
     val hasTime = t(0) =!= ""
     when(hasDate, epochUs(
@@ -112,6 +120,15 @@ object DatetimeCascade {
       when(hasTime, t(2).cast("int")).otherwise(0),
       when(hasTime && t(3) =!= "", t(3).cast("int")).otherwise(0)))
   }
+
+  /** `_try_parse_br_datetime` as epoch micros: date and time are
+    * searched INDEPENDENTLY anywhere in the value (first match each,
+    * exactly `re.search`); no time means midnight; an invalid
+    * component (99/99/2024, hour 25) is NULL, not an error.
+    * Single-expression convenience form — see [[brUsFrom]]. */
+  def brUs(v: Column): Column =
+    brUsFrom(i => regexp_extract(v, BrDatePattern, i),
+      i => regexp_extract(v, BrTimePattern, i))
 
   /** `_looks_like_regex` (scraper.py:675) on the portal's
     * `date_format` column: no `%` strptime directive, and at least one

@@ -137,23 +137,75 @@ object DateParseQueries {
         .when(col("fam") === 6, RegexFmt)
         .otherwise("%Y-%m-%d"))
     // the per-format candidate extractors compile once per plan: the
-    // format vocabulary is a bounded (broadcast-dim) CASE dispatch
-    val parsed = surfaced
+    // format vocabulary is a bounded (broadcast-dim) CASE dispatch.
+    // Every regex runs AT MOST ONCE per row: the capture groups stage
+    // into columns before the cascade's conditional tree touches them
+    // (conditional branches are outside codegen's subexpression
+    // elimination — inlined extracts re-run per reference, 10x slower,
+    // measured), and each leg's extracts sit under the cascade's own
+    // short-circuit guard, exactly like the reference's early returns:
+    // the BR scan only runs when ISO missed, the candidate legs only
+    // when the regex dispatch produced a candidate.
+    // Each leg costs TWO regex passes, not one per group: the match
+    // verdict (rlike / group-0 extract), then one regexp_replace
+    // rewriting the groups into a delimited string that a cheap split
+    // turns into the component array ($i of an unmatched optional
+    // group substitutes empty, exactly regexp_extract's convention;
+    // the BR sub-fields split off the group-0 surface directly).
+    def stageIso(df: DataFrame, in: String, p: String,
+        guard: Column): DataFrame =
+      df.withColumn(s"${p}m", guard && col(in).rlike(DC.IsoPattern))
+        .withColumn(s"${p}a", when(col(s"${p}m"),
+          split(regexp_replace(col(in), DC.IsoPattern,
+            "$1|$2|$3|$4|$5|$6|$7"), "\\|")))
+    def isoG(p: String)(i: Int): Column =
+      coalesce(get(col(s"${p}a"), lit(i - 1)), lit(""))
+    def stageBr(df: DataFrame, in: String, p: String,
+        guard: Column): DataFrame =
+      df.withColumn(s"${p}d0",
+          when(guard, regexp_extract(col(in), DC.BrDatePattern, 0))
+            .otherwise(""))
+        .withColumn(s"${p}da", split(col(s"${p}d0"), "/"))
+        .withColumn(s"${p}t0",
+          when(guard, regexp_extract(col(in), DC.BrTimePattern, 0))
+            .otherwise(""))
+        .withColumn(s"${p}ta", split(col(s"${p}t0"), "[:h]"))
+    def brD(p: String)(i: Int): Column =
+      if (i == 0) col(s"${p}d0")
+      else coalesce(get(col(s"${p}da"), lit(i - 1)), lit(""))
+    def brT(p: String)(i: Int): Column =
+      if (i == 0) col(s"${p}t0")
+      else coalesce(get(col(s"${p}ta"), lit(i - 1)), lit(""))
+    val s0 = surfaced
       .withColumn("v", DC.normalize(col("surface")))
-      .withColumn("cand",
+      .withColumn("cand", DC.normalize(
         when(col("fmt") === RegexFmt,
-          nullif(regexp_extract(col("v"), RegexFmt, 1), lit(""))))
+          nullif(regexp_extract(col("v"), RegexFmt, 1), lit("")))))
       .withColumn("fmt_is_regex", DC.looksLikeRegex(col("fmt")))
-      .withColumn("iso_us", DC.isoUs(col("v")))
-      .withColumn("cand_us", DC.candidateUs(col("cand")))
-      .withColumn("br_us", DC.brUs(col("v")))
+    val stagedV = stageBr(stageIso(s0, "v", "i", lit(true)),
+      "v", "b", !col("im"))
+    val stagedC = stageBr(
+      stageIso(stagedV, "cand", "ci", col("cand").isNotNull),
+      "cand", "cb", col("cand").isNotNull && !col("cim"))
+    val parsed = stagedC
+      .withColumn("iso_us", DC.isoUsFrom(col("im"), isoG("i")))
+      .withColumn("cand_us", coalesce(
+        DC.isoUsFrom(col("cim"), isoG("ci")),
+        DC.brUsFrom(brD("cb"), brT("cb"))))
+      .withColumn("br_us", DC.brUsFrom(brD("b"), brT("b")))
+    // partition-local sort only: a global orderBy range-partitions,
+    // and its bound sampling executes the whole (regex-heavy)
+    // projection chain a second time — measured at 2x the query; the
+    // driver's compare sorts rows itself, and a total order over a
+    // corpus-sized parse result is not a thing a 100 TB run would ask
+    // for either
     parsed.select(col("o_orderkey"), col("fam"), col("surface"),
       col("fmt_is_regex"),
       DC.branchOf(col("iso_us"), col("fmt_is_regex"), col("cand_us"),
         col("br_us")).as("branch"),
       DC.parsedUs(col("iso_us"), col("fmt_is_regex"), col("cand_us"),
         col("br_us")).as("parsed_us"))
-      .orderBy(col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
   }
 
   val datetimeCascadeSql: String = {
