@@ -21,7 +21,13 @@ object ScaleBench {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // scale-correct shuffle sizing: let AQE pick per-stage
+      // parallelism downward from a high initial count instead of
+      // pinning 32 — at 64x data a fixed 32 makes every partition
+      // sort/spill superlinearly (a real cluster sizes partitions to
+      // the data, and AQE coalesces the small stages back to cheap)
+      .config("spark.sql.shuffle.partitions", "512")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -167,9 +167,29 @@ object Similarity {
         col("band.band_val").as("band_val"))
   }
 
-  def cosinePairsLsh(vecs: DataFrame, threshold: Double): DataFrame = {
+  /** `bucketCap`: drop band buckets holding more than `cap` vectors
+    * before the self-join. Candidate work is Sum(bucket^2) and the
+    * BUCKET COUNT of an 8-bit band is fixed, so occupancy — and with
+    * it pair volume, QUADRATICALLY — grows with the corpus: measured
+    * on the 64x trajectory corpus, the uncapped join spilled past the
+    * machine (320k vectors -> ~1.2k per bucket -> ~800M candidates).
+    * A bucket past the cap under an 8-bit hash carries ~no
+    * discriminative signal (the band votes "everything matches"), so
+    * skipping it is the standard LSH move; the durable scale path is
+    * DEEPER codes as N grows (more planes per band, occupancy held
+    * constant) — this cap is the guard rail that keeps a fixed-width
+    * config from going quadratic. */
+  def cosinePairsLsh(vecs: DataFrame, threshold: Double,
+      bucketCap: Option[Int] = None): DataFrame = {
     val base = vecs.select(col("vec_id"), col("embedding")).withColumn("nrm", norm(col("embedding")))
-    val banded = neardupBandRows(base, "vec_id", "embedding")
+    val bandedAll = neardupBandRows(base, "vec_id", "embedding")
+    val banded = bucketCap match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("band_id"), col("band_val"))
+        bandedAll.withColumn("occ", count(lit(1)).over(w))
+          .filter(col("occ") <= cap).drop("occ")
+      case None => bandedAll
+    }
     val cand = banded.select(col("vec_id").as("vec_id_a"), col("band_id"), col("band_val"))
       .join(banded.select(col("vec_id").as("vec_id_b"), col("band_id"), col("band_val")),
         Seq("band_id", "band_val"))

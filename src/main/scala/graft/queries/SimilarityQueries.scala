@@ -17,15 +17,27 @@ object SimilarityQueries {
   val Dim = 64
   val NearDupThreshold = 0.4
 
+  /** Band-bucket occupancy cap for q25 (part of the query contract,
+    * mirrored by the oracle): a bucket holding more vectors than this
+    * under an 8-bit band hash carries no near-dup signal and its
+    * self-join cost is occupancy^2 — the 64x trajectory corpus
+    * measured the uncapped join spilling past the machine. Never
+    * binds at the gate SFs (occupancy ~2-20 there), so gate results
+    * are unchanged; CosinePairsCapSpec proves the cap fires on a
+    * constructed dense bucket. */
+  val NeardupBucketCap = 128
+
   /** q25: embedding-cosine near-dup pairs over the FULL corpus —
     * multi-band LSH candidate generation (4 bands x 8 hyperplanes) with
     * exact cosine rescoring. No bound, no cartesian: pair work is
-    * Sum(band bucket^2). Complements q42 (single 8-plane signature
+    * Sum(band bucket^2) with per-bucket occupancy capped at
+    * [[NeardupBucketCap]]. Complements q42 (single 8-plane signature
     * bucket join): the banded form trades precision of the bucket for
     * 4 independent chances to collide, the higher-recall near-dup
     * shape. */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsLsh(Tables.embeddings(s, dir), NearDupThreshold)
+    Similarity.cosinePairsLsh(Tables.embeddings(s, dir), NearDupThreshold,
+      bucketCap = Some(NeardupBucketCap))
       .orderBy(col("vec_id_a"), col("vec_id_b"))
 
   val embedNearDupSql: String = {
@@ -34,8 +46,12 @@ object SimilarityQueries {
       s"SELECT vec_id, $b AS band_id, ${Similarity.neardupBandSql("embedding", b)} AS band_val FROM base"
     }.mkString("\nUNION ALL\n")
     s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm FROM embeddings),
-       |banded AS (
+       |banded0 AS (
        |$bandSelects),
+       |banded AS (SELECT vec_id, band_id, band_val FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS occ
+       |    FROM banded0)
+       |  WHERE occ <= $NeardupBucketCap),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
        |  FROM banded a JOIN banded b
        |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
