@@ -54,13 +54,18 @@ object Dedup {
     }
   }
 
-  /** Exact dedup: keep the smallest id per content hash. */
+  /** Exact dedup: keep the smallest id per content hash. Min-agg +
+    * join-back rather than a min-over-window: WindowExec sorts every
+    * partition by the key even with no ORDER BY, and that corpus-wide
+    * sort is the spill driver at 64x scale — two hash shuffles on the
+    * same key are strictly cheaper and AQE-skew-aware. Same rows. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("content_key"))
-    df.withColumn("content_key", md5(col(textCol)))
-      .withColumn("keep_id", min(col(idCol)).over(w))
+    val hashed = df.withColumn("content_key", md5(col(textCol)))
+    val keep = hashed.groupBy(col("content_key"))
+      .agg(min(col(idCol)).as("keep_id"))
+    hashed.join(keep, Seq("content_key"))
       .filter(col(idCol) === col("keep_id"))
-      .drop("keep_id")
+      .select(df.columns.map(col) :+ col("content_key"): _*)
   }
 
   /** Distinct (id, shingle) pairs of `n`-token shingles over folded
@@ -83,11 +88,18 @@ object Dedup {
   /** Near-dup pairs by n-gram Jaccard via inverted-index join.
     * The >=0.5 threshold is the integer predicate 2*|A∩B| >= |A∪B| — no
     * float in the filter. `dfCap` drops shingles seen in more docs. */
+  /** df-cap as hash-agg + semi-join (NOT a count-over-window: the
+    * window sorts the whole exploded shingle table by key, which is
+    * the spill driver at 64x — see [[exact]]); identical rows. */
+  private def dfCapped(sh: DataFrame, cap: Int): DataFrame = {
+    val ok = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("shingle"))
+    sh.join(ok, Seq("shingle"), "left_semi")
+  }
+
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None): DataFrame = {
     val cappedPlan = dfCap match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("shingle"))
-        sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
+      case Some(cap) => dfCapped(sh, cap)
       case None => sh
     }
     // the shingle set feeds three consumers (sizes + both join sides);
@@ -122,9 +134,7 @@ object Dedup {
   def containmentPairs(sh: DataFrame, idCol: String, thrE6: Long,
       dfCap: Option[Int] = None): DataFrame = {
     val cappedPlan = dfCap match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("shingle"))
-        sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= cap).drop("df")
+      case Some(cap) => dfCapped(sh, cap)
       case None => sh
     }
     val capped = stage(cappedPlan)
