@@ -28,6 +28,9 @@ object ScaleBench {
       // the data, and AQE coalesces the small stages back to cheap)
       .config("spark.sql.shuffle.partitions", "512")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // local[32] wants finer post-coalesce grains than the 64 MB
+      // cluster default: keeps window/sort stages at full parallelism
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
