@@ -88,33 +88,50 @@ object Dedup {
   /** Near-dup pairs by n-gram Jaccard via inverted-index join.
     * The >=0.5 threshold is the integer predicate 2*|A∩B| >= |A∪B| — no
     * float in the filter. `dfCap` drops shingles seen in more docs. */
-  /** df-cap as hash-agg + semi-join (NOT a count-over-window: the
+  /** df-cap as hash-agg + inner join (NOT a count-over-window: the
     * window sorts the whole exploded shingle table by key, which is
-    * the spill driver at 64x — see [[exact]]); identical rows. */
+    * the spill driver at 64x — see [[exact]]). The surviving shingles
+    * are simultaneously DICTIONARY-ENCODED to a dense long id
+    * (`monotonically_increasing_id` on the df dim — no sort, so the
+    * encode step stays corpus-scale-safe), so every downstream
+    * shuffle/join/probe keys on 8-byte longs instead of ~26-byte
+    * shingle strings. Bijective shingle↔sid, identical result rows. */
   private def dfCapped(sh: DataFrame, cap: Int): DataFrame = {
-    val ok = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap).select(col("shingle"))
-    sh.join(ok, Seq("shingle"), "left_semi")
+    val dict = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("shingle"), monotonically_increasing_id().as("sid"))
+    sh.join(dict, Seq("shingle")).select(sh.columns.filter(_ != "shingle").map(col) :+ col("sid"): _*)
+  }
+
+  /** Staged (id, join-key, set_size) rows for the inverted-index
+    * self-join: the shingle set is materialized once (it feeds the
+    * size aggregate plus both join sides, and plan reuse does not fire
+    * across joins), and per-doc set sizes are CARRIED THROUGH the join
+    * rather than joined back afterwards — the candidate-pair aggregate
+    * is ~30% of corpus² on a dense corpus and almost all of it dies on
+    * the threshold filter, so re-shuffling it twice against a
+    * corpus-sized `sizes` table (which is NOT broadcastable at real
+    * scale) was the 64x spill driver. min(size) inside the aggregate
+    * recovers the per-doc constant exactly. */
+  private def sizedKeyed(sh: DataFrame, idCol: String, dfCap: Option[Int]): (DataFrame, String) = {
+    val (plan, key) = dfCap match {
+      case Some(cap) => (dfCapped(sh, cap), "sid")
+      case None => (sh, "shingle")
+    }
+    val enc = stage(plan)
+    val sizes = enc.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    (enc.join(sizes, Seq(idCol)), key)
   }
 
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None): DataFrame = {
-    val cappedPlan = dfCap match {
-      case Some(cap) => dfCapped(sh, cap)
-      case None => sh
-    }
-    // the shingle set feeds three consumers (sizes + both join sides);
-    // materialize it once instead of recomputing the tokenize/explode
-    // pipeline three times (plan reuse doesn't fire across the joins)
-    val capped = stage(cappedPlan)
-    val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val a = capped.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = capped.select(col(idCol).as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val (withSize, key) = sizedKeyed(sh, idCol, dfCap)
+    val a = withSize.select(col(idCol).as("doc_a"), col(key), col("set_size").as("size_a"))
+    val b = withSize.select(col(idCol).as("doc_b"), col(key), col("set_size").as("size_b"))
+    a.join(b, Seq(key))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("intersect_n"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("intersect_n"),
+        min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"))
       .withColumn("union_n", col("size_a") + col("size_b") - col("intersect_n"))
       .filter(col("intersect_n") * 2 >= col("union_n"))
       .withColumn("jaccard_e6",
@@ -133,20 +150,14 @@ object Dedup {
     * symmetric Jaccard would have missed at its own 0.5 gate. */
   def containmentPairs(sh: DataFrame, idCol: String, thrE6: Long,
       dfCap: Option[Int] = None): DataFrame = {
-    val cappedPlan = dfCap match {
-      case Some(cap) => dfCapped(sh, cap)
-      case None => sh
-    }
-    val capped = stage(cappedPlan)
-    val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val a = capped.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = capped.select(col(idCol).as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val (withSize, key) = sizedKeyed(sh, idCol, dfCap)
+    val a = withSize.select(col(idCol).as("doc_a"), col(key), col("set_size").as("size_a"))
+    val b = withSize.select(col(idCol).as("doc_b"), col(key), col("set_size").as("size_b"))
+    a.join(b, Seq(key))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("intersect_n"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("intersect_n"),
+        min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"))
       .withColumn("min_size", least(col("size_a"), col("size_b")))
       .filter(col("intersect_n") * 1000000L >= col("min_size") * thrE6)
       .withColumn("containment_e6",
