@@ -112,7 +112,11 @@ object Dedup {
     * the threshold filter, so re-shuffling it twice against a
     * corpus-sized `sizes` table (which is NOT broadcastable at real
     * scale) was the 64x spill driver. min(size) inside the aggregate
-    * recovers the per-doc constant exactly. */
+    * recovers the per-doc constant exactly. The size-carrying join is
+    * itself corpus-sized, and BOTH self-join sides consume it — so it
+    * is staged too (plan reuse does not fire across self-join sides;
+    * unstaged, the x16 trajectory re-ran the whole doc_id shuffle join
+    * twice and measured 2x slower than the shape it replaced). */
   private def sizedKeyed(sh: DataFrame, idCol: String, dfCap: Option[Int]): (DataFrame, String) = {
     val (plan, key) = dfCap match {
       case Some(cap) => (dfCapped(sh, cap), "sid")
@@ -120,7 +124,7 @@ object Dedup {
     }
     val enc = stage(plan)
     val sizes = enc.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    (enc.join(sizes, Seq(idCol)), key)
+    (stage(enc.join(sizes, Seq(idCol))), key)
   }
 
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None): DataFrame = {
