@@ -90,17 +90,22 @@ object Dedup {
     * float in the filter. `dfCap` drops shingles seen in more docs. */
   /** df-cap as hash-agg + inner join (NOT a count-over-window: the
     * window sorts the whole exploded shingle table by key, which is
-    * the spill driver at 64x — see [[exact]]). The surviving shingles
+    * the spill driver at 64x — see [[exact]]). At scale the surviving shingles
     * are simultaneously DICTIONARY-ENCODED to a dense long id
     * (`monotonically_increasing_id` on the df dim — no sort, so the
     * encode step stays corpus-scale-safe), so every downstream
     * shuffle/join/probe keys on 8-byte longs instead of ~26-byte
-    * shingle strings. Bijective shingle↔sid, identical result rows. */
-  private def dfCapped(sh: DataFrame, cap: Int): DataFrame = {
-    val dict = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    * shingle strings; below [[StageMinInputBytes]] the encode join
+    * costs more than it saves and a plain semi-join keeps the string
+    * key. Bijective shingle↔sid, identical result rows either way. */
+  private def dfCapped(sh: DataFrame, cap: Int, encode: Boolean): DataFrame = {
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)
-      .select(col("shingle"), monotonically_increasing_id().as("sid"))
-    sh.join(dict, Seq("shingle")).select(sh.columns.filter(_ != "shingle").map(col) :+ col("sid"): _*)
+    if (encode) {
+      val dict = df.select(col("shingle"), monotonically_increasing_id().as("sid"))
+      sh.join(dict, Seq("shingle"))
+        .select(sh.columns.filter(_ != "shingle").map(col) :+ col("sid"): _*)
+    } else sh.join(df.select(col("shingle")), Seq("shingle"), "left_semi")
   }
 
   /** Staged (id, join-key, set_size) rows for the inverted-index
@@ -116,15 +121,37 @@ object Dedup {
     * itself corpus-sized, and BOTH self-join sides consume it — so it
     * is staged too (plan reuse does not fire across self-join sides;
     * unstaged, the x16 trajectory re-ran the whole doc_id shuffle join
-    * twice and measured 2x slower than the shape it replaced). */
+    * twice and measured 2x slower than the shape it replaced) — but
+    * only past [[StageMinInputBytes]] of scan input: materialization
+    * has a fixed I/O cost that a small corpus never earns back (the
+    * sf0.1 sweep measured 2.3x slower always-staged, the x16/x64
+    * trajectory 2x slower never-staged; re-reading the small staged
+    * `enc` twice is cheap, so the second stage is the only adaptive
+    * one). The size probe reads the plan's parquet file footprint —
+    * the same signal a cost-based optimizer keys broadcast decisions
+    * on. */
+  val StageMinInputBytes: Long = 8L << 20
+
+  /** Spark conf key overriding [[StageMinInputBytes]] (0 forces the
+    * at-scale shape everywhere — used by specs to gate both paths). */
+  val StageMinInputBytesConf = "spark.graft.stageMinInputBytes"
+
+  private def inputBytes(df: DataFrame): Long =
+    df.inputFiles.map(f => new java.io.File(
+      f.stripPrefix("file:")).length()).sum
+
   private def sizedKeyed(sh: DataFrame, idCol: String, dfCap: Option[Int]): (DataFrame, String) = {
+    val thr = sh.sparkSession.conf.getOption(StageMinInputBytesConf)
+      .map(_.toLong).getOrElse(StageMinInputBytes)
+    val large = inputBytes(sh) >= thr
     val (plan, key) = dfCap match {
-      case Some(cap) => (dfCapped(sh, cap), "sid")
+      case Some(cap) => (dfCapped(sh, cap, encode = large), if (large) "sid" else "shingle")
       case None => (sh, "shingle")
     }
     val enc = stage(plan)
     val sizes = enc.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    (stage(enc.join(sizes, Seq(idCol))), key)
+    val withSize = enc.join(sizes, Seq(idCol))
+    (if (large) stage(withSize) else withSize, key)
   }
 
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None): DataFrame = {

@@ -376,4 +376,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pq.contains("Scan parquet"), pq)
     assert(!pq.contains("CartesianProduct"), pq)
   }
+
+  test("q245 skyline: no dominance self-join; the x-dim broadcasts back") {
+    // corpus -> ONE hash agg to the distinct-x dim; the dominance
+    // threshold window runs on that bounded dim only, and the join
+    // back to the corpus is broadcast
+    val p = plan(graft.queries.FrontierQueries.paretoSkyline(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+  }
+
+  test("q246 phrase query: postings filter against broadcast terms before any shuffle") {
+    val p = plan(graft.queries.FrontierQueries.phraseQuery(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the term dim and phrase-length dim are both broadcast; the only
+    // corpus-wide work is the vote/occurrence hash-agg chain
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(scanCount(p) == 1, p)
+  }
+
+  test("q247 hash ring: assignment is map-side CASE math, no join before the matrix agg") {
+    val p = plan(graft.queries.FrontierQueries.hashringShards(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    assert(scanCount(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
 }
