@@ -270,12 +270,21 @@ object PayloadQueries {
         .when(k % 9 === 6, date_format(col("o_orderdate").cast("timestamp"),
           "yyyy-MM-dd"))
         .otherwise(naiveIso).as("published_raw"))
-    val tryOffset = try_to_timestamp(col("published_raw"),
-      lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
-    val tryNaive = try_to_timestamp(col("published_raw"),
-      lit("yyyy-MM-dd'T'HH:mm:ss"))
-    val tryDate = try_to_timestamp(col("published_raw"), lit("yyyy-MM-dd"))
-    raw.select(
+    // the three parse attempts STAGE into columns before the branch
+    // logic (the q242 lesson: conditional branches sit outside codegen
+    // subexpression elimination, so inlined try_to_timestamp calls
+    // re-parse per consuming branch — and the range-sort sampler
+    // evaluates the projection once more on top; staged columns made
+    // q144 scale linearly on the 64x trajectory corpus)
+    val staged = raw.withColumn("try_offset", try_to_timestamp(
+        col("published_raw"), lit("yyyy-MM-dd'T'HH:mm:ssXXX")))
+      .withColumn("try_naive", try_to_timestamp(
+        col("published_raw"), lit("yyyy-MM-dd'T'HH:mm:ss")))
+      .withColumn("try_date", try_to_timestamp(col("published_raw"), lit("yyyy-MM-dd")))
+    val tryOffset = col("try_offset")
+    val tryNaive = col("try_naive")
+    val tryDate = col("try_date")
+    staged.select(
       col("article_key"),
       when(nullif(col("title_f"), lit("")).isNull, lit(""))
         .otherwise(col("title_f")).as("title"),
