@@ -185,9 +185,15 @@ object Similarity {
     val bandedAll = neardupBandRows(base, "vec_id", "embedding")
     val banded = bucketCap match {
       case Some(cap) =>
-        val w = Window.partitionBy(col("band_id"), col("band_val"))
-        bandedAll.withColumn("occ", count(lit(1)).over(w))
-          .filter(col("occ") <= cap).drop("occ")
+        // occupancy as hash-agg + semi-join, NOT count-over-window:
+        // the banded table is corpus-sized (bands x N rows) and a
+        // window sorts every partition by the bucket key — the same
+        // spill driver Dedup.exact documents; two hash shuffles on
+        // the same key are strictly cheaper and AQE-skew-aware
+        val ok = bandedAll.groupBy(col("band_id"), col("band_val"))
+          .agg(count(lit(1)).as("occ")).filter(col("occ") <= cap)
+          .select(col("band_id"), col("band_val"))
+        bandedAll.join(ok, Seq("band_id", "band_val"), "left_semi")
       case None => bandedAll
     }
     val cand = banded.select(col("vec_id").as("vec_id_a"), col("band_id"), col("band_val"))

@@ -45,10 +45,23 @@ object VectorMiningQueries {
     * distributes at 100 TB. */
   /** The staged directed k-NN edge table (src, dst, cos_e6, rnk) —
     * shared by the graph audit (q183) and the triangle count (q189). */
+  /** Band-bucket occupancy cap for the kNN-edge family (q183/q189/
+    * q192/q193), the q25 contract extended: a bucket past the cap
+    * under an 8-bit band carries no neighborhood signal and costs
+    * occupancy² — the 64x trajectory corpus measured the uncapped
+    * candidate join quadratic (22.6s at x16, >15 min at x64; capped:
+    * see SURVEY §5). Never binds at the gate SFs, so gate results are
+    * unchanged; the durable scale path is deeper codes as N grows.
+    * The streaming twin (StreamingKnnGraph) is append-only and
+    * replays ≡ batch exactly while no bucket crosses the cap — the
+    * regime its spec pins. */
+  val KnnBucketCap: Int = SimilarityQueries.NeardupBucketCap
+
   private[queries] def knnEdges(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     // threshold -2 keeps every scored candidate (cos >= -1 always)
-    val pairs = Dedup.stage(Similarity.cosinePairsLsh(emb, -2.0))
+    val pairs = Dedup.stage(Similarity.cosinePairsLsh(emb, -2.0,
+      bucketCap = Some(KnnBucketCap)))
     val both = pairs.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_e6"))
       .union(pairs.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_e6")))
     Dedup.stage(Plans.topKPerKeyRanked(both, Seq(both("src")),
@@ -93,8 +106,12 @@ object VectorMiningQueries {
       s"SELECT vec_id, $b AS band_id, ${Similarity.neardupBandSql("embedding", b)} AS band_val FROM base"
     }.mkString("\nUNION ALL\n")
     s"""base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm FROM embeddings),
-       |banded AS (
+       |banded0 AS (
        |$bandSelects),
+       |banded AS (SELECT vec_id, band_id, band_val FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS occ
+       |    FROM banded0)
+       |  WHERE occ <= $KnnBucketCap),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
        |  FROM banded a JOIN banded b
        |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),

@@ -36,7 +36,14 @@ import graft.queries.VectorMiningQueries
   * pair-keyed score join whose left side is one micro-batch
   * (broadcastable). The fold's top-k runs through TopKPerKeyExec
   * bounded heaps, and the top-k of a growing edge set is refreshable
-  * from the log alone: top-k(old ∪ new) = top-k(top-k(old) ∪ new). */
+  * from the log alone: top-k(old ∪ new) = top-k(top-k(old) ∪ new).
+  *
+  * Contract vs batch: replay ≡ `q183` exactly while no band bucket
+  * exceeds `VectorMiningQueries.KnnBucketCap` (the spec's regime and
+  * every gate SF). Past saturation the batch side drops the bucket
+  * (no-signal, occupancy² cost) while this append-only index keeps
+  * edges it already emitted — at that point the production move is
+  * deeper band codes, which reshards both sides identically. */
 class StreamingKnnGraph(val stateDir: String) {
 
   private def bandsDir = s"$stateDir/bands"
