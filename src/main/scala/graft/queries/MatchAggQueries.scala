@@ -25,11 +25,12 @@ import graft.Tables
   * match in the article carries both), else the label itself; entry
   * order = min match position per group.
   *
-  * Scale shape: every shuffle is keyed by (article, ...) — the
-  * label-binding join, the group aggregation, and the per-article
-  * position window all co-partition; no driver-side state replaces
-  * the reference's in-memory dicts. The per-group method-list
-  * collect is bounded by group size (a handful of methods). */
+  * Scale shape: ONE shuffle, keyed by article_id — the label-binding
+  * window, the group aggregation, and the per-article position window
+  * all inherit hash(article_id) clustering from the initial
+  * row_number exchange; no driver-side state replaces the reference's
+  * in-memory dicts. The per-group method-list collect is bounded by
+  * group size (a handful of methods). */
 object MatchAggQueries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -71,16 +72,18 @@ object MatchAggQueries {
       .filter(nullif(col("surface"), lit("")).isNotNull || col("city_id").isNotNull)
 
     // a label's bound city inside one article: the upgrade/rekey path
-    // (py:295-316) makes every same-label match share the entry
-    val labelCity = matches
-      .filter(col("norm_label") =!= "" && col("city_id").isNotNull)
-      .groupBy(col("article_id").as("lc_article"), col("norm_label").as("lc_label"))
-      .agg(max(col("city_id")).as("bound_city"))
-
+    // (py:295-316) makes every same-label match share the entry. A
+    // window over (article, label) — not a groupBy + self-join — so the
+    // bound-city lookup rides the article_id shuffle the row_number
+    // already paid (hash(article_id) satisfies the clustered
+    // distribution of every downstream step: this window, the group
+    // aggregation, and the position window; the whole query is ONE
+    // shuffle). The join form recomputed `matches` per side and added
+    // two more exchanges — the 64x ladder measured it at 11x/64x data.
+    val labelW = Window.partitionBy(col("article_id"), col("norm_label"))
     val keyed = matches
-      .join(labelCity,
-        col("lc_article") === col("article_id") &&
-          col("lc_label") === col("norm_label"), "left")
+      .withColumn("bound_city",
+        max(when(col("norm_label") =!= "", col("city_id"))).over(labelW))
       .withColumn("gkey", coalesce(col("city_id"), col("bound_city"),
         concat(lit("L:"), col("norm_label"))))
 

@@ -291,7 +291,12 @@ object VectorMiningQueries {
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-    val pairs = Dedup.stage(Similarity.cosinePairsLsh(emb, -2.0))
+    // same bucket-occupancy cap as the kNN-edge family — the 64x
+    // ladder measured this call site uncapped at 43s/x16 (quadratic
+    // bucket occupancy), the one cosinePairsLsh user the first cap
+    // pass missed; never binds at the gate SFs
+    val pairs = Dedup.stage(Similarity.cosinePairsLsh(emb, -2.0,
+      bucketCap = Some(KnnBucketCap)))
     val both = pairs.select(col("vec_id_a").as("anchor"), col("vec_id_b").as("peer"), col("cos_e6"))
       .union(pairs.select(col("vec_id_b").as("anchor"), col("vec_id_a").as("peer"), col("cos_e6")))
       .join(labels.select(col("vec_id").as("anchor"), col("label").as("a_label")), Seq("anchor"))
@@ -318,8 +323,12 @@ object VectorMiningQueries {
     }.mkString("\nUNION ALL\n")
     s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS nrm FROM embeddings),
        |labels AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-       |banded AS (
+       |banded0 AS (
        |$bandSelects),
+       |banded AS (SELECT vec_id, band_id, band_val FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS occ
+       |    FROM banded0)
+       |  WHERE occ <= $KnnBucketCap),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
        |  FROM banded a JOIN banded b
        |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
