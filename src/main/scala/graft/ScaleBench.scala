@@ -36,6 +36,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional parquet staging (the production Dedup.stage form):
+    // lets the ladder A/B localCheckpoint blocks vs on-disk staging
+    sys.env.get("SPARK_GRAFT_STAGING_DIR").foreach { d =>
+      spark.conf.set(graft.operators.Dedup.StagingDirConf, d)
+    }
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
