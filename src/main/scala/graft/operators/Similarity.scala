@@ -642,11 +642,78 @@ object Similarity {
     * Sum(cluster size^2), controlled by k (scale k with N); the
     * k-row centroid model broadcasts. */
   def semDedupVerdicts(emb: DataFrame, k: Int, dim: Int, iters: Int,
-      tauE6: Long): DataFrame = {
+      tauE6: Long, cellCap: Int = Int.MaxValue): DataFrame = {
     val (assigned, _) = kmeansFit(
       emb.select(col("vec_id"), col("embedding")), k, dim, iters)
+    val mem = assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m"))
     semDedupVerdictsAssigned(
-      assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m")), tauE6)
+      if (cellCap == Int.MaxValue) mem else refineCells(mem, cellCap), tauE6)
+  }
+
+  /** Occupancy-bounded cell refinement — the scale contract that keeps
+    * SemDeDup's within-cell pairwise from going quadratic when the
+    * corpus grows under a FIXED k: any cell holding more than `cap`
+    * members splits into `fanout` sub-cells (seeded by its lowest
+    * vec_ids, members assigned to the nearest seed by exact integer
+    * squared L2, ties to the lowest sub-id), repeatedly until every
+    * cell fits or `maxRounds` is hit — bisecting-k-means recursion
+    * (Steinbach et al. 2000), the same move as the paper's
+    * "k scales with N" but done adaptively and only where occupancy
+    * demands it. Pair work per cell is then <= cap², so total work is
+    * O(N·cap) instead of O((N/k)²·k).
+    *
+    * Determinism: seeds are the `fanout` lowest vec_ids of the cell;
+    * argmin ties break on the lowest sub-id; every distance is exact
+    * integer. Cell ids are re-namespaced injectively each round
+    * (split and unsplit alike), so refined ids never collide; `dist`
+    * (the verdict priority) stays the COARSE-centroid distance — the
+    * keep-priority rule is unchanged, only the comparison scope
+    * narrows. A cell of all-identical vectors cannot shrink (every
+    * member picks seed 0) — the `maxRounds` bound keeps that
+    * degenerate case terminating, quadratic only within the genuinely
+    * identical set.
+    *
+    * At the oracle-gate scale factors no cell exceeds the cap, so the
+    * refinement is the identity there (spec-pinned); it engages on
+    * the 64x/256x trajectory corpora where the unrefined form
+    * measured superlinear (6.3s at x64, 63s at x256). */
+  def refineCells(mem: DataFrame, cap: Int, fanout: Int = 8,
+      maxRounds: Int = 8): DataFrame = {
+    require(cap >= fanout, s"cap $cap must be >= fanout $fanout")
+    val f = fanout.toLong
+    var cur = mem
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val occ = cur.groupBy(col("cluster")).agg(count(lit(1)).as("occ"))
+      val big = occ.filter(col("occ") > cap).select(col("cluster"))
+      if (big.isEmpty) done = true
+      else {
+        val members = cur.join(big, Seq("cluster"), "left_semi")
+        val rest = cur.join(big, Seq("cluster"), "left_anti")
+        val seeds = Plans.topKPerKeyRanked(members, Seq(members("cluster")),
+          Seq((members("vec_id"), false)), fanout, "srk")
+          .select(col("cluster"), (col("srk") - 1L).as("sub"), col("m").as("sm"))
+        val picked = members.join(seeds, Seq("cluster"))
+          .withColumn("d2", sqDist(col("m"), col("sm")))
+          .groupBy(col("vec_id"))
+          .agg(min_by(
+            struct(col("cluster"), col("sub"), col("dist"), col("m")),
+            struct(col("d2"), col("sub"))).as("p"))
+          .select(col("vec_id"),
+            (col("p.cluster") * (f + 1L) + col("p.sub") + 1L).as("cluster"),
+            col("p.dist"), col("p.m").as("m"))
+        // injective per-round renumbering keeps split/unsplit ids
+        // disjoint; localCheckpoint truncates the per-round lineage
+        // (the kmeansFit convention for iterative refinement)
+        cur = rest.withColumn("cluster", col("cluster") * (f + 1L))
+          .unionByName(picked)
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    // using-column joins front the join key — restore the input order
+    cur.select(mem.columns.map(col): _*)
   }
 
   /** The prune half of SemDeDup, for a corpus ALREADY assigned to

@@ -831,6 +831,14 @@ object SimilarityQueries {
   val SemDedupIters = 2
   val SemDedupTauE6 = 400000L
 
+  /** Occupancy cap per cell before [[Similarity.refineCells]] splits
+    * it — the quadratic guard-rail of the dedup family (q25's bucket
+    * cap, the kNN-edge cap) applied to SemDeDup's within-cell
+    * pairwise. Never binds at the gate SFs (sf0.1 holds 2k vectors
+    * TOTAL across 64 clusters); engages on the trajectory corpora,
+    * where the unrefined pairwise measured superlinear (63s at x256). */
+  val SemDedupCellCap = 2048
+
   /** q156: SemDeDup (Abbas et al. 2023) — semantic deduplication by
     * cluster-then-prune, the embedding-space member of the dedup
     * family that catches paraphrases MinHash never buckets: k-means
@@ -852,7 +860,7 @@ object SimilarityQueries {
     * are the exact micro-int dot/norm every ANN query uses. */
   def semDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedupVerdicts(Tables.embeddings(s, dir),
-      SemDedupK, Dim, SemDedupIters, SemDedupTauE6)
+      SemDedupK, Dim, SemDedupIters, SemDedupTauE6, SemDedupCellCap)
       .orderBy(col("vec_id"))
 
   val semDedupSql: String = {
