@@ -140,10 +140,29 @@ object Dedup {
     df.inputFiles.map(f => new java.io.File(
       f.stripPrefix("file:")).length()).sum
 
-  private def sizedKeyed(sh: DataFrame, idCol: String, dfCap: Option[Int]): (DataFrame, String) = {
-    val thr = sh.sparkSession.conf.getOption(StageMinInputBytesConf)
+  /** The footprint-keyed shape decision, exposed for call sites that
+    * must make a staging choice of their own consistent with
+    * [[sizedKeyed]]'s (e.g. whether to stage a shingle stream shared
+    * across consumers: staging wins below the threshold where the
+    * blocks are RAM-cheap, and loses past it where the checkpoint
+    * blocks compete with the candidate-pair shuffle for memory —
+    * q128 x16 measured 56s staged vs 33s recomputed). A scan-less
+    * plan has an UNKNOWN footprint, not a zero one → at-scale. */
+  def atScale(probe: DataFrame): Boolean = {
+    val thr = probe.sparkSession.conf.getOption(StageMinInputBytesConf)
       .map(_.toLong).getOrElse(StageMinInputBytes)
-    val large = inputBytes(sh) >= thr
+    probe.inputFiles.isEmpty || inputBytes(probe) >= thr
+  }
+
+  private def sizedKeyed(sh: DataFrame, idCol: String, dfCap: Option[Int],
+      probeFrom: Option[DataFrame] = None): (DataFrame, String) = {
+    // `probeFrom`: the file-backed frame to read the footprint from
+    // when `sh` itself is staged (a checkpointed plan exposes no input
+    // files). Without a probe, a scan-less plan has an UNKNOWN
+    // footprint, not a zero one — default to the at-scale shape (both
+    // paths are spec-pinned row-identical; guessing small on a big
+    // staged input cost 5x on the x16 ladder, see q128/q180)
+    val large = atScale(probeFrom.getOrElse(sh))
     val (plan, key) = dfCap match {
       case Some(cap) => (dfCapped(sh, cap, encode = large), if (large) "sid" else "shingle")
       case None => (sh, "shingle")
@@ -154,8 +173,9 @@ object Dedup {
     (if (large) stage(withSize) else withSize, key)
   }
 
-  def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None): DataFrame = {
-    val (withSize, key) = sizedKeyed(sh, idCol, dfCap)
+  def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None,
+      probeFrom: Option[DataFrame] = None): DataFrame = {
+    val (withSize, key) = sizedKeyed(sh, idCol, dfCap, probeFrom)
     val a = withSize.select(col(idCol).as("doc_a"), col(key), col("set_size").as("size_a"))
     val b = withSize.select(col(idCol).as("doc_b"), col(key), col("set_size").as("size_b"))
     a.join(b, Seq(key))
@@ -180,8 +200,8 @@ object Dedup {
     * single IEEE divisions rounded to e6. `asym` marks the pairs
     * symmetric Jaccard would have missed at its own 0.5 gate. */
   def containmentPairs(sh: DataFrame, idCol: String, thrE6: Long,
-      dfCap: Option[Int] = None): DataFrame = {
-    val (withSize, key) = sizedKeyed(sh, idCol, dfCap)
+      dfCap: Option[Int] = None, probeFrom: Option[DataFrame] = None): DataFrame = {
+    val (withSize, key) = sizedKeyed(sh, idCol, dfCap, probeFrom)
     val a = withSize.select(col(idCol).as("doc_a"), col(key), col("set_size").as("size_a"))
     val b = withSize.select(col(idCol).as("doc_b"), col(key), col("set_size").as("size_b"))
     a.join(b, Seq(key))

@@ -160,10 +160,22 @@ object CorpusOpsQueries {
     * the verdict is a full-outer pair join folded to ONE row of
     * engine-exact counts and e6 ratios. */
   def lshEval(s: SparkSession, dir: String): DataFrame = {
-    val reps = Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
-    // both rankings consume the same shingle stream; build it once
-    val sh = Dedup.stage(Dedup.shingles(reps, "text", "doc_id"))
-    val truth = Dedup.jaccardPairs(sh, "doc_id", dfCap = Some(DedupQueries.JaccardDfCap))
+    val docs = Tables.documents(s, dir)
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    // the shingle stream feeds three consumers (df aggregate, encode
+    // join, signatures). Below the footprint threshold it is staged
+    // once — recomputing the explode per consumer cost 20-50% at
+    // sweep scale. Past it, staging LOSES (x16: 56s staged vs 33s
+    // recomputed — the checkpoint blocks compete with the
+    // candidate-pair shuffle for RAM), so the stream stays lazy and
+    // the downstream shape probe reads the source footprint via
+    // `probeFrom` (a staged plan exposes no input files; probing it
+    // as "small" ran the sweep-scale string-keyed truth join on 80k
+    // docs — 5x on the x16 ladder)
+    val raw = Dedup.shingles(reps, "text", "doc_id")
+    val sh = if (Dedup.atScale(docs)) raw else Dedup.stage(raw)
+    val truth = Dedup.jaccardPairs(sh, "doc_id", dfCap = Some(DedupQueries.JaccardDfCap),
+      probeFrom = Some(docs))
       .select(col("doc_a"), col("doc_b"), lit(true).as("is_true"))
     val cand = Dedup.minhashCandidates(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
       .select(col("doc_a"), col("doc_b"), lit(true).as("is_cand"))
@@ -1036,10 +1048,17 @@ object CorpusOpsQueries {
     * configs (the q160 one-scan recipe); each config adds only its
     * band explode + bucket self-join + one-row fold. */
   def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
-    val reps = Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
-    val sh = Dedup.stage(Dedup.shingles(reps, "text", "doc_id"))
+    val docs = Tables.documents(s, dir)
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    // staged for truth + signatures only below the footprint
+    // threshold, lazy past it; the downstream shape probe reads the
+    // source parquet via probeFrom (see lshEval for both measured
+    // cliffs)
+    val raw = Dedup.shingles(reps, "text", "doc_id")
+    val sh = if (Dedup.atScale(docs)) raw else Dedup.stage(raw)
     val truth = Dedup.stage(
-      Dedup.jaccardPairs(sh, "doc_id", dfCap = Some(DedupQueries.JaccardDfCap))
+      Dedup.jaccardPairs(sh, "doc_id", dfCap = Some(DedupQueries.JaccardDfCap),
+        probeFrom = Some(docs))
         .select(col("doc_a"), col("doc_b"), lit(true).as("is_true")))
     val sig = Dedup.stage(Dedup.minhashSignatures(sh, "doc_id"))
     BandSweep.map { case (nb, rpb) =>
