@@ -7,11 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 
 /** Trend estimation and warehouse-QA audits: OLS regression (q226),
-  * Theil-Sen robust slope (q227), l-diversity (q228) and referential
-  * integrity (q229). q226/q227 give the event stream its trend layer
-  * on top of q223's serial-dependence read; q228 extends q164's
-  * k-anonymity with the homogeneity-attack check; q229 is the classic
-  * foreign-key audit every warehouse runs before trusting a join.
+  * Theil-Sen robust slope (q227), l-diversity (q228), referential
+  * integrity (q229) and t-closeness (q248). q226/q227 give the event
+  * stream its trend layer on top of q223's serial-dependence read;
+  * q228 extends q164's k-anonymity with the homogeneity-attack check
+  * and q248 completes the privacy ladder with the
+  * distribution-skewness check; q229 is the classic foreign-key audit
+  * every warehouse runs before trusting a join.
   */
 object QualityAuditQueries {
 
@@ -181,6 +183,81 @@ object QualityAuditQueries {
       |FROM cls
       |ORDER BY source, size_bin""".stripMargin
 
+  // ---- q248: t-closeness audit ----
+
+  /** q248: t-closeness over the q164/q228 quasi-identifier classes
+    * (Li et al., ICDE'07) — the third rung of the privacy-audit
+    * ladder: k-anonymity bounds class size, l-diversity counts
+    * sensitive values, but a class can satisfy both while its `lang`
+    * DISTRIBUTION still diverges from the corpus (a class 90% one
+    * language in a 50/50 corpus leaks attribute information). t is
+    * the variational distance ½·Σ|P_class(v) − P_global(v)| over the
+    * sensitive vocabulary, reported per class as an e6 integer with
+    * the per-source worst case.
+    *
+    * Exactness: every term is the integer |nv·N − gv·k| (one
+    * BIGINT product per side; exact while k·N < ~9e12, i.e. audit
+    * scopes to ~3M rows — at corpus scale the audit runs per shard
+    * exactly as the reference's per-collection audits do), and the
+    * single e6 division happens once per class — no float sums, so
+    * both engines agree bit-for-bit.
+    *
+    * Scale shape: the corpus is scanned ONCE into the
+    * (source, size_bin, lang) hash agg (map-side partial); classes,
+    * the global lang distribution, and the 1-row total are all
+    * dim-sized derivations of it, and the class×vocab expansion is
+    * a broadcast of the bounded lang dim — no corpus-sized join or
+    * window anywhere. */
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val byval = Tables.documents(s, dir)
+      .select(col("source"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("long").as("size_bin"),
+        col("lang"))
+      .groupBy(col("source"), col("size_bin"), col("lang"))
+      .agg(count(lit(1)).as("nv"))
+    val cls = byval.groupBy(col("source"), col("size_bin"))
+      .agg(sum(col("nv")).as("k"))
+    val glob = byval.groupBy(col("lang")).agg(sum(col("nv")).as("gv"))
+    val tot = glob.agg(sum(col("gv")).as("n"))
+    cls.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+      .join(byval, Seq("source", "size_bin", "lang"), "left")
+      .withColumn("term",
+        abs(coalesce(col("nv"), lit(0L)) * col("n") - col("gv") * col("k")))
+      .groupBy(col("source"), col("size_bin"))
+      .agg(min(col("k")).as("k"), min(col("n")).as("n"),
+        sum(col("term")).as("numer"))
+      .withColumn("t_e6", expr("numer * 1000000 div (2 * k * n)"))
+      .withColumn("source_max_t_e6",
+        max(col("t_e6")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("size_bin"), col("k"), col("t_e6"),
+        col("source_max_t_e6"))
+      .orderBy(col("source"), col("size_bin"))
+  }
+
+  val tClosenessSql: String =
+    """WITH byval AS (SELECT source,
+      |    CAST(length(bin(GREATEST(n_chars, 1))) AS BIGINT) AS size_bin,
+      |    lang, CAST(COUNT(*) AS BIGINT) AS nv
+      |  FROM documents GROUP BY 1, 2, 3),
+      |cls AS (SELECT source, size_bin, CAST(SUM(nv) AS BIGINT) AS k
+      |  FROM byval GROUP BY 1, 2),
+      |gdist AS (SELECT lang, CAST(SUM(nv) AS BIGINT) AS gv FROM byval GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(gv) AS BIGINT) AS n FROM gdist),
+      |terms AS (SELECT c.source, c.size_bin, c.k, t.n,
+      |    ABS(COALESCE(b.nv, 0) * t.n - g.gv * c.k) AS term
+      |  FROM cls c CROSS JOIN gdist g CROSS JOIN tot t
+      |  LEFT JOIN byval b
+      |    ON b.source = c.source AND b.size_bin = c.size_bin AND b.lang = g.lang),
+      |cl AS (SELECT source, size_bin, MIN(k) AS k, MIN(n) AS n,
+      |    CAST(SUM(term) AS BIGINT) AS numer
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT source, size_bin, k,
+      |  numer * 1000000 // (2 * k * n) AS t_e6,
+      |  CAST(MAX(numer * 1000000 // (2 * k * n))
+      |    OVER (PARTITION BY source) AS BIGINT) AS source_max_t_e6
+      |FROM cl
+      |ORDER BY source, size_bin""".stripMargin
+
   // ---- q229: referential-integrity audit ----
 
   /** q229: the foreign-key audit — for every FK edge of the star
@@ -244,11 +321,13 @@ object QualityAuditQueries {
     "q226_linregress" -> (linregress _),
     "q227_theil_sen" -> (theilSen _),
     "q228_ldiversity" -> (lDiversity _),
-    "q229_ref_integrity" -> (refIntegrity _))
+    "q229_ref_integrity" -> (refIntegrity _),
+    "q248_tcloseness" -> (tCloseness _))
 
   val oracles: Map[String, String] = Map(
     "q226_linregress" -> linregressSql,
     "q227_theil_sen" -> theilSenSql,
     "q228_ldiversity" -> lDiversitySql,
-    "q229_ref_integrity" -> refIntegritySql)
+    "q229_ref_integrity" -> refIntegritySql,
+    "q248_tcloseness" -> tClosenessSql)
 }

@@ -80,6 +80,39 @@ class QualityAuditSpec extends SparkSpec {
     }
   }
 
+  test("q248 t-closeness matches an exact driver recomputation per class") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"), col("lang")).collect()
+      .map(r => (r.getString(0),
+        java.lang.Long.toBinaryString(math.max(r.getLong(1), 1L)).length.toLong,
+        r.getString(2)))
+    val n = docs.length.toLong
+    val glob = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val byClass = docs.groupBy(d => (d._1, d._2))
+    val rows = QualityAuditQueries.tCloseness(spark, sfDir).collect()
+    assert(rows.length === byClass.size)
+    val expected = byClass.view.mapValues { cls =>
+      val k = cls.size.toLong
+      val byLang = cls.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val numer = glob.map { case (v, gv) =>
+        math.abs(byLang.getOrElse(v, 0L) * n - gv * k)
+      }.sum
+      (k, numer * 1000000L / (2L * k * n))
+    }.toMap
+    rows.foreach { r =>
+      val (k, t) = expected((r.getString(0), r.getAs[Long]("size_bin")))
+      assert(r.getAs[Long]("k") === k)
+      assert(r.getAs[Long]("t_e6") === t)
+    }
+    // the per-source worst case is the max over that source's classes
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val mx = rs.map(_.getAs[Long]("t_e6")).max
+      rs.foreach(r => assert(r.getAs[Long]("source_max_t_e6") === mx, src))
+    }
+    // a uniformly-mixed corpus would score 0; real sources diverge
+    assert(rows.map(_.getAs[Long]("t_e6")).max > 0L)
+  }
+
   test("q229 finds zero orphans on healthy data and real childless parents") {
     val rows = QualityAuditQueries.refIntegrity(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
