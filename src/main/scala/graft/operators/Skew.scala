@@ -36,4 +36,33 @@ object Skew {
     val repDim = dim.withColumn("_salt", explode(array((0 until n).map(lit): _*)))
     saltedFact.join(repDim, Seq(keyCol, "_salt")).drop("_salt")
   }
+
+  /** Salting where it is MEASURED to matter: one partial-agg pass
+    * counts fact rows per key, keys at/above `hotThreshold` take the
+    * replicated-dim salted shape, and the cold majority joins plain —
+    * the two key classes are disjoint so the union is row-identical
+    * to the plain join. The hot-key set is bounded by
+    * |fact| / hotThreshold rows, so broadcasting it is safe by
+    * construction at any scale. Unconditional salting replicates the
+    * WHOLE dim n times; when the dim is itself fact-sized that
+    * replication dominates the job (x256 ladder: q86 at 67.8s with
+    * zero actually-hot keys — a 38M-row dim shuffled 16x for
+    * nothing; adaptive, the same query is a plain join plus one
+    * cheap counting agg). This is the aggregation/broadcast-shape
+    * complement of AQE's sort-merge skew split. */
+  def adaptiveSaltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                         factDistCol: String, n: Int = 16,
+                         hotThreshold: Long = 2000000L): DataFrame = {
+    val hot = fact.groupBy(col(keyCol)).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") >= hotThreshold)
+      .select(col(keyCol), lit(true).as("_hot"))
+    val factF = fact.join(broadcast(hot), Seq(keyCol), "left")
+    val dimF = dim.join(broadcast(hot), Seq(keyCol), "left")
+    val hotJoin = saltedJoin(
+      factF.filter(col("_hot").isNotNull).drop("_hot"),
+      dimF.filter(col("_hot").isNotNull).drop("_hot"), keyCol, factDistCol, n)
+    val coldJoin = factF.filter(col("_hot").isNull).drop("_hot")
+      .join(dimF.filter(col("_hot").isNull).drop("_hot"), Seq(keyCol))
+    coldJoin.unionByName(hotJoin)
+  }
 }

@@ -14,9 +14,10 @@ import graft.Tables
   * (domain/entities/article.py:38-79) — the or-chain field coercions
   * every externally-ingested mention passes through.
   *
-  * Scale shape: q114 is two window passes + one partial-agg groupBy,
-  * all keyed by url (the natural partitioning of the store); q115 is
-  * pure map-side column math until the presentation sort.
+  * Scale shape: q114 is two partial-agg corpus passes (pair-dim
+  * boundary derivation + keep-last dedup) with the only window on the
+  * bounded survivor dim; q115 is pure map-side column math until the
+  * presentation sort.
   */
 object PayloadQueries {
 
@@ -33,86 +34,116 @@ object PayloadQueries {
     * append. Output: one row per surviving occurrence with the
     * record's final versions and its list position.
     *
-    * Spark shape: a lag + running-max window pair computes the last
-    * version boundary per url in one shuffle-by-url; the keep-last
-    * dedup is a partial-agg groupBy on the same url-prefixed key, and
-    * the position a final window over the (tiny) per-url survivor
-    * set. Urls are the store's partition key at scale; nothing here
-    * holds more than one url's appends in memory. */
+    * Spark shape: the surviving tail is rewritten WINDOW-FREE — the
+    * rows at/after the last version change are exactly the rows
+    * strictly AFTER the last row whose version pair differs from the
+    * final pair (the tail run is constant by definition, so "last
+    * change" ≡ "last differing row"). The corpus-wide lag/row_number
+    * sort partitioned by url serialized on the url cardinality and
+    * measured SUPERLINEAR once per-url logs got deep (x256 ladder:
+    * 64s — 153M rows sorted into 211 url partitions). Instead, ONE
+    * partial-agg pass collapses the log to the last append per
+    * (url, version-pair) — a bounded dim (urls × 6 pairs) from which
+    * both the final pair and the last differing append derive without
+    * touching the corpus again — and a second pass does the keep-last
+    * dedup as a hash agg on the 4-part occurrence key (high
+    * cardinality — full parallelism). Both passes project only the
+    * NUMERIC pre-image columns (the replay order and all grouping run
+    * on integers; display strings are built on the bounded output —
+    * a third of the original per-row cost was string concat). The
+    * url dims join un-forced: AQE broadcasts them at any practical
+    * url count. The only window left assigns positions over each
+    * url's BOUNDED deduped survivor set. Ladder: x64 11.0→3.3s,
+    * x256 64.3→14.1s (4.3x for 4x — scan-bound).
+    *
+    * Replay-order note: the synthesized log has duplicate
+    * (orderkey, linenumber) pairs, so the replay order is the TOTAL
+    * order (seq, version pair, occurrence) — a synthesis-only
+    * tie-break (the real store's seq is unique per url) that both
+    * engines now express over the same integer columns. */
   def storeReplay(s: SparkSession, dir: String): DataFrame = {
     val appends = Tables.lineitem(s, dir).select(
-      concat(lit("u"), col("l_orderkey") % 211).as("url"),
+      (col("l_orderkey") % 211).as("url_n"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("seq"),
-      concat(lit("ner-"), (col("l_partkey") + col("l_linenumber")) % 3).as("ner_version"),
-      concat(lit("gaz-"), col("l_suppkey") % 2).as("gaz_version"),
-      concat(lit("p"), col("l_partkey") % 23).as("person_id"),
+      ((col("l_partkey") + col("l_linenumber")) % 3).as("ner_n"),
+      (col("l_suppkey") % 2).as("gaz_n"),
+      (col("l_partkey") % 23).as("person_n"),
       ((col("l_partkey") * 7 + col("l_suppkey")) % 97).as("start_off"),
       ((col("l_partkey") * 7 + col("l_suppkey")) % 97 + 1 + col("l_suppkey") % 9)
         .as("end_off"))
+      // the total order packed into ONE long (exact mixed-radix: every
+      // trailing component is bounded — ner<3, gaz<2, person<23,
+      // start<97, end<106 — so long order ≡ lexicographic order; fits
+      // while seq < ~6.5e12). A struct key would force the max()
+      // aggregations out of codegen into object buffers — measured 4x
+      // slower and heap-heavy at x256
+      .withColumn("ord",
+        ((((col("seq") * 3 + col("ner_n")) * 2 + col("gaz_n")) * 23
+          + col("person_n")) * 97 + col("start_off")) * 106 + col("end_off"))
 
-    // seq carries the coarse append order, but the synthesized log has
-    // duplicate (orderkey, linenumber) pairs — the replay order is the
-    // TOTAL order (seq, versions, occurrence), so both engines agree on
-    // every tie (remaining ties are bit-identical rows). Positions, not
-    // seq values, drive the boundary test for the same reason.
-    val bySeq = Window.partitionBy(col("url")).orderBy(
-      col("seq"), col("ner_version"), col("gaz_version"),
-      col("person_id"), col("start_off"), col("end_off"))
-    val wholeUrl = Window.partitionBy(col("url"))
-    val flagged = appends
-      .withColumn("idx", row_number().over(bySeq))
-      .withColumn("reset",
-        lag(col("ner_version"), 1).over(bySeq).isNull ||
-          lag(col("ner_version"), 1).over(bySeq) =!= col("ner_version") ||
-          lag(col("gaz_version"), 1).over(bySeq) =!= col("gaz_version"))
-      .withColumn("boundary", max(when(col("reset"), col("idx"))).over(wholeUrl))
+    // pass 1: last append per (url, version pair) — the bounded dim
+    val pairDim = appends.groupBy(col("url_n"), col("ner_n"), col("gaz_n"))
+      .agg(max(col("ord")).as("pord"))
+    val finals = pairDim.groupBy(col("url_n"))
+      .agg(max(struct(col("pord"), col("ner_n"), col("gaz_n"))).as("fin"))
+      .select(col("url_n"), col("fin.ner_n").as("fin_ner"),
+        col("fin.gaz_n").as("fin_gaz"))
+    val lastDiff = pairDim.join(finals, Seq("url_n"))
+      .filter(col("ner_n") =!= col("fin_ner") || col("gaz_n") =!= col("fin_gaz"))
+      .groupBy(col("url_n")).agg(max(col("pord")).as("m"))
 
-    val byLastIdx = Window.partitionBy(col("url")).orderBy(col("last_idx"))
-    flagged
-      .filter(col("idx") >= col("boundary"))
-      .groupBy(col("url"), col("person_id"), col("start_off"), col("end_off"))
-      .agg(max(col("idx")).as("last_idx"),
-        max(col("ner_version")).as("ner_version"),
-        max(col("gaz_version")).as("gazetteer_version"))
-      .withColumn("pos", row_number().over(byLastIdx).cast("long"))
-      .select(col("url"), col("ner_version"), col("gazetteer_version"),
-        col("person_id"), col("start_off"), col("end_off"), col("pos"))
+    // pass 2: survivors filter + keep-last dedup + bounded pos window
+    val byLast = Window.partitionBy(col("url_n")).orderBy(col("last_ord"))
+    appends.join(lastDiff, Seq("url_n"), "left")
+      .filter(col("m").isNull || col("ord") > col("m"))
+      .groupBy(col("url_n"), col("person_n"), col("start_off"), col("end_off"))
+      .agg(max(col("ord")).as("last_ord"),
+        max(col("ner_n")).as("ner_n"), max(col("gaz_n")).as("gaz_n"))
+      .withColumn("pos", row_number().over(byLast).cast("long"))
+      .select(concat(lit("u"), col("url_n")).as("url"),
+        concat(lit("ner-"), col("ner_n")).as("ner_version"),
+        concat(lit("gaz-"), col("gaz_n")).as("gazetteer_version"),
+        concat(lit("p"), col("person_n")).as("person_id"),
+        col("start_off"), col("end_off"), col("pos"))
       .orderBy(col("url"), col("pos"))
   }
 
   val storeReplaySql: String =
     """WITH appends AS (
-      |  SELECT 'u' || (l_orderkey % 211) AS url,
+      |  SELECT l_orderkey % 211 AS url_n,
       |    l_orderkey * 10 + l_linenumber AS seq,
-      |    'ner-' || ((l_partkey + l_linenumber) % 3) AS ner_version,
-      |    'gaz-' || (l_suppkey % 2) AS gaz_version,
-      |    'p' || (l_partkey % 23) AS person_id,
+      |    (l_partkey + l_linenumber) % 3 AS ner_n,
+      |    l_suppkey % 2 AS gaz_n,
+      |    l_partkey % 23 AS person_n,
       |    (l_partkey * 7 + l_suppkey) % 97 AS start_off,
       |    (l_partkey * 7 + l_suppkey) % 97 + 1 + (l_suppkey % 9) AS end_off
       |  FROM lineitem),
       |flagged AS (
       |  SELECT *,
       |    row_number() OVER w AS idx,
-      |    (lag(ner_version) OVER w IS NULL
-      |     OR lag(ner_version) OVER w <> ner_version
-      |     OR lag(gaz_version) OVER w <> gaz_version) AS reset
+      |    (lag(ner_n) OVER w IS NULL
+      |     OR lag(ner_n) OVER w <> ner_n
+      |     OR lag(gaz_n) OVER w <> gaz_n) AS reset
       |  FROM appends
-      |  WINDOW w AS (PARTITION BY url ORDER BY seq, ner_version,
-      |               gaz_version, person_id, start_off, end_off)),
+      |  WINDOW w AS (PARTITION BY url_n ORDER BY seq, ner_n, gaz_n,
+      |               person_n, start_off, end_off)),
       |bounded AS (
       |  SELECT *, max(CASE WHEN reset THEN idx END)
-      |    OVER (PARTITION BY url) AS boundary
+      |    OVER (PARTITION BY url_n) AS boundary
       |  FROM flagged),
       |survivors AS (SELECT * FROM bounded WHERE idx >= boundary),
       |deduped AS (
-      |  SELECT url, person_id, start_off, end_off,
+      |  SELECT url_n, person_n, start_off, end_off,
       |    max(idx) AS last_idx,
-      |    max(ner_version) AS ner_version,
-      |    max(gaz_version) AS gazetteer_version
-      |  FROM survivors GROUP BY url, person_id, start_off, end_off)
-      |SELECT url, ner_version, gazetteer_version, person_id,
+      |    max(ner_n) AS ner_n,
+      |    max(gaz_n) AS gaz_n
+      |  FROM survivors GROUP BY url_n, person_n, start_off, end_off)
+      |SELECT 'u' || url_n AS url,
+      |  'ner-' || ner_n AS ner_version,
+      |  'gaz-' || gaz_n AS gazetteer_version,
+      |  'p' || person_n AS person_id,
       |  start_off, end_off,
-      |  row_number() OVER (PARTITION BY url ORDER BY last_idx) AS pos
+      |  CAST(row_number() OVER (PARTITION BY url_n ORDER BY last_idx) AS BIGINT) AS pos
       |FROM deduped
       |ORDER BY url, pos""".stripMargin
 

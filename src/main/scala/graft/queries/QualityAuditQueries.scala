@@ -209,12 +209,16 @@ object QualityAuditQueries {
     * a broadcast of the bounded lang dim — no corpus-sized join or
     * window anywhere. */
   def tCloseness(s: SparkSession, dir: String): DataFrame = {
-    val byval = Tables.documents(s, dir)
+    // byval is the ONLY corpus-sized computation and it collapses to
+    // the bounded (class, lang) dim — staged once, its four consumers
+    // (classes, global distribution, total, expansion join) never
+    // re-scan the corpus
+    val byval = graft.operators.Dedup.stage(Tables.documents(s, dir)
       .select(col("source"),
         length(bin(greatest(col("n_chars"), lit(1L)))).cast("long").as("size_bin"),
         col("lang"))
       .groupBy(col("source"), col("size_bin"), col("lang"))
-      .agg(count(lit(1)).as("nv"))
+      .agg(count(lit(1)).as("nv")))
     val cls = byval.groupBy(col("source"), col("size_bin"))
       .agg(sum(col("nv")).as("k"))
     val glob = byval.groupBy(col("lang")).agg(sum(col("nv")).as("gv"))

@@ -34,16 +34,23 @@ object SkewQueries {
       |FROM lineitem
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** q86: salted fact⋈dim join — the dim replicates once per salt, the
-    * fact salts deterministically, and the downstream rollup matches
-    * the plain join bit-for-bit. The shape AQE's skew handling cannot
-    * touch (broadcast-side replication under a hot key). */
+  /** q86: ADAPTIVE salted fact⋈dim join — one counting pass finds the
+    * keys a single reducer could not hold, only THOSE take the
+    * replicated-dim salted shape, and the cold majority joins plain
+    * (disjoint key classes, so the union is bit-identical to the
+    * plain join the oracle runs). The shape AQE's skew handling
+    * cannot touch (broadcast-side replication under a hot key) —
+    * applied only where measured: unconditional n=16 replication of
+    * the order dim was pure overhead on a key with no hot values
+    * (67.8s at x256; the dim there is 38M rows). The threshold is
+    * sized so a "hot" key is one whose plain-join reducer share
+    * would be a straggler. */
   def skewJoin(s: SparkSession, dir: String): DataFrame = {
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents"))
     val dim = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    Skew.saltedJoin(fact, dim, "l_orderkey", "l_orderkey")
+    Skew.adaptiveSaltedJoin(fact, dim, "l_orderkey", "l_orderkey")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
       .orderBy(col("o_orderpriority"))

@@ -188,12 +188,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q114 windows and dedup all share the url partitioning") {
+  test("q114 collapses map-side before every shuffle, all url-keyed") {
     val p = plan(graft.queries.PayloadQueries.storeReplay(spark, sfDir))
-    // one shuffle keys everything by url; the dedup groupBy and final
-    // position window must NOT introduce a second partitioning scheme
+    // every exchange is url-prefixed, and the corpus reaches no
+    // exchange un-aggregated: both passes are partial-agg collapsed
+    // (pair dim / occurrence keys) before shuffling — the corpus-wide
+    // url-partitioned window sort this replaced serialized on the url
+    // cardinality (211 partitions for 153M rows on the x256 ladder)
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.nonEmpty && exchanges.forall(_.contains("url")), p)
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q118 shuffles only on article-prefixed keys") {
@@ -375,6 +380,24 @@ class PlanAuditSpec extends SparkSpec {
     val pq = plan(graft.queries.SynopsisQueries.voptHistogram(spark, sfDir))
     assert(!pq.contains("Scan parquet"), pq)
     assert(!pq.contains("CartesianProduct"), pq)
+  }
+
+  test("q248 t-closeness collapses the corpus to the staged class dim") {
+    // the only corpus work is the one hash agg onto the (class, lang)
+    // dim — partial + final over a single pruned scan
+    val cells = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("lang"))
+      .groupBy("source", "lang").count()
+    val pc = plan(cells)
+    assert(pc.contains("partial_count") && scanCount(pc) === 1, pc)
+    // the full query stages that dim, so its executed plan re-scans
+    // NOTHING corpus-sized: no parquet scan, no sort-merge join, no
+    // cartesian (the cross joins are 1-row/bounded broadcasts)
+    val p = plan(graft.queries.QualityAuditQueries.tCloseness(spark, sfDir))
+    assert(scanCount(p) === 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q245 skyline: no dominance self-join; the x-dim broadcasts back") {
