@@ -66,14 +66,19 @@ object EventOpsQueries {
     * Scale: one shuffle on the content key; per-key windows touch only
     * that key's occurrence list (bounded by the duplication factor —
     * and content keys are near-unique by construction, so no skew). */
-  def temporalDedup(s: SparkSession, dir: String): DataFrame = {
+  def temporalDedup(s: SparkSession, dir: String): DataFrame =
+    chainDedup(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("props"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id")))
+
+  /** The chain-dedup core over (user_id, event_type, props, ts_us,
+    * event_id) rows — shared by q202 and the streaming dual's
+    * batch-equivalence spec (`Streaming.temporalDedup`). */
+  def chainDedup(e: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(col("user_id"), col("event_type"), col("props"))
       .orderBy(col("ts_us"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("props"),
-        unix_micros(col("ts")).as("ts_us"), col("event_id"))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+    e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("new_chain",
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > ChainGapMicros, 1L).otherwise(0L))

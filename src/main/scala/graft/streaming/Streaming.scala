@@ -173,6 +173,63 @@ object Streaming {
 
   // ---- streaming news-repo mutation state (mark_processed/mark_error) ----
 
+  // ---- streaming temporal chain dedup (q202's state, incremental) ----
+
+  case class ChainEvent(user_id: Long, event_type: String, props: String,
+                        ts_us: Long, event_id: Long)
+  case class ChainState(chainSeq: Long, survivorId: Long, firstUs: Long,
+                        lastUs: Long, nEvents: Long)
+  case class ChainOut(user_id: Long, event_type: String, props: String,
+                      chain_seq: Long, survivor_event_id: Long, n_events: Long,
+                      n_dups: Long, span_s: Long, closed: Boolean)
+
+  /** Streaming form of q202's trailing-window temporal dedup: one
+    * bounded (chainSeq, survivor, first/last ts, count) record per
+    * content key, advanced by each micro-batch. A gap past
+    * `EventOpsQueries.ChainGapMicros` closes the running chain
+    * (emitted with closed=true) and opens the next; the open chain is
+    * re-emitted as a closed=false snapshot each batch it grows, so
+    * "latest row per (key, chain_seq)" under an update-mode sink is
+    * EXACTLY the batch q202 output on the union — spec-pinned across
+    * arbitrary batch splits. Events are expected in time order per
+    * key across batches (the shared ingest contract of resultStore /
+    * rateLimit); within a batch rows sort by (ts_us, event_id), and a
+    * late cross-batch event joins the running chain without moving
+    * lastUs backward (the rateLimit clamp discipline — violations
+    * stay observable in n_events rather than corrupting the gap
+    * test). */
+  def temporalDedup(events: Dataset[ChainEvent]): Dataset[ChainOut] = {
+    import events.sparkSession.implicits._
+    val gap = graft.queries.EventOpsQueries.ChainGapMicros
+    events.groupByKey(e => (e.user_id, e.event_type, e.props))
+      .flatMapGroupsWithState[ChainState, ChainOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String, String), rows: Iterator[ChainEvent],
+         state: GroupState[ChainState]) =>
+          val (uid, etype, props) = key
+          def emit(st: ChainState, closed: Boolean) = ChainOut(
+            uid, etype, props, st.chainSeq, st.survivorId, st.nEvents,
+            st.nEvents - 1L, (st.lastUs - st.firstUs) / 1000000L, closed)
+          val out = Seq.newBuilder[ChainOut]
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            cur match {
+              case Some(st) if e.ts_us - st.lastUs <= gap =>
+                cur = Some(st.copy(lastUs = math.max(st.lastUs, e.ts_us),
+                  nEvents = st.nEvents + 1))
+              case Some(st) =>
+                out += emit(st, closed = true)
+                cur = Some(ChainState(st.chainSeq + 1, e.event_id, e.ts_us,
+                  e.ts_us, 1L))
+              case None =>
+                cur = Some(ChainState(1L, e.event_id, e.ts_us, e.ts_us, 1L))
+            }
+          }
+          cur.foreach { st => state.update(st); out += emit(st, closed = false) }
+          out.result().iterator
+      }
+  }
+
   case class RepoEvent(url: String, seq: Long, kind: String,
       message: String, ner: String, gaz: String)
   case class RepoState(exists: Boolean, upserted: Boolean,
