@@ -279,6 +279,39 @@ object Curation {
       .drop("__b", "__sub_rk", "__off")
   }
 
+  /** [[stratumValueRank]] under ASCENDING (`valueCol` asc, `idCol`
+    * asc) order with an IN-PLAN adaptive bucket width — the
+    * batch-pagination form (the reference's _id-paged job loops),
+    * where the key range is not known a priori: a 1-row bounds
+    * aggregate broadcasts back and buckets are
+    * `(value - lo) div max(1, (hi - lo) div 4096)` — ≤ 4097 range-
+    * contiguous sub-shards per stratum at ANY key scale, so the
+    * (strata × buckets) offset dim stays broadcastable and no task
+    * sorts more than ~1/4096 of a stratum. Identical to `row_number()
+    * over (partition by stratum order by value, id)`. */
+  def stratumValueRankAsc(df: DataFrame, stratumCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val bounds = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    val keyed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b", expr(
+        s"($valueCol - __lo) div greatest(1L, (__hi - __lo) div 4096L)"))
+      .drop("__lo", "__hi")
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val offs = keyed.groupBy(col(stratumCol), col("__b"))
+      .agg(count(lit(1)).as("__sub_n"))
+      .withColumn("__off", coalesce(
+        sum(col("__sub_n")).over(byStratum.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(stratumCol), col("__b"), col("__off"))
+    val subRk = Window.partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col(valueCol), col(idCol))
+    keyed
+      .withColumn("__sub_rk", row_number().over(subRk).cast("long"))
+      .join(broadcast(offs), Seq(stratumCol, "__b"))
+      .withColumn("rk", col("__off") + col("__sub_rk"))
+      .drop("__b", "__sub_rk", "__off")
+  }
+
   /** Exact per-stratum quota sample: rank rows inside each stratum by a
     * deterministic content hash and keep the first ceil(n/denom) —
     * pure integer quota, reproducible everywhere. The ranking is the

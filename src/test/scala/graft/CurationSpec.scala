@@ -215,4 +215,24 @@ class CurationSpec extends SparkSpec {
     assert(nValid === custs.count(_._1 % 3 == 0).toLong)
     assert(nValid > 0 && nValid < custs.length)
   }
+
+  test("stratumValueRankAsc equals the single-window ascending rank") {
+    import spark.implicits._
+    // skewed strata (one stratum holds half the rows) with sparse,
+    // wide-range keys so the adaptive bucket width actually buckets
+    val df = spark.range(0, 5000).select(
+      when($"id" % 10 < 5, lit("hot")).otherwise(concat(lit("s"), $"id" % 7)).as("stratum"),
+      ($"id" * $"id" % 1000003 * 977).as("v"),
+      $"id".as("rid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"stratum").orderBy($"v", $"rid")
+    val expected = df.withColumn("rk0", row_number().over(w).cast("long"))
+      .select($"stratum", $"rid", $"rk0").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Curation.stratumValueRankAsc(df, "stratum", "v", "rid")
+      .select($"stratum", $"rid", $"rk").collect()
+    assert(got.length === expected.size)
+    got.foreach(r => assert(
+      r.getLong(2) === expected((r.getString(0), r.getLong(1))), r))
+  }
 }
