@@ -88,10 +88,23 @@ object Bench {
     // cross-round diffs. Persist the full map in-repo (unfiltered
     // sweeps only, so a subset run can't shadow a full record).
     if (only.isEmpty) {
+      // anchor to the repo root (first ancestor with build.sbt), not the
+      // cwd — a run launched elsewhere must not scatter the artifact
+      val root = Iterator.iterate(
+          java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(8)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(java.nio.file.Paths.get(sys.props("user.dir")))
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        root.resolve("BENCH_FULL.json"),
         (line + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      catch {
+        // IO failures must be visible (a silent miss broke a round's
+        // cross-round diff once) but not fail the bench line itself;
+        // fatal throwables (OOM, interrupt) propagate
+        case e: java.io.IOException =>
+          System.err.println(s"WARNING: BENCH_FULL.json write failed: $e")
+      }
     }
     spark.stop()
   }

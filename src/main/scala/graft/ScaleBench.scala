@@ -19,6 +19,9 @@ object ScaleBench {
     val reps = if (args.length > 2) args(2).toInt else 2
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    // scale runs opt in to occupancy-driven SemDeDup cell refinement
+    // (oracle-gate runs keep it off so a cap crossing fails loudly)
+    System.setProperty("graft.allowCellSplit", "true")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       // scale-correct shuffle sizing: let AQE pick per-stage

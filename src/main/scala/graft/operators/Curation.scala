@@ -183,15 +183,20 @@ object Curation {
     val del = occ.join(stats, Seq("gram"))
       .filter(col("cnt") > 1 && packed =!= col("first_key"))
       .select(col("doc"), col("pos"))
+    // Both sides of this LEFT join derive from the same staged `toks`;
+    // rename the join columns on the right so the equi-keys are
+    // unambiguous (no dataset-id resolution of a trivially-true
+    // doc == doc predicate to rely on under refactoring).
     val rem = del
-      .select(col("doc"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
+      .select(col("doc").as("rdoc"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("ti"))
       .distinct()
     val tok = toks
       .select(col("doc"), posexplode(col("toks")).as(Seq("i0", "tok")))
       .select(col("doc"), (col("i0") + 1).as("i"), col("tok"))
     val flagged = tok.join(rem,
-        tok("doc") === rem("doc") && col("i") === col("ti"), "left")
-      .select(tok("doc").as("doc"), col("i"), col("tok"),
+        col("doc") === col("rdoc") && col("i") === col("ti"), "left")
+      .select(col("doc"), col("i"), col("tok"),
         col("ti").isNotNull.as("removed"))
     val w = Window.partitionBy(col("doc")).orderBy(col("i"))
     flagged
@@ -288,13 +293,18 @@ object Curation {
     * contiguous sub-shards per stratum at ANY key scale, so the
     * (strata × buckets) offset dim stays broadcastable and no task
     * sorts more than ~1/4096 of a stratum. Identical to `row_number()
-    * over (partition by stratum order by value, id)`. */
+    * over (partition by stratum order by value, id)`, INCLUDING nulls:
+    * a NULL `valueCol` lands in bucket -1, which sorts before every
+    * value bucket — Spark's nulls-first ascending order. Degenerate
+    * bounds (min == max, or an all-null column) collapse to one bucket
+    * per stratum — correct, just without the sub-shard spread. */
   def stratumValueRankAsc(df: DataFrame, stratumCol: String, valueCol: String,
       idCol: String): DataFrame = {
     val bounds = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
     val keyed = df.crossJoin(broadcast(bounds))
-      .withColumn("__b", expr(
-        s"($valueCol - __lo) div greatest(1L, (__hi - __lo) div 4096L)"))
+      .withColumn("__b", coalesce(expr(
+        s"($valueCol - __lo) div greatest(1L, (__hi - __lo) div 4096L)"),
+        lit(-1L)))
       .drop("__lo", "__hi")
     val byStratum = Window.partitionBy(col(stratumCol))
     val offs = keyed.groupBy(col(stratumCol), col("__b"))

@@ -63,7 +63,13 @@ object Dedup {
     val hashed = df.withColumn("content_key", md5(col(textCol)))
     val keep = hashed.groupBy(col("content_key"))
       .agg(min(col(idCol)).as("keep_id"))
-    hashed.join(keep, Seq("content_key"))
+      .withColumnRenamed("content_key", "__ck")
+    // null-SAFE key equality: md5(NULL text) is NULL, and a plain
+    // equi-join would silently drop every NULL-text row — <=> groups
+    // them into one content class (keep one row per id-min), matching
+    // the min-over-window form this replaced. EqualNullSafe on the
+    // sole key still plans as a hash join.
+    hashed.join(keep, col("content_key") <=> col("__ck"))
       .filter(col(idCol) === col("keep_id"))
       .select(df.columns.map(col) :+ col("content_key"): _*)
   }

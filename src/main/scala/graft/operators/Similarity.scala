@@ -646,9 +646,33 @@ object Similarity {
     val (assigned, _) = kmeansFit(
       emb.select(col("vec_id"), col("embedding")), k, dim, iters)
     val mem = assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m"))
-    semDedupVerdictsAssigned(
-      if (cellCap == Int.MaxValue) mem else refineCells(mem, cellCap), tauE6)
+    val refined =
+      if (cellCap == Int.MaxValue) mem
+      else if (allowCellSplit) refineCells(mem, cellCap)
+      else {
+        // Oracle-gate guard: refineCells changes the comparison scope
+        // whenever a cell actually splits, and the DuckDB oracle does
+        // NOT mirror the refinement — so outside an explicit scale run
+        // a cell crossing the cap must fail LOUDLY (the q240 require
+        // pattern), never diverge from the oracle silently. The check
+        // is one k-row aggregate on the bounded assignment dim.
+        val maxOcc = mem.groupBy(col("cluster")).agg(count(lit(1)).as("occ"))
+          .agg(max(col("occ"))).first().getLong(0)
+        require(maxOcc <= cellCap,
+          s"SemDeDup cell occupancy $maxOcc exceeds cap $cellCap: refineCells " +
+            "would change results vs the oracle SQL. Scale runs opt in via " +
+            "-Dgraft.allowCellSplit=true (ScaleBench sets it).")
+        mem
+      }
+    semDedupVerdictsAssigned(refined, tauE6)
   }
+
+  /** Scale runs (the x64/x256 trajectory) opt in to occupancy-driven
+    * cell refinement; the oracle gate runs with it off so a cap
+    * crossing at gate scale fails loudly instead of silently diverging
+    * from the un-refined oracle SQL. */
+  private def allowCellSplit: Boolean =
+    java.lang.Boolean.getBoolean("graft.allowCellSplit")
 
   /** Occupancy-bounded cell refinement — the scale contract that keeps
     * SemDeDup's within-cell pairwise from going quadratic when the

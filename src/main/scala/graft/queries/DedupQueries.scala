@@ -161,12 +161,17 @@ object DedupQueries {
       Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id",
       dfCap = Some(JaccardDfCap))
     val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels
       .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .select(col("doc_id"), col("cluster_id"),
-        col("cluster_size").cast("long").as("cluster_size"),
+    // Cluster size via hash-agg + co-partitioned join-back, NOT a
+    // cluster-partitioned window: CC label tables are where transitive
+    // chaining welds boilerplate families into one mega-component, and a
+    // window would sort that whole component through a single task. The
+    // partial-agg count is map-side combinable and the join reuses the
+    // cluster_id hash partitioning.
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy(col("doc_id"))
   }

@@ -230,12 +230,15 @@ object SimilarityQueries {
     * stage keeps in a training-data pipeline. */
   def embedClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = embedNearDupLsh(s, dir).select(col("vec_id_a"), col("vec_id_b"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    Dedup.connectedComponents(pairs, "vec_id_a", "vec_id_b")
+    val labels = Dedup.connectedComponents(pairs, "vec_id_a", "vec_id_b")
       .select(col("node").as("vec_id"), col("lab").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .select(col("vec_id"), col("cluster_id"),
-        col("cluster_size").cast("long").as("cluster_size"),
+    // Size by hash-agg + join-back rather than a cluster-partitioned
+    // window — same reasoning as q67: a semantic mega-cluster would
+    // otherwise serialize through one window task at scale.
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         (col("vec_id") === col("cluster_id")).as("keep"))
       .orderBy(col("vec_id"))
   }

@@ -25,7 +25,14 @@ import graft.queries.CdcQueries
   * storage-dedup index lives on disk, not in the state store; the
   * per-batch probe is an md5-keyed equi-join whose left side is one
   * micro-batch (broadcastable), so incremental cost is an index seek
-  * per arriving chunk, never a corpus scan. */
+  * per arriving chunk, never a corpus scan.
+  *
+  * Replay idempotency: Structured Streaming's foreachBatch contract
+  * re-delivers a batch whose processing did not commit, so every
+  * index write is keyed by batchId (`chunkDir/batch=<id>`, written
+  * with overwrite) and the probe reads only batches strictly BEFORE
+  * the current id — a replayed batch overwrites its own partial
+  * append instead of accumulating it, and never probes against it. */
 class StreamingCdcDedup(val chunkDir: String) {
 
   private val chunkSchema = StructType(Seq(
@@ -34,27 +41,32 @@ class StreamingCdcDedup(val chunkDir: String) {
     StructField("clen", LongType),
     StructField("h", StringType)))
 
-  /** The persisted chunk index (empty before the first batch). */
-  def historicalChunks(s: SparkSession): DataFrame = {
-    val dir = new java.io.File(chunkDir)
-    val hasData = dir.isDirectory &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (hasData) s.read.schema(chunkSchema).parquet(chunkDir)
+  /** Committed batch ids present in the index, ascending. */
+  def batchIds(): Seq[Long] = StreamingState.batchIds(chunkDir)
+
+  /** The persisted chunk index, optionally restricted to batches
+    * strictly before `before` (empty before the first batch). */
+  def historicalChunks(s: SparkSession, before: Option[Long] = None): DataFrame = {
+    val dirs = StreamingState.batchDirs(chunkDir, before)
+    if (dirs.nonEmpty) s.read.schema(chunkSchema).parquet(dirs: _*)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], chunkSchema)
   }
 
   /** One micro-batch: returns the arrivals' at-ingest verdicts
     * (doc_id, n_chars, n_chunks, dup_chunks_at_ingest,
-    * dup_chars_at_ingest, dup_share_at_ingest_e6) and appends the
-    * batch's chunks to the index. A chunk is a dup at ingest when its
-    * hash already exists in the store OR occurs more than once within
-    * history + this batch (the second copy inside one batch is just as
-    * dedupable). Verdicts are materialized BEFORE the append. */
-  def processBatch(arrivals: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * dup_chars_at_ingest, dup_share_at_ingest_e6) and writes the
+    * batch's chunks to the index under `batch=<batchId>` (overwrite —
+    * a foreachBatch replay of the same id is idempotent). A chunk is
+    * a dup at ingest when its hash already exists in the store OR
+    * occurs more than once within history + this batch (the second
+    * copy inside one batch is just as dedupable). Verdicts are
+    * materialized BEFORE the append. */
+  def processBatch(arrivals: DataFrame, textCol: String, idCol: String,
+      batchId: Long): DataFrame = {
     val s = arrivals.sparkSession
     val newChunks = CdcQueries.chunkTable(arrivals, textCol, idCol)
       .localCheckpoint()
-    val target = historicalChunks(s).unionByName(newChunks)
+    val target = historicalChunks(s, Some(batchId)).unionByName(newChunks)
     val dfAll = target.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val verdicts = newChunks.join(dfAll, Seq("h"))
       .groupBy(col("doc_id"))
@@ -65,23 +77,33 @@ class StreamingCdcDedup(val chunkDir: String) {
       .withColumn("dup_share_at_ingest_e6",
         expr("dup_chars_at_ingest * 1000000 div n_chars"))
       .localCheckpoint()
-    newChunks.write.mode("append").parquet(chunkDir)
+    newChunks.write.mode("overwrite")
+      .parquet(StreamingState.batchDir(chunkDir, batchId))
     verdicts
   }
+
+  /** Legacy entry point: allocates the next sequential batch id from
+    * the index itself (max committed id + 1). */
+  def processBatch(arrivals: DataFrame, textCol: String, idCol: String): DataFrame =
+    processBatch(arrivals, textCol, idCol,
+      batchIds().lastOption.map(_ + 1L).getOrElse(0L))
 
   /** Fold the chunk index into the batch q181 audit on everything
     * ingested so far — the SAME aggregation the batch query runs. */
   def foldAudit(s: SparkSession): DataFrame =
     CdcQueries.chunkAudit(historicalChunks(s))
 
-  /** Drive a document stream through foreachBatch, appending each
-    * batch's at-ingest verdicts to `verdictDir`. */
+  /** Drive a document stream through foreachBatch, writing each
+    * batch's at-ingest verdicts to `verdictDir/batch=<id>` (overwrite,
+    * so a replayed batch is idempotent end to end). */
   def run(stream: DataFrame, textCol: String, idCol: String,
       verdictDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, textCol, idCol).write.mode("append").parquet(verdictDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, textCol, idCol, epochId)
+          .write.mode("overwrite")
+          .parquet(StreamingState.batchDir(verdictDir, epochId))
         ()
       }
       .start()

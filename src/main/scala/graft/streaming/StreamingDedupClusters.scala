@@ -17,7 +17,7 @@ import graft.operators.Dedup
   * LABEL-graph — its size is bounded by the batch's pairs plus the
   * clusters they touch, never the corpus; (3) batch min-label CC runs
   * on that contracted graph (`Dedup.connectedComponents` — the
-  * O(diameter) recipe on a tiny input); (4) deltas are appended for
+  * O(diameter) recipe on a tiny input); (4) deltas are written for
   * exactly the nodes whose label changed plus newly-paired nodes.
   * Because min-label roots are stable under union (the root of merged
   * components is the min of their roots — the overall min node id),
@@ -25,12 +25,17 @@ import graft.operators.Dedup
   * assignment as batch CC over the union's pairs (spec-pinned).
   *
   * Scale shape: the assignment table is LOG-STRUCTURED parquet —
-  * appends of (node, lab, batch_seq) with last-writer-wins reads
-  * (`max_by(lab, batch_seq)` per node), the keyed-store pattern
-  * whose compaction amortizes off the hot path; per-batch work reads
-  * the table once (a key-pruned join at scale) and writes only the
-  * touched rows. Nothing per batch is proportional to corpus size
-  * except the one assignment-table probe. */
+  * per-batch delta dirs of (node, lab, batch_seq) with
+  * last-writer-wins reads (`max_by(lab, batch_seq)` per node), the
+  * keyed-store pattern whose compaction amortizes off the hot path;
+  * per-batch work reads the table once (a key-pruned join at scale)
+  * and writes only the touched rows. Nothing per batch is
+  * proportional to corpus size except the one assignment-table probe.
+  *
+  * Replay idempotency: deltas land in `clustersDir/batch=<id>` with
+  * overwrite and the contraction reads assignments strictly BEFORE
+  * the current id, so a foreachBatch re-delivery recomputes the same
+  * delta against the same pre-batch state (see [[StreamingState]]). */
 class StreamingDedupClusters(val indexDir: String, val clustersDir: String) {
 
   val lsh = new StreamingLshDedup(indexDir)
@@ -40,29 +45,29 @@ class StreamingDedupClusters(val indexDir: String, val clustersDir: String) {
     StructField("lab", LongType),
     StructField("batch_seq", LongType)))
 
-  /** Latest-wins view of the log-structured assignment table. */
-  def currentAssignments(s: SparkSession): DataFrame = {
-    val dir = new java.io.File(clustersDir)
-    val hasData = dir.isDirectory &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (!hasData)
+  /** Latest-wins view of the log-structured assignment table,
+    * optionally restricted to deltas strictly before `before`. */
+  def currentAssignments(s: SparkSession,
+      before: Option[Long] = None): DataFrame = {
+    val dirs = StreamingState.batchDirs(clustersDir, before)
+    if (dirs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
         StructType(assignSchema.take(2)))
     else
-      s.read.schema(assignSchema).parquet(clustersDir)
+      s.read.schema(assignSchema).parquet(dirs: _*)
         .groupBy(col("node"))
         .agg(max_by(col("lab"), col("batch_seq")).as("lab"))
   }
 
   /** One micro-batch: probe LSH, contract to the label graph, run CC,
-    * append assignment deltas. Returns the batch's candidate pairs
-    * (the q23-shaped verdicts, unchanged). */
+    * write the assignment delta under `batch=<batchSeq>`. Returns the
+    * batch's candidate pairs (the q23-shaped verdicts, unchanged). */
   def processBatch(arrivals: DataFrame, textCol: String, idCol: String,
       batchSeq: Long): DataFrame = {
     val s = arrivals.sparkSession
-    val verdicts = lsh.processBatch(arrivals, textCol, idCol)
+    val verdicts = lsh.processBatch(arrivals, textCol, idCol, batchSeq)
     if (!verdicts.isEmpty) {
-      val assign = currentAssignments(s).localCheckpoint()
+      val assign = currentAssignments(s, Some(batchSeq)).localCheckpoint()
       val pairs = verdicts.select(col("doc_a"), col("doc_b"))
       val edges = pairs
         .join(assign.select(col("node").as("doc_a"), col("lab").as("la")),
@@ -80,6 +85,7 @@ class StreamingDedupClusters(val indexDir: String, val clustersDir: String) {
         .distinct()
         .join(assign, Seq("node"), "left_anti")
         .localCheckpoint()
+      val deltaDir = StreamingState.batchDir(clustersDir, batchSeq)
       if (!edges.isEmpty) {
         val comp = Dedup.connectedComponents(edges, "a", "b")
           .localCheckpoint() // (node = old label or new node, lab = root)
@@ -93,27 +99,29 @@ class StreamingDedupClusters(val indexDir: String, val clustersDir: String) {
         relabelExisting.unionByName(newAssigned)
           .withColumn("batch_seq", lit(batchSeq))
           .localCheckpoint()
-          .write.mode("append").parquet(clustersDir)
+          .write.mode("overwrite").parquet(deltaDir)
       } else if (!newNodes.isEmpty) {
         // every new pair collapsed inside existing clusters — only
         // genuinely-new nodes (paired with their own label) remain
         newNodes.select(col("node"), col("node").as("lab"))
           .withColumn("batch_seq", lit(batchSeq))
-          .write.mode("append").parquet(clustersDir)
+          .write.mode("overwrite").parquet(deltaDir)
       }
     }
     verdicts
   }
 
-  /** Drive a document stream; verdict pairs append to `verdictDir`,
-    * cluster assignments accumulate in `clustersDir`. */
+  /** Drive a document stream; verdict pairs land in
+    * `verdictDir/batch=<id>` (overwrite — replay-idempotent), cluster
+    * assignments accumulate in `clustersDir`. */
   def run(stream: DataFrame, textCol: String, idCol: String,
       verdictDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, textCol, idCol, batchId)
-          .write.mode("append").parquet(verdictDir)
+          .write.mode("overwrite")
+          .parquet(StreamingState.batchDir(verdictDir, batchId))
         ()
       }
       .start()

@@ -55,7 +55,19 @@ object StreamingIngestPipeline {
   * everything seen"): a near-dup of a rejected doc is still a
   * near-dup, and the index append happens before the gate filter so
   * transitive duplicates cannot slip through between representatives.
-  */
+  *
+  * Replay idempotency (the foreachBatch contract: a batch whose
+  * processing did not commit to the streaming checkpoint is
+  * RE-DELIVERED with the same epochId): every piece of state is keyed
+  * by that id — index appends and the packed output land in
+  * `batch=<id>` dirs with overwrite, and the dims are per-batch
+  * SNAPSHOTS rather than a single rewritten file, read as-of
+  * `batchId - 1`. A replayed batch therefore re-reads exactly the
+  * pre-batch dims (no double-charged admission cost), overwrites its
+  * own partial index/output contribution, and probes history that
+  * excludes it — byte-identical to a first delivery. Old dim
+  * snapshots beyond a short tail are pruned (replays only reach back
+  * to the last uncommitted batch). */
 class StreamingIngestPipeline(
     val stateRoot: String,
     val costMicro: Long, val capMicro: Long,
@@ -67,6 +79,7 @@ class StreamingIngestPipeline(
   val lsh = new StreamingLshDedup(s"$stateRoot/lsh_bands")
   private val bucketDir = s"$stateRoot/bucket_state"
   private val cursorDir = s"$stateRoot/pack_cursor"
+  private val DimSnapshotsKept = 3
 
   private val bucketSchema = StructType(Seq(
     StructField("source", StringType),
@@ -76,34 +89,36 @@ class StreamingIngestPipeline(
     StructField("source", StringType),
     StructField("cum_tokens", LongType)))
 
-  private def readDim(s: SparkSession, dir: String,
-      schema: StructType): Map[String, (Long, Long)] = {
-    val d = new java.io.File(dir)
-    val hasData = d.isDirectory &&
-      d.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (!hasData) Map.empty
-    else s.read.schema(schema).parquet(dir).collect()
+  /** The dim as of the latest snapshot strictly BEFORE `batchId` —
+    * what a replay of `batchId` must see. */
+  private def readDim(s: SparkSession, dir: String, schema: StructType,
+      batchId: Long): Map[String, (Long, Long)] = {
+    val dirs = StreamingState.batchDirs(dir, Some(batchId))
+    if (dirs.isEmpty) Map.empty
+    else s.read.schema(schema).parquet(dirs.last).collect()
       .map(r => r.getString(0) -> ((r.getLong(1),
         if (r.length > 2) r.getLong(2) else 0L))).toMap
   }
 
   private def writeDim(s: SparkSession, dir: String, schema: StructType,
-      rows: Seq[Row]): Unit = {
+      rows: Seq[Row], batchId: Long): Unit = {
     val df = s.createDataFrame(
       s.sparkContext.parallelize(rows, 1), schema)
-    df.write.mode("overwrite").parquet(dir)
+    df.write.mode("overwrite")
+      .parquet(StreamingState.batchDir(dir, batchId))
+    StreamingState.pruneBefore(dir, batchId, DimSnapshotsKept)
   }
 
   /** Stage 1: per-source leaky-bucket admission for one micro-batch.
     * Returns (admitted docs, updated per-source states). The fold is
     * per-source sequential — exactly `Streaming.advanceBucket` — run
     * distributed via groupByKey; prior levels come from the bounded
-    * persisted dim. */
-  def admitBatch(batch: Dataset[IngestDoc])
+    * persisted dim as of the previous batch. */
+  def admitBatch(batch: Dataset[IngestDoc], batchId: Long)
       : (Dataset[IngestDoc], Seq[Row]) = {
     val s = batch.sparkSession
     import s.implicits._
-    val prior = readDim(s, bucketDir, bucketSchema)
+    val prior = readDim(s, bucketDir, bucketSchema, batchId)
     val bPrior = s.sparkContext.broadcast(prior)
     // locals so the task closures capture values, not `this`
     val cost = costMicro
@@ -136,17 +151,18 @@ class StreamingIngestPipeline(
 
   /** One micro-batch through all four stages; returns this batch's
     * packed survivor rows (the sequencePack schema) and advances every
-    * piece of state. */
-  def processBatch(batch0: Dataset[IngestDoc]): DataFrame = {
+    * piece of state, keyed by `batchId` so a foreachBatch replay of
+    * the same id reproduces (not compounds) the state transition. */
+  def processBatch(batch0: Dataset[IngestDoc], batchId: Long): DataFrame = {
     val s = batch0.sparkSession
     // the micro-batch is read twice (admission + state fold): pin it
     val batch = batch0.localCheckpoint()
-    val (admittedDs, bucketRows) = admitBatch(batch)
+    val (admittedDs, bucketRows) = admitBatch(batch, batchId)
     val admitted = admittedDs.toDF().localCheckpoint()
-    writeDim(s, bucketDir, bucketSchema, bucketRows)
+    writeDim(s, bucketDir, bucketSchema, bucketRows, batchId)
 
-    // CDC gate: at-ingest storage-dup share, index appends inside
-    val cdcVerdicts = cdc.processBatch(admitted, "text", "doc_id")
+    // CDC gate: at-ingest storage-dup share, index write inside
+    val cdcVerdicts = cdc.processBatch(admitted, "text", "doc_id", batchId)
     val cdcReject = cdcVerdicts
       .filter(col("dup_share_at_ingest_e6") >= dupShareMaxE6)
       .select(col("doc_id"))
@@ -154,13 +170,13 @@ class StreamingIngestPipeline(
       .localCheckpoint()
 
     // LSH gate: drop the later member of every candidate pair
-    val lshVerdicts = lsh.processBatch(s1, "text", "doc_id")
+    val lshVerdicts = lsh.processBatch(s1, "text", "doc_id", batchId)
     val lshReject = lshVerdicts.filter(col("n_bands") >= minBands)
       .select(col("doc_b").as("doc_id")).distinct()
     val s2 = s1.join(lshReject, Seq("doc_id"), "left_anti")
 
     // pack survivors onto each source's running window cursor
-    val cursors = readDim(s, cursorDir, cursorSchema)
+    val cursors = readDim(s, cursorDir, cursorSchema, batchId)
     val bCursors = s.sparkContext.broadcast(cursors)
     val baseCol = udfFreeBase(col("source"), bCursors.value)
     val wPrev = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -180,7 +196,7 @@ class StreamingIngestPipeline(
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val merged = (cursors.view.mapValues(_._1).toMap ++ advanced)
       .map { case (src, cum) => Row(src, cum) }.toSeq
-    writeDim(s, cursorDir, cursorSchema, merged)
+    writeDim(s, cursorDir, cursorSchema, merged, batchId)
     packed
   }
 
@@ -193,14 +209,16 @@ class StreamingIngestPipeline(
       when(src === k, cum).otherwise(acc)
     }
 
-  /** Drive a document stream end-to-end, appending each batch's packed
-    * survivors to `outDir`. */
+  /** Drive a document stream end-to-end, writing each batch's packed
+    * survivors to `outDir/batch=<id>` (overwrite — replay-idempotent,
+    * and readable as one table via `spark.read.parquet(outDir)`). */
   def run(stream: Dataset[IngestDoc], outDir: String,
       checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[IngestDoc], _: Long) =>
-        processBatch(batch).write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: Dataset[IngestDoc], epochId: Long) =>
+        processBatch(batch, epochId).write.mode("overwrite")
+          .parquet(StreamingState.batchDir(outDir, epochId))
         ()
       }
       .start()

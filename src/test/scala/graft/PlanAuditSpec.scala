@@ -355,6 +355,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(winLines.forall(_.contains("doc")), p)
   }
 
+  test("q67/q68 cluster sizes come from a hash-agg join-back, not a cluster window") {
+    // a CC label table is exactly where skew concentrates (one
+    // boilerplate mega-component), so sizing must never be a
+    // Window.partitionBy(cluster_id) — that serializes the biggest
+    // cluster through one task. The plan may sort for the final
+    // orderBy, but no Window operator may partition on cluster ids.
+    for (df <- Seq(graft.queries.DedupQueries.dedupClusters(spark, sfDir),
+        SimilarityQueries.embedClusters(spark, sfDir))) {
+      val p = plan(df)
+      val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(winLines.forall(l => !l.contains("cluster_id")), p)
+      assert(p.contains("partial_count"), p)
+    }
+  }
+
   test("q239 fuzzy titles: blocked join, no cartesian, no corpus window") {
     // identical-title collapse -> (prefix, length-block) equi-join ->
     // threshold Levenshtein; the quadratic is bounded by bucket size

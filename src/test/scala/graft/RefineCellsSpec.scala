@@ -84,4 +84,25 @@ class RefineCellsSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(capped === uncapped)
   }
+
+  test("a cap crossing fails loudly at the gate and refines only under the scale opt-in") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    import graft.queries.SimilarityQueries._
+    // a cap far below the per-cell occupancy: without the scale opt-in
+    // the verdict must REFUSE (the oracle SQL does not mirror the
+    // refinement), never silently diverge
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedupVerdicts(emb, k = 2, Dim, SemDedupIters,
+        SemDedupTauE6, cellCap = 8).count()
+    }
+    assert(ex.getMessage.contains("exceeds cap"))
+    // with the opt-in the same call engages refineCells and completes
+    System.setProperty("graft.allowCellSplit", "true")
+    try {
+      val n = Similarity.semDedupVerdicts(emb, k = 2, Dim, SemDedupIters,
+        SemDedupTauE6, cellCap = 8).count()
+      assert(n === emb.count())
+    } finally System.clearProperty("graft.allowCellSplit")
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingIngestPipeline, StreamingState}
+import graft.streaming.StreamingIngestPipeline.IngestDoc
+
+/** The failure-recovery contract of the composed ingest pipeline.
+  *
+  * Structured Streaming's foreachBatch delivers at-least-once: a batch
+  * whose processing ran but did not commit to the streaming checkpoint
+  * is RE-DELIVERED with the same epochId after a restart. The pipeline
+  * keys every state write by that id (index dirs, dim snapshots,
+  * packed output — see StreamingState), so both halves of the contract
+  * must hold:
+  *
+  *  1. re-processing a batch with the same id is byte-idempotent —
+  *     every piece of persisted state and the returned packed rows
+  *     equal a single delivery (the crash-after-write-before-commit
+  *     case, simulated by literally calling processBatch twice);
+  *  2. stopping the streaming query mid-stream and resuming from its
+  *     checkpoint (same state root) yields output identical to an
+  *     uninterrupted run over the same batches.
+  */
+class StreamingReplaySpec extends SparkSpec {
+
+  private val Cost = 8000000L
+  private val Cap = 20000000L
+  private val DupShareMax = 950000L
+  private val MinBands = 1L
+  private val CtxLen = 512
+
+  private def docs(): Array[IngestDoc] = {
+    import org.apache.spark.sql.functions.col
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("doc_id") < 240)
+      .collect()
+      .map(r => IngestDoc(r.getLong(0), r.getString(1),
+        r.getLong(0) * 300000L, r.getString(2)))
+      .sortBy(_.doc_id)
+  }
+
+  /** Read a batch-keyed state dir back as (rows as comparable tuples). */
+  private def slurp(dir: String, cols: Seq[String]): Set[Seq[Any]] = {
+    val dirs = StreamingState.batchDirs(dir)
+    if (dirs.isEmpty) Set.empty
+    else spark.read.parquet(dirs: _*)
+      .select(cols.map(col): _*).collect()
+      .map(_.toSeq).toSet
+  }
+
+  test("re-delivering a batch with the same id is state-idempotent") {
+    import spark.implicits._
+    val all = docs()
+    val batches = Seq(all.filter(_.doc_id < 80), all.filter(_.doc_id >= 80))
+
+    def drive(root: String, replaySecond: Boolean): Set[Seq[Any]] = {
+      val pipe = new StreamingIngestPipeline(root, Cost, Cap, DupShareMax,
+        MinBands, CtxLen)
+      val out0 = pipe.processBatch(batches(0).toSeq.toDS(), 0L)
+        .collect().map(_.toSeq).toSet
+      val out1a = pipe.processBatch(batches(1).toSeq.toDS(), 1L)
+        .collect().map(_.toSeq).toSet
+      if (replaySecond) {
+        // the crash case: batch 1 ran fully (all state written) but the
+        // streaming commit was lost — foreachBatch re-delivers id 1
+        val out1b = pipe.processBatch(batches(1).toSeq.toDS(), 1L)
+          .collect().map(_.toSeq).toSet
+        assert(out1b === out1a, "replayed packed rows must equal the originals")
+      }
+      out0 ++ out1a
+    }
+
+    val rootA = Files.createTempDirectory("replay_a").toString
+    val rootB = Files.createTempDirectory("replay_b").toString
+    val packedA = drive(rootA, replaySecond = false)
+    val packedB = drive(rootB, replaySecond = true)
+    assert(packedA === packedB)
+
+    // every persisted state table is identical to the no-replay run
+    for ((sub, cols) <- Seq(
+      "cdc_chunks" -> Seq("doc_id", "len", "clen", "h"),
+      "lsh_bands" -> Seq("doc_id", "band_id", "band_val"),
+      "bucket_state" -> Seq("source", "last_us", "level"),
+      "pack_cursor" -> Seq("source", "cum_tokens"))) {
+      assert(slurp(s"$rootA/$sub", cols) === slurp(s"$rootB/$sub", cols),
+        s"state table $sub diverged under replay")
+      assert(StreamingState.batchIds(s"$rootA/$sub") ===
+        StreamingState.batchIds(s"$rootB/$sub"),
+        s"batch ids of $sub diverged under replay")
+    }
+  }
+
+  test("restart from checkpoint mid-stream equals the uninterrupted run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = docs()
+    val batches = Seq(
+      all.filter(_.doc_id < 80).toSeq,
+      all.filter(d => d.doc_id >= 80 && d.doc_id < 160).toSeq,
+      all.filter(_.doc_id >= 160).toSeq)
+
+    // uninterrupted reference run
+    val rootU = Files.createTempDirectory("restart_u").toString
+    val pipeU = new StreamingIngestPipeline(rootU, Cost, Cap, DupShareMax,
+      MinBands, CtxLen)
+    val inU = MemoryStream[IngestDoc]
+    val qU = pipeU.run(inU.toDS(), s"$rootU/packed", s"$rootU/ckpt")
+    try batches.foreach { b => inU.addData(b); qU.processAllAvailable() }
+    finally qU.stop()
+
+    // interrupted run: stop after two batches, resume from the same
+    // checkpoint + state root, then feed the third
+    val rootR = Files.createTempDirectory("restart_r").toString
+    val pipeR = new StreamingIngestPipeline(rootR, Cost, Cap, DupShareMax,
+      MinBands, CtxLen)
+    val inR = MemoryStream[IngestDoc]
+    val q1 = pipeR.run(inR.toDS(), s"$rootR/packed", s"$rootR/ckpt")
+    try {
+      inR.addData(batches(0)); q1.processAllAvailable()
+      inR.addData(batches(1)); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = pipeR.run(inR.toDS(), s"$rootR/packed", s"$rootR/ckpt")
+    try { inR.addData(batches(2)); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val packedCols = Seq("doc_id", "source", "n_tokens", "cum_tokens",
+      "seq_id", "offset_in_seq", "straddles")
+    assert(slurp(s"$rootR/packed", packedCols) ===
+      slurp(s"$rootU/packed", packedCols))
+    assert(slurp(s"$rootU/packed", packedCols).nonEmpty)
+    // the on-disk indexes converged too
+    assert(slurp(s"$rootR/cdc_chunks", Seq("doc_id", "h")) ===
+      slurp(s"$rootU/cdc_chunks", Seq("doc_id", "h")))
+    assert(slurp(s"$rootR/lsh_bands", Seq("doc_id", "band_id", "band_val")) ===
+      slurp(s"$rootU/lsh_bands", Seq("doc_id", "band_id", "band_val")))
+  }
+}
