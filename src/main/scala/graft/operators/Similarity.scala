@@ -627,6 +627,75 @@ object Similarity {
         col("cluster").as("centroid_id"), col("cos_e6"))
   }
 
+  /** The nprobe OPERATING CURVE of a trained IVF index — the number a
+    * serving team actually tunes: for each nprobe in `sweep`, recall@k
+    * against the exact brute-force truth AND the fraction of the
+    * corpus the probe scans. One row per nprobe arm:
+    * (nprobe, n_queries, n_corpus, n_truth, n_hits, recall_e6,
+    * n_scanned, scanned_frac_e6).
+    *
+    * Scale shape: the inverted lists build ONCE (one corpus shuffle,
+    * centroids broadcast) and the per-probe scoring runs ONCE at the
+    * DEEPEST arm with each row tagged by its probe rank — every
+    * shallower arm is a filter over that staged table, so the sweep
+    * costs one scoring pass, not |sweep|. Arm rollups are 1-row
+    * aggregates crossed with the broadcast denominators (the q180
+    * sweep recipe applied to dense ANN). The exact truth is the
+    * evaluation harness's cost by nature and runs on the bounded
+    * query sample, as in q95. */
+  def ivfNprobeCurve(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      sweep: Seq[Int], k: Int): DataFrame = {
+    require(sweep.nonEmpty && sweep.forall(_ >= 1), s"bad nprobe sweep $sweep")
+    val maxNp = sweep.max
+    val lists = kmeansAssign(
+      corpus.select(col("vec_id"), microVec(col("embedding")).as("m")), cents)
+      .select(col("cluster"), col("vec_id"), col("m"), microNorm(col("m")).as("nrm"))
+      .localCheckpoint()
+    val qm = queries.select(col("vec_id").as("q_vec_id"),
+      microVec(col("embedding")).as("qm"))
+    val probeScored = qm.crossJoin(broadcast(cents))
+      .withColumn("p_dist", sqDist(col("qm"), col("cm")))
+      .select(col("q_vec_id"), col("qm"), col("cid"), col("p_dist"))
+    val probes = Plans.topKPerKeyRanked(probeScored, Seq(probeScored("q_vec_id")),
+      Seq((probeScored("p_dist"), false), (probeScored("cid"), false)), maxNp, "p_rank")
+      .select(col("cid").as("cluster"), col("q_vec_id"), col("qm"),
+        microNorm(col("qm")).as("q_nrm"), col("p_rank").cast("long").as("p_rank"))
+      .localCheckpoint()
+    val scored = lists.join(broadcast(probes), Seq("cluster"))
+      .withColumn("cos_e6",
+        e6(intDot(col("qm"), col("m")).cast("double") / (col("q_nrm") * col("nrm"))))
+      .select(col("q_vec_id"), col("vec_id"), col("p_rank"), col("cos_e6"))
+      .localCheckpoint()
+    val truth = bruteForceTopK(queries, corpus, k)
+      .select(col("q_vec_id"), col("vec_id")).localCheckpoint()
+    val sizes = lists.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+    val probeSizes = probes.select(col("cluster"), col("p_rank"))
+      .join(sizes, Seq("cluster"), "left")
+      .select(col("p_rank"), coalesce(col("sz"), lit(0L)).as("sz"))
+      .localCheckpoint()
+    val denoms = lists.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(qm.agg(count(lit(1)).as("n_queries")))
+      .select(col("n_queries"), col("n_corpus")).localCheckpoint()
+    sweep.map { np =>
+      val cand = scored.filter(col("p_rank") <= np)
+      val topk = Plans.topKPerKeyRanked(cand, Seq(cand("q_vec_id")),
+        Seq((cand("cos_e6"), true), (cand("vec_id"), false)), k, "rank")
+        .select(col("q_vec_id"), col("vec_id"), lit(1L).as("hit"))
+      val hitsAgg = truth.join(topk, Seq("q_vec_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      val scanAgg = probeSizes.filter(col("p_rank") <= np)
+        .agg(coalesce(sum(col("sz")), lit(0L)).as("n_scanned"))
+      hitsAgg.crossJoin(scanAgg).crossJoin(broadcast(denoms))
+        .select(lit(np.toLong).as("nprobe"),
+          col("n_queries"), col("n_corpus"), col("n_truth"), col("n_hits"),
+          e6(col("n_hits").cast("double") / col("n_truth")).as("recall_e6"),
+          col("n_scanned"),
+          e6(col("n_scanned").cast("double") /
+            (col("n_queries") * col("n_corpus"))).as("scanned_frac_e6"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
   /** SemDeDup (Abbas et al. 2023) verdicts: cluster-then-prune
     * semantic dedup. k-means partitions the corpus, then each vector
     * is compared only against its higher-keep-priority peers inside

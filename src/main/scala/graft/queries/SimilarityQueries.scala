@@ -764,6 +764,100 @@ object SimilarityQueries {
        |GROUP BY e.q_vec_id ORDER BY e.q_vec_id""".stripMargin
   }
 
+  // ---- q249: IVF nprobe operating curve (recall vs scanned) ----
+
+  /** The nprobe arms swept by q249 — up to KmeansK, where the probe
+    * covers every list and recall@k is 1 by construction (the curve's
+    * anchor point). */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q249: the OPERATING CURVE a serving team reads to pick nprobe —
+    * q95 pins recall at one configuration and q180 sweeps LSH band
+    * geometry; this completes the eval-harness family for the trained
+    * dense index: per nprobe in {1,2,4,8}, recall@k of the q70 search
+    * against the q26 exact truth AND the scanned fraction of the
+    * corpus (the cost axis). At nprobe = k-means K the probe scans
+    * everything, so the last row must read recall 1.0 at scan 1.0 —
+    * the curve's sanity anchor (spec-pinned).
+    *
+    * Scale shape: lists build once; scoring runs ONCE at the deepest
+    * arm with rows tagged by probe rank, shallower arms filter that
+    * staged table; rollups are 1-row aggregates (see
+    * `Similarity.ivfNprobeCurve`). */
+  def ivfNprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansFit(emb, KmeansK, Dim, KmeansIters)._2
+    Similarity.ivfNprobeCurve(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound),
+      cents, NprobeSweep, LshTopK)
+  }
+
+  val ivfNprobeCurveSql: String = {
+    val maxNp = NprobeSweep.max
+    val dotQC = dotSql("q_emb", "embedding", Dim)
+    def ssq(m: String) =
+      s"list_reduce(list_transform($m, x -> x * x), (x, y) -> x + y)"
+    val intDot =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> p.qm[i] * l.m[i]), (x, y) -> x + y)"
+    s"""WITH $trainedCentCtes,
+       |lists AS (SELECT vec_id, cid AS cluster, m FROM (
+       |    SELECT v.vec_id, v.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id >= $QuerySetBound)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_vec_id, cid AS cluster, m AS qm, rn AS p_rank FROM (
+       |    SELECT v.vec_id, v.m, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${distExpr("v.m", "c.cm")}, c.cid) AS rn
+       |    FROM v CROSS JOIN cent c WHERE v.vec_id < $QuerySetBound)
+       |  WHERE rn <= $maxNp),
+       |scored AS (SELECT p.q_vec_id, l.vec_id, p.p_rank,
+       |    CAST(ROUND(CAST($intDot AS DOUBLE)
+       |      / (SQRT(CAST(${ssq("p.qm")} AS DOUBLE)) * SQRT(CAST(${ssq("l.m")} AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS cos_e6
+       |  FROM lists l JOIN probes p USING (cluster)),
+       |sw AS (SELECT nprobe FROM (VALUES ${NprobeSweep.map(n => s"($n)").mkString(", ")}) t(nprobe)),
+       |atop AS (SELECT nprobe, q_vec_id, vec_id FROM (
+       |    SELECT w.nprobe, s.q_vec_id, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY w.nprobe, s.q_vec_id
+       |        ORDER BY s.cos_e6 DESC, s.vec_id) AS rnk
+       |    FROM scored s JOIN sw w ON s.p_rank <= w.nprobe)
+       |  WHERE rnk <= $LshTopK),
+       |eq AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, ${normSql("embedding", Dim)} AS q_norm
+       |  FROM embeddings WHERE vec_id < $QuerySetBound),
+       |ec AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS c_norm
+       |  FROM embeddings WHERE vec_id >= $QuerySetBound),
+       |escored AS (SELECT q_vec_id, vec_id,
+       |    ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} AS cos_e6
+       |  FROM ec, eq),
+       |etop AS (SELECT q_vec_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |    FROM escored)
+       |  WHERE rnk <= $LshTopK),
+       |hits AS (SELECT w.nprobe, COUNT(*) AS n_truth,
+       |    CAST(SUM(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+       |  FROM sw w CROSS JOIN etop e
+       |  LEFT JOIN atop a ON a.nprobe = w.nprobe
+       |    AND a.q_vec_id = e.q_vec_id AND a.vec_id = e.vec_id
+       |  GROUP BY w.nprobe),
+       |sizes AS (SELECT cluster, COUNT(*) AS sz FROM lists GROUP BY cluster),
+       |scanned AS (SELECT w.nprobe,
+       |    CAST(SUM(COALESCE(z.sz, 0)) AS BIGINT) AS n_scanned
+       |  FROM sw w JOIN probes p ON p.p_rank <= w.nprobe
+       |  LEFT JOIN sizes z USING (cluster)
+       |  GROUP BY w.nprobe),
+       |denom AS (SELECT (SELECT COUNT(*) FROM lists) AS n_corpus,
+       |    (SELECT COUNT(*) FROM probes WHERE p_rank = 1) AS n_queries)
+       |SELECT CAST(h.nprobe AS BIGINT) AS nprobe, d.n_queries, d.n_corpus,
+       |  h.n_truth, h.n_hits,
+       |  ${e6Sql("CAST(h.n_hits AS DOUBLE) / h.n_truth")} AS recall_e6,
+       |  c.n_scanned,
+       |  ${e6Sql("CAST(c.n_scanned AS DOUBLE) / (d.n_queries * d.n_corpus)")} AS scanned_frac_e6
+       |FROM hits h JOIN scanned c ON h.nprobe = c.nprobe CROSS JOIN denom d
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // ---- q96: per-(cluster, block) LOCAL residual PQ codebooks ----
 
   /** q96: the last piece of the FAISS-style IVF-PQ training recipe —
@@ -1240,7 +1334,8 @@ object SimilarityQueries {
     "q88_pq_codebooks" -> (pqTrainedCodebooks _),
     "q94_pq_refined" -> (annPqRefined _),
     "q95_ann_recall" -> (annRecall _),
-    "q96_pq_local_codebooks" -> (pqLocalCodebooks _))
+    "q96_pq_local_codebooks" -> (pqLocalCodebooks _),
+    "q249_ivf_nprobe_curve" -> (ivfNprobeCurve _))
 
   val oracles: Map[String, String] = Map(
     "q188_cluster_purity" -> clusterPuritySql,
@@ -1262,5 +1357,6 @@ object SimilarityQueries {
     "q88_pq_codebooks" -> pqTrainedCodebooksSql,
     "q94_pq_refined" -> annPqRefinedSql,
     "q95_ann_recall" -> annRecallSql,
-    "q96_pq_local_codebooks" -> pqLocalCodebooksSql)
+    "q96_pq_local_codebooks" -> pqLocalCodebooksSql,
+    "q249_ivf_nprobe_curve" -> ivfNprobeCurveSql)
 }

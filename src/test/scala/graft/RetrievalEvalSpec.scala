@@ -112,4 +112,49 @@ class RetrievalEvalSpec extends SparkSpec {
       assert(r.getAs[Long]("dcg_e6") <= r.getAs[Long]("idcg_e6"))
     }
   }
+
+  test("q249 nprobe curve: recall recomputed from truth, monotone, anchored at full probe") {
+    import SimilarityQueries._
+    val rows = SimilarityQueries.ivfNprobeCurve(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq ===
+      NprobeSweep.map(_.toLong))
+
+    // recompute every arm's recall from the independently-run pieces:
+    // exact truth (q26 ranking) vs the q70 search at that nprobe
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < QuerySetBound)
+    val corpus = emb.filter(col("vec_id") >= QuerySetBound)
+    val cents = Similarity.kmeansFit(emb, KmeansK, Dim, KmeansIters)._2
+    val truth = Similarity.bruteForceTopK(qs, corpus, LshTopK)
+      .select(col("q_vec_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val np = r.getAs[Long]("nprobe").toInt
+      val approx = Similarity.ivfTrainedTopK(qs, corpus, cents, np, LshTopK)
+        .select(col("q_vec_id"), col("vec_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val hits = truth.count(approx)
+      assert(r.getAs[Long]("n_truth") === truth.size.toLong, s"nprobe $np")
+      assert(r.getAs[Long]("n_hits") === hits.toLong, s"nprobe $np")
+      assert(r.getAs[Long]("recall_e6") ===
+        math.round(hits.toDouble / truth.size * 1e6), s"nprobe $np")
+    }
+
+    // the curve's shape: recall and scanned fraction are monotone
+    // nondecreasing in nprobe, and the full-probe arm (nprobe = K)
+    // anchors at recall 1.0 over scan 1.0
+    val recalls = rows.map(_.getAs[Long]("recall_e6")).toSeq
+    val scans = rows.map(_.getAs[Long]("scanned_frac_e6")).toSeq
+    assert(recalls === recalls.sorted)
+    assert(scans === scans.sorted)
+    assert(recalls.last === 1000000L)
+    assert(scans.last === 1000000L)
+    assert(scans.head < scans.last, "the shallow arm must scan less")
+    // scanned counts reconcile: full probe reads the whole corpus once
+    // per query
+    assert(rows.last.getAs[Long]("n_scanned") ===
+      rows.last.getAs[Long]("n_queries") * rows.last.getAs[Long]("n_corpus"))
+  }
 }
