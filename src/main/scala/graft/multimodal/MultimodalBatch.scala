@@ -6,13 +6,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** Multimodal column plumbing: media as opaque `binary` with typed
   * metadata, decoded in batched per-partition passes.
   *
-  * The actual codec is intentionally a STUB (`FakeCodec`): this
-  * container has no image/audio libraries, so decode produces
-  * deterministic fake features from the bytes. Everything around it —
-  * schema, typed Dataset, partition batching, feature shape — is the
-  * real plumbing a decode stage needs, and is what the specs exercise.
-  * Swapping `FakeCodec.decode` for a JNI/javacpp codec is the only
-  * change needed for real media.
+  * The default codec is a STUB (`FakeCodec`): the testdata payloads
+  * are not media, so decode produces deterministic fake features from
+  * the bytes. Everything around it — schema, typed Dataset, partition
+  * batching, feature shape — is the real plumbing a decode stage
+  * needs, and is what the specs exercise. For still images the JVM's
+  * built-in readers suffice with no new dependency: `ImageIoCodec`
+  * decodes real PNG/BMP/GIF/JPEG pixels through the same batched
+  * path (spec-pinned on an in-test PNG). Audio/video stay stubbed —
+  * those codecs aren't in this container; a JNI/javacpp binding slots
+  * into the same `Codec` trait.
   */
 object MultimodalBatch {
 
@@ -31,11 +34,17 @@ object MultimodalBatch {
 
   val DecodeBatchSize = 64
 
+  /** The codec contract: byte[] in, fixed-size features out,
+    * batch-at-a-time (the call shape a native binding needs). Must be
+    * serializable — it rides into the task closures. */
+  trait Codec extends Serializable {
+    def decode(batch: Seq[Asset]): Seq[AssetFeatures]
+  }
+
   /** STUB codec: deterministic pseudo-decode from the raw bytes. A real
-    * implementation decodes pixels/samples here; the call shape
-    * (byte[] in, fixed-size features out, batch-at-a-time) is what a
-    * native codec binding needs. */
-  object FakeCodec {
+    * implementation decodes pixels/samples here. Stays the default —
+    * the testdata payloads are not media. */
+  object FakeCodec extends Codec {
     def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
       val n = a.payload.length.toLong
       var acc = 0L
@@ -52,6 +61,45 @@ object MultimodalBatch {
     }
   }
 
+  /** REAL still-image codec over the JVM's built-in `javax.imageio`
+    * readers (PNG/BMP/GIF/JPEG — no external dependency): decodes
+    * actual pixels, emits true width/height and the exact integer mean
+    * luminance (`sum((r+g+b)/3) * 1000 / (255 * pixels)`, one division
+    * — engine- and platform-exact since PNG/BMP decode is lossless and
+    * deterministic). `n_frames = 1`: stills. A payload no reader
+    * accepts falls back per-asset to [[FakeCodec]], so mixed batches
+    * (real media next to opaque blobs) keep the pipeline total. */
+  object ImageIoCodec extends Codec {
+    def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeCodec.decode(Seq(a)).head
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var lum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        AssetFeatures(
+          asset_id = a.asset_id,
+          media_type = a.media_type,
+          byte_len = a.payload.length.toLong,
+          width = w,
+          height = h,
+          n_frames = 1,
+          brightness_milli = lum * 1000L / (255L * w * h))
+      }
+    }
+  }
+
   /** Documents -> assets: treat the text payload as opaque bytes (the
     * testdata carries no real media; the pipeline shape is identical). */
   def assetsFromDocuments(s: SparkSession, docs: DataFrame): Dataset[Asset] = {
@@ -64,11 +112,13 @@ object MultimodalBatch {
 
   /** Batched per-partition decode — the one place `mapPartitions` is
     * the right tool: amortizes codec init per batch, keeps memory
-    * bounded by DecodeBatchSize, stays fully distributed. */
-  def decodeFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    * bounded by DecodeBatchSize, stays fully distributed. Defaults to
+    * the stub; pass [[ImageIoCodec]] for real still images. */
+  def decodeFeatures(assets: Dataset[Asset],
+      codec: Codec = FakeCodec): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap(batch => FakeCodec.decode(batch))
+      it.grouped(DecodeBatchSize).flatMap(batch => codec.decode(batch))
     }
   }
 

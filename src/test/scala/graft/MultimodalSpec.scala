@@ -152,4 +152,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_active") > 0))
     assert(rows.exists(r => r.getAs[Long]("n_active") < r.getAs[Long]("n_windows")))
   }
+
+  test("ImageIoCodec decodes a real PNG through the batched decode path") {
+    import spark.implicits._
+    import MultimodalBatch.{Asset, ImageIoCodec}
+    // render a real 8x5 PNG in-test: left half black, right half white
+    // -> known dimensions and an exactly computable mean luminance
+    val (w, h) = (8, 5)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    // mixed batch: the PNG decodes for real, the opaque blob falls back
+    val assets = Seq(
+      Asset(1L, "media/png", png),
+      Asset(2L, "media/blob", "not an image at all".getBytes("UTF-8")))
+      .toDS()
+    val feats = MultimodalBatch.decodeFeatures(assets, ImageIoCodec)
+      .collect().map(f => f.asset_id -> f).toMap
+    val real = feats(1L)
+    assert(real.width === w)
+    assert(real.height === h)
+    assert(real.n_frames === 1)
+    assert(real.byte_len === png.length.toLong)
+    // half the pixels at luminance 0, half at 255 -> 20*255 total,
+    // milli = 20*255*1000 / (255*40) = 500
+    assert(real.brightness_milli === 500L)
+    // the non-image asset took the stub path (its deterministic shape)
+    val blob = feats(2L)
+    val stub = MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(2L, "media/blob", "not an image at all".getBytes("UTF-8")))).head
+    assert(blob === stub)
+  }
 }
