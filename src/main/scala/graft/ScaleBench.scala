@@ -44,6 +44,16 @@ object ScaleBench {
     sys.env.get("SPARK_GRAFT_STAGING_DIR").foreach { d =>
       spark.conf.set(graft.operators.Dedup.StagingDirConf, d)
     }
+    // optional banded bounded-memory jaccard core (the x256 form:
+    // sequential shingle bands trade wall-clock for bounded RAM)
+    sys.env.get("SPARK_GRAFT_JACCARD_BANDS").foreach { n =>
+      spark.conf.set(graft.operators.Dedup.JaccardBandsConf, n)
+    }
+    // optional candidate-generation override (on/off/auto) for the
+    // prefix-filter A/B on flat vs Zipf rungs
+    sys.env.get("SPARK_GRAFT_JACCARD_PREFIX").foreach { m =>
+      spark.conf.set(graft.operators.Dedup.JaccardPrefixConf, m)
+    }
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

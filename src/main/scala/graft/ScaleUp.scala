@@ -28,8 +28,29 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Embeddings rotate circularly by the clone id (norm-preserving,
   * decorrelated across clones); n_chars is recomputed to stay
   * consistent with the marked text.
+  *
+  * ZIPF mode (`runMain graft.ScaleUp <src> <out> <clones> zipf`):
+  * the flat-token corpora above give the dedup-family tuning a df
+  * distribution natural text never has — the base vocabulary is a few
+  * dozen template tokens, each in nearly every document (SURVEY §5
+  * records the PPJoin rejection as corpus-specific for exactly this
+  * reason). Zipf mode therefore REGENERATES each document's token
+  * stream positionally: token i of doc d is rank
+  * `r = floor(V^u)` with `u = hash(gen_id, i) uniform in [0,1)` — the
+  * inverse-CDF trick that draws ranks with P(r) ∝ 1/r over a V-token
+  * vocabulary, giving the heavy head (z1 in ~every doc) and the long
+  * rare tail natural corpora show, at the SAME document lengths.
+  * Near-dup structure is PLANTED instead of inherited: docs with
+  * `doc_id % 20 == 1` draw their first 4/5 of positions from their
+  * predecessor's stream (`gen_id = doc_id - 1`) — ~5% of the corpus
+  * forms true high-Jaccard pairs for the recall evals, everything
+  * else shares only the Zipf head by chance. gen_id is the
+  * POST-SHIFT doc id, so clones are decorrelated for free.
   */
 object ScaleUp {
+
+  /** Zipf vocabulary size for zipf mode. */
+  val ZipfV = 30000
 
   private def pow10Above(df: DataFrame, keyCol: String): Long = {
     val mx = df.agg(max(col(keyCol))).head().getLong(0)
@@ -39,8 +60,9 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleUp <srcSfDir> <outDir> <clones>")
+    require(args.length >= 3, "usage: ScaleUp <srcSfDir> <outDir> <clones> [zipf]")
     val (src, out, clones) = (args(0), args(1), args(2).toInt)
+    val zipf = args.length > 3 && args(3) == "zipf"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,11 +113,26 @@ object ScaleUp {
       .withColumn("event_id", shift("event_id", kEvt))
       .withColumn("user_id", shift("user_id", kUsr)))
     cloned("documents") { df =>
-      df.withColumn("doc_id", shift("doc_id", kDoc))
-        .withColumn("text",
-          regexp_replace(col("text"), lit("(\\S+ \\S+) "),
-            concat(lit("$1 k"), col("c"), lit(" "))))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      val shifted = df.withColumn("doc_id", shift("doc_id", kDoc))
+      val remapped =
+        if (!zipf)
+          shifted.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+ \\S+) "),
+              concat(lit("$1 k"), col("c"), lit(" "))))
+        else
+          // positional Zipf regeneration at the original lengths, with
+          // planted near-clone pairs (see the object doc above)
+          shifted
+            .withColumn("__n", size(split(col("text"), " +")))
+            .withColumn("text", expr(
+              s"""array_join(transform(sequence(1, __n), i ->
+                 |  concat('z', cast(floor(power($ZipfV,
+                 |    (abs(xxhash64(
+                 |      if(doc_id % 20 = 1 and i <= __n * 4 div 5, doc_id - 1, doc_id),
+                 |      i)) % 1000000) / 1000000.0D)) as long))
+                 |), ' ')""".stripMargin))
+            .drop("__n")
+      remapped.withColumn("n_chars", length(col("text")).cast("long"))
     }
     val d = Tables.load(spark, src, "embeddings")
       .select(size(col("embedding")).as("d")).head().getInt(0)

@@ -336,4 +336,64 @@ class DedupSpec extends SparkSpec {
     // reads as "threshold choice does not matter here"
     assert(pairs.head >= pairs.last)
   }
+
+  test("banded bounded-memory jaccard is row-identical to the single-pass shape") {
+    import org.apache.spark.sql.functions.col
+    val reps = Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("size_a"),
+        col("size_b"), col("union_n"), col("jaccard_e6"))
+      .collect().map(_.toSeq).toSet
+    val single = rows(Dedup.jaccardPairs(
+      Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+      dfCap = Some(graft.queries.DedupQueries.JaccardDfCap)))
+    assert(single.nonEmpty)
+    // the explicit banded entry point...
+    val banded = rows(Dedup.jaccardPairsBanded(
+      Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+      dfCap = Some(graft.queries.DedupQueries.JaccardDfCap), nBands = 4))
+    assert(banded === single)
+    // ...and the conf-keyed dispatch ScaleBench uses
+    spark.conf.set(Dedup.JaccardBandsConf, "3")
+    try {
+      val dispatched = rows(Dedup.jaccardPairs(
+        Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+        dfCap = Some(graft.queries.DedupQueries.JaccardDfCap)))
+      assert(dispatched === single)
+    } finally spark.conf.unset(Dedup.JaccardBandsConf)
+  }
+
+  test("prefix-filtered jaccard is row-identical to the single-pass shape") {
+    import org.apache.spark.sql.functions.col
+    val reps = Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("size_a"),
+        col("size_b"), col("union_n"), col("jaccard_e6"))
+      .collect().map(_.toSeq).toSet
+    val single = rows(Dedup.jaccardPairs(
+      Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+      dfCap = Some(graft.queries.DedupQueries.JaccardDfCap)))
+    assert(single.nonEmpty)
+    // the explicit entry point, at both staging shapes (string keys
+    // below the footprint threshold, dictionary sids above it)
+    val prefix = rows(Dedup.jaccardPairsPrefix(
+      Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+      dfCap = Some(graft.queries.DedupQueries.JaccardDfCap)))
+    assert(prefix === single)
+    spark.conf.set(Dedup.StageMinInputBytesConf, "0") // force at-scale shape
+    try {
+      val prefixScale = rows(Dedup.jaccardPairsPrefix(
+        Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+        dfCap = Some(graft.queries.DedupQueries.JaccardDfCap)))
+      assert(prefixScale === single)
+    } finally spark.conf.unset(Dedup.StageMinInputBytesConf)
+    // the conf-keyed forced dispatch
+    spark.conf.set(Dedup.JaccardPrefixConf, "on")
+    try {
+      val dispatched = rows(Dedup.jaccardPairs(
+        Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+        dfCap = Some(graft.queries.DedupQueries.JaccardDfCap)))
+      assert(dispatched === single)
+    } finally spark.conf.unset(Dedup.JaccardPrefixConf)
+  }
 }
