@@ -22,6 +22,11 @@ import graft.queries.ScaleOpsQueries
   * with the dim-sized drift monitor and the corpus-sized dedup band
   * index, the three streaming state regimes are all represented.
   *
+  * Replay idempotency: counter partials are keyed by batchId
+  * (overwrite) — the abelian fold of the log is then exactly-once
+  * under foreachBatch's at-least-once re-delivery (see
+  * [[StreamingState]]).
+  *
   * Estimates never undercount (CMS guarantee, asserted in the batch
   * q171 gate); a monitor probes `estimates` with any watchlist — the
   * exact top-k, a blocklist, a spike-detection candidate set — at
@@ -37,10 +42,8 @@ class StreamingCmsCounter(val sketchDir: String) {
   /** The persisted per-batch counter log (empty before the first
     * batch). Readers fold by (d, cell). */
   def historicalCells(s: SparkSession): DataFrame = {
-    val dir = new java.io.File(sketchDir)
-    val hasData = dir.isDirectory &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (hasData) s.read.schema(cellSchema).parquet(sketchDir)
+    val dirs = StreamingState.batchDirs(sketchDir)
+    if (dirs.nonEmpty) s.read.schema(cellSchema).parquet(dirs: _*)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], cellSchema)
   }
 
@@ -51,7 +54,8 @@ class StreamingCmsCounter(val sketchDir: String) {
 
   /** One micro-batch: fold the arrivals' token counts into the sketch.
     * Returns this batch's partial counters (what was appended). */
-  def processBatch(arrivals: DataFrame, textCol: String): DataFrame = {
+  def processBatch(arrivals: DataFrame, textCol: String,
+      batchId: Long): DataFrame = {
     val batchCells = ScaleOpsQueries.cmsCounters(
       arrivals
         .select(explode_outer(tokens(fold(col(textCol)))).as("tok"))
@@ -59,9 +63,16 @@ class StreamingCmsCounter(val sketchDir: String) {
         .groupBy(col("tok")).agg(count(lit(1)).as("c")))
       .select(col("d").cast("int").as("d"), col("cell"), col("cnt"))
       .localCheckpoint()
-    batchCells.write.mode("append").parquet(sketchDir)
+    batchCells.write.mode("overwrite")
+      .parquet(StreamingState.batchDir(sketchDir, batchId))
     batchCells
   }
+
+  /** Legacy entry point: allocates the next sequential batch id from
+    * the counter log itself (max committed id + 1). */
+  def processBatch(arrivals: DataFrame, textCol: String): DataFrame =
+    processBatch(arrivals, textCol,
+      StreamingState.batchIds(sketchDir).lastOption.map(_ + 1L).getOrElse(0L))
 
   /** CMS estimates for a (tok) watchlist against the current state. */
   def estimates(s: SparkSession, probes: DataFrame): DataFrame =
@@ -72,8 +83,8 @@ class StreamingCmsCounter(val sketchDir: String) {
       checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, textCol)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, textCol, epochId)
         ()
       }
       .start()

@@ -71,15 +71,18 @@ class StreamingContamGuard(val benchDir: String) {
           .otherwise("flagged"))
   }
 
-  /** Drive a document stream through foreachBatch, appending each
-    * batch's verdicts to `verdictDir`. */
+  /** Drive a document stream through foreachBatch, writing each
+    * batch's verdicts to `verdictDir/batch=<id>` (overwrite — the
+    * guard is stateless per batch, so keying the OUTPUT by epochId is
+    * all replay idempotency needs; see [[StreamingState]]). */
   def run(stream: DataFrame, textCol: String, idCol: String,
       verdictDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         verdicts(batch, textCol, idCol)
-          .write.mode("append").parquet(verdictDir)
+          .write.mode("overwrite")
+          .parquet(StreamingState.batchDir(verdictDir, epochId))
         ()
       }
       .start()

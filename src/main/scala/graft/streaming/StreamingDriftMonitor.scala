@@ -24,6 +24,12 @@ import graft.queries.CorpusAuditQueries
   * the batch, then dim-sized work (`CorpusAuditQueries.driftFromBins`,
   * the exact batch-q162 core — the replay spec pins micro-batch
   * equivalence to the batch query on the union).
+  *
+  * Replay idempotency: histogram partials and verdict snapshots are
+  * keyed by batchId (overwrite), and the fold reads only ids strictly
+  * before the current batch plus the batch itself — exactly-once
+  * state under foreachBatch's at-least-once re-delivery (see
+  * [[StreamingState]]).
   */
 class StreamingDriftMonitor(val histDir: String) {
 
@@ -34,11 +40,10 @@ class StreamingDriftMonitor(val histDir: String) {
 
   /** The persisted per-batch histogram log (empty before the first
     * batch). Rows accumulate per batch; readers fold by (source, bin). */
-  def historicalBins(s: SparkSession): DataFrame = {
-    val dir = new java.io.File(histDir)
-    val hasData = dir.isDirectory &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (hasData) s.read.schema(histSchema).parquet(histDir)
+  def historicalBins(s: SparkSession,
+      before: Option[Long] = None): DataFrame = {
+    val dirs = StreamingState.batchDirs(histDir, before)
+    if (dirs.nonEmpty) s.read.schema(histSchema).parquet(dirs: _*)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], histSchema)
   }
 
@@ -46,19 +51,27 @@ class StreamingDriftMonitor(val histDir: String) {
     * return the drift verdict over everything seen so far (the q162
     * output shape). */
   def processBatch(arrivals: DataFrame, textCol: String,
-      sourceCol: String): DataFrame = {
+      sourceCol: String, batchId: Long): DataFrame = {
     val s = arrivals.sparkSession
     val batchBins = arrivals
       .select(col(sourceCol).as("source"),
         CorpusAuditQueries.lengthBin(col(textCol)).as("bin"))
       .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_sb"))
       .localCheckpoint()
-    val folded = historicalBins(s).unionByName(batchBins)
+    val folded = historicalBins(s, Some(batchId)).unionByName(batchBins)
       .groupBy(col("source"), col("bin")).agg(sum(col("c_sb")).as("c_sb"))
     val verdict = CorpusAuditQueries.driftFromBins(folded).localCheckpoint()
-    batchBins.write.mode("append").parquet(histDir)
+    batchBins.write.mode("overwrite")
+      .parquet(StreamingState.batchDir(histDir, batchId))
     verdict
   }
+
+  /** Legacy entry point: allocates the next sequential batch id from
+    * the histogram log itself (max committed id + 1). */
+  def processBatch(arrivals: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    processBatch(arrivals, textCol, sourceCol,
+      StreamingState.batchIds(histDir).lastOption.map(_ + 1L).getOrElse(0L))
 
   /** Drive a document stream through foreachBatch, writing each
     * batch's refreshed verdict snapshot (tagged by batch id) to
@@ -68,9 +81,10 @@ class StreamingDriftMonitor(val histDir: String) {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, textCol, sourceCol)
+        processBatch(batch, textCol, sourceCol, batchId)
           .withColumn("batch_seq", lit(batchId))
-          .write.mode("append").parquet(verdictDir)
+          .write.mode("overwrite")
+          .parquet(StreamingState.batchDir(verdictDir, batchId))
         ()
       }
       .start()

@@ -59,22 +59,24 @@ class StreamingKnnGraph(val stateDir: String) {
     StructField("embedding", ArrayType(FloatType, containsNull = false)),
     StructField("nrm", org.apache.spark.sql.types.DoubleType)))
 
-  private def readOrEmpty(s: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val d = new java.io.File(dir)
-    val hasData = d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (hasData) s.read.schema(schema).parquet(dir)
+  private def readOrEmpty(s: SparkSession, dir: String, schema: StructType,
+      before: Option[Long]): DataFrame = {
+    val dirs = StreamingState.batchDirs(dir, before)
+    if (dirs.nonEmpty) s.read.schema(schema).parquet(dirs: _*)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
   }
 
-  def historicalBands(s: SparkSession): DataFrame = readOrEmpty(s, bandsDir, bandSchema)
-  def historicalVecs(s: SparkSession): DataFrame = readOrEmpty(s, vecsDir, vecSchema)
+  def historicalBands(s: SparkSession, before: Option[Long] = None): DataFrame =
+    readOrEmpty(s, bandsDir, bandSchema, before)
+  def historicalVecs(s: SparkSession, before: Option[Long] = None): DataFrame =
+    readOrEmpty(s, vecsDir, vecSchema, before)
 
   /** One micro-batch: returns this batch's scored directed edge deltas
     * (src, dst, cos_e6 — both directions of each new candidate pair)
     * and appends the arrivals' bands and vectors to the state. Deltas
     * are materialized BEFORE the append so the probe never sees its
     * own output. */
-  def processBatch(arrivals: DataFrame): DataFrame = {
+  def processBatch(arrivals: DataFrame, batchId: Long): DataFrame = {
     val s = arrivals.sparkSession
     val newVecs = arrivals.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
@@ -82,7 +84,7 @@ class StreamingKnnGraph(val stateDir: String) {
     val newBands = Similarity.neardupBandRows(newVecs, "vec_id", "embedding")
       .select(col("vec_id"), col("band_id").cast("int"), col("band_val"))
       .localCheckpoint()
-    val targetBands = historicalBands(s).unionByName(newBands)
+    val targetBands = historicalBands(s, Some(batchId)).unionByName(newBands)
     val cand = newBands.select(col("vec_id").as("p_id"), col("band_id"), col("band_val"))
       .join(targetBands.select(col("vec_id").as("t_id"), col("band_id"), col("band_val")),
         Seq("band_id", "band_val"))
@@ -90,7 +92,7 @@ class StreamingKnnGraph(val stateDir: String) {
       .select(least(col("p_id"), col("t_id")).as("vec_id_a"),
         greatest(col("p_id"), col("t_id")).as("vec_id_b"))
       .distinct()
-    val allVecs = historicalVecs(s).unionByName(newVecs)
+    val allVecs = historicalVecs(s, Some(batchId)).unionByName(newVecs)
     val scored = cand
       .join(allVecs.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"),
         col("nrm").as("norm_a")), Seq("vec_id_a"))
@@ -101,10 +103,18 @@ class StreamingKnnGraph(val stateDir: String) {
     val edges = scored.select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"), col("cos_e6"))
       .union(scored.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_e6")))
       .localCheckpoint()
-    newBands.write.mode("append").parquet(bandsDir)
-    newVecs.write.mode("append").parquet(vecsDir)
+    newBands.write.mode("overwrite")
+      .parquet(StreamingState.batchDir(bandsDir, batchId))
+    newVecs.write.mode("overwrite")
+      .parquet(StreamingState.batchDir(vecsDir, batchId))
     edges
   }
+
+  /** Legacy entry point: allocates the next sequential batch id from
+    * the band index itself (max committed id + 1). */
+  def processBatch(arrivals: DataFrame): DataFrame =
+    processBatch(arrivals,
+      StreamingState.batchIds(bandsDir).lastOption.map(_ + 1L).getOrElse(0L))
 
   /** Fold an edge log into the current graph audit — exactly q183's
     * output on the vectors ingested so far. */
@@ -116,13 +126,15 @@ class StreamingKnnGraph(val stateDir: String) {
       historicalVecs(s).select(col("vec_id")), ranked)
   }
 
-  /** Drive an embedding stream through foreachBatch, appending each
-    * batch's edge deltas to `edgeLogDir`. */
+  /** Drive an embedding stream through foreachBatch, writing each
+    * batch's edge deltas to `edgeLogDir/batch=<id>` (overwrite, so a
+    * replayed batch is idempotent end to end). */
   def run(stream: DataFrame, edgeLogDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch).write.mode("append").parquet(edgeLogDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, epochId).write.mode("overwrite")
+          .parquet(StreamingState.batchDir(edgeLogDir, epochId))
         ()
       }
       .start()

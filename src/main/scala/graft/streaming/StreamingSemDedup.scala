@@ -30,7 +30,12 @@ import graft.operators.Similarity
   * cluster — corpus-sized state on disk, not in the state store; the
   * per-batch probe joins one micro-batch (broadcastable) against only
   * the clusters it touches, so incremental cost is Sum(touched
-  * cluster sizes), the SemDeDup bound, not a corpus scan. */
+  * cluster sizes), the SemDeDup bound, not a corpus scan.
+  *
+  * Replay idempotency: member writes are keyed by batchId (overwrite)
+  * and the probe reads only ids strictly before the current one, so a
+  * foreachBatch re-delivery neither double-appends members nor scores
+  * against its own partial output (see [[StreamingState]]). */
 class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
 
   private val memberSchema = StructType(Seq(
@@ -39,12 +44,11 @@ class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
     StructField("dist", LongType),
     StructField("m", ArrayType(LongType, containsNull = false))))
 
-  /** The persisted member table (empty before the first batch). */
-  def historicalMembers(s: SparkSession): DataFrame = {
-    val dir = new java.io.File(memberDir)
-    val hasData = dir.isDirectory &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (hasData) s.read.schema(memberSchema).parquet(memberDir)
+  /** The persisted member table, optionally restricted to batches
+    * strictly before `before` (empty before the first batch). */
+  def historicalMembers(s: SparkSession, before: Option[Long] = None): DataFrame = {
+    val dirs = StreamingState.batchDirs(memberDir, before)
+    if (dirs.nonEmpty) s.read.schema(memberSchema).parquet(dirs: _*)
     else s.createDataFrame(s.sparkContext.emptyRDD[Row], memberSchema)
   }
 
@@ -63,7 +67,8 @@ class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
     * carry the assignment; retro rows carry only the dominated
     * historical vec_id. Deltas are materialized BEFORE the append so
     * the probe never sees its own output. */
-  def processBatch(arrivals: DataFrame, cents: DataFrame): DataFrame = {
+  def processBatch(arrivals: DataFrame, cents: DataFrame,
+      batchId: Long): DataFrame = {
     val s = arrivals.sparkSession
     val newMem = Similarity.kmeansAssign(
       arrivals.select(col("vec_id"),
@@ -71,7 +76,7 @@ class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
       .select(col("vec_id").cast("long"), col("cluster").cast("long"),
         col("dist").cast("long"), col("m"))
       .localCheckpoint()
-    val hist = historicalMembers(s)
+    val hist = historicalMembers(s, Some(batchId))
     val target = hist.unionByName(newMem)
     // arrivals dominated by anything already known (history or batch)
     val asTarget = (d: DataFrame) => d.select(col("cluster"),
@@ -97,9 +102,16 @@ class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
       .select(col("vec_id"), col("cluster"), col("dist"),
         coalesce(col("near_delta"), lit(0L)).as("near_delta"), col("max_cos_e6"))
     val deltas = baseline.unionByName(domOld).localCheckpoint()
-    newMem.write.mode("append").parquet(memberDir)
+    newMem.write.mode("overwrite")
+      .parquet(StreamingState.batchDir(memberDir, batchId))
     deltas
   }
+
+  /** Legacy entry point: allocates the next sequential batch id from
+    * the member table itself (max committed id + 1). */
+  def processBatch(arrivals: DataFrame, cents: DataFrame): DataFrame =
+    processBatch(arrivals, cents,
+      StreamingState.batchIds(memberDir).lastOption.map(_ + 1L).getOrElse(0L))
 
   /** Fold a delta log into final q156-shaped verdicts: baseline rows
     * carry the assignment, retro rows only add dominators. */
@@ -113,14 +125,16 @@ class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
         when(col("n_prio_near") > 0, col("max_cos_e6")).as("max_cos_e6"),
         when(col("n_prio_near") > 0, "dropped").otherwise("kept").as("verdict"))
 
-  /** Drive an embedding stream through foreachBatch, appending each
-    * batch's deltas to `deltaDir`. */
+  /** Drive an embedding stream through foreachBatch, writing each
+    * batch's deltas to `deltaDir/batch=<id>` (overwrite, so a replayed
+    * batch is idempotent end to end). */
   def run(stream: DataFrame, cents: DataFrame, deltaDir: String,
       checkpointDir: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, cents).write.mode("append").parquet(deltaDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, cents, epochId).write.mode("overwrite")
+          .parquet(StreamingState.batchDir(deltaDir, epochId))
         ()
       }
       .start()

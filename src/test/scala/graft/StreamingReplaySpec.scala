@@ -95,6 +95,67 @@ class StreamingReplaySpec extends SparkSpec {
     }
   }
 
+  test("component state is replay-idempotent: SemDedup, KnnGraph, CmsCounter, DriftMonitor") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{StreamingCmsCounter, StreamingDriftMonitor,
+      StreamingKnnGraph, StreamingSemDedup}
+    import graft.operators.Similarity
+    import graft.queries.SimilarityQueries
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).limit(120)
+      .localCheckpoint()
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).limit(120).localCheckpoint()
+    val cents = Similarity.kmeansFit(emb, 4, SimilarityQueries.Dim, 2)._2
+
+    def stateOf(root: String): Map[String, Set[Seq[Any]]] =
+      StreamingState.batchDirs(root).map { d =>
+        d -> spark.read.parquet(d).collect().map(_.toSeq).toSet
+      }.toMap.map { case (k, v) => k.substring(k.lastIndexOf('/')) -> v }
+
+    // each component: process batch 0, then batch 1 TWICE with the
+    // same id; all persisted state must equal a no-replay double run
+    def check(name: String)(drive: (String, Boolean) => Unit,
+        stateDirs: String => Seq[String]): Unit = {
+      val a = Files.createTempDirectory(s"rep_${name}_a").toString
+      val b = Files.createTempDirectory(s"rep_${name}_b").toString
+      drive(a, false)
+      drive(b, true)
+      stateDirs(a).zip(stateDirs(b)).foreach { case (da, db) =>
+        assert(stateOf(da) === stateOf(db), s"$name state $da diverged under replay")
+      }
+    }
+
+    check("semdedup")({ (root, replay) =>
+      val op = new StreamingSemDedup(s"$root/members", 400000L)
+      op.processBatch(emb.filter(col("vec_id") < 60), cents, 0L)
+      op.processBatch(emb.filter(col("vec_id") >= 60), cents, 1L)
+      if (replay) op.processBatch(emb.filter(col("vec_id") >= 60), cents, 1L)
+    }, root => Seq(s"$root/members"))
+
+    check("knn")({ (root, replay) =>
+      val op = new StreamingKnnGraph(s"$root/knn")
+      op.processBatch(emb.filter(col("vec_id") < 60), 0L)
+      op.processBatch(emb.filter(col("vec_id") >= 60), 1L)
+      if (replay) op.processBatch(emb.filter(col("vec_id") >= 60), 1L)
+    }, root => Seq(s"$root/knn/bands", s"$root/knn/vecs"))
+
+    check("cms")({ (root, replay) =>
+      val op = new StreamingCmsCounter(s"$root/cms")
+      op.processBatch(docs.filter(col("doc_id") < 60), "text", 0L)
+      op.processBatch(docs.filter(col("doc_id") >= 60), "text", 1L)
+      if (replay) op.processBatch(docs.filter(col("doc_id") >= 60), "text", 1L)
+    }, root => Seq(s"$root/cms"))
+
+    check("drift")({ (root, replay) =>
+      val op = new StreamingDriftMonitor(s"$root/hist")
+      op.processBatch(docs.filter(col("doc_id") < 60), "text", "source", 0L)
+      op.processBatch(docs.filter(col("doc_id") >= 60), "text", "source", 1L)
+      if (replay) op.processBatch(docs.filter(col("doc_id") >= 60), "text", "source", 1L)
+    }, root => Seq(s"$root/hist"))
+  }
+
   test("restart from checkpoint mid-stream equals the uninterrupted run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
