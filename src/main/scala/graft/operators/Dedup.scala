@@ -303,52 +303,103 @@ object Dedup {
           (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
   }
 
-  /** BOUNDED-MEMORY exact Jaccard: the inverted-index self-join split
-    * into `nBands` SEQUENTIAL shingle bands (band = portable hash of
-    * the join key mod nBands). Each shared shingle lands in exactly
-    * one band, so the per-band co-occurrence counts SUM to the true
-    * |A∩B| — each band's partial pair table is materialized to disk
-    * (parquet, under the staging dir) before the next band runs, and
-    * the final aggregate streams the union back with hash-side spill.
-    * Peak memory is one band's join (~1/nBands of the single-pass
-    * shuffle) plus the final pair aggregate's spillable hash map —
-    * the trade the single-box x256 rung needs (wall-clock for bounded
-    * RAM); on a real cluster the single-pass form stays preferable
-    * because the candidate shuffle is spread over executors.
-    * Row-identical to [[jaccardPairs]] (spec-pinned at the gate SFs).
+  /** BOUNDED-MEMORY-AND-DISK exact Jaccard: the inverted-index
+    * self-join split into `nBands` SEQUENTIAL shingle bands (band =
+    * portable hash of the join key mod nBands). Each shared shingle
+    * lands in exactly one band, so per-band co-occurrence counts SUM
+    * to the true |A∩B|.
     *
-    * Sizes ride each band row (min() recovers the constant), so no
-    * corpus-sized size table ever re-joins the pair stream — the same
-    * carry-through-the-join decision the single-pass shape measured. */
+    * Two sequential phases, both bounded:
+    *  1. per BAND: the 1/nBands inverted join runs alone, its pair
+    *     partials (doc_a, doc_b, cnt — sizes deliberately NOT carried:
+    *     they rejoin once at the end, which halves the partial
+    *     footprint) aggregate and land on disk partitioned by a
+    *     pair-hash SLICE;
+    *  2. per SLICE: each pair-hash slice reads its 1/nBands-of-pairs
+    *     fragment from every band dir, sums to true intersections,
+    *     joins the broadcast per-doc size dim, applies the threshold,
+    *     and appends only the SURVIVORS (tiny at t = 0.5) to the
+    *     result dir — so the giant pre-threshold pair set is never
+    *     shuffled in one piece and never lives on disk beyond the
+    *     partials, which are DELETED before returning.
+    *
+    * Peak memory = one band's join; peak disk = the partial pair
+    * table once (measured ~half the naive carry-sizes form). This is
+    * the single-box honesty device for the x256 rung — a real cluster
+    * keeps the one-pass shape (its candidate shuffle spreads over
+    * executors); accordingly the size dim broadcast here (|docs| rows)
+    * is a single-box economy, not a 100 TB claim. Row-identical to
+    * [[jaccardPairs]] (spec-pinned at the gate SFs). */
   def jaccardPairsBanded(sh: DataFrame, idCol: String, dfCap: Option[Int],
       nBands: Int, probeFrom: Option[DataFrame] = None): DataFrame = {
     require(nBands >= 2, s"nBands $nBands: use jaccardPairs below 2")
     val spark = sh.sparkSession
     val (withSize0, key) = sizedKeyed(sh, idCol, dfCap, probeFrom)
     val withSize = withSize0.withColumn("__band", pmod(hash(col(key)), lit(nBands)))
+    val sizes = withSize.select(col(idCol), col("set_size")).distinct()
+      .localCheckpoint()
     val root = spark.conf.getOption(StagingDirConf)
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val dir = s"$root/jacc_bands_${java.util.UUID.randomUUID()}"
+    // phase 1: sequential per-band partials, sliced by pair hash
     (0 until nBands).foreach { bnd =>
       val part = withSize.filter(col("__band") === bnd)
-      val a = part.select(col(idCol).as("doc_a"), col(key), col("set_size").as("size_a"))
-      val b = part.select(col(idCol).as("doc_b"), col(key), col("set_size").as("size_b"))
+      val a = part.select(col(idCol).as("doc_a"), col(key))
+      val b = part.select(col(idCol).as("doc_b"), col(key))
       a.join(b, Seq(key))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("intersect_n"),
-          min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"))
-        .write.mode("overwrite").parquet(s"$dir/band=$bnd")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__slice", pmod(hash(col("doc_a"), col("doc_b")), lit(nBands)))
+        .write.partitionBy("__slice").mode("overwrite").parquet(s"$dir/band=$bnd")
     }
-    spark.read.parquet((0 until nBands).map(bnd => s"$dir/band=$bnd"): _*)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("intersect_n")).as("intersect_n"),
-        min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"))
-      .withColumn("union_n", col("size_a") + col("size_b") - col("intersect_n"))
-      .filter(col("intersect_n") * 2 >= col("union_n"))
-      .withColumn("jaccard_e6",
-        round(lit(1000000.0) *
-          (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
+    // phase 2: sequential per-slice exact totals -> threshold -> survivors
+    val sizeA = broadcast(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")))
+    val sizeB = broadcast(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")))
+    val survDir = s"$dir/surv"
+    (0 until nBands).foreach { sl =>
+      val paths = (0 until nBands)
+        .map(bnd => s"$dir/band=$bnd/__slice=$sl")
+        .filter(p => new java.io.File(p).isDirectory)
+      if (paths.nonEmpty) {
+        spark.read.parquet(paths: _*)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("cnt")).as("intersect_n"))
+          .join(sizeA, Seq("doc_a")).join(sizeB, Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("intersect_n"),
+            col("size_a"), col("size_b"))
+          .withColumn("union_n", col("size_a") + col("size_b") - col("intersect_n"))
+          .filter(col("intersect_n") * 2 >= col("union_n"))
+          .withColumn("jaccard_e6",
+            round(lit(1000000.0) *
+              (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
+          .write.mode("overwrite").parquet(s"$survDir/slice=$sl")
+      }
+    }
+    // the pre-threshold partials are dead weight now — reclaim before
+    // the caller materializes anything else
+    (0 until nBands).foreach { bnd =>
+      deleteRecursively(new java.io.File(s"$dir/band=$bnd"))
+    }
+    val survPaths = (0 until nBands).map(sl => s"$survDir/slice=$sl")
+      .filter(p => new java.io.File(p).isDirectory)
+    if (survPaths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("intersect_n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("size_a", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("size_b", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("union_n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("jaccard_e6", org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(survPaths: _*)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** CONTAINMENT pairs — |A∩B| / min(|A|,|B|) >= `thrE6/1e6` via the
