@@ -370,6 +370,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q249 nprobe curve: bounded-heap ranking, no corpus window, no true cartesian") {
+    // every arm ranks through TopKPerKeyExec (a row_number window over
+    // nq x probed-list rows would serialize per query at scale); the
+    // only nested-loop joins are the broadcast 1-row denominators and
+    // the k-row centroid model
+    val p = plan(SimilarityQueries.ivfNprobeCurve(spark, sfDir))
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q239 fuzzy titles: blocked join, no cartesian, no corpus window") {
     // identical-title collapse -> (prefix, length-block) equi-join ->
     // threshold Levenshtein; the quadratic is bounded by bucket size
