@@ -19,9 +19,6 @@ object ScaleBench {
     val reps = if (args.length > 2) args(2).toInt else 2
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
-    // scale runs opt in to occupancy-driven SemDeDup cell refinement
-    // (oracle-gate runs keep it off so a cap crossing fails loudly)
-    System.setProperty("graft.allowCellSplit", "true")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       // scale-correct shuffle sizing: let AQE pick per-stage
@@ -39,6 +36,10 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // scale runs opt in to occupancy-driven SemDeDup cell refinement
+    // (oracle-gate runs keep it off so a cap crossing fails loudly);
+    // session-scoped conf, not a JVM-global property
+    spark.conf.set(graft.operators.Similarity.AllowCellSplitConf, "true")
     // optional parquet staging (the production Dedup.stage form):
     // lets the ladder A/B localCheckpoint blocks vs on-disk staging
     sys.env.get("SPARK_GRAFT_STAGING_DIR").foreach { d =>

@@ -71,9 +71,13 @@ object MultimodalBatch {
     * (real media next to opaque blobs) keep the pipeline total. */
   object ImageIoCodec extends Codec {
     def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      // NonFatal, not just IOException: malformed/truncated headers can
+      // throw unchecked exceptions from the JDK reader plugins
+      // (ArrayIndexOutOfBounds, IllegalArgument) — any undecodable
+      // payload must fall back per-asset, never fail the whole task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) FakeCodec.decode(Seq(a)).head
       else {
         val (w, h) = (img.getWidth, img.getHeight)

@@ -147,9 +147,17 @@ object Dedup {
     * at-scale shape everywhere — used by specs to gate both paths). */
   val StageMinInputBytesConf = "spark.graft.stageMinInputBytes"
 
-  private def inputBytes(df: DataFrame): Long =
-    df.inputFiles.map(f => new java.io.File(
-      f.stripPrefix("file:")).length()).sum
+  /** Scan-input footprint via the Hadoop FileSystem API resolved from
+    * each file's own scheme — NOT `java.io.File`, which returns length
+    * 0 for every `hdfs://`/`s3a://` URI and would dispatch a 100 TB
+    * input to the small-corpus staging shape. */
+  private def inputBytes(df: DataFrame): Long = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+  }
 
   /** The footprint-keyed shape decision, exposed for call sites that
     * must make a staging choice of their own consistent with
@@ -207,6 +215,16 @@ object Dedup {
     * SURVEY §5). */
   val HeavyDf = 64
 
+  /** Memo for the auto-dispatch df-shape probe: the probe is an eager
+    * corpus-wide aggregation over the shingle stream, and callers like
+    * CurationPipeline invoke [[jaccardPairs]] more than once per job
+    * on the SAME logical input — keyed by (analyzed-plan semantic
+    * hash, cap) so each (input, cap) pays the probe once per JVM.
+    * Cleared wholesale past a small bound (the key space is one entry
+    * per distinct corpus plan — a handful in any real job). */
+  private val dispatchCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]()
+
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None,
       probeFrom: Option[DataFrame] = None): DataFrame = {
     val conf = sh.sparkSession.conf
@@ -217,17 +235,23 @@ object Dedup {
       case "on" => true
       case "off" => false
       case _ =>
-        // auto: only pay the one-row df-shape probe at scale (below
-        // the staging threshold the whole query is sub-second either
-        // way, and the gate corpora keep their established plan); the
-        // probe reads the df dim the cap computes anyway
+        // auto: only pay the df-shape probe at scale (below the
+        // staging threshold the whole query is sub-second either way,
+        // and the gate corpora keep their established plan); the probe
+        // reads the df dim the cap computes anyway, and its verdict is
+        // memoized per (input plan, cap)
         dfCap.isDefined && atScale(probeFrom.getOrElse(sh)) && {
-          val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-            .filter(col("df") <= dfCap.get)
-            .agg(sum(col("df") * col("df")).as("vol"),
-              sum(when(col("df") > HeavyDf, col("df") * col("df"))
-                .otherwise(0L)).as("heavy")).first()
-          !r.isNullAt(0) && r.getLong(1) * 2 < r.getLong(0)
+          if (dispatchCache.size > 64) dispatchCache.clear()
+          dispatchCache.computeIfAbsent(
+            (sh.queryExecution.analyzed.semanticHash(), dfCap.get),
+            _ => {
+              val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+                .filter(col("df") <= dfCap.get)
+                .agg(sum(col("df") * col("df")).as("vol"),
+                  sum(when(col("df") > HeavyDf, col("df") * col("df"))
+                    .otherwise(0L)).as("heavy")).first()
+              !r.isNullAt(0) && r.getLong(1) * 2 < r.getLong(0)
+            })
         }
     }
     if (usePrefix) return jaccardPairsPrefix(sh, idCol, dfCap, probeFrom)
@@ -341,6 +365,11 @@ object Dedup {
     val root = spark.conf.getOption(StagingDirConf)
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val dir = s"$root/jacc_bands_${java.util.UUID.randomUUID()}"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
     // phase 1: sequential per-band partials, sliced by pair hash
     (0 until nBands).foreach { bnd =>
       val part = withSize.filter(col("__band") === bnd)
@@ -360,7 +389,7 @@ object Dedup {
     (0 until nBands).foreach { sl =>
       val paths = (0 until nBands)
         .map(bnd => s"$dir/band=$bnd/__slice=$sl")
-        .filter(p => new java.io.File(p).isDirectory)
+        .filter(exists)
       if (paths.nonEmpty) {
         spark.read.parquet(paths: _*)
           .groupBy(col("doc_a"), col("doc_b"))
@@ -379,10 +408,17 @@ object Dedup {
     // the pre-threshold partials are dead weight now — reclaim before
     // the caller materializes anything else
     (0 until nBands).foreach { bnd =>
-      deleteRecursively(new java.io.File(s"$dir/band=$bnd"))
+      val p = new org.apache.hadoop.fs.Path(s"$dir/band=$bnd")
+      p.getFileSystem(hconf).delete(p, true)
     }
+    // the SURVIVOR dir backs the returned DataFrame, so it must
+    // outlive this call — retention is JVM-lifetime: registered for
+    // deletion at shutdown so repeated scale runs in one process
+    // don't accumulate orphaned parquet (consumers that need the
+    // result past the JVM should write it somewhere owned)
+    registerShutdownCleanup(dir, hconf)
     val survPaths = (0 until nBands).map(sl => s"$survDir/slice=$sl")
-      .filter(p => new java.io.File(p).isDirectory)
+      .filter(exists)
     if (survPaths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -396,9 +432,26 @@ object Dedup {
     else spark.read.parquet(survPaths: _*)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
+  /** One shutdown hook sweeping every banded-run staging dir created
+    * by this JVM (band partials are deleted eagerly above; this
+    * reclaims the surv dirs whose files back returned DataFrames). */
+  private val cleanupDirs = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, org.apache.hadoop.conf.Configuration)]()
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cleanupDirs.forEach { case (d, conf) =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+          ()
+        } catch { case _: Throwable => () }
+      }
+    }))
+  }
+  private def registerShutdownCleanup(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    cleanupHook
+    cleanupDirs.add((dir, conf))
     ()
   }
 

@@ -717,7 +717,7 @@ object Similarity {
     val mem = assigned.select(col("vec_id"), col("cluster"), col("dist"), col("m"))
     val refined =
       if (cellCap == Int.MaxValue) mem
-      else if (allowCellSplit) refineCells(mem, cellCap)
+      else if (allowCellSplit(emb.sparkSession)) refineCells(mem, cellCap)
       else {
         // Oracle-gate guard: refineCells changes the comparison scope
         // whenever a cell actually splits, and the DuckDB oracle does
@@ -730,18 +730,23 @@ object Similarity {
         require(maxOcc <= cellCap,
           s"SemDeDup cell occupancy $maxOcc exceeds cap $cellCap: refineCells " +
             "would change results vs the oracle SQL. Scale runs opt in via " +
-            "-Dgraft.allowCellSplit=true (ScaleBench sets it).")
+            s"spark.conf.set($AllowCellSplitConf, true) (ScaleBench sets it).")
         mem
       }
     semDedupVerdictsAssigned(refined, tauE6)
   }
 
-  /** Scale runs (the x64/x256 trajectory) opt in to occupancy-driven
-    * cell refinement; the oracle gate runs with it off so a cap
-    * crossing at gate scale fails loudly instead of silently diverging
-    * from the un-refined oracle SQL. */
-  private def allowCellSplit: Boolean =
-    java.lang.Boolean.getBoolean("graft.allowCellSplit")
+  /** Spark conf key: scale runs (the x64/x256 trajectory) opt in to
+    * occupancy-driven cell refinement; the oracle gate runs with it
+    * off so a cap crossing at gate scale fails loudly instead of
+    * silently diverging from the un-refined oracle SQL. A SESSION conf
+    * — not a JVM-global system property, which parallel suites or a
+    * co-hosted workload could race on and mask the loud guard in a
+    * concurrently running gate query. */
+  val AllowCellSplitConf = "spark.graft.allowCellSplit"
+
+  private def allowCellSplit(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(AllowCellSplitConf).exists(_.toBoolean)
 
   /** Occupancy-bounded cell refinement — the scale contract that keeps
     * SemDeDup's within-cell pairwise from going quadratic when the

@@ -1,5 +1,9 @@
 package graft.streaming
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
 /** Batch-keyed on-disk state layout shared by the streaming
   * components: every state write lands in `<root>/batch=<id>` with
   * overwrite semantics, so foreachBatch's replay contract (a batch
@@ -9,25 +13,61 @@ package graft.streaming
   * readers of "history" take only ids strictly before the batch being
   * processed. The `batch=<id>` naming is deliberately hive-style so a
   * plain `spark.read.parquet(root)` still works for consumers (the
-  * partition column surfaces as `batch`). */
+  * partition column surfaces as `batch`).
+  *
+  * All listing/existence/delete goes through the Hadoop FileSystem
+  * API resolved from the root path's own scheme — a `file:/` root in
+  * tests, an `hdfs://`/`s3a://` root on a real cluster — never
+  * `java.io.File` (which silently sees NO directories on a remote
+  * scheme: every history probe would come back empty and each dedup
+  * verdict would be wrong with no error raised).
+  *
+  * Commit rule: a `batch=<id>` dir counts once it holds at least one
+  * `*.parquet` part DIRECTLY under it. This is torn-write-safe with
+  * Spark's FileOutputCommitter: in-flight parts live under the
+  * `_temporary/` subtree until job commit, so a crash mid-write leaves
+  * a dir whose only children are `_temporary` (and `.crc` litter) —
+  * not counted, and the replay of the same epochId overwrites it
+  * (torn-dir case pinned by StreamingReplaySpec).
+  */
 object StreamingState {
 
   private val BatchRe = "^batch=(\\d+)$".r
 
   def batchDir(root: String, batchId: Long): String = s"$root/batch=$batchId"
 
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   /** Committed batch ids under `root`, ascending (a dir counts once it
-    * holds at least one parquet part — an empty mkdir is not a commit). */
+    * holds at least one parquet part — an empty mkdir, or a torn dir
+    * holding only a `_temporary` subtree, is not a commit). Fails
+    * LOUDLY on a legacy flat layout (stray `*.parquet` directly under
+    * the root): treating pre-batch-layout state as empty would restart
+    * ids at 0 alongside the old files and silently drop all history. */
   def batchIds(root: String): Seq[Long] = {
-    val d = new java.io.File(root)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq.flatMap { f =>
-      f.getName match {
-        case BatchRe(id) if f.isDirectory &&
-          f.listFiles().exists(_.getName.endsWith(".parquet")) => Some(id.toLong)
-        case _ => None
-      }
-    }.sorted
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hadoopConf)
+    if (!fs.exists(rootPath) || !fs.getFileStatus(rootPath).isDirectory) Seq.empty
+    else {
+      val entries = fs.listStatus(rootPath).toSeq
+      val legacy = entries.filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      if (legacy.nonEmpty) throw new IllegalStateException(
+        s"state root $root holds ${legacy.size} parquet file(s) directly under it " +
+          s"(e.g. ${legacy.head.getPath.getName}): this is the legacy flat append " +
+          "layout, which the batch=<id> reader would silently treat as EMPTY " +
+          "history. Migrate the files into batch=0 (or point at a fresh root).")
+      entries.flatMap { e =>
+        e.getPath.getName match {
+          case BatchRe(id) if e.isDirectory &&
+            fs.listStatus(e.getPath).exists(s =>
+              s.isFile && s.getPath.getName.endsWith(".parquet")) => Some(id.toLong)
+          case _ => None
+        }
+      }.sorted
+    }
   }
 
   /** The batch directories holding ids strictly before `before`
@@ -42,10 +82,12 @@ object StreamingState {
     * the last uncommitted batch, so a short tail is safe to prune). */
   def pruneBefore(root: String, upTo: Long, keep: Int): Unit = {
     val stale = batchIds(root).filter(_ <= upTo).dropRight(keep)
-    stale.foreach { id =>
-      val dir = new java.io.File(batchDir(root, id))
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+    if (stale.nonEmpty) {
+      val fs = new Path(root).getFileSystem(hadoopConf)
+      stale.foreach { id =>
+        fs.delete(new Path(batchDir(root, id)), true)
+        ()
+      }
     }
   }
 }

@@ -97,12 +97,14 @@ class RefineCellsSpec extends SparkSpec {
         SemDedupTauE6, cellCap = 8).count()
     }
     assert(ex.getMessage.contains("exceeds cap"))
-    // with the opt-in the same call engages refineCells and completes
-    System.setProperty("graft.allowCellSplit", "true")
+    // with the session-conf opt-in the same call engages refineCells
+    // and completes (a session conf, unlike the former JVM-global
+    // system property, can't race with concurrently running suites)
+    spark.conf.set(Similarity.AllowCellSplitConf, "true")
     try {
       val n = Similarity.semDedupVerdicts(emb, k = 2, Dim, SemDedupIters,
         SemDedupTauE6, cellCap = 8).count()
       assert(n === emb.count())
-    } finally System.clearProperty("graft.allowCellSplit")
+    } finally spark.conf.unset(Similarity.AllowCellSplitConf)
   }
 }
