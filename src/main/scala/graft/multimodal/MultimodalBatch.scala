@@ -10,12 +10,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * are not media, so decode produces deterministic fake features from
   * the bytes. Everything around it — schema, typed Dataset, partition
   * batching, feature shape — is the real plumbing a decode stage
-  * needs, and is what the specs exercise. For still images the JVM's
-  * built-in readers suffice with no new dependency: `ImageIoCodec`
-  * decodes real PNG/BMP/GIF/JPEG pixels through the same batched
-  * path (spec-pinned on an in-test PNG). Audio/video stay stubbed —
-  * those codecs aren't in this container; a JNI/javacpp binding slots
-  * into the same `Codec` trait.
+  * needs, and is what the specs exercise. Where the JVM ships a real
+  * decoder, the stub is replaced with no new dependency: `ImageIoCodec`
+  * decodes real PNG/BMP/GIF/JPEG pixels and `WavCodec` real WAV/PCM
+  * samples through the same batched path (both spec-pinned on
+  * in-test-synthesized media). Video stays stubbed — no JVM builtin;
+  * a JNI/javacpp binding slots into the same `Codec` trait.
   */
 object MultimodalBatch {
 
@@ -101,6 +101,82 @@ object MultimodalBatch {
           n_frames = 1,
           brightness_milli = lum * 1000L / (255L * w * h))
       }
+    }
+  }
+
+  /** REAL audio codec over the JVM's built-in `javax.sound.sampled`
+    * WAV/AIFF/AU readers (no external dependency) — the audio analog
+    * of [[ImageIoCodec]]: decodes actual PCM samples and emits exact
+    * integer features through the SAME batched path.
+    *
+    * Feature mapping (the [[AssetFeatures]] envelope is shared across
+    * modalities, so the audio quantities ride its fields):
+    * `width` = sample rate in Hz, `height` = channel count,
+    * `n_frames` = PCM sample frames, `brightness_milli` = mean
+    * absolute amplitude in milli-full-scale
+    * (`sum(|sample|) * 1000 / (n_samples * full_scale)`, one integer
+    * division — engine-exact since PCM decode is lossless). Supports
+    * 16-bit signed (either endianness) and 8-bit PCM; any payload the
+    * reader rejects or an unsupported encoding falls back per-asset to
+    * [[FakeCodec]], so mixed batches keep the pipeline total. */
+  object WavCodec extends Codec {
+    def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      val decoded =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          try {
+            val fmt = ais.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val pcmSigned = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val pcmUnsigned = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            if (!((bits == 16 && pcmSigned) || (bits == 8 && (pcmSigned || pcmUnsigned))))
+              None
+            else {
+              val bytes = ais.readAllBytes()
+              var sumAbs = 0L
+              var nSamples = 0L
+              if (bits == 16) {
+                val big = fmt.isBigEndian
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val s =
+                    if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                    else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                  sumAbs += math.abs(s.toLong)
+                  nSamples += 1
+                  i += 2
+                }
+              } else {
+                var i = 0
+                while (i < bytes.length) {
+                  val s = if (pcmUnsigned) (bytes(i) & 0xff) - 128 else bytes(i).toInt
+                  sumAbs += math.abs(s.toLong)
+                  nSamples += 1
+                  i += 1
+                }
+              }
+              val fullScale = if (bits == 16) 32768L else 128L
+              val frames =
+                if (ais.getFrameLength >= 0) ais.getFrameLength
+                else if (fmt.getChannels > 0) nSamples / fmt.getChannels
+                else nSamples
+              Some(AssetFeatures(
+                asset_id = a.asset_id,
+                media_type = a.media_type,
+                byte_len = a.payload.length.toLong,
+                width = math.round(fmt.getSampleRate),
+                height = fmt.getChannels,
+                n_frames = frames.toInt,
+                brightness_milli =
+                  if (nSamples == 0) 0L
+                  else sumAbs * 1000L / (nSamples * fullScale)))
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      decoded.getOrElse(FakeCodec.decode(Seq(a)).head)
     }
   }
 

@@ -188,4 +188,48 @@ class MultimodalSpec extends SparkSpec {
       Seq(Asset(2L, "media/blob", "not an image at all".getBytes("UTF-8")))).head
     assert(blob === stub)
   }
+
+  test("WavCodec decodes a real in-test WAV through the batched decode path") {
+    import spark.implicits._
+    import MultimodalBatch.{Asset, WavCodec}
+    // synthesize a real 16-bit mono PCM WAV: a square wave alternating
+    // +8192/-8192 -> every |sample| is exactly 8192, so the mean
+    // amplitude is exactly 8192/32768 = 250 milli-full-scale
+    val rate = 8000f
+    val n = 400
+    val samples = Array.tabulate[Short](n)(i => if (i % 2 == 0) 8192 else -8192)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) { // little-endian, matching the declared format
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    // mixed batch: the WAV decodes for real, the opaque blob falls back
+    val assets = Seq(
+      Asset(1L, "media/wav", wav),
+      Asset(2L, "media/blob", "definitely not audio".getBytes("UTF-8")))
+      .toDS()
+    val feats = MultimodalBatch.decodeFeatures(assets, WavCodec)
+      .collect().map(f => f.asset_id -> f).toMap
+    val real = feats(1L)
+    assert(real.width === 8000)       // sample rate Hz
+    assert(real.height === 1)         // channels
+    assert(real.n_frames === n)       // PCM frames
+    assert(real.byte_len === wav.length.toLong)
+    assert(real.brightness_milli === 250L) // 8192 * 1000 / 32768 exactly
+    // the non-audio asset took the stub path (its deterministic shape)
+    val blob = feats(2L)
+    val stub = MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(2L, "media/blob", "definitely not audio".getBytes("UTF-8")))).head
+    assert(blob === stub)
+  }
 }
