@@ -368,11 +368,20 @@ object Similarity {
     * block, with `carry` columns (e.g. the IVF cluster) threaded
     * through the explode. */
   def pqSubvectors(vecs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    pqSubvectorsAt(vecs, PqBlocks, Dim, carry)
+
+  /** [[pqSubvectors]] at an explicit block count (sub-dim =
+    * `dim / blocks`) — the `m` knob of the code-size operating curve. */
+  def pqSubvectorsAt(vecs: DataFrame, blocks: Int, dim: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(blocks >= 1 && dim % blocks == 0,
+      s"PQ blocks $blocks must divide dim $dim")
     vecs.select(col("vec_id") +: carry.map(col) :+
       explode_outer(GraftInternals.column(graft.expressions.PqSlices(
-        GraftInternals.expression(col("m")), PqBlocks, PqSub))).as("bs"): _*)
+        GraftInternals.expression(col("m")), blocks, dim / blocks))).as("bs"): _*)
       .select(col("vec_id") +: carry.map(col) :+
         col("bs.block").as("block") :+ col("bs.sub").as("sub"): _*)
+  }
 
   /** Per-block codebooks keyed by the block id. */
   private def blockBooks(codebook: DataFrame,
@@ -694,6 +703,54 @@ object Similarity {
           e6(col("n_scanned").cast("double") /
             (col("n_queries") * col("n_corpus"))).as("scanned_frac_e6"))
     }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
+  /** The CODE-SIZE operating curve of a plain-PQ index — the
+    * compression knob a serving team tunes once [[ivfNprobeCurve]]
+    * closes nprobe: for each `(blocks m, codewords-per-block)` config
+    * in `sweep`, recall@k of the compressed ADC search against the
+    * exact brute-force truth, plus the code size in bits/vector
+    * (`m * ceil(log2 codes)` — the whole point of PQ is that this is
+    * all the scan reads). One row per config: (pq_blocks, pq_codes,
+    * code_bits, n_queries, n_truth, n_hits, recall_e6).
+    *
+    * Scale shape: the micro-vector projections and the exact truth
+    * (the harness's inherent cost, run on the bounded query sample as
+    * in q95) stage ONCE across arms; each arm is an independent
+    * encode + compressed scan — unlike the nprobe curve the arms'
+    * indexes differ bit-for-bit, so there is no shared scoring pass
+    * to filter and the sweep honestly costs |sweep| compressed scans,
+    * each reading m longs per corpus vector. `codebookOf(subs, codes)`
+    * supplies each arm's per-block codebook from that arm's subvector
+    * geometry (deterministic fixed-quantizer in the gated query, so
+    * every arm is engine-reproducible). */
+  def pqCodeCurve(queries: DataFrame, corpus: DataFrame,
+      sweep: Seq[(Int, Int)], dim: Int, k: Int,
+      codebookOf: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(sweep.nonEmpty && sweep.forall { case (b, c) =>
+      b >= 1 && dim % b == 0 && c >= 2 }, s"bad PQ sweep $sweep")
+    val qm = queries.select(col("vec_id"), microVec(col("embedding")).as("m"))
+      .localCheckpoint()
+    val cm = corpus.select(col("vec_id"), microVec(col("embedding")).as("m"))
+      .localCheckpoint()
+    val truth = bruteForceTopK(queries, corpus, k)
+      .select(col("q_vec_id"), col("vec_id")).localCheckpoint()
+    val denoms = qm.agg(count(lit(1)).as("n_queries")).localCheckpoint()
+    sweep.map { case (blocks, codes) =>
+      val csubs = pqSubvectorsAt(cm, blocks, dim)
+      val qsubs = pqSubvectorsAt(qm, blocks, dim)
+      val cb = codebookOf(csubs, codes)
+      val topk = pqSearch(qsubs, pqEncode(csubs, cb), cb, k)
+        .select(col("q_vec_id"), col("vec_id"), lit(1L).as("hit"))
+      val bits = blocks.toLong * (32 - Integer.numberOfLeadingZeros(codes - 1))
+      truth.join(topk, Seq("q_vec_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .crossJoin(broadcast(denoms))
+        .select(lit(blocks.toLong).as("pq_blocks"), lit(codes.toLong).as("pq_codes"),
+          lit(bits).as("code_bits"), col("n_queries"), col("n_truth"), col("n_hits"),
+          e6(col("n_hits").cast("double") / col("n_truth")).as("recall_e6"))
+    }.reduce(_ unionByName _).orderBy(col("code_bits"), col("pq_blocks"))
   }
 
   /** SemDeDup (Abbas et al. 2023) verdicts: cluster-then-prune
