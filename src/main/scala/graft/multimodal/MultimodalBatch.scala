@@ -169,7 +169,9 @@ object MultimodalBatch {
                 byte_len = a.payload.length.toLong,
                 width = math.round(fmt.getSampleRate),
                 height = fmt.getChannels,
-                n_frames = frames.toInt,
+                // getFrameLength is a Long: >= 2^31 PCM frames must
+                // clamp, not wrap to a negative frame count
+                n_frames = math.min(frames, Int.MaxValue.toLong).toInt,
                 brightness_milli =
                   if (nSamples == 0) 0L
                   else sumAbs * 1000L / (nSamples * fullScale)))

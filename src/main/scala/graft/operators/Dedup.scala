@@ -153,9 +153,18 @@ object Dedup {
     * input to the small-corpus staging shape. */
   private def inputBytes(df: DataFrame): Long = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
+    val files = df.inputFiles.map(new org.apache.hadoop.fs.Path(_))
+    // One listStatus per distinct parent dir instead of one
+    // getFileStatus RPC per file — object-store listings are cheap and
+    // batched where per-file HEADs are not. A file that vanished
+    // between planning and the probe (concurrent compaction) counts as
+    // 0, it must not fail the dispatch.
+    files.groupBy(_.getParent).iterator.map { case (dir, children) =>
+      val want = children.map(_.getName).toSet
+      try {
+        dir.getFileSystem(conf).listStatus(dir).iterator
+          .filter(s => want(s.getPath.getName)).map(_.getLen).sum
+      } catch { case _: java.io.FileNotFoundException => 0L }
     }.sum
   }
 
@@ -242,16 +251,26 @@ object Dedup {
         // memoized per (input plan, cap)
         dfCap.isDefined && atScale(probeFrom.getOrElse(sh)) && {
           if (dispatchCache.size > 64) dispatchCache.clear()
-          dispatchCache.computeIfAbsent(
-            (sh.queryExecution.analyzed.semanticHash(), dfCap.get),
-            _ => {
-              val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-                .filter(col("df") <= dfCap.get)
-                .agg(sum(col("df") * col("df")).as("vol"),
-                  sum(when(col("df") > HeavyDf, col("df") * col("df"))
-                    .otherwise(0L)).as("heavy")).first()
-              !r.isNullAt(0) && r.getLong(1) * 2 < r.getLong(0)
-            })
+          // The probe runs OUTSIDE the map (get → run → putIfAbsent):
+          // a Spark action inside computeIfAbsent would hold the bin
+          // lock for the whole query, blocking unrelated probes that
+          // hash into it. Two threads racing the same key at most run
+          // the probe twice — same verdict, no lock convoy. Staleness:
+          // the key is the ANALYZED plan's semantic hash, so a path
+          // re-read after an append reuses the old verdict for the
+          // rest of the JVM — acceptable for a shape heuristic whose
+          // both outcomes are row-identical.
+          val key = (sh.queryExecution.analyzed.semanticHash(), dfCap.get)
+          Option(dispatchCache.get(key)).map(_.booleanValue()).getOrElse {
+            val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+              .filter(col("df") <= dfCap.get)
+              .agg(sum(col("df") * col("df")).as("vol"),
+                sum(when(col("df") > HeavyDf, col("df") * col("df"))
+                  .otherwise(0L)).as("heavy")).first()
+            val verdict = !r.isNullAt(0) && r.getLong(1) * 2 < r.getLong(0)
+            dispatchCache.putIfAbsent(key, verdict)
+            verdict
+          }
         }
     }
     if (usePrefix) return jaccardPairsPrefix(sh, idCol, dfCap, probeFrom)
@@ -437,16 +456,20 @@ object Dedup {
     * reclaims the surv dirs whose files back returned DataFrames). */
   private val cleanupDirs = new java.util.concurrent.ConcurrentLinkedQueue[
     (String, org.apache.hadoop.conf.Configuration)]()
+  // Registered through Hadoop's ShutdownHookManager ABOVE the
+  // FileSystem ClientFinalizer priority: a raw Runtime hook races the
+  // FS cache close, so the sweep could land on an already-closed
+  // filesystem and silently leak the staging parquet.
   private lazy val cleanupHook: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      cleanupDirs.forEach { case (d, conf) =>
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      () => cleanupDirs.forEach { case (d, conf) =>
         try {
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(conf).delete(p, true)
           ()
         } catch { case _: Throwable => () }
-      }
-    }))
+      },
+      org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 10)
   }
   private def registerShutdownCleanup(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {

@@ -858,6 +858,114 @@ object SimilarityQueries {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ---- q250: PQ code-size operating curve (recall vs bits/vector) ----
+
+  /** The (blocks m, codewords-per-block) arms swept by q250 — code
+    * sizes 16/32/64/128 bits per vector over dim 64. The 256-codeword
+    * arms stay within the 490-vector corpus the fixed quantizer draws
+    * codewords from. */
+  val PqCodeSweep: Seq[(Int, Int)] = Seq((4, 16), (8, 16), (8, 256), (16, 256))
+
+  /** q250: the CODE-SIZE operating curve — the compression knob a
+    * serving team tunes once q249 closes nprobe: per (m, codes) arm,
+    * recall@k of the plain-PQ ADC search (q79's machinery at that
+    * arm's geometry) against the q26 exact cosine truth, plus the
+    * bits/vector the compressed scan reads (`m * ceil(log2 codes)`).
+    * Codebooks are the q79/q45 deterministic fixed quantizer (the
+    * first `codes` corpus vectors' subvectors at the arm's geometry),
+    * so every arm is engine-reproducible.
+    *
+    * Scale shape: micro projections and the exact truth stage ONCE
+    * across arms; each arm is an honest independent encode +
+    * compressed scan (unlike q249 the arms' indexes differ
+    * bit-for-bit, so there is no shared scoring pass to filter — the
+    * sweep costs |sweep| scans of m longs per corpus vector, which is
+    * the quantity being priced). See `Similarity.pqCodeCurve`. */
+  def pqCodeCurve(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    Similarity.pqCodeCurve(
+      emb.filter(col("vec_id") < QuerySetBound),
+      emb.filter(col("vec_id") >= QuerySetBound),
+      PqCodeSweep, Dim, LshTopK,
+      (csubs, codes) => csubs
+        .filter(col("vec_id") >= QuerySetBound &&
+          col("vec_id") < QuerySetBound + codes)
+        .select((col("vec_id") - QuerySetBound).as("code"),
+          col("block"), col("sub").as("cw")))
+  }
+
+  val pqCodeCurveSql: String = {
+    val dotQC = dotSql("q_emb", "embedding", Dim)
+    def dist(sub: Int)(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${sub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    // one subvector CTE per distinct block geometry, shared by its arms
+    val geomCtes = PqCodeSweep.map(_._1).distinct.map { b =>
+      val sub = Dim / b
+      s"""blocks$b AS (SELECT unnest(range(0, $b)) AS block),
+         |sub$b AS (SELECT vec_id, block,
+         |    list_transform(range(1, ${sub + 1}), i -> m[$sub * block + i]) AS sub
+         |  FROM v CROSS JOIN blocks$b)""".stripMargin
+    }.mkString(",\n")
+    val armCtes = PqCodeSweep.map { case (b, codes) =>
+      val d = dist(Dim / b) _
+      val a = s"${b}x$codes"
+      val bits = b.toLong * (32 - Integer.numberOfLeadingZeros(codes - 1))
+      s"""cb$a AS (SELECT vec_id - $QuerySetBound AS code, block, sub AS cw
+         |  FROM sub$b WHERE vec_id >= $QuerySetBound AND vec_id < ${QuerySetBound + codes}),
+         |enc$a AS (SELECT vec_id, block, code FROM (
+         |    SELECT s.vec_id, s.block, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.block
+         |        ORDER BY ${d("s.sub", "c.cw")}, c.code) AS rn
+         |    FROM sub$b s JOIN cb$a c USING (block) WHERE s.vec_id >= $QuerySetBound)
+         |  WHERE rn = 1),
+         |adc$a AS (SELECT s.vec_id AS q_vec_id, s.block, c.code,
+         |    ${d("s.sub", "c.cw")} AS d
+         |  FROM sub$b s JOIN cb$a c USING (block) WHERE s.vec_id < $QuerySetBound),
+         |top$a AS (SELECT q_vec_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+         |      ORDER BY adc_dist, vec_id) AS rnk
+         |    FROM (SELECT a.q_vec_id, e.vec_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+         |      FROM enc$a e JOIN adc$a a ON e.block = a.block AND e.code = a.code
+         |      GROUP BY a.q_vec_id, e.vec_id))
+         |  WHERE rnk <= $LshTopK),
+         |row$a AS (SELECT CAST($b AS BIGINT) AS pq_blocks,
+         |    CAST($codes AS BIGINT) AS pq_codes, CAST($bits AS BIGINT) AS code_bits,
+         |    COUNT(*) AS n_truth,
+         |    CAST(SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+         |  FROM etop e LEFT JOIN top$a t
+         |    ON t.q_vec_id = e.q_vec_id AND t.vec_id = e.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unioned = PqCodeSweep
+      .map { case (b, codes) => s"SELECT * FROM row${b}x$codes" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |$geomCtes,
+       |eq AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, ${normSql("embedding", Dim)} AS q_norm
+       |  FROM embeddings WHERE vec_id < $QuerySetBound),
+       |ec AS (SELECT vec_id, embedding, ${normSql("embedding", Dim)} AS c_norm
+       |  FROM embeddings WHERE vec_id >= $QuerySetBound),
+       |escored AS (SELECT q_vec_id, vec_id,
+       |    ${e6Sql(s"($dotQC) / (q_norm * c_norm)")} AS cos_e6
+       |  FROM ec, eq),
+       |etop AS (SELECT q_vec_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+       |      ORDER BY cos_e6 DESC, vec_id) AS rnk
+       |    FROM escored)
+       |  WHERE rnk <= $LshTopK),
+       |denom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+       |  FROM embeddings WHERE vec_id < $QuerySetBound),
+       |$armCtes,
+       |curve AS (
+       |$unioned)
+       |SELECT c.pq_blocks, c.pq_codes, c.code_bits, d.n_queries,
+       |  c.n_truth, c.n_hits,
+       |  ${e6Sql("CAST(c.n_hits AS DOUBLE) / c.n_truth")} AS recall_e6
+       |FROM curve c CROSS JOIN denom d
+       |ORDER BY c.code_bits, c.pq_blocks""".stripMargin
+  }
+
   // ---- q96: per-(cluster, block) LOCAL residual PQ codebooks ----
 
   /** q96: the last piece of the FAISS-style IVF-PQ training recipe —
@@ -1335,7 +1443,8 @@ object SimilarityQueries {
     "q94_pq_refined" -> (annPqRefined _),
     "q95_ann_recall" -> (annRecall _),
     "q96_pq_local_codebooks" -> (pqLocalCodebooks _),
-    "q249_ivf_nprobe_curve" -> (ivfNprobeCurve _))
+    "q249_ivf_nprobe_curve" -> (ivfNprobeCurve _),
+    "q250_pq_code_curve" -> (pqCodeCurve _))
 
   val oracles: Map[String, String] = Map(
     "q188_cluster_purity" -> clusterPuritySql,
@@ -1358,5 +1467,6 @@ object SimilarityQueries {
     "q94_pq_refined" -> annPqRefinedSql,
     "q95_ann_recall" -> annRecallSql,
     "q96_pq_local_codebooks" -> pqLocalCodebooksSql,
-    "q249_ivf_nprobe_curve" -> ivfNprobeCurveSql)
+    "q249_ivf_nprobe_curve" -> ivfNprobeCurveSql,
+    "q250_pq_code_curve" -> pqCodeCurveSql)
 }

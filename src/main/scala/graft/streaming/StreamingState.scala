@@ -36,8 +36,12 @@ object StreamingState {
 
   def batchDir(root: String, batchId: Long): String = s"$root/batch=$batchId"
 
+  // getActiveSession is thread-local: a listener / cleanup / non-Spark
+  // thread would miss it and fall to a bare Configuration without the
+  // session's spark.hadoop.* (credentials, endpoints) — check the
+  // JVM-global default session before giving up.
   private def hadoopConf: Configuration =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 

@@ -157,4 +157,63 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("n_scanned") ===
       rows.last.getAs[Long]("n_queries") * rows.last.getAs[Long]("n_corpus"))
   }
+
+  test("q250 code-size curve: every arm's recall recomputed from truth via the q79 machinery") {
+    import SimilarityQueries._
+    val rows = SimilarityQueries.pqCodeCurve(spark, sfDir).collect()
+    assert(rows.length === PqCodeSweep.length)
+    // ordered by (code_bits, pq_blocks), bits = m * ceil(log2 codes)
+    val bitsOf = rows.map { r =>
+      val b = r.getAs[Long]("pq_blocks")
+      val c = r.getAs[Long]("pq_codes").toInt
+      val bits = b * (32 - Integer.numberOfLeadingZeros(c - 1))
+      assert(r.getAs[Long]("code_bits") === bits, s"arm ($b, $c)")
+      (bits, b)
+    }.toSeq
+    assert(bitsOf === bitsOf.sorted)
+    assert(rows.map(r => (r.getAs[Long]("pq_blocks").toInt,
+      r.getAs[Long]("pq_codes").toInt)).toSet === PqCodeSweep.toSet)
+
+    // recompute every arm from the independently-run pieces: exact
+    // truth (q26 ranking) vs a from-scratch q79 encode+ADC-scan at
+    // that arm's geometry and fixed-quantizer codebook
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") < QuerySetBound)
+    val corpus = emb.filter(col("vec_id") >= QuerySetBound)
+    val truth = Similarity.bruteForceTopK(qs, corpus, LshTopK)
+      .select(col("q_vec_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQueries = qs.count()
+    rows.foreach { r =>
+      val blocks = r.getAs[Long]("pq_blocks").toInt
+      val codes = r.getAs[Long]("pq_codes").toInt
+      val subs = Similarity.pqSubvectorsAt(
+        emb.select(col("vec_id"), Similarity.microVec(col("embedding")).as("m")),
+        blocks, Dim)
+      val codebook = subs
+        .filter(col("vec_id") >= QuerySetBound &&
+          col("vec_id") < QuerySetBound + codes)
+        .select((col("vec_id") - QuerySetBound).as("code"),
+          col("block"), col("sub").as("cw"))
+      val approx = Similarity.pqSearch(
+        subs.filter(col("vec_id") < QuerySetBound),
+        Similarity.pqEncode(subs.filter(col("vec_id") >= QuerySetBound), codebook),
+        codebook, LshTopK)
+        .select(col("q_vec_id"), col("vec_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val hits = truth.count(approx)
+      assert(r.getAs[Long]("n_queries") === nQueries, s"arm ($blocks, $codes)")
+      assert(r.getAs[Long]("n_truth") === truth.size.toLong, s"arm ($blocks, $codes)")
+      assert(r.getAs[Long]("n_hits") === hits.toLong, s"arm ($blocks, $codes)")
+      assert(r.getAs[Long]("recall_e6") ===
+        math.round(hits.toDouble / truth.size * 1e6), s"arm ($blocks, $codes)")
+    }
+    // the curve's reason to exist: the widest code dominates the
+    // narrowest (strict monotonicity is NOT an invariant of a fixed
+    // quantizer at micro code sizes — sf0.001 measures a non-monotone
+    // middle — but the endpoints must order or the knob buys nothing)
+    assert(rows.last.getAs[Long]("recall_e6") >
+      rows.head.getAs[Long]("recall_e6"))
+  }
 }
