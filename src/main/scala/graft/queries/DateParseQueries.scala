@@ -152,6 +152,13 @@ object DateParseQueries {
     // turns into the component array ($i of an unmatched optional
     // group substitutes empty, exactly regexp_extract's convention;
     // the BR sub-fields split off the group-0 surface directly).
+    // A one-regex-per-ISO-leg variant (replace unconditionally, match
+    // verdict = rewritten != input, sound because IsoPattern is fully
+    // anchored) was A/B'd at sf0.1 r12: 3.98 s vs 4.05 s min-of-6 —
+    // a tie inside noise, because the anchored rlike fails fast on
+    // the non-ISO majority while the replace must attempt the full
+    // match either way, and the guarded replace already skips
+    // unmatched rows. Two passes kept (SURVEY §5 r12).
     def stageIso(df: DataFrame, in: String, p: String,
         guard: Column): DataFrame =
       df.withColumn(s"${p}m", guard && col(in).rlike(DC.IsoPattern))

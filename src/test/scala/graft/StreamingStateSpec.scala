@@ -89,4 +89,51 @@ class StreamingStateSpec extends SparkSpec {
     assert(StreamingState.batchIds(plain) === Seq(2L, 3L, 4L))
     assert(!new java.io.File(s"$plain/batch=0").exists())
   }
+
+  test("state layer and footprint probe resolve a NON-default scheme (testfs:)") {
+    // `file:` specs can pass even through java.io.File by accident —
+    // register a second scheme whose paths only a scheme-resolved
+    // Hadoop FileSystem lookup can serve, so a resolution regression
+    // (hardcoded FileSystem.get / java.io walk) fails here
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.testfs.impl", classOf[TestSchemeFileSystem].getName)
+    val plain = Files.createTempDirectory("ss_testfs").toString
+    val root = s"testfs:$plain/state"
+
+    writeBatch(root, 0L, Seq(1L, 2L))
+    writeBatch(root, 2L, Seq(3L))
+    assert(StreamingState.batchIds(root) === Seq(0L, 2L))
+    val dirs = StreamingState.batchDirs(root)
+    assert(dirs.forall(_.startsWith("testfs:")),
+      s"listed dirs must carry the scheme: $dirs")
+    val total = spark.read.parquet(dirs: _*)
+      .agg(sum(col("v"))).first().getLong(0)
+    assert(total === 6L)
+    StreamingState.pruneBefore(root, upTo = 2L, keep = 1)
+    assert(StreamingState.batchIds(root) === Seq(2L))
+    assert(!new java.io.File(s"$plain/state/batch=0").exists())
+
+    // the Dedup footprint probe through the same scheme: a scan whose
+    // inputFiles are testfs: URIs must read a REAL byte count (a
+    // java.io.File walk reads 0 and an unresolved scheme throws)
+    val df = spark.read.parquet(StreamingState.batchDir(root, 2L))
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.startsWith("testfs:")))
+    val key = graft.operators.Dedup.StageMinInputBytesConf
+    try {
+      spark.conf.set(key, "1")
+      assert(graft.operators.Dedup.atScale(df),
+        "a 1-byte threshold must see the real testfs: footprint")
+      spark.conf.set(key, (1L << 40).toString)
+      assert(!graft.operators.Dedup.atScale(df),
+        "a 1 TiB threshold must not trip on a KB-scale testfs: input")
+    } finally spark.conf.unset(key)
+  }
+}
+
+/** RawLocalFileSystem re-registered under the `testfs:` scheme — the
+  * standard Hadoop-test trick for exercising scheme resolution without
+  * a real remote filesystem. Must be a top-level class: Hadoop
+  * instantiates it reflectively via the no-arg constructor. */
+class TestSchemeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("testfs:///")
 }
