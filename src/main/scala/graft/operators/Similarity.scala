@@ -743,7 +743,10 @@ object Similarity {
       val topk = pqSearch(qsubs, pqEncode(csubs, cb), cb, k)
         .select(col("q_vec_id"), col("vec_id"), lit(1L).as("hit"))
       val bits = blocks.toLong * (32 - Integer.numberOfLeadingZeros(codes - 1))
-      truth.join(topk, Seq("q_vec_id", "vec_id"), "left")
+      // both sides are (n_queries x k)-row tables, but only the probe
+      // side may broadcast under a left outer: hint it so the
+      // truth-vs-arm join never shuffles (it was an SMJ + 2 exchanges)
+      truth.join(broadcast(topk), Seq("q_vec_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         .crossJoin(broadcast(denoms))
