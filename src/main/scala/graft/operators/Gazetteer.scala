@@ -334,11 +334,6 @@ object Gazetteer {
   val ContextMismatchPenaltyMilli = 700L // aggregator.py:12 CONTEXT_MISMATCH_PENALTY = 0.7
   val SentenceBreakToken = "batch" // q40's synthesized sentence terminator
 
-  def statesDf(s: SparkSession): DataFrame = {
-    import s.implicits._
-    StateWords.toDF("state_word", "uf")
-  }
-
   def keywordUfDf(s: SparkSession): DataFrame = {
     import s.implicits._
     KeywordUf.toDF("kw_id", "city_uf")

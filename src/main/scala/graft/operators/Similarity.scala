@@ -212,22 +212,10 @@ object Similarity {
       .select(col("vec_id_a"), col("vec_id_b"), e6(col("cos")).as("cos_e6"))
   }
 
-  /** All pairs above a cosine threshold within a bounded id range —
-    * exact, complete, and quadratic BY NATURE: full-recall all-pairs
-    * cannot beat n^2 comparisons. Library-only utility for reranking a
-    * small, already-filtered set (never run against a raw corpus — the
-    * corpus path is cosinePairsLsh). The float threshold compare is
-    * engine-safe because both engines compute the identical double. */
-  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
-    val base = vecs.select(col("vec_id"), col("embedding")).withColumn("nrm", norm(col("embedding")))
-    val a = base.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
-    val b = base.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
-    a.crossJoin(b)
-      .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos", cosineFrom(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_id_a"), col("vec_id_b"), e6(col("cos")).as("cos_e6"))
-  }
+  // (The brute-force all-pairs form this file once carried is gone:
+  // nothing referenced it, no spec pinned it, and its crossJoin was a
+  // raw-corpus footgun — the corpus path is cosinePairsLsh, and a
+  // bounded rerank set goes through bruteForceTopK.)
 
   // --------------------------------------------------------------------
   // Exact-integer k-means (Lloyd) — the centroid TRAINING step an IVF
