@@ -381,6 +381,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q250 code curve: bounded-heap ranking, broadcast truth join, no corpus window") {
+    // every arm's ADC scan ranks through TopKPerKeyExec; the
+    // truth-vs-arm recall join is a broadcast hash join over the two
+    // query-sample-bounded tables (an SMJ would shuffle per arm); the
+    // only nested-loop join is the 1-row denominator cross
+    val p = plan(SimilarityQueries.pqCodeCurve(spark, sfDir))
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("LeftOuter, BuildRight"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q239 fuzzy titles: blocked join, no cartesian, no corpus window") {
     // identical-title collapse -> (prefix, length-block) equi-join ->
     // threshold Levenshtein; the quadratic is bounded by bucket size
