@@ -12,10 +12,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * batching, feature shape — is the real plumbing a decode stage
   * needs, and is what the specs exercise. Where the JVM ships a real
   * decoder, the stub is replaced with no new dependency: `ImageIoCodec`
-  * decodes real PNG/BMP/GIF/JPEG pixels and `WavCodec` real WAV/PCM
-  * samples through the same batched path (both spec-pinned on
-  * in-test-synthesized media). Video stays stubbed — no JVM builtin;
-  * a JNI/javacpp binding slots into the same `Codec` trait.
+  * decodes real PNG/BMP/GIF/JPEG pixels, `WavCodec` real WAV/PCM
+  * samples, and `AnimatedImageCodec` real multi-frame animated GIFs
+  * (frame-indexed ImageReader) through the same batched path (all
+  * spec-pinned on in-test-synthesized media). Real video (H.264 etc.)
+  * stays stubbed — no JVM builtin; a JNI/javacpp binding slots into
+  * the same `Codec` trait.
   */
 object MultimodalBatch {
 
@@ -177,6 +179,76 @@ object MultimodalBatch {
                   else sumAbs * 1000L / (nSamples * fullScale)))
             }
           } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      decoded.getOrElse(FakeCodec.decode(Seq(a)).head)
+    }
+  }
+
+  /** REAL multi-frame image codec — the motion analog of
+    * [[ImageIoCodec]] for the one animated format the JVM decodes
+    * natively (animated GIF via `javax.imageio`'s frame-indexed
+    * ImageReader; no external dependency). Decodes EVERY stored frame
+    * and emits `n_frames` = the true frame count and
+    * `brightness_milli` = exact integer mean luminance across all
+    * decoded frames' pixels (one division at the end, engine-exact —
+    * GIF decode is lossless). `width`/`height` are frame 0's. Frames
+    * are the STORED images: an animated GIF with delta-disposal
+    * frames reports each delta's own pixels, which is the decode
+    * contract a frame-sampling stage (q97's plan) consumes. For a
+    * still image this degrades to [[ImageIoCodec]]'s output. Real
+    * video (H.264 etc.) remains stubbed — no JVM builtin; a
+    * JNI/javacpp binding slots into the same per-frame loop. Any
+    * unreadable payload falls back per-asset to [[FakeCodec]]. */
+  object AnimatedImageCodec extends Codec {
+    def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      val decoded =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(a.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); None }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              // allowSearch: the count needs a full scan for GIF; the
+              // payload is an in-memory stream so the scan is cheap
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else {
+                var lum = 0L
+                var px = 0L
+                var w0 = 0
+                var h0 = 0
+                var i = 0
+                while (i < n) {
+                  val img = reader.read(i)
+                  if (i == 0) { w0 = img.getWidth; h0 = img.getHeight }
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  px += w.toLong * h
+                  i += 1
+                }
+                Some(AssetFeatures(
+                  asset_id = a.asset_id,
+                  media_type = a.media_type,
+                  byte_len = a.payload.length.toLong,
+                  width = w0,
+                  height = h0,
+                  n_frames = n,
+                  brightness_milli = if (px == 0) 0L else lum * 1000L / (255L * px)))
+              }
+            } finally { reader.dispose(); iis.close() }
+          }
         } catch { case scala.util.control.NonFatal(_) => None }
       decoded.getOrElse(FakeCodec.decode(Seq(a)).head)
     }

@@ -232,4 +232,64 @@ class MultimodalSpec extends SparkSpec {
       Seq(Asset(2L, "media/blob", "definitely not audio".getBytes("UTF-8")))).head
     assert(blob === stub)
   }
+
+  test("AnimatedImageCodec decodes a real multi-frame GIF through the batched decode path") {
+    import spark.implicits._
+    import MultimodalBatch.{Asset, AnimatedImageCodec}
+    // write a real 3-frame animated GIF in-test via ImageIO's sequence
+    // writer. Constant-gray frames (GIF's 256-color palette represents
+    // a single gray exactly — no quantization error), levels 50/100/150
+    // -> mean luminance across all frames' pixels is exactly 100
+    val (w, h) = (6, 4)
+    def grayFrame(level: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(50, 100, 150).foreach { lvl =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(grayFrame(lvl), null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    val gif = buf.toByteArray
+
+    val assets = Seq(
+      Asset(1L, "media/gif", gif),
+      Asset(2L, "media/blob", "not a gif".getBytes("UTF-8"))).toDS()
+    val feats = MultimodalBatch.decodeFeatures(assets, AnimatedImageCodec)
+      .collect().map(f => f.asset_id -> f).toMap
+    val real = feats(1L)
+    assert(real.width === w)
+    assert(real.height === h)
+    assert(real.n_frames === 3)       // the TRUE stored frame count
+    assert(real.byte_len === gif.length.toLong)
+    // (50+100+150)/3 = 100 mean luminance -> 100*1000/255 = 392 exactly
+    assert(real.brightness_milli === 100L * 1000L / 255L)
+    // a still PNG through the same codec degrades to n_frames = 1 with
+    // ImageIoCodec's numbers
+    val still = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) still.setRGB(x, y, 0xffffff)
+    val pbuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(still, "png", pbuf)
+    val sf = AnimatedImageCodec.decode(
+      Seq(Asset(3L, "media/png", pbuf.toByteArray))).head
+    val imgIo = MultimodalBatch.ImageIoCodec.decode(
+      Seq(Asset(3L, "media/png", pbuf.toByteArray))).head
+    assert(sf === imgIo)
+    // the non-image asset took the stub path
+    val blob = feats(2L)
+    val stub = MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(2L, "media/blob", "not a gif".getBytes("UTF-8")))).head
+    assert(blob === stub)
+  }
 }
