@@ -602,6 +602,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The RADIUS operating curve of the simhash band index — the knob a
+    * dedup team tunes for [[simhashPairs]] the way q180 tunes MinHash
+    * band geometry and q201 the jaccard threshold: per hamming radius
+    * r in 1..`maxRadius`, the TRUE number of distinct-simhash-value
+    * pairs within r against the pairs the banded join surfaces at that
+    * radius, plus the candidate volume the bands examine (the cost
+    * axis, radius-independent). By pigeonhole, `SimhashBandCount`
+    * bands of contiguous bits guarantee a shared band for any pair
+    * with hamming < bands — so recall at r <= bands-1 must be 1.0
+    * (the curve's anchor, spec-pinned) and the first possibly-lossy
+    * radius is r = bands.
+    *
+    * The exact truth does NOT all-pairs the value dictionary: a
+    * 24-bit hamming ball of radius 3 holds only C(24,1)+C(24,2)+
+    * C(24,3) = 2,324 masks, so truth is an EXPANSION equi-join —
+    * values x broadcast masks -> XOR neighbor -> self equi-join —
+    * linear in |values| with a 2,324x fan-out, never quadratic. Each
+    * unordered pair surfaces exactly once: the connecting mask is
+    * unique (m = a XOR b) and the `a < b` filter keeps one side. The
+    * same device IS the production alternative to banding when exact
+    * radius-r recall is required (multi-index hamming search, as in
+    * Manku et al. 2007's simhash dedup at Google scale — the curve
+    * quantifies what banding trades away against it). */
+  def simhashRadiusCurve(sims: DataFrame, idCol: String,
+      maxRadius: Int = 3): DataFrame = {
+    require(maxRadius >= 1 && maxRadius < SimhashBits,
+      s"bad radius $maxRadius")
+    val s = sims.sparkSession
+    val values = stage(sims.groupBy(col("simhash")).agg(count(lit(1)).as("n_docs")))
+    // the bounded mask model: every bit pattern with 1..maxRadius set
+    // bits over the simhash width (2,324 rows at 24/3)
+    val masks = (1 to maxRadius).flatMap { r =>
+      (0 until SimhashBits).combinations(r)
+        .map(c => (c.map(1L << _).sum, r.toLong))
+    }
+    import s.implicits._
+    val masksDf = masks.toDF("mask", "r")
+    val truth = values.select(col("simhash"))
+      .crossJoin(broadcast(masksDf))
+      .select(col("simhash").bitwiseXOR(col("mask")).as("nb"),
+        col("simhash"), col("r"))
+      .join(values.select(col("simhash").as("nb")), Seq("nb"))
+      .filter(col("simhash") < col("nb"))
+      .select(col("r"))
+    val cands = simhashPairs(sims, idCol, maxHamming = SimhashBits)
+      .select(col("hamming"))
+    val t = truth.agg(
+      sum(when(col("r") <= 1, 1L).otherwise(0L)).as("t1"),
+      (2 to maxRadius).map(R =>
+        sum(when(col("r") <= R, 1L).otherwise(0L)).as(s"t$R")): _*)
+    val f = cands.agg(
+      count(lit(1)).as("n_candidates"),
+      (1 to maxRadius).map(R =>
+        sum(when(col("hamming") <= R, 1L).otherwise(0L)).as(s"f$R")): _*)
+    val nv = values.agg(count(lit(1)).as("n_values"))
+    val stacked = (1 to maxRadius)
+      .map(R => s"CAST($R AS BIGINT), t$R, f$R").mkString(", ")
+    t.crossJoin(broadcast(f)).crossJoin(broadcast(nv))
+      .select(expr(s"stack($maxRadius, $stacked) AS (radius, n_true, n_found)"),
+        col("n_values"), col("n_candidates"))
+      .select(col("radius"), col("n_values"), col("n_true"), col("n_found"),
+        when(col("n_true") === 0, lit(1000000L))
+          .otherwise(graft.functions.VectorFunctions.e6(
+            col("n_found").cast("double") / col("n_true"))).as("recall_e6"),
+        col("n_candidates"))
+      .orderBy(col("radius"))
+  }
+
   /** Connected components over near-dup pairs: every doc in a pair gets
     * the MINIMUM doc id of its component as `cluster_id` — how a
     * training-data pipeline turns pairwise near-dup hits into dedup

@@ -482,7 +482,82 @@ object DedupQueries {
        |ORDER BY pc.thr_e6""".stripMargin
   }
 
+  // ---- q251: simhash hamming-radius operating curve ----
+
+  /** The radius arms swept by q251 — up to maxHamming; by pigeonhole
+    * the 3x8-bit band join has FULL recall at r <= 2 (two flipped
+    * bits can spoil at most two of three bands), so r = 3 is the
+    * first arm that can lose pairs: the number the curve exists to
+    * measure. */
+  val SimhashSweepRadius = 3
+
+  /** q251: the RADIUS operating curve of the q24 simhash band index —
+    * q180 sweeps MinHash band geometry, q201 the jaccard threshold,
+    * q249/q250 the dense-index knobs; this closes the family for the
+    * bit-sketch near-dup machinery: per hamming radius r in {1,2,3},
+    * the TRUE distinct-value pair count within r (exact, via the
+    * 2,324-mask hamming-ball expansion join — never an all-pairs)
+    * vs the pairs the banded join surfaces, with the band-candidate
+    * volume as the cost axis. The r <= 2 arms must read recall 1.0
+    * (pigeonhole anchor, spec-pinned); r = 3's shortfall is what
+    * tuning bands-vs-radius trades. */
+  def simhashSweep(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashRadiusCurve(
+      Dedup.simhash(reps(s, dir), "text", "doc_id"), "doc_id",
+      SimhashSweepRadius)
+
+  val simhashSweepSql: String = {
+    val votes = (0 until Dedup.SimhashBits)
+      .map(j => s"CAST(SUM(((h >> $j) & 1) * 2 - 1) AS BIGINT) AS v$j")
+      .mkString(",\n    ")
+    val bits = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until Dedup.SimhashBandCount)
+      .map(b => s"SELECT simhash, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_val FROM vals")
+      .mkString("\n  UNION ALL ")
+    val radii = (1 to SimhashSweepRadius).map(r => s"($r)").mkString(", ")
+    s"""WITH $RepsCte,
+       |stok AS (SELECT DISTINCT doc_id, tok FROM
+       |  (SELECT doc_id, unnest($ToksSql) AS tok FROM reps)),
+       |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("tok")} AS h FROM stok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $bits AS simhash FROM votes),
+       |vals AS (SELECT DISTINCT simhash FROM sims),
+       |bitpos AS (SELECT unnest(range(0, ${Dedup.SimhashBits})) AS i),
+       |m1 AS (SELECT CAST(1 AS BIGINT) << i AS mask, 1 AS r FROM bitpos),
+       |m2 AS (SELECT (CAST(1 AS BIGINT) << a.i) | (CAST(1 AS BIGINT) << b.i) AS mask, 2 AS r
+       |  FROM bitpos a, bitpos b WHERE a.i < b.i),
+       |m3 AS (SELECT (CAST(1 AS BIGINT) << a.i) | (CAST(1 AS BIGINT) << b.i) | (CAST(1 AS BIGINT) << c.i) AS mask, 3 AS r
+       |  FROM bitpos a, bitpos b, bitpos c WHERE a.i < b.i AND b.i < c.i),
+       |masks AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3),
+       |truth AS (SELECT m.r FROM vals v CROSS JOIN masks m
+       |  JOIN vals w ON w.simhash = xor(v.simhash, m.mask)
+       |  WHERE v.simhash < w.simhash),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.simhash < b.simhash),
+       |ch AS (SELECT CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming FROM cand),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_values FROM vals),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM ch),
+       |sw AS (SELECT radius FROM (VALUES $radii) t(radius))
+       |SELECT CAST(s.radius AS BIGINT) AS radius, nv.n_values,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth WHERE r <= s.radius) AS n_true,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ch WHERE hamming <= s.radius) AS n_found,
+       |  CASE WHEN (SELECT COUNT(*) FROM truth WHERE r <= s.radius) = 0 THEN CAST(1000000 AS BIGINT)
+       |    ELSE CAST(ROUND(((SELECT CAST(COUNT(*) AS DOUBLE) FROM ch WHERE hamming <= s.radius)
+       |      / (SELECT COUNT(*) FROM truth WHERE r <= s.radius)) * 1000000.0) AS BIGINT) END AS recall_e6,
+       |  nc.n_candidates
+       |FROM sw s CROSS JOIN nv CROSS JOIN nc
+       |ORDER BY radius""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q251_simhash_sweep" -> (simhashSweep _),
     "q195_containment" -> (containmentDedup _),
     "q201_jaccard_curve" -> (jaccardCurve _),
     "q21_dedup_exact" -> (dedupExact _),
@@ -494,6 +569,7 @@ object DedupQueries {
     "q178_source_minhash" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
+    "q251_simhash_sweep" -> simhashSweepSql,
     "q195_containment" -> containmentDedupSql,
     "q201_jaccard_curve" -> jaccardCurveSql,
     "q21_dedup_exact" -> dedupExactSql,

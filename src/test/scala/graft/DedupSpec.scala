@@ -396,4 +396,54 @@ class DedupSpec extends SparkSpec {
       assert(dispatched === single)
     } finally spark.conf.unset(Dedup.JaccardPrefixConf)
   }
+
+  test("q251 radius curve: truth recomputed all-pairs, pigeonhole anchor, candidate volume") {
+    import graft.queries.DedupQueries
+    val rows = DedupQueries.simhashSweep(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("radius"))
+    assert(rows.map(_.getAs[Long]("radius")).toSeq ===
+      (1 to DedupQueries.SimhashSweepRadius).map(_.toLong))
+
+    // independent truth: collect the distinct simhash values (bounded
+    // by the value dictionary) and brute-force every pair's hamming
+    // distance driver-side — the expansion join must agree exactly
+    val docs = Tables.documents(spark, sfDir)
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    val values = Dedup.simhash(reps, "text", "doc_id")
+      .select(col("simhash")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val hams = for {
+      i <- values.indices
+      j <- (i + 1) until values.length
+    } yield java.lang.Long.bitCount(values(i) ^ values(j))
+    // independent band candidates: same banding, driver-side
+    def bandVals(v: Long) = (0 until Dedup.SimhashBandCount)
+      .map(b => (b, (v >> (8 * b)) & 255L))
+    val candHams = for {
+      i <- values.indices
+      j <- (i + 1) until values.length
+      if bandVals(values(i)).zip(bandVals(values(j))).exists { case (a, b) => a == b }
+    } yield java.lang.Long.bitCount(values(i) ^ values(j))
+    rows.foreach { r =>
+      val rad = r.getAs[Long]("radius").toInt
+      val nTrue = hams.count(_ <= rad).toLong
+      val nFound = candHams.count(_ <= rad).toLong
+      assert(r.getAs[Long]("n_values") === values.length.toLong)
+      assert(r.getAs[Long]("n_true") === nTrue, s"radius $rad")
+      assert(r.getAs[Long]("n_found") === nFound, s"radius $rad")
+      assert(r.getAs[Long]("n_candidates") === candHams.size.toLong)
+      assert(r.getAs[Long]("recall_e6") ===
+        (if (nTrue == 0) 1000000L
+         else math.round(nFound.toDouble / nTrue * 1e6)), s"radius $rad")
+    }
+    // the pigeonhole anchor: 3 contiguous 8-bit bands guarantee a
+    // shared band for any pair with hamming < 3, so r <= 2 arms MUST
+    // read full recall; monotone nonincreasing recall in r after that
+    rows.filter(_.getAs[Long]("radius") <= 2).foreach { r =>
+      assert(r.getAs[Long]("recall_e6") === 1000000L,
+        s"pigeonhole broken at radius ${r.getAs[Long]("radius")}")
+    }
+    val recalls = rows.map(_.getAs[Long]("recall_e6")).toSeq
+    assert(recalls === recalls.sorted.reverse)
+  }
 }

@@ -394,6 +394,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q251 radius curve: truth is the mask-expansion equi-join, never an all-pairs") {
+    // the exact-truth leg must stay linear in the value dictionary:
+    // its only nested-loop joins are the broadcast bounded models
+    // (the 2,324-row mask table, the 1-row rollup crosses) — a
+    // CartesianProduct or a non-broadcast nested loop would mean the
+    // all-pairs shape the expansion join exists to avoid
+    val p = plan(graft.queries.DedupQueries.simhashSweep(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // every nested-loop occurrence is a broadcast build
+    assert(!p.linesIterator.exists(l =>
+      l.contains("NestedLoopJoin") && !l.contains("BroadcastNestedLoopJoin")), p)
+  }
+
   test("q239 fuzzy titles: blocked join, no cartesian, no corpus window") {
     // identical-title collapse -> (prefix, length-block) equi-join ->
     // threshold Levenshtein; the quadratic is bounded by bucket size
