@@ -370,13 +370,117 @@ object ScaleOpsQueries {
        |ORDER BY t.rnk""".stripMargin
   }
 
+  // ---- q252: CMS (width x depth) accuracy operating curve ----
+
+  /** The (width, depth) arms swept by q252, ordered by memory
+    * footprint (cells = width x depth, the cost axis). (32, 3) is
+    * q171's production configuration. */
+  val CmsSweep: Seq[(Int, Int)] = Seq((16, 1), (32, 3), (64, 3), (256, 5))
+
+  /** q252: the ACCURACY operating curve of the q171 count-min sketch —
+    * the (width, depth) memory knob a counting deployment sizes, the
+    * way q108 measures bloom false positives against `m` and
+    * q180/q249/q250/q251 close the other sketch knobs: per arm,
+    * the exact overcount distribution of the CMS estimate over EVERY
+    * distinct token (sum / max / mean-e6), plus `n_over_bound` — how
+    * many tokens exceed the classic `2N/width` Markov bound the
+    * sketch's 2^-depth guarantee is stated against (integer-exact:
+    * the comparison is `over * width > 2N`, no division). Same
+    * deterministic affine hash family as q171, so every arm is
+    * engine-reproducible.
+    *
+    * Scale shape: the whole sweep costs ONE corpus pass — tokens
+    * aggregate once, every (arm, depth) cell assignment rides one
+    * explode of a 12-struct literal array, counters collapse to
+    * Σ width*depth <= 1,568 rows and broadcast back; the per-arm
+    * rollups are conditional aggregations over the estimate table.
+    * Nothing rescans the corpus per arm. */
+  def cmsCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fold, tokens}
+    import graft.functions.VectorFunctions.e6
+    import s.implicits._
+    val uni = Dedup.stage(Tables.documents(s, dir)
+      .select(explode_outer(tokens(fold(col("text")))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("hs", Hashing.polyHash(col("tok"))))
+    val structs = CmsSweep.zipWithIndex.flatMap { case ((w, d), arm) =>
+      (0 until d).map(dep => struct(
+        lit(arm.toLong).as("arm"), lit(dep.toLong).as("depth"),
+        (Hashing.affine(col("hs"), dep) % w).as("cell")))
+    }
+    val cells = Dedup.stage(uni
+      .select(col("tok"), col("c"), explode(array(structs: _*)).as("x"))
+      .select(col("tok"), col("c"), col("x.arm").as("arm"),
+        col("x.depth").as("depth"), col("x.cell").as("cell")))
+    val counters = cells.groupBy(col("arm"), col("depth"), col("cell"))
+      .agg(sum(col("c")).as("cnt"))
+    val est = cells.join(broadcast(counters), Seq("arm", "depth", "cell"))
+      .groupBy(col("arm"), col("tok"), col("c"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("over", col("cms_est") - col("c"))
+    val tot = uni.agg(sum(col("c")).as("total_n"))
+    val meta = CmsSweep.zipWithIndex
+      .map { case ((w, d), arm) => (arm.toLong, w.toLong, d.toLong) }
+      .toDF("arm", "width", "depth")
+    est.join(broadcast(meta), Seq("arm")).crossJoin(broadcast(tot))
+      .groupBy(col("arm"), col("width"), col("depth"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_exact"),
+        sum(col("over")).as("sum_over"),
+        max(col("over")).as("max_over"),
+        sum(when(col("over") * col("width") > lit(2L) * col("total_n"), 1L)
+          .otherwise(0L)).as("n_over_bound"))
+      .select(col("width"), col("depth"),
+        (col("width") * col("depth")).as("cells"),
+        col("n_tokens"), col("sum_exact"), col("sum_over"), col("max_over"),
+        e6(col("sum_over").cast("double") / col("sum_exact")).as("mean_over_e6"),
+        col("n_over_bound"))
+      .orderBy(col("cells"), col("width"))
+  }
+
+  val cmsCurveSql: String = {
+    val cellArms = CmsSweep.zipWithIndex.flatMap { case ((w, d), arm) =>
+      (0 until d).map(dep =>
+        s"SELECT tok, c, CAST($arm AS BIGINT) AS arm, CAST($dep AS BIGINT) AS depth, (${Hashing.affineSql("hs", dep)}) % $w AS cell FROM h")
+    }.mkString("\n  UNION ALL ")
+    val metaRows = CmsSweep.zipWithIndex
+      .map { case ((w, d), arm) => s"($arm, $w, $d)" }.mkString(", ")
+    s"""WITH pos AS (SELECT unnest($ToksSql) AS tok FROM documents),
+       |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY tok),
+       |h AS (SELECT tok, c, ${Hashing.polyHashSql("tok")} AS hs FROM uni),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_n FROM uni),
+       |cells AS (
+       |  $cellArms),
+       |counters AS (SELECT arm, depth, cell, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY arm, depth, cell),
+       |est AS (SELECT ce.arm, ce.tok, ce.c, MIN(co.cnt) AS cms_est
+       |  FROM cells ce JOIN counters co USING (arm, depth, cell)
+       |  GROUP BY ce.arm, ce.tok, ce.c),
+       |meta AS (SELECT CAST(arm AS BIGINT) AS arm, CAST(width AS BIGINT) AS width,
+       |    CAST(depth AS BIGINT) AS depth
+       |  FROM (VALUES $metaRows) t(arm, width, depth))
+       |SELECT m.width, m.depth, m.width * m.depth AS cells,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(e.c) AS BIGINT) AS sum_exact,
+       |  CAST(SUM(e.cms_est - e.c) AS BIGINT) AS sum_over,
+       |  CAST(MAX(e.cms_est - e.c) AS BIGINT) AS max_over,
+       |  CAST(ROUND(CAST(SUM(e.cms_est - e.c) AS DOUBLE) / SUM(e.c) * 1000000.0) AS BIGINT) AS mean_over_e6,
+       |  CAST(SUM(CASE WHEN (e.cms_est - e.c) * m.width > 2 * t.total_n THEN 1 ELSE 0 END) AS BIGINT) AS n_over_bound
+       |FROM est e JOIN meta m USING (arm) CROSS JOIN tot t
+       |GROUP BY m.arm, m.width, m.depth
+       |ORDER BY cells, width""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q252_cms_curve" -> ((s, dir) => cmsCurve(s, dir)),
     "q108_bloom_filter" -> ((s, dir) => bloomFilter(s, dir)),
     "q109_sq8_ann" -> ((s, dir) => sq8Ann(s, dir)),
     "q110_chunk_windows" -> ((s, dir) => chunkWindows(s, dir)),
     "q171_cms_heavy_hitters" -> ((s, dir) => cmsHeavyHitters(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "q252_cms_curve" -> cmsCurveSql,
     "q108_bloom_filter" -> bloomFilterSql,
     "q109_sq8_ann" -> sq8AnnSql,
     "q110_chunk_windows" -> chunkWindowsSql,

@@ -111,4 +111,57 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("TopKPerKey"), p)
   }
+
+  test("q252 curve: every arm recomputed from exact counts via driver-side CMS") {
+    import graft.functions.TextFunctions.{fold, tokens}
+    import graft.functions.Hashing
+    import org.apache.spark.sql.functions._
+    val rows = ScaleOpsQueries.cmsCurve(spark, sfDir)
+      .collect().sortBy(r => (r.getAs[Long]("cells"), r.getAs[Long]("width")))
+    assert(rows.length === ScaleOpsQueries.CmsSweep.length)
+
+    // independent truth: exact token counts collected, each arm's CMS
+    // simulated driver-side with the same affine family
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(tokens(fold(col("text")))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def polyHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, c) => (a * Hashing.Base + c) % Hashing.Mod)
+    val totalN = counts.map(_._2).sum
+    rows.zip(ScaleOpsQueries.CmsSweep.map { case (w, d) => (w.toLong, d.toLong) }
+        .sortBy { case (w, d) => (w * d, w) }).foreach { case (r, (w, d)) =>
+      assert(r.getAs[Long]("width") === w)
+      assert(r.getAs[Long]("depth") === d)
+      assert(r.getAs[Long]("cells") === w * d)
+      val cellSum = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      val cellOf = counts.map { case (t, c) =>
+        val hs = polyHash(t)
+        val cs = (0L until d).map { dep =>
+          val cell = (Hashing.hashA(dep.toInt) * hs + Hashing.hashB(dep.toInt)) % Hashing.Mod % w
+          cellSum((dep, cell)) = cellSum.getOrElse((dep, cell), 0L) + c
+          cell
+        }
+        (t, c, cs)
+      }
+      val overs = cellOf.map { case (_, c, cs) =>
+        cs.zipWithIndex.map { case (cell, dep) => cellSum((dep.toLong, cell)) }.min - c
+      }
+      // the defining guarantee: CMS never undercounts
+      assert(overs.forall(_ >= 0L))
+      assert(r.getAs[Long]("n_tokens") === counts.length.toLong)
+      assert(r.getAs[Long]("sum_exact") === totalN)
+      assert(r.getAs[Long]("sum_over") === overs.sum)
+      assert(r.getAs[Long]("max_over") === overs.max)
+      assert(r.getAs[Long]("mean_over_e6") ===
+        math.round(overs.sum.toDouble / totalN * 1e6))
+      assert(r.getAs[Long]("n_over_bound") ===
+        overs.count(o => o * w > 2L * totalN).toLong)
+    }
+    // the curve's reason to exist: the widest sketch dominates the
+    // narrowest on mean error
+    assert(rows.last.getAs[Long]("mean_over_e6") <
+      rows.head.getAs[Long]("mean_over_e6"))
+  }
 }
