@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end scale bench for the composed [[CurationPipeline]] — the
+  * artifact a user actually ships (`curateExtended`: exact dedup ->
+  * line dedup -> quality/LM gate -> decontaminate -> near-dup cluster
+  * -> dup-gram filter -> DSIR -> epoch shuffle -> packing). Every
+  * stage is individually benched in SURVEY §5; this measures the
+  * COMPOSITION, where the multi-consumer staging either pays or
+  * re-scans, and prints ONE JSON line with total wall-clock and the
+  * per-stage breakdown.
+  *
+  * Usage: runMain graft.CurationBench <docsDir> [mode]
+  *  - mode `stages` (default): materialize each stage of
+  *    [[CurationPipeline.curateExtendedStages]] in order through a
+  *    noop sink. With staging active each stage's localCheckpoint is
+  *    reused by its consumers, so write k's wall-clock is stage k's
+  *    INCREMENTAL cost and the sum is the end-to-end total.
+  *  - mode `fused`: one `curateExtended` call -> one noop write (no
+  *    per-stage attribution — the A/B total for the staged walk).
+  * Env knobs (same convention as ScaleBench):
+  *  - SPARK_GRAFT_STAGE_MIN_BYTES -> spark.graft.stageMinInputBytes
+  *    (0 forces staging ON, a huge value forces it OFF — the A/B
+  *    switch for the multi-consumer staging verdict)
+  *  - SPARK_GRAFT_STAGING_DIR -> spark.graft.stagingDir (parquet
+  *    staging instead of localCheckpoint)
+  *
+  * The corpus recipe matches the CurationPipelineSpec end-to-end test
+  * shape at scale: eval set = every 97th doc, line segmentation =
+  * 12-token windows (positionally aligned across the zipf rungs'
+  * planted near-dup pairs, so the line-dedup stage does real work),
+  * DSIR target = docs of one source class.
+  */
+object CurationBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CurationBench <docsDir> [stages|fused]")
+    val dir = args(0)
+    val mode = if (args.length > 1) args(1) else "stages"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // same AQE sizing rationale as ScaleBench: high initial count,
+      // AQE coalesces small stages back down
+      .config("spark.sql.shuffle.partitions", "512")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SPARK_GRAFT_STAGE_MIN_BYTES").foreach { v =>
+      spark.conf.set(graft.operators.Dedup.StageMinInputBytesConf, v)
+    }
+    sys.env.get("SPARK_GRAFT_STAGING_DIR").foreach { d =>
+      spark.conf.set(graft.operators.Dedup.StagingDirConf, d)
+    }
+
+    val docs = Tables.documents(spark, dir)
+    val evalPred = col("doc_id") % 97 === 0
+    // 12-token lines over the token stream: one array column, no UDF
+    val segs = expr(
+      """transform(sequence(0, (size(split(text, ' +')) - 1) div 12),
+        |  i -> array_join(slice(split(text, ' +'), i * 12 + 1, 12), ' '))""".stripMargin)
+    val dsirTarget = Some(col("doc_id") % 11 === 3)
+
+    val t0 = System.nanoTime()
+    val stageTimes: Seq[(String, Double)] = mode match {
+      case "fused" =>
+        val out = CurationPipeline.curateExtended(docs, evalPred, segs, dsirTarget)
+        out.write.format("noop").mode("overwrite").save()
+        Seq("fused_total" -> (System.nanoTime() - t0) / 1e9)
+      case _ =>
+        CurationPipeline.curateExtendedStages(docs, evalPred, segs, dsirTarget)
+          .map { case (name, thunk) =>
+            val ts = System.nanoTime()
+            thunk().write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - ts) / 1e9
+            System.err.println(f"[curationbench] $name: $t%.2f s")
+            name -> t
+          }
+    }
+    val totalS = (System.nanoTime() - t0) / 1e9
+    val stagesJson = stageTimes
+      .map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"mode":"$mode","dir":"$dir","total_s":$totalS%.1f,""" +
+      s""""stages":$stagesJson}""")
+    spark.stop()
+  }
+}

@@ -36,28 +36,46 @@ object CurationPipeline {
       splitTrainPct: Int = 80,
       splitValidPct: Int = 87)
 
+  /** Adaptive multi-consumer staging for the pipeline's survivor
+    * chain: every stage output below feeds 2-3 consumers (a signal
+    * computation PLUS the semi/anti join keeping the survivors), and
+    * plan reuse does not fire across joins — unstaged, stage k's
+    * filter re-runs every upstream stage once per consumer, so the
+    * earliest stages re-execute MANY times across the whole flow (the
+    * zipf x64 A/B in SURVEY §5 prices this). Past
+    * [[Dedup.StageMinInputBytes]] of scan input each multi-consumer
+    * frame is staged ([[Dedup.stage]]: localCheckpoint, or parquet
+    * under `spark.graft.stagingDir`); below it the fixed
+    * materialization cost never pays back and the flow stays one
+    * fused DAG Catalyst optimizes together (the gate corpora). A
+    * scan-less input (in-memory test frames) has an UNKNOWN footprint
+    * and takes the staged shape — both shapes are row-identical. */
+  private def stageAt(big: Boolean)(df: DataFrame): DataFrame =
+    if (big) Dedup.stage(df) else df
+
   /** `evalPred` marks held-out docs (they are removed from the output
     * and define the contamination set). Returns the packed layout of
     * the surviving corpus: (doc_id, source, n_tokens, cum_tokens,
     * seq_id, offset_in_seq, straddles). */
   def curate(docs: DataFrame, evalPred: Column,
       cfg: Config = Config()): DataFrame = {
+    val st = stageAt(Dedup.atScale(docs)) _
     // 1. exact dedup: cheapest first, everything downstream shrinks
-    val reps = Dedup.exact(docs, "text", "doc_id")
+    val reps = st(Dedup.exact(docs, "text", "doc_id"))
 
     // 2. quality gate: integer repetition thresholds
     val quality = Curation.repetitionStats(reps, "text", "doc_id")
       .filter(col("n_tokens") >= cfg.minTokens &&
         col("dup_token_e6") < cfg.maxDupE6)
       .select(col("doc_id"))
-    val qualified = reps.join(quality, Seq("doc_id"), "left_semi")
+    val qualified = st(reps.join(quality, Seq("doc_id"), "left_semi"))
 
     // 3. decontamination: drop training docs overlapping the eval set
     val contaminated = Curation.contamination(qualified, "text", "doc_id", evalPred)
       .filter(col("n_contaminated") * 100 >= col("n_shingles") * cfg.contaminationPct)
       .select(col("doc_id"))
-    val clean = qualified.filter(!evalPred)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = st(qualified.filter(!evalPred)
+      .join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 4a. near-dup clustering: keep one representative per cluster
     val pairs = Dedup.jaccardPairs(
@@ -67,7 +85,7 @@ object CurationPipeline {
     val dupes = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .filter(col("node") =!= col("lab")) // non-representatives
       .select(col("node").as("doc_id"))
-    val clustered = clean.join(dupes, Seq("doc_id"), "left_anti")
+    val clustered = st(clean.join(dupes, Seq("doc_id"), "left_anti"))
 
     // 4b. exact-substring signal AFTER clustering (Lee et al. 2022):
     // catches docs mostly built of n-grams duplicated across OTHER
@@ -102,56 +120,88 @@ object CurationPipeline {
     *        layout a training run actually reads.
     *
     * `segs` is the line segmentation (array<string> over `text`).
-    * Still one declarative DAG; each survivor set is a semi/anti join
-    * and the text rewrite is the only stage that materializes a new
-    * column. */
+    * Still one declarative DAG below the staging threshold; each
+    * survivor set is a semi/anti join and the text rewrite is the only
+    * stage that materializes a new column. */
   def curateExtended(docs: DataFrame, evalPred: Column, segs: Column,
       dsirTarget: Option[Column] = None,
       seed: String = "ep1", nShards: Int = 8,
       surprisalTailMilli: Long = 5200L,
       lineMinDf: Int = 2,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    curateExtendedStages(docs, evalPred, segs, dsirTarget, seed, nShards,
+      surprisalTailMilli, lineMinDf, cfg).last._2()
+
+  /** The staged decomposition of [[curateExtended]]: named stage
+    * outputs, each built ON FIRST ACCESS (the thunks close over lazy
+    * vals) so a measurement harness ([[CurationBench]]) can
+    * materialize stage k before stage k+1's construction begins and
+    * attribute wall-clock per stage — the near-dup clustering stage
+    * runs its label-propagation rounds EAGERLY at construction, so a
+    * strict decomposition would charge all upstream work to whichever
+    * stage is built first. The last entry is [[curateExtended]]'s
+    * return value; forcing only it reproduces the plain composed
+    * flow. */
+  def curateExtendedStages(docs: DataFrame, evalPred: Column, segs: Column,
+      dsirTarget: Option[Column] = None,
+      seed: String = "ep1", nShards: Int = 8,
+      surprisalTailMilli: Long = 5200L,
+      lineMinDf: Int = 2,
+      cfg: Config = Config()): Seq[(String, () => DataFrame)] = {
+    val st = stageAt(Dedup.atScale(docs)) _
     // 1. exact dedup, then line-level dedup rewrites the text the rest
     // of the flow sees (boilerplate lines vanish before any signal)
-    val reps = Dedup.exact(docs, "text", "doc_id")
-    val kept = Curation.lineDedup(reps, "doc_id", segs, ". ", lineMinDf)
-      .select(col("doc_id"), col("kept_text"))
-    val rewritten = reps.drop("text")
-      .join(kept.withColumnRenamed("kept_text", "text"), Seq("doc_id"))
-      .filter(length(col("text")) > 0)
+    lazy val reps = st(Dedup.exact(docs, "text", "doc_id"))
+    lazy val rewritten = st {
+      val kept = Curation.lineDedup(reps, "doc_id", segs, ". ", lineMinDf)
+        .select(col("doc_id"), col("kept_text"))
+      reps.drop("text")
+        .join(kept.withColumnRenamed("kept_text", "text"), Seq("doc_id"))
+        .filter(length(col("text")) > 0)
+    }
 
     // 2. quality gate + 3. LM-surprisal tail drop
-    val quality = Curation.repetitionStats(rewritten, "text", "doc_id")
-      .filter(col("n_tokens") >= cfg.minTokens &&
-        col("dup_token_e6") < cfg.maxDupE6)
-      .select(col("doc_id"))
-    val lmTail = Curation.unigramSurprisal(rewritten, "text", "doc_id")
-      .filter(col("milli_bits_per_token") >= surprisalTailMilli)
-      .select(col("doc_id"))
-    val qualified = rewritten.join(quality, Seq("doc_id"), "left_semi")
-      .join(lmTail, Seq("doc_id"), "left_anti")
+    lazy val qualified = st {
+      val quality = Curation.repetitionStats(rewritten, "text", "doc_id")
+        .filter(col("n_tokens") >= cfg.minTokens &&
+          col("dup_token_e6") < cfg.maxDupE6)
+        .select(col("doc_id"))
+      val lmTail = Curation.unigramSurprisal(rewritten, "text", "doc_id")
+        .filter(col("milli_bits_per_token") >= surprisalTailMilli)
+        .select(col("doc_id"))
+      rewritten.join(quality, Seq("doc_id"), "left_semi")
+        .join(lmTail, Seq("doc_id"), "left_anti")
+    }
 
     // 4. decontaminate, 5. near-dup cluster, 6. dup-gram filter
-    val contaminated = Curation.contamination(qualified, "text", "doc_id", evalPred)
-      .filter(col("n_contaminated") * 100 >= col("n_shingles") * cfg.contaminationPct)
-      .select(col("doc_id"))
-    val clean = qualified.filter(!evalPred)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-    val pairs = Dedup.jaccardPairs(
-      Dedup.shingles(clean, "text", "doc_id"), "doc_id",
-      dfCap = Some(cfg.jaccardDfCap))
-      .select(col("doc_a"), col("doc_b"))
-    val dupes = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .filter(col("node") =!= col("lab"))
-      .select(col("node").as("doc_id"))
-    val clustered = clean.join(dupes, Seq("doc_id"), "left_anti")
-    val gramDups = Curation.dupNgrams(clustered, "text", "doc_id", cfg.dupGramN)
-      .filter(col("n_dup_grams") * 100 >= col("n_grams") * cfg.dupSharePct)
-      .select(col("doc_id"))
-    val unique = clustered.join(gramDups, Seq("doc_id"), "left_anti")
+    lazy val clean = st {
+      val contaminated = Curation.contamination(qualified, "text", "doc_id", evalPred)
+        .filter(col("n_contaminated") * 100 >= col("n_shingles") * cfg.contaminationPct)
+        .select(col("doc_id"))
+      qualified.filter(!evalPred)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+    }
+    lazy val clustered = st {
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(clean, "text", "doc_id"), "doc_id",
+        dfCap = Some(cfg.jaccardDfCap))
+        .select(col("doc_a"), col("doc_b"))
+      val dupes = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("node") =!= col("lab"))
+        .select(col("node").as("doc_id"))
+      clean.join(dupes, Seq("doc_id"), "left_anti")
+    }
+    lazy val unique = {
+      val gramDups = Curation.dupNgrams(clustered, "text", "doc_id", cfg.dupGramN)
+        .filter(col("n_dup_grams") * 100 >= col("n_grams") * cfg.dupSharePct)
+        .select(col("doc_id"))
+      val u = clustered.join(gramDups, Seq("doc_id"), "left_anti")
+      // only multi-consumer when the DSIR stage follows
+      if (dsirTarget.isDefined) st(u) else u
+    }
 
     // 7. optional DSIR target selection
-    val selected = dsirTarget match {
+    lazy val selected = dsirTarget match {
       case Some(target) =>
         val keep = Curation.dsirWeights(unique, "text", "doc_id", target)
           .filter(col("weight_e6") > 0L).select(col("doc_id"))
@@ -160,13 +210,25 @@ object CurationPipeline {
     }
 
     // 8. stratified sample, 9. epoch shuffle, 10. pack in read order
-    val sampled = Curation.stratifiedSample(selected, "source", "doc_id", cfg.sampleDenom)
-      .select(col("doc_id"), col("source"), col("text"))
-    val shuffled = sampled.join(
-      Curation.epochShuffle(sampled.select(col("doc_id")), "doc_id", seed, nShards)
-        .select(col("doc_id"), col("shard"), col("pos")), Seq("doc_id"))
-    Curation.sequencePack(shuffled, "text", "doc_id", "shard", cfg.ctxLen,
-      orderCol = "pos")
+    lazy val packed = {
+      val sampled = st(Curation.stratifiedSample(selected, "source", "doc_id", cfg.sampleDenom)
+        .select(col("doc_id"), col("source"), col("text")))
+      val shuffled = sampled.join(
+        Curation.epochShuffle(sampled.select(col("doc_id")), "doc_id", seed, nShards)
+          .select(col("doc_id"), col("shard"), col("pos")), Seq("doc_id"))
+      Curation.sequencePack(shuffled, "text", "doc_id", "shard", cfg.ctxLen,
+        orderCol = "pos")
+    }
+
+    Seq(
+      "exact_dedup" -> (() => reps),
+      "line_dedup" -> (() => rewritten),
+      "quality_lm_gate" -> (() => qualified),
+      "decontaminate" -> (() => clean),
+      "neardup_cluster" -> (() => clustered),
+      "dupgram_filter" -> (() => unique),
+      "dsir_select" -> (() => selected),
+      "shuffle_pack" -> (() => packed))
   }
 
   /** The packed layout tagged with its leakage-aware split: the q99

@@ -21,6 +21,12 @@ import graft.streaming.StreamingIngestPipeline.IngestDoc
   * separately (plan + codec warmup) and excluded from p50/p95.
   *
   * Usage: runMain graft.StreamBench <dir> [batchSize] [maxDocs]
+  *
+  * Scale caveat: the rung corpus is collected DRIVER-side to feed the
+  * MemoryStream (MemoryStream is driver-fed by construction — fine
+  * for a measurement harness, never a production path), so the
+  * harness itself tops out at driver memory; cap the corpus with
+  * `maxDocs` on rungs whose documents table exceeds the driver heap.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {

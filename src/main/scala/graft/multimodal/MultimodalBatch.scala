@@ -15,9 +15,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * decodes real PNG/BMP/GIF/JPEG pixels, `WavCodec` real WAV/PCM
   * samples, and `AnimatedImageCodec` real multi-frame animated GIFs
   * (frame-indexed ImageReader) through the same batched path (all
-  * spec-pinned on in-test-synthesized media). Real video (H.264 etc.)
-  * stays stubbed — no JVM builtin; a JNI/javacpp binding slots into
-  * the same `Codec` trait.
+  * spec-pinned on in-test-synthesized media). For video, `Mp4Codec`
+  * parses the real MP4/ISO-BMFF container metadata (duration, track
+  * count, dimensions — pure public-spec byte math); video frame
+  * DECODE (H.264 etc.) stays stubbed — no JVM builtin; a JNI/javacpp
+  * binding slots into the same `Codec` trait.
   */
 object MultimodalBatch {
 
@@ -66,9 +68,11 @@ object MultimodalBatch {
   /** REAL still-image codec over the JVM's built-in `javax.imageio`
     * readers (PNG/BMP/GIF/JPEG — no external dependency): decodes
     * actual pixels, emits true width/height and the exact integer mean
-    * luminance (`sum((r+g+b)/3) * 1000 / (255 * pixels)`, one division
-    * — engine- and platform-exact since PNG/BMP decode is lossless and
-    * deterministic). `n_frames = 1`: stills. A payload no reader
+    * luminance (`sum(r+g+b) * 1000 / (3 * 255 * pixels)` — the raw
+    * channel sum accumulates and ONE division happens at the end, so
+    * no per-pixel truncation; engine- and platform-exact since PNG/BMP
+    * decode is lossless and deterministic). `n_frames = 1`: stills. A
+    * payload no reader
     * accepts falls back per-asset to [[FakeCodec]], so mixed batches
     * (real media next to opaque blobs) keep the pipeline total. */
   object ImageIoCodec extends Codec {
@@ -83,13 +87,16 @@ object MultimodalBatch {
       if (img == null) FakeCodec.decode(Seq(a)).head
       else {
         val (w, h) = (img.getWidth, img.getHeight)
+        // raw r+g+b sum, no per-pixel /3: max 765 per pixel keeps a
+        // Long exact past 10^16 pixels; the single division at the
+        // end makes the result the true integer mean luminance
         var lum = 0L
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val rgb = img.getRGB(x, y)
-            lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            lum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
             x += 1
           }
           y += 1
@@ -101,7 +108,7 @@ object MultimodalBatch {
           width = w,
           height = h,
           n_frames = 1,
-          brightness_milli = lum * 1000L / (255L * w * h))
+          brightness_milli = lum * 1000L / (3L * 255L * w * h))
       }
     }
   }
@@ -230,7 +237,9 @@ object MultimodalBatch {
                     var x = 0
                     while (x < w) {
                       val rgb = img.getRGB(x, y)
-                      lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                      // raw r+g+b sum like ImageIoCodec: the one
+                      // division at the end keeps the mean exact
+                      lum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
                       x += 1
                     }
                     y += 1
@@ -245,12 +254,99 @@ object MultimodalBatch {
                   width = w0,
                   height = h0,
                   n_frames = n,
-                  brightness_milli = if (px == 0) 0L else lum * 1000L / (255L * px)))
+                  brightness_milli = if (px == 0) 0L else lum * 1000L / (3L * 255L * px)))
               }
             } finally { reader.dispose(); iis.close() }
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       decoded.getOrElse(FakeCodec.decode(Seq(a)).head)
+    }
+  }
+
+  /** REAL video CONTAINER-METADATA codec: parses the MP4/ISO-BMFF box
+    * structure (ISO/IEC 14496-12 — `ftyp`/`moov`/`mvhd`/`trak`/`tkhd`,
+    * public spec, pure byte math) without decoding a single sample.
+    * This is the metadata half of the video story: frame DECODE
+    * (H.264 etc.) stays sanctioned-out (no JVM builtin — a JNI/javacpp
+    * binding slots into the same Codec trait), but duration, track
+    * count and visual dimensions are plain big-endian box fields and
+    * are parsed for real, the way GIF/WAV decode is.
+    *
+    * Envelope mapping (the shared [[AssetFeatures]] shape, like
+    * [[WavCodec]]'s): `width`/`height` = the first visual track's
+    * `tkhd` dimensions (16.16 fixed-point, integer part),
+    * `n_frames` = the TRACK count (no sample tables are walked),
+    * `brightness_milli` = the presentation duration in MILLISECONDS
+    * (`mvhd.duration * 1000 / mvhd.timescale`, one integer division).
+    * A payload without a well-formed `ftyp` + `moov`/`mvhd` — or any
+    * truncated/overflowing box — falls back per-asset to [[FakeCodec]],
+    * so mixed batches keep the pipeline total. */
+  object Mp4Codec extends Codec {
+    private def u32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    private def u64(b: Array[Byte], p: Int): Long =
+      (u32(b, p) << 32) | u32(b, p + 4)
+
+    /** Child boxes of `[from, to)` as (type, payloadStart, payloadEnd).
+      * Handles the three size forms (32-bit, 64-bit `size==1`,
+      * to-end-of-enclosure `size==0`); any bound violation throws and
+      * the per-asset NonFatal guard turns it into a fallback. */
+    private def boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var p = from
+      while (p + 8 <= to) {
+        val size32 = u32(b, p)
+        val tpe = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val (hdr, size) =
+          if (size32 == 1L) { require(p + 16 <= to, "truncated largesize"); (16, u64(b, p + 8)) }
+          else if (size32 == 0L) (8, (to - p).toLong)
+          else (8, size32)
+        require(size >= hdr && p + size <= to, s"box $tpe overflows its enclosure")
+        out += ((tpe, p + hdr, (p + size).toInt))
+        p = (p + size).toInt
+      }
+      out.result()
+    }
+
+    def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      val parsed =
+        try {
+          val b = a.payload
+          val tops = boxes(b, 0, b.length)
+          if (!tops.exists(_._1 == "ftyp")) None
+          else tops.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+            val kids = boxes(b, ms, me)
+            kids.find(_._1 == "mvhd").flatMap { case (_, ps, _) =>
+              val v = b(ps) & 0xff
+              val (timescale, duration) =
+                if (v == 1) (u32(b, ps + 20), u64(b, ps + 24))
+                else (u32(b, ps + 12), u32(b, ps + 16))
+              if (timescale == 0L) None
+              else {
+                // first VISUAL track: tkhd width/height are zero for
+                // audio/hint tracks by spec, nonzero 16.16 for video
+                val dims = kids.filter(_._1 == "trak").iterator
+                  .flatMap { case (_, ts, te) => boxes(b, ts, te).find(_._1 == "tkhd") }
+                  .map { case (_, ks, _) =>
+                    val off = if ((b(ks) & 0xff) == 1) 88 else 76
+                    ((u32(b, ks + off) >> 16).toInt, (u32(b, ks + off + 4) >> 16).toInt)
+                  }
+                  .find { case (w, h) => w > 0 && h > 0 }
+                val nTracks = kids.count(_._1 == "trak")
+                Some(AssetFeatures(
+                  asset_id = a.asset_id,
+                  media_type = a.media_type,
+                  byte_len = b.length.toLong,
+                  width = dims.map(_._1).getOrElse(0),
+                  height = dims.map(_._2).getOrElse(0),
+                  n_frames = nTracks,
+                  brightness_milli = duration * 1000L / timescale))
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed.getOrElse(FakeCodec.decode(Seq(a)).head)
     }
   }
 

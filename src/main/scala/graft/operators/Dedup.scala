@@ -509,7 +509,28 @@ object Dedup {
   }
 
   val MinhashK = 8
-  val MinhashBands = 4 // 2 rows per band
+
+  /** Compile-time default for [[MinhashBands]]. */
+  val MinhashBandsDefault = 4 // 2 rows per band
+
+  /** Spark conf key overriding the MinHash band count (q180 measures
+    * the geometry's recall/precision curve; this applies its verdict
+    * without a recompile). Must divide [[MinhashK]]. */
+  val MinhashBandsConf = "spark.graft.minhashBands"
+
+  /** Session-conf-tunable sketch geometry: read from the active (or
+    * default) session so an operator and the oracle SQL built in the
+    * same session always agree; compile-time default when no session
+    * is up (e.g. doc tooling). Read ONCE per operator call — call
+    * sites capture the value locally so one plan never mixes two
+    * geometries mid-build. */
+  private def intConf(key: String, default: Int): Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(key)).map(_.toInt).getOrElse(default)
+
+  /** MinHash band count (bands x K/bands rows; conf-tunable). */
+  def MinhashBands: Int = intConf(MinhashBandsConf, MinhashBandsDefault)
 
   /** K min-hash values per doc: ONE string fold per shingle, K affine
     * family members derived arithmetically. */
@@ -521,8 +542,12 @@ object Dedup {
   }
 
   /** (id, band_id, band_val) — banded LSH signature rows. */
-  def minhashBands(sig: DataFrame, idCol: String): DataFrame =
-    minhashBandsConfig(sig, idCol, MinhashBands, MinhashK / MinhashBands)
+  def minhashBands(sig: DataFrame, idCol: String): DataFrame = {
+    val nBands = MinhashBands
+    require(MinhashK % nBands == 0,
+      s"$MinhashBandsConf=$nBands must divide K=$MinhashK")
+    minhashBandsConfig(sig, idCol, nBands, MinhashK / nBands)
+  }
 
   /** `minhashBands` at an explicit (bands × rows-per-band) geometry
     * over the same K-value signature — the knob the q180 sweep turns:
@@ -551,22 +576,49 @@ object Dedup {
       .agg(countDistinct(col("band_id")).as("n_bands"))
   }
 
-  val SimhashBits = 24
-  val SimhashBandCount = 3 // 8-bit bands
+  /** Compile-time defaults for [[SimhashBits]]/[[SimhashBandCount]]. */
+  val SimhashBitsDefault = 24
+  val SimhashBandsDefault = 3 // 8-bit bands
+
+  /** Spark conf keys overriding the SimHash geometry (q251 measures
+    * the radius operating curve of exactly these knobs; the confs
+    * apply its verdict without a recompile). Bands must divide bits;
+    * bits must stay within the portable hash's 30-bit range. */
+  val SimhashBitsConf = "spark.graft.simhashBits"
+  val SimhashBandsConf = "spark.graft.simhashBands"
+
+  /** SimHash width in bits (conf-tunable, default 24). */
+  def SimhashBits: Int = intConf(SimhashBitsConf, SimhashBitsDefault)
+
+  /** SimHash band count (conf-tunable, default 3). By pigeonhole,
+    * B contiguous bands guarantee full recall at hamming <= B-1. */
+  def SimhashBandCount: Int = intConf(SimhashBandsConf, SimhashBandsDefault)
+
+  /** Band width in bits for the current geometry; bands must tile the
+    * sketch exactly or two values differing only inside the dropped
+    * remainder bits would silently always collide. */
+  private def simhashBandWidth(bits: Int, nBands: Int): Int = {
+    require(nBands >= 1 && bits % nBands == 0,
+      s"$SimhashBandsConf=$nBands must divide $SimhashBitsConf=$bits")
+    bits / nBands
+  }
 
   /** 24-bit SimHash per doc: one portable hash per distinct token, bit
     * votes from the hash's binary digits. 24 bits keeps random-pair
     * hamming collisions (<=3) around 1e-4 while staying inside the
     * portable hash's 30-bit range. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nBits = SimhashBits
+    require(nBits >= 1 && nBits <= 30,
+      s"$SimhashBitsConf=$nBits outside the portable hash's 30-bit range")
     val toks = df
       .select(col(idCol), explode(tokens(fold(col(textCol)))).as("tok"))
       .distinct()
       .withColumn("h", Hashing.polyHash(col("tok")))
-    val votes = (0 until SimhashBits).map(j =>
+    val votes = (0 until nBits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
     val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val bits = (0 until SimhashBits).map(j =>
+    val bits = (0 until nBits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
     agg.select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
@@ -581,11 +633,14 @@ object Dedup {
     * count and min doc id, so cluster membership stays linear — the
     * dictionary-encode-before-quadratic-work rule that holds at 100 TB. */
   def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val (nBits, nBands) = (SimhashBits, SimhashBandCount)
+    val width = simhashBandWidth(nBits, nBands)
     val values = sims.groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
-    val bandStructs = (0 until SimhashBandCount).map(b =>
+    val bandStructs = (0 until nBands).map(b =>
       struct(lit(b).as("band_id"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_val")))
+        shiftright(col("simhash"), width * b)
+          .bitwiseAND(lit((1L << width) - 1)).as("band_val")))
     val banded = stage(values.select(col("simhash"), col("n_docs"), col("min_doc"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("simhash"), col("n_docs"), col("min_doc"), col("band.band_id"), col("band.band_val")))
@@ -627,14 +682,15 @@ object Dedup {
     * quantifies what banding trades away against it). */
   def simhashRadiusCurve(sims: DataFrame, idCol: String,
       maxRadius: Int = 3): DataFrame = {
-    require(maxRadius >= 1 && maxRadius < SimhashBits,
+    val nBits = SimhashBits
+    require(maxRadius >= 1 && maxRadius < nBits,
       s"bad radius $maxRadius")
     val s = sims.sparkSession
     val values = stage(sims.groupBy(col("simhash")).agg(count(lit(1)).as("n_docs")))
     // the bounded mask model: every bit pattern with 1..maxRadius set
     // bits over the simhash width (2,324 rows at 24/3)
     val masks = (1 to maxRadius).flatMap { r =>
-      (0 until SimhashBits).combinations(r)
+      (0 until nBits).combinations(r)
         .map(c => (c.map(1L << _).sum, r.toLong))
     }
     import s.implicits._
@@ -646,16 +702,19 @@ object Dedup {
       .join(values.select(col("simhash").as("nb")), Seq("nb"))
       .filter(col("simhash") < col("nb"))
       .select(col("r"))
-    val cands = simhashPairs(sims, idCol, maxHamming = SimhashBits)
+    val cands = simhashPairs(sims, idCol, maxHamming = nBits)
       .select(col("hamming"))
+    // coalesce: sum(when(...)) over an EMPTY truth/candidate set is
+    // NULL where the oracle's COUNT(*) subqueries read 0 — a
+    // degenerate corpus (no pairs at all) must agree with the oracle
     val t = truth.agg(
-      sum(when(col("r") <= 1, 1L).otherwise(0L)).as("t1"),
+      coalesce(sum(when(col("r") <= 1, 1L).otherwise(0L)), lit(0L)).as("t1"),
       (2 to maxRadius).map(R =>
-        sum(when(col("r") <= R, 1L).otherwise(0L)).as(s"t$R")): _*)
+        coalesce(sum(when(col("r") <= R, 1L).otherwise(0L)), lit(0L)).as(s"t$R")): _*)
     val f = cands.agg(
       count(lit(1)).as("n_candidates"),
       (1 to maxRadius).map(R =>
-        sum(when(col("hamming") <= R, 1L).otherwise(0L)).as(s"f$R")): _*)
+        coalesce(sum(when(col("hamming") <= R, 1L).otherwise(0L)), lit(0L)).as(s"f$R")): _*)
     val nv = values.agg(count(lit(1)).as("n_values"))
     val stacked = (1 to maxRadius)
       .map(R => s"CAST($R AS BIGINT), t$R, f$R").mkString(", ")

@@ -197,8 +197,15 @@ object CorpusOpsQueries {
     val mins = (0 until Dedup.MinhashK)
       .map(k => s"MIN(${Hashing.affineSql("h_base", k)}) AS h$k")
       .mkString(",\n    ")
-    val bandSelects = (0 until Dedup.MinhashBands)
-      .map(b => s"SELECT doc_id, $b AS band_id, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS band_val FROM sigs")
+    val nBands = Dedup.MinhashBands
+    val rows = Dedup.MinhashK / nBands
+    val bandSelects = (0 until nBands)
+      .map { b =>
+        val vals = (0 until rows)
+          .map(r => s"CAST(h${b * rows + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band_id, $vals AS band_val FROM sigs"
+      }
       .mkString("\n  UNION ALL ")
     s"""WITH ${DedupQueries.RepsCte},
        |${DedupQueries.ShinglesCte},

@@ -89,8 +89,17 @@ object DedupQueries {
     val mins = (0 until Dedup.MinhashK)
       .map(k => s"MIN(${Hashing.affineSql("h_base", k)}) AS h$k")
       .mkString(",\n    ")
-    val bandSelects = (0 until Dedup.MinhashBands)
-      .map(b => s"SELECT doc_id, $b AS band_id, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS band_val FROM sigs")
+    // geometry from the same conf-backed vals the operator reads, so
+    // engine and oracle stay pinned to one (bands x rows) shape
+    val nBands = Dedup.MinhashBands
+    val rows = Dedup.MinhashK / nBands
+    val bandSelects = (0 until nBands)
+      .map { b =>
+        val vals = (0 until rows)
+          .map(r => s"CAST(h${b * rows + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band_id, $vals AS band_val FROM sigs"
+      }
       .mkString("\n  UNION ALL ")
     s"""WITH $RepsCte,
        |$ShinglesCte,
@@ -123,8 +132,9 @@ object DedupQueries {
     val bits = (0 until Dedup.SimhashBits)
       .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
+    val width = Dedup.SimhashBits / Dedup.SimhashBandCount
     val bandSelects = (0 until Dedup.SimhashBandCount)
-      .map(b => s"SELECT simhash, n_docs, min_doc, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_val FROM vals")
+      .map(b => s"SELECT simhash, n_docs, min_doc, $b AS band_id, (simhash >> ${width * b}) & ${(1L << width) - 1} AS band_val FROM vals")
       .mkString("\n  UNION ALL ")
     s"""WITH $RepsCte,
        |stok AS (SELECT DISTINCT doc_id, tok FROM
@@ -513,8 +523,9 @@ object DedupQueries {
     val bits = (0 until Dedup.SimhashBits)
       .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
+    val width = Dedup.SimhashBits / Dedup.SimhashBandCount
     val bandSelects = (0 until Dedup.SimhashBandCount)
-      .map(b => s"SELECT simhash, $b AS band_id, (simhash >> ${8 * b}) & 255 AS band_val FROM vals")
+      .map(b => s"SELECT simhash, $b AS band_id, (simhash >> ${width * b}) & ${(1L << width) - 1} AS band_val FROM vals")
       .mkString("\n  UNION ALL ")
     val radii = (1 to SimhashSweepRadius).map(r => s"($r)").mkString(", ")
     s"""WITH $RepsCte,

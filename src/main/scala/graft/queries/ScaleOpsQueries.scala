@@ -392,7 +392,7 @@ object ScaleOpsQueries {
     * Scale shape: the whole sweep costs ONE corpus pass — tokens
     * aggregate once, every (arm, depth) cell assignment rides one
     * explode of a 12-struct literal array, counters collapse to
-    * Σ width*depth <= 1,568 rows and broadcast back; the per-arm
+    * Σ width*depth = 1,584 rows and broadcast back; the per-arm
     * rollups are conditional aggregations over the estimate table.
     * Nothing rescans the corpus per arm. */
   def cmsCurve(s: SparkSession, dir: String): DataFrame = {

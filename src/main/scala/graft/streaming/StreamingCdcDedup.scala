@@ -78,7 +78,7 @@ class StreamingCdcDedup(val chunkDir: String) {
         expr("dup_chars_at_ingest * 1000000 div n_chars"))
       .localCheckpoint()
     newChunks.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(chunkDir, batchId))
+      .parquet(StreamingState.writeDir(chunkDir, batchId))
     verdicts
   }
 
@@ -103,7 +103,7 @@ class StreamingCdcDedup(val chunkDir: String) {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, textCol, idCol, epochId)
           .write.mode("overwrite")
-          .parquet(StreamingState.batchDir(verdictDir, epochId))
+          .parquet(StreamingState.writeDir(verdictDir, epochId))
         ()
       }
       .start()

@@ -64,7 +64,7 @@ class StreamingCmsCounter(val sketchDir: String) {
       .select(col("d").cast("int").as("d"), col("cell"), col("cnt"))
       .localCheckpoint()
     batchCells.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(sketchDir, batchId))
+      .parquet(StreamingState.writeDir(sketchDir, batchId))
     batchCells
   }
 

@@ -82,7 +82,7 @@ class StreamingContamGuard(val benchDir: String) {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         verdicts(batch, textCol, idCol)
           .write.mode("overwrite")
-          .parquet(StreamingState.batchDir(verdictDir, epochId))
+          .parquet(StreamingState.writeDir(verdictDir, epochId))
         ()
       }
       .start()

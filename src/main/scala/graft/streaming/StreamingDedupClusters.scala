@@ -85,7 +85,7 @@ class StreamingDedupClusters(val indexDir: String, val clustersDir: String) {
         .distinct()
         .join(assign, Seq("node"), "left_anti")
         .localCheckpoint()
-      val deltaDir = StreamingState.batchDir(clustersDir, batchSeq)
+      val deltaDir = StreamingState.writeDir(clustersDir, batchSeq)
       if (!edges.isEmpty) {
         val comp = Dedup.connectedComponents(edges, "a", "b")
           .localCheckpoint() // (node = old label or new node, lab = root)
@@ -121,7 +121,7 @@ class StreamingDedupClusters(val indexDir: String, val clustersDir: String) {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, textCol, idCol, batchId)
           .write.mode("overwrite")
-          .parquet(StreamingState.batchDir(verdictDir, batchId))
+          .parquet(StreamingState.writeDir(verdictDir, batchId))
         ()
       }
       .start()

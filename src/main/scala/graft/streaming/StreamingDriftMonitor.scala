@@ -62,7 +62,7 @@ class StreamingDriftMonitor(val histDir: String) {
       .groupBy(col("source"), col("bin")).agg(sum(col("c_sb")).as("c_sb"))
     val verdict = CorpusAuditQueries.driftFromBins(folded).localCheckpoint()
     batchBins.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(histDir, batchId))
+      .parquet(StreamingState.writeDir(histDir, batchId))
     verdict
   }
 
@@ -84,7 +84,7 @@ class StreamingDriftMonitor(val histDir: String) {
         processBatch(batch, textCol, sourceCol, batchId)
           .withColumn("batch_seq", lit(batchId))
           .write.mode("overwrite")
-          .parquet(StreamingState.batchDir(verdictDir, batchId))
+          .parquet(StreamingState.writeDir(verdictDir, batchId))
         ()
       }
       .start()

@@ -105,7 +105,7 @@ class StreamingIngestPipeline(
     val df = s.createDataFrame(
       s.sparkContext.parallelize(rows, 1), schema)
     df.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(dir, batchId))
+      .parquet(StreamingState.writeDir(dir, batchId))
     StreamingState.pruneBefore(dir, batchId, DimSnapshotsKept)
   }
 
@@ -218,7 +218,7 @@ class StreamingIngestPipeline(
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[IngestDoc], epochId: Long) =>
         processBatch(batch, epochId).write.mode("overwrite")
-          .parquet(StreamingState.batchDir(outDir, epochId))
+          .parquet(StreamingState.writeDir(outDir, epochId))
         ()
       }
       .start()

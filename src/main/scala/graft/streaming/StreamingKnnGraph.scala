@@ -104,9 +104,9 @@ class StreamingKnnGraph(val stateDir: String) {
       .union(scored.select(col("vec_id_b").as("src"), col("vec_id_a").as("dst"), col("cos_e6")))
       .localCheckpoint()
     newBands.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(bandsDir, batchId))
+      .parquet(StreamingState.writeDir(bandsDir, batchId))
     newVecs.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(vecsDir, batchId))
+      .parquet(StreamingState.writeDir(vecsDir, batchId))
     edges
   }
 
@@ -134,7 +134,7 @@ class StreamingKnnGraph(val stateDir: String) {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, epochId).write.mode("overwrite")
-          .parquet(StreamingState.batchDir(edgeLogDir, epochId))
+          .parquet(StreamingState.writeDir(edgeLogDir, epochId))
         ()
       }
       .start()

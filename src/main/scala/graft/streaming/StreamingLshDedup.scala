@@ -80,7 +80,7 @@ class StreamingLshDedup(val indexDir: String) {
       .agg(count_distinct(col("band_id")).as("n_bands"))
       .localCheckpoint()
     newBands.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(indexDir, batchId))
+      .parquet(StreamingState.writeDir(indexDir, batchId))
     verdicts
   }
 
@@ -100,7 +100,7 @@ class StreamingLshDedup(val indexDir: String) {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, textCol, idCol, epochId)
           .write.mode("overwrite")
-          .parquet(StreamingState.batchDir(verdictDir, epochId))
+          .parquet(StreamingState.writeDir(verdictDir, epochId))
         ()
       }
       .start()

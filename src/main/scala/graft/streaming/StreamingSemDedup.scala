@@ -103,7 +103,7 @@ class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
         coalesce(col("near_delta"), lit(0L)).as("near_delta"), col("max_cos_e6"))
     val deltas = baseline.unionByName(domOld).localCheckpoint()
     newMem.write.mode("overwrite")
-      .parquet(StreamingState.batchDir(memberDir, batchId))
+      .parquet(StreamingState.writeDir(memberDir, batchId))
     deltas
   }
 
@@ -134,7 +134,7 @@ class StreamingSemDedup(val memberDir: String, val tauE6: Long) {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, cents, epochId).write.mode("overwrite")
-          .parquet(StreamingState.batchDir(deltaDir, epochId))
+          .parquet(StreamingState.writeDir(deltaDir, epochId))
         ()
       }
       .start()

@@ -34,7 +34,56 @@ object StreamingState {
 
   private val BatchRe = "^batch=(\\d+)$".r
 
+  /** On-disk layout version this build reads and writes. Bump when the
+    * batch=<id> layout or the state parquet schemas change shape. */
+  val FormatVersion = 1
+
+  /** Marker file stamped at the root on first write (underscore
+    * prefix: Spark's parquet reader ignores `_`-files, so a plain
+    * `spark.read.parquet(root)` over the partition dirs still works). */
+  val FormatFile = "_graft_format"
+
   def batchDir(root: String, batchId: Long): String = s"$root/batch=$batchId"
+
+  /** The batch directory to WRITE batch `batchId` into: validates the
+    * root's format marker (loud error on a version this build does not
+    * know — a future layout change must fail here, not misread or
+    * schema-clash deep inside a query) and stamps `FormatFile` at root
+    * creation. Every state writer goes through this; readers validate
+    * via [[batchIds]]. A marker-less root holding batch dirs is the
+    * pre-marker v1 layout and stays readable. */
+  def writeDir(root: String, batchId: Long): String = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hadoopConf)
+    checkFormat(fs, rootPath)
+    val marker = new Path(rootPath, FormatFile)
+    if (!fs.exists(marker)) {
+      fs.mkdirs(rootPath)
+      // two racing first writers both stamp version 1: same bytes,
+      // overwrite=true makes the race benign
+      val out = fs.create(marker, true)
+      try out.write(s"$FormatVersion\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    batchDir(root, batchId)
+  }
+
+  /** Loud unknown-version guard: an engine upgrade that changes the
+    * state layout must be DETECTED at a long-lived root, never
+    * misread (the legacy-flat-layout guard's forward-looking twin). */
+  private def checkFormat(fs: FileSystem, rootPath: Path): Unit = {
+    val marker = new Path(rootPath, FormatFile)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val raw =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (raw.toIntOption != Some(FormatVersion)) throw new IllegalStateException(
+        s"state root $rootPath declares format '$raw' but this build reads/writes " +
+          s"format $FormatVersion: refusing to touch state written by a different " +
+          "engine version. Migrate the root (or point at a fresh one).")
+    }
+  }
 
   // getActiveSession is thread-local: a listener / cleanup / non-Spark
   // thread would miss it and fall to a bare Configuration without the
@@ -56,6 +105,7 @@ object StreamingState {
     val fs = rootPath.getFileSystem(hadoopConf)
     if (!fs.exists(rootPath) || !fs.getFileStatus(rootPath).isDirectory) Seq.empty
     else {
+      checkFormat(fs, rootPath)
       val entries = fs.listStatus(rootPath).toSeq
       val legacy = entries.filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
       if (legacy.nonEmpty) throw new IllegalStateException(

@@ -446,4 +446,68 @@ class DedupSpec extends SparkSpec {
     val recalls = rows.map(_.getAs[Long]("recall_e6")).toSeq
     assert(recalls === recalls.sorted.reverse)
   }
+
+  test("sketch geometry confs: 4 simhash bands give full recall at r <= 3 (pigeonhole)") {
+    // q251 measures the radius curve so an operator can TUNE the band
+    // count; the conf applies that verdict without a recompile. At 4
+    // bands of 6 bits, any pair with hamming < 4 shares a band, so
+    // every r <= 3 arm must read recall 1.0 — the anchor the default
+    // 3-band geometry only guarantees through r = 2.
+    val docs = Tables.documents(spark, sfDir)
+    val reps = Dedup.exact(docs, "text", "doc_id")
+    try {
+      spark.conf.set(Dedup.SimhashBandsConf, "4")
+      assert(Dedup.SimhashBandCount === 4)
+      val rows = Dedup.simhashRadiusCurve(
+        Dedup.simhash(reps, "text", "doc_id"), "doc_id", maxRadius = 3)
+        .collect().sortBy(_.getAs[Long]("radius"))
+      assert(rows.map(_.getAs[Long]("radius")).toSeq === Seq(1L, 2L, 3L))
+      // non-vacuous: the corpus must hold true pairs somewhere in the
+      // swept radii or full recall asserts nothing
+      assert(rows.exists(_.getAs[Long]("n_true") > 0L), "vacuous corpus")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("recall_e6") === 1000000L,
+          s"4-band pigeonhole broken at radius ${r.getAs[Long]("radius")}")
+      }
+      // independent check of the 6-bit banding itself: driver-side
+      // re-banding of the value dictionary agrees with the engine's
+      // candidate volume
+      val values = Dedup.simhash(reps, "text", "doc_id")
+        .select(col("simhash")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      def bandVals(v: Long) = (0 until 4).map(b => (b, (v >> (6 * b)) & 63L))
+      val nCands = (for {
+        i <- values.indices
+        j <- (i + 1) until values.length
+        if bandVals(values(i)).zip(bandVals(values(j))).exists { case (a, b) => a == b }
+      } yield 1).size.toLong
+      assert(rows.head.getAs[Long]("n_candidates") === nCands)
+    } finally spark.conf.unset(Dedup.SimhashBandsConf)
+    // back at the default geometry after unset
+    assert(Dedup.SimhashBandCount === Dedup.SimhashBandsDefault)
+
+    // a geometry that does not tile the sketch is rejected loudly, not
+    // silently truncated (dropped remainder bits would always collide)
+    try {
+      spark.conf.set(Dedup.SimhashBandsConf, "5")
+      intercept[IllegalArgumentException] {
+        Dedup.simhashPairs(Dedup.simhash(reps, "text", "doc_id"), "doc_id")
+      }
+    } finally spark.conf.unset(Dedup.SimhashBandsConf)
+
+    // the minhash band conf reshapes the signature the same way:
+    // 2 bands x 4 rows has strictly fewer-or-equal collisions than
+    // the default 4 x 2 on the same signatures (rows-per-band is the
+    // precision knob)
+    val sh = Dedup.shingles(reps, "text", "doc_id")
+    val sig = Dedup.minhashSignatures(sh, "doc_id")
+    val defaultCands = Dedup.minhashCandidates(sig, "doc_id").count()
+    try {
+      spark.conf.set(Dedup.MinhashBandsConf, "2")
+      assert(Dedup.MinhashBands === 2)
+      val strictCands = Dedup.minhashCandidates(sig, "doc_id").count()
+      assert(strictCands <= defaultCands,
+        s"2x4 banding must not out-recall 4x2 ($strictCands > $defaultCands)")
+    } finally spark.conf.unset(Dedup.MinhashBandsConf)
+  }
 }

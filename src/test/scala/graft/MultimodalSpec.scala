@@ -233,6 +233,85 @@ class MultimodalSpec extends SparkSpec {
     assert(blob === stub)
   }
 
+  test("Mp4Codec parses real ISO-BMFF container metadata through the batched decode path") {
+    import spark.implicits._
+    import MultimodalBatch.{Asset, Mp4Codec}
+    // synthesize a minimal spec-true MP4 in-test: ftyp + moov(mvhd +
+    // video trak + audio trak) + an mdat in the 64-bit `size==1` form
+    // (public ISO/IEC 14496-12 layouts, byte-exact)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    def box64(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16 + payload.length)
+      b.putInt(1).put(tpe.getBytes("ISO-8859-1"))
+        .putLong(16L + payload.length).put(payload)
+      b.array()
+    }
+    // mvhd v0: timescale 600 ticks/s, duration 7200 ticks -> 12000 ms
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100) // spec size of mvhd v0
+      p.putInt(0).putInt(0).putInt(0).putInt(600).putInt(7200)
+      box("mvhd", p.array())
+    }
+    // tkhd v0: width/height are 16.16 fixed at payload offsets 76/80
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(84)
+      p.position(76)
+      p.putInt(w << 16).putInt(h << 16)
+      box("tkhd", p.array())
+    }
+    val videoTrak = box("trak", tkhd(320, 240))
+    val audioTrak = box("trak", tkhd(0, 0)) // audio: zero dims by spec
+    val moov = box("moov", mvhd ++ videoTrak ++ audioTrak)
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ Array[Byte](0, 0, 0, 1) ++ "isom".getBytes)
+    val mdat = box64("mdat", Array.fill[Byte](32)(7))
+    val mp4 = ftyp ++ mdat ++ moov
+
+    val assets = Seq(
+      Asset(1L, "media/mp4", mp4),
+      Asset(2L, "media/blob", "definitely not video".getBytes("UTF-8"))).toDS()
+    val feats = MultimodalBatch.decodeFeatures(assets, Mp4Codec)
+      .collect().map(f => f.asset_id -> f).toMap
+    val real = feats(1L)
+    assert(real.width === 320)  // first VISUAL track's dims
+    assert(real.height === 240)
+    assert(real.n_frames === 2) // TRACK count rides n_frames
+    assert(real.byte_len === mp4.length.toLong)
+    assert(real.brightness_milli === 12000L) // duration ms, one division
+    // version-1 boxes take the 64-bit offsets: same numbers
+    val mvhd1 = {
+      val p = java.nio.ByteBuffer.allocate(112) // spec size of mvhd v1
+      p.put(1.toByte).position(20)
+      p.putInt(600).putLong(7200L)
+      box("mvhd", p.array())
+    }
+    def tkhd1(w: Int, h: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(96)
+      p.put(1.toByte).position(88)
+      p.putInt(w << 16).putInt(h << 16)
+      box("tkhd", p.array())
+    }
+    val mp4v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1(320, 240)))
+    val v1 = Mp4Codec.decode(Seq(Asset(3L, "media/mp4", mp4v1))).head
+    assert((v1.width, v1.height, v1.n_frames, v1.brightness_milli) ===
+      ((320, 240, 1, 12000L)))
+    // a payload without ftyp/moov falls back per-asset (a real GIF is
+    // valid media but NOT a BMFF container — it must not misparse)
+    val blob = feats(2L)
+    val stub = MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(2L, "media/blob", "definitely not video".getBytes("UTF-8")))).head
+    assert(blob === stub)
+    // a truncated container (moov cut mid-box) falls back, never throws
+    val torn = mp4.take(mp4.length - 40)
+    val tornOut = Mp4Codec.decode(Seq(Asset(4L, "media/mp4", torn))).head
+    assert(tornOut === MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(4L, "media/mp4", torn))).head)
+  }
+
   test("AnimatedImageCodec decodes a real multi-frame GIF through the batched decode path") {
     import spark.implicits._
     import MultimodalBatch.{Asset, AnimatedImageCodec}

@@ -19,7 +19,9 @@ import graft.streaming.StreamingState
   *    counted as committed, and replaying the same epochId lands the
   *    correct state;
   *  - a legacy flat layout (stray `*.parquet` directly under the
-  *    root) fails LOUDLY instead of being treated as empty history.
+  *    root) fails LOUDLY instead of being treated as empty history;
+  *  - the `_graft_format` version marker is stamped at root creation
+  *    and an unknown version fails LOUDLY on both read and write.
   */
 class StreamingStateSpec extends SparkSpec {
 
@@ -88,6 +90,50 @@ class StreamingStateSpec extends SparkSpec {
     // ids 0,1 dropped (older than the 2 most recent <= 3); 2,3,4 stay
     assert(StreamingState.batchIds(plain) === Seq(2L, 3L, 4L))
     assert(!new java.io.File(s"$plain/batch=0").exists())
+  }
+
+  test("format marker: stamped at root creation, loud fail on an unknown version") {
+    import spark.implicits._
+    // writeDir on a fresh root stamps format=1 and returns the batch dir
+    val root = Files.createTempDirectory("ss_format").toString
+    Seq(1L, 2L).toDF("v").write.mode("overwrite")
+      .parquet(StreamingState.writeDir(root, 0L))
+    val marker = new java.io.File(root, StreamingState.FormatFile)
+    assert(marker.isFile, "writeDir must stamp the marker at root creation")
+    assert(new String(Files.readAllBytes(marker.toPath)).trim ===
+      StreamingState.FormatVersion.toString)
+    assert(StreamingState.batchIds(root) === Seq(0L))
+    // the underscore-prefixed marker is invisible to the parquet reader
+    assert(spark.read.parquet(root).agg(sum(col("v"))).first().getLong(0) === 3L)
+    // a second write re-validates without re-stamping and still lands
+    Seq(9L).toDF("v").write.mode("overwrite")
+      .parquet(StreamingState.writeDir(root, 1L))
+    assert(StreamingState.batchIds(root) === Seq(0L, 1L))
+
+    // a FUTURE layout version must fail LOUDLY on both read and write —
+    // an engine upgrade that changes the state shape is detected here,
+    // never misread deep inside a query
+    val future = Files.createTempDirectory("ss_format2").toString
+    Seq(1L).toDF("v").write.mode("overwrite")
+      .parquet(StreamingState.batchDir(future, 0L))
+    Files.write(new java.io.File(future, StreamingState.FormatFile).toPath,
+      "2\n".getBytes("UTF-8"))
+    val exRead = intercept[IllegalStateException] { StreamingState.batchIds(future) }
+    assert(exRead.getMessage.contains("format '2'"), exRead.getMessage)
+    val exWrite = intercept[IllegalStateException] { StreamingState.writeDir(future, 1L) }
+    assert(exWrite.getMessage.contains("format '2'"), exWrite.getMessage)
+    // a corrupt marker is just as loud — never parsed as "probably v1"
+    Files.write(new java.io.File(future, StreamingState.FormatFile).toPath,
+      "banana".getBytes("UTF-8"))
+    intercept[IllegalStateException] { StreamingState.batchIds(future) }
+
+    // a marker-LESS root holding batch dirs is the pre-marker v1
+    // layout and stays readable (the other tests fabricate these; pin
+    // the contract explicitly)
+    val legacy = Files.createTempDirectory("ss_format_v0").toString
+    Seq(5L).toDF("v").write.mode("overwrite")
+      .parquet(StreamingState.batchDir(legacy, 0L))
+    assert(StreamingState.batchIds(legacy) === Seq(0L))
   }
 
   test("state layer and footprint probe resolve a NON-default scheme (testfs:)") {
