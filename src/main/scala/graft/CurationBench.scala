@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *    switch for the multi-consumer staging verdict)
   *  - SPARK_GRAFT_STAGING_DIR -> spark.graft.stagingDir (parquet
   *    staging instead of localCheckpoint)
+  *  - SPARK_GRAFT_CUR_TAIL_MILLI -> the LM-surprisal cut (milli-bits/
+  *    token; corpus-relative — see the site comment)
+  *  - SPARK_GRAFT_CUR_COUNTS=1 -> also report per-stage survivor
+  *    counts (stages mode; counted after timing, over the staged
+  *    frames)
   *
   * The corpus recipe matches the CurationPipelineSpec end-to-end test
   * shape at scale: eval set = every 97th doc, line segmentation =
@@ -64,29 +69,45 @@ object CurationBench {
       """transform(sequence(0, (size(split(text, ' +')) - 1) div 12),
         |  i -> array_join(slice(split(text, ' +'), i * 12 + 1, 12), ' '))""".stripMargin)
     val dsirTarget = Some(col("doc_id") % 11 === 3)
+    // LM-tail threshold is CORPUS-RELATIVE (a 100 TB run tunes it to
+    // cut the worst few percent): the pipeline default (5200, sized to
+    // the template gate corpora at ~3-4k milli-bits/token) sits BELOW
+    // the zipf rungs' ~10.5 bits/token mean and would cut everything,
+    // so scale runs pass the rung's own tail here
+    val tailMilli = sys.env.get("SPARK_GRAFT_CUR_TAIL_MILLI")
+      .map(_.toLong).getOrElse(5200L)
 
     val t0 = System.nanoTime()
+    val stages = CurationPipeline.curateExtendedStages(docs, evalPred, segs,
+      dsirTarget, surprisalTailMilli = tailMilli)
     val stageTimes: Seq[(String, Double)] = mode match {
       case "fused" =>
-        val out = CurationPipeline.curateExtended(docs, evalPred, segs, dsirTarget)
-        out.write.format("noop").mode("overwrite").save()
+        stages.last._2().write.format("noop").mode("overwrite").save()
         Seq("fused_total" -> (System.nanoTime() - t0) / 1e9)
       case _ =>
-        CurationPipeline.curateExtendedStages(docs, evalPred, segs, dsirTarget)
-          .map { case (name, thunk) =>
-            val ts = System.nanoTime()
-            thunk().write.format("noop").mode("overwrite").save()
-            val t = (System.nanoTime() - ts) / 1e9
-            System.err.println(f"[curationbench] $name: $t%.2f s")
-            name -> t
-          }
+        stages.map { case (name, thunk) =>
+          val ts = System.nanoTime()
+          thunk().write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - ts) / 1e9
+          System.err.println(f"[curationbench] $name: $t%.2f s")
+          name -> t
+        }
     }
     val totalS = (System.nanoTime() - t0) / 1e9
+    // survivor counts OUTSIDE the timed section (stages mode only:
+    // each staged frame is already materialized, so the recount rides
+    // the checkpoints) — the context that says which stages did work
+    val rowsJson =
+      if (mode != "fused" && sys.env.get("SPARK_GRAFT_CUR_COUNTS").contains("1"))
+        stages.map { case (name, thunk) => "\"" + name + s"""\":${thunk().count()}""" }
+          .mkString(""","rows":{""", ",", "}")
+      else ""
     val stagesJson = stageTimes
       .map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
     println(f"""{"mode":"$mode","dir":"$dir","total_s":$totalS%.1f,""" +
-      s""""stages":$stagesJson}""")
+      f""""tail_milli":$tailMilli,""" +
+      s""""stages":$stagesJson$rowsJson}""")
     spark.stop()
   }
 }

@@ -10,11 +10,12 @@ import graft.queries.CdcQueries
 /** Incremental content-defined-chunk dedup — the streaming form of
   * q181, the storage-dedup gate at ingest: each arriving document is
   * chunked map-side (the native CdcChunks pass), its chunk hashes are
-  * probed against the persisted chunk index PLUS the batch itself, and
-  * the arrival's INGEST verdict (how many of its chars the store
-  * already holds — the bytes a dedup store would not write) is emitted
-  * before the chunks append. The at-ingest verdict is the causal
-  * prefix of q181's global one: it counts duplication against the
+  * probed against the persisted chunk index PLUS the batch's EARLIER
+  * arrivals (id order — never the batch's future), and the arrival's
+  * INGEST verdict (how many of its chars the store already holds —
+  * the bytes a dedup store would not write) is emitted before the
+  * chunks append. The at-ingest verdict is the causal prefix of
+  * q181's global one: it counts duplication against the
   * PAST, while the batch audit also sees the future — so per doc
   * `dup_chars_at_ingest <= dup_chars` (spec-pinned), and folding the
   * full chunk log through the SHARED `CdcQueries.chunkAudit` gives
@@ -56,24 +57,47 @@ class StreamingCdcDedup(val chunkDir: String) {
     * (doc_id, n_chars, n_chunks, dup_chunks_at_ingest,
     * dup_chars_at_ingest, dup_share_at_ingest_e6) and writes the
     * batch's chunks to the index under `batch=<batchId>` (overwrite —
-    * a foreachBatch replay of the same id is idempotent). A chunk is
-    * a dup at ingest when its hash already exists in the store OR
-    * occurs more than once within history + this batch (the second
-    * copy inside one batch is just as dedupable). Verdicts are
-    * materialized BEFORE the append. */
+    * a foreachBatch replay of the same id is idempotent). A chunk
+    * occurrence is a dup at ingest when its hash already exists in
+    * the store, OR an EARLIER doc of the same batch carries it, OR it
+    * repeats within its own document — exactly the verdict a
+    * batch-size-1 sequential ingest would produce, for ANY batching.
+    * (The previous rule — df >= 2 over history + whole batch — marked
+    * BOTH members of a co-batched dup pair, so the reject gate's
+    * survivor set depended on where batch boundaries fell; a pair
+    * split across batches kept its first copy, the same pair
+    * co-batched kept neither. Batch-size invariance of the composed
+    * ingest pipeline is spec-pinned on exactly this case.) Verdicts
+    * are materialized BEFORE the append. */
   def processBatch(arrivals: DataFrame, textCol: String, idCol: String,
       batchId: Long): DataFrame = {
     val s = arrivals.sparkSession
     val newChunks = CdcQueries.chunkTable(arrivals, textCol, idCol)
       .localCheckpoint()
-    val target = historicalChunks(s, Some(batchId)).unionByName(newChunks)
-    val dfAll = target.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val verdicts = newChunks.join(dfAll, Seq("h"))
+    // (doc, h) occurrence grain: n_occ repeats collapse before any
+    // join, and same-hash chunks share content, so one clen suffices
+    val occ = newChunks.groupBy(col("doc_id"), col("h"))
+      .agg(max(col("len")).as("len"), max(col("clen")).as("clen"),
+        count(lit(1)).as("n_occ"))
+    val firstDoc = newChunks.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    // history probe: semi-join the index's h column against this
+    // batch's hashes (cheaper than the former full-history count agg —
+    // the scan is column-pruned either way, but nothing re-aggregates
+    // the whole store per batch)
+    val histHit = historicalChunks(s, Some(batchId))
+      .join(newChunks.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("h")).distinct()
+      .withColumn("in_hist", lit(true))
+    val verdicts = occ.join(firstDoc, Seq("h"))
+      .join(histHit, Seq("h"), "left")
+      .withColumn("is_dup", coalesce(col("in_hist"), lit(false)) ||
+        col("doc_id") > col("first_doc") || col("n_occ") >= 2)
       .groupBy(col("doc_id"))
       .agg(max(col("len")).as("n_chars"),
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_chunks_at_ingest"),
-        sum(when(col("df") >= 2, col("clen")).otherwise(0L)).as("dup_chars_at_ingest"))
+        sum(col("n_occ")).as("n_chunks"),
+        sum(when(col("is_dup"), col("n_occ")).otherwise(0L)).as("dup_chunks_at_ingest"),
+        sum(when(col("is_dup"), col("n_occ") * col("clen")).otherwise(0L)).as("dup_chars_at_ingest"))
       .withColumn("dup_share_at_ingest_e6",
         expr("dup_chars_at_ingest * 1000000 div n_chars"))
       .localCheckpoint()

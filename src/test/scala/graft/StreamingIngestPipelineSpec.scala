@@ -80,23 +80,24 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     assert(gotAdmitted.toSeq === expAdmitted.map(_.doc_id))
     assert(expAdmitted.size < union.size, "admission gate must fire")
 
-    // ---- stage 2 expected: causal chunk-frequency fold ----
-    val batchOf = union.map(d => d.doc_id ->
-      batches.indexWhere(_.exists(_.doc_id == d.doc_id)).toLong).toMap
+    // ---- stage 2 expected: per-doc causal chunk fold. The verdict
+    // is BOUNDARY-FREE by design (the batch-size-invariance fix): an
+    // occurrence is a dup iff an earlier-ARRIVING doc carries its
+    // hash or it repeats within its own doc. Arrival order here is
+    // doc_id order by construction (batch 3's injected ids exceed
+    // every base id), so min-doc_id-per-hash models the history. ----
     val admittedDf = expAdmitted.toDS().toDF()
-    val bCol = expAdmitted.map(d => d.doc_id -> batchOf(d.doc_id))
-      .toDF("doc_id", "b")
     val chunks = CdcQueries.chunkTable(admittedDf, "text", "doc_id")
-      .join(bCol, Seq("doc_id"))
-    val perBatch = chunks.groupBy(col("h"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy(col("h")).orderBy(col("b"))
-    val cum = perBatch.withColumn("cum", sum(col("cnt")).over(wCum))
-      .select(col("h"), col("b"), col("cum"))
-    val verdict = chunks.join(cum, Seq("h", "b"))
+    val firstDoc = chunks.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val occ = chunks.groupBy(col("doc_id"), col("h"))
+      .agg(max(col("len")).as("len"), max(col("clen")).as("clen"),
+        count(lit(1)).as("n_occ"))
+    val verdict = occ.join(firstDoc, Seq("h"))
+      .withColumn("is_dup", col("doc_id") > col("first_doc") || col("n_occ") >= 2)
       .groupBy(col("doc_id"))
       .agg(max(col("len")).as("n_chars"),
-        sum(when(col("cum") >= 2, col("clen")).otherwise(0L)).as("dup_chars"))
+        sum(when(col("is_dup"), col("n_occ") * col("clen")).otherwise(0L)).as("dup_chars"))
       .withColumn("share_e6", expr("dup_chars * 1000000 div n_chars"))
     val expCdcReject = verdict.filter(col("share_e6") >= DupShareMax)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
@@ -151,5 +152,54 @@ class StreamingIngestPipelineSpec extends SparkSpec {
         r.getAs[Long]("seq_id"), r.getAs[Long]("offset_in_seq"),
         r.getAs[Boolean]("straddles")))).toMap
     assert(gotPacked === expPacked)
+  }
+
+  test("survivors and packed layout are invariant to batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60 docs: unique 25-token bodies except three planted exact-dup
+    // pairs; pair members are ADJACENT ids so a stride-2 batching
+    // co-batches every pair while an offset stride straddles them —
+    // under the former df>=2-over-the-batch rule the co-batched run
+    // rejected BOTH members (survivor set depended on boundary
+    // placement); the causal rule keeps the first copy either way
+    def body(i: Long) = (1 to 25).map(j => s"w${i}_$j token$j").mkString(" ")
+    val pairs = Set(10L, 30L, 50L)
+    val docs = (0L until 60L).map { i =>
+      val text = if (pairs.contains(i - 1)) body(i - 1) else body(i)
+      IngestDoc(i, s"s${i % 3}", i * 300000L, text)
+    }
+    // admission sized to admit everything: the invariance under test
+    // is the dedup gates', not load shedding's
+    def runWith(batching: Seq[Seq[IngestDoc]]): (Seq[Long], Map[Long, (Long, Long)]) = {
+      val root = Files.createTempDirectory("ingest_inv").toString
+      val pipe = new StreamingIngestPipeline(root, costMicro = 1000L,
+        capMicro = 20000000L, DupShareMax, MinBands, CtxLen)
+      val input = MemoryStream[IngestDoc]
+      val q = pipe.run(input.toDS(), s"$root/packed", s"$root/ckpt")
+      try {
+        batching.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val packed = spark.read.parquet(s"$root/packed").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("cum_tokens"), r.getAs[Long]("seq_id"))))
+      (packed.map(_._1).sorted.toSeq, packed.toMap)
+    }
+    val runs = Seq(
+      docs.grouped(2).toSeq,            // every pair co-batched
+      (docs.take(1) +: docs.drop(1).grouped(2).toSeq), // every pair straddles
+      docs.grouped(7).toSeq,            // arbitrary boundaries
+      Seq(docs))                        // one batch
+      .map(b => runWith(b.map(_.toSeq)))
+    // all four batchings: identical survivor sets and packed layouts
+    runs.tail.foreach { r =>
+      assert(r._1 === runs.head._1, "survivor sets differ across batchings")
+      assert(r._2 === runs.head._2, "packed layouts differ across batchings")
+    }
+    // the first copy of every planted pair survives, the clone dies
+    pairs.foreach { p =>
+      assert(runs.head._1.contains(p), s"first copy $p must survive")
+      assert(!runs.head._1.contains(p + 1), s"clone ${p + 1} must die")
+    }
   }
 }
