@@ -158,15 +158,23 @@ class StreamingIngestPipelineSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // 60 docs: unique 25-token bodies except three planted exact-dup
-    // pairs; pair members are ADJACENT ids so a stride-2 batching
-    // co-batches every pair while an offset stride straddles them —
-    // under the former df>=2-over-the-batch rule the co-batched run
-    // rejected BOTH members (survivor set depended on boundary
-    // placement); the causal rule keeps the first copy either way
+    // pairs (CDC-gate kills) and two near-dup pairs (suffix-perturbed:
+    // pass CDC, die at the LSH gate); pair members are ADJACENT ids so
+    // a stride-2 batching co-batches every pair while an offset stride
+    // straddles them — under the former df>=2-over-the-batch rule the
+    // co-batched run rejected BOTH members (survivor set depended on
+    // boundary placement); the causal rule keeps the first copy
+    // either way, and the LSH drop-later rule is invariant under the
+    // monotone-id ingest contract
     def body(i: Long) = (1 to 25).map(j => s"w${i}_$j token$j").mkString(" ")
     val pairs = Set(10L, 30L, 50L)
+    val nearPairs = Set(20L, 40L)
     val docs = (0L until 60L).map { i =>
-      val text = if (pairs.contains(i - 1)) body(i - 1) else body(i)
+      val text =
+        if (pairs.contains(i - 1)) body(i - 1)
+        else if (nearPairs.contains(i - 1))
+          body(i - 1) + Seq.fill(4)(" appendix clause").mkString + " fim"
+        else body(i)
       IngestDoc(i, s"s${i % 3}", i * 300000L, text)
     }
     // admission sized to admit everything: the invariance under test
@@ -196,8 +204,9 @@ class StreamingIngestPipelineSpec extends SparkSpec {
       assert(r._1 === runs.head._1, "survivor sets differ across batchings")
       assert(r._2 === runs.head._2, "packed layouts differ across batchings")
     }
-    // the first copy of every planted pair survives, the clone dies
-    pairs.foreach { p =>
+    // the first copy of every planted pair survives, the clone dies —
+    // exact pairs at the CDC gate, near pairs at the LSH gate
+    (pairs ++ nearPairs).foreach { p =>
       assert(runs.head._1.contains(p), s"first copy $p must survive")
       assert(!runs.head._1.contains(p + 1), s"clone ${p + 1} must die")
     }
