@@ -148,9 +148,137 @@ object CdcQueries {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q254: chunk-geometry operating curve ----
+
+  /** Divisor arms of the geometry sweep; expected chunk length is
+    * divisor + window, so the arms span ~24 to ~264 chars. 64 is the
+    * shipped q181/streaming operating point — the curve passes
+    * through it. Powers of two, smallest first: nesting (below)
+    * depends on each arm dividing the next. */
+  val CdcCurveArms: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L)
+
+  /** q254: the chunk-GEOMETRY operating curve of the CDC machinery —
+    * the classic granularity trade of content-defined storage dedup
+    * (LBFS, Muthitacharoen et al. 2001 §3.1): smaller expected chunks
+    * detect more duplicated bytes but cost proportionally more index
+    * entries; larger chunks miss dedup that straddles their grain.
+    * Per divisor arm: corpus chunk count, index rows (distinct chunk
+    * hashes — the storage-dedup table a deployment provisions), mean/
+    * max chunk length, duplicated chunks/chars and the e6 dup share —
+    * the two axes (dup_share vs index_rows) a storage deployment
+    * tunes `CdcDivisor` on. Completes the operating-curve family
+    * (q108 bloom, q180 bands, q201 threshold, q249 nprobe, q250 code
+    * bits, q251 radius, q252 cms) for the chunking machinery.
+    *
+    * Scale shape: power-of-two divisors NEST (a cut for 2d is a cut
+    * for d), so the WHOLE sweep chunks the corpus text ONCE, natively,
+    * at the finest arm ([[graft.expressions.CdcChunksMeta]] carries
+    * each cut's hash residue); every coarser arm rebuilds its exact
+    * chunking by merging fine chunks at cuts whose residue fails its
+    * divisor — a per-(arm, doc) running count over the fine-chunk
+    * table (bounded by document length, the q75 window grain), never
+    * a re-scan of the text. The fine-chunk table is staged once and
+    * fanned out x|arms|; the md5 df aggregation per arm is key-spread
+    * (hash-keyed); the rollup is |arms| rows. */
+  def cdcCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val finest = CdcCurveArms.min
+    val metaCol = org.apache.spark.sql.GraftInternals.column(
+      graft.expressions.CdcChunksMeta(
+        org.apache.spark.sql.GraftInternals.expression(fold(col("text"))),
+        CdcWindow, CdcPows, CdcMod, finest))
+    val fine = Dedup.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), metaCol.as("cs"))
+      .filter(size(col("cs")) > 0)
+      .select(col("doc_id"), posexplode(col("cs")).as(Seq("k", "c")))
+      .select(col("doc_id"), col("k"),
+        col("c.chunk").as("chunk"), col("c.r").as("r")))
+    val armed = fine.crossJoin(
+      s.range(1).select(explode(array(CdcCurveArms.map(lit): _*)).as("divisor")))
+    // group id = number of this arm's cuts at or before the chunk
+    // start; consecutive fine chunks sharing a group concatenate into
+    // one arm chunk (per-(arm, doc) window, bounded by doc length)
+    val grouped = armed
+      .withColumn("cut",
+        when(col("k") > 0 && col("r") % col("divisor") === 0, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("cut")).over(
+        Window.partitionBy(col("divisor"), col("doc_id")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val armChunks = grouped
+      .groupBy(col("divisor"), col("doc_id"), col("grp"))
+      .agg(array_sort(collect_list(struct(col("k"), col("chunk")))).as("parts"))
+      .select(col("divisor"), col("doc_id"),
+        array_join(transform(col("parts"), p => p.getField("chunk")), "").as("chunk"))
+      .select(col("divisor"), col("doc_id"),
+        length(col("chunk")).cast("long").as("clen"), md5(col("chunk")).as("h"))
+    val staged = Dedup.stage(armChunks)
+    val dfreq = staged.groupBy(col("divisor"), col("h"))
+      .agg(count(lit(1)).as("df"))
+    val idx = dfreq.groupBy(col("divisor"))
+      .agg(count(lit(1)).as("index_rows"))
+    staged.join(dfreq, Seq("divisor", "h"))
+      .groupBy(col("divisor"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_chars"),
+        max(col("clen")).as("max_chunk_len"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("df") >= 2, col("clen")).otherwise(0L)).as("dup_chars"))
+      .join(idx, Seq("divisor"))
+      .withColumn("mean_chunk_len_milli", expr("n_chars * 1000 div n_chunks"))
+      .withColumn("dup_share_e6", expr("dup_chars * 1000000 div n_chars"))
+      .select(col("divisor"), col("n_chunks"), col("index_rows"),
+        col("n_chars"), col("mean_chunk_len_milli"), col("max_chunk_len"),
+        col("dup_chunks"), col("dup_chars"), col("dup_share_e6"))
+      .orderBy(col("divisor"))
+  }
+
+  val cdcCurveSql: String = {
+    val armsValues = CdcCurveArms.map(d => s"(CAST($d AS BIGINT))").mkString(", ")
+    s"""WITH d0 AS (SELECT doc_id, $FoldSql AS s FROM documents),
+       |base AS (SELECT doc_id, s, CAST(length(s) AS BIGINT) AS len
+       |  FROM d0 WHERE length(s) > 0),
+       |codes AS (SELECT doc_id, s, len,
+       |    list_transform(range(1, CAST(len AS INT) + 1),
+       |      i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+       |  FROM base),
+       |arms(divisor) AS (VALUES $armsValues),
+       |bnd AS (SELECT a.divisor, c.doc_id, s, len,
+       |    list_filter(range($CdcWindow, len + 1),
+       |      i -> i < len AND ($hashAtSql) % a.divisor = 0) AS bs
+       |  FROM codes c CROSS JOIN arms a),
+       |lists AS (SELECT divisor, doc_id, s, len,
+       |    list_prepend(CAST(0 AS BIGINT), bs) AS st,
+       |    list_append(bs, len) AS en
+       |  FROM bnd),
+       |seg AS (SELECT divisor, doc_id, s, len,
+       |    unnest(st) AS cst, unnest(en) AS cen
+       |  FROM lists),
+       |chunk AS (SELECT divisor, doc_id, cen - cst AS clen,
+       |    md5(substr(s, CAST(cst AS INT) + 1, CAST(cen - cst AS INT))) AS h
+       |  FROM seg),
+       |df AS (SELECT divisor, h, COUNT(*) AS df FROM chunk GROUP BY divisor, h),
+       |idx AS (SELECT divisor, COUNT(*) AS index_rows FROM df GROUP BY divisor),
+       |roll AS (SELECT c.divisor,
+       |    COUNT(*) AS n_chunks,
+       |    CAST(SUM(clen) AS BIGINT) AS n_chars,
+       |    CAST(MAX(clen) AS BIGINT) AS max_chunk_len,
+       |    CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |    CAST(SUM(CASE WHEN df.df >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
+       |  FROM chunk c JOIN df ON c.divisor = df.divisor AND c.h = df.h
+       |  GROUP BY c.divisor)
+       |SELECT roll.divisor, n_chunks, index_rows, n_chars,
+       |  n_chars * 1000 // n_chunks AS mean_chunk_len_milli,
+       |  max_chunk_len, dup_chunks, dup_chars,
+       |  dup_chars * 1000000 // n_chars AS dup_share_e6
+       |FROM roll JOIN idx ON roll.divisor = idx.divisor
+       |ORDER BY roll.divisor""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q181_cdc_chunks" -> (cdcChunks _))
+    "q181_cdc_chunks" -> (cdcChunks _),
+    "q254_cdc_curve" -> (cdcCurve _))
 
   val oracles: Map[String, String] = Map(
-    "q181_cdc_chunks" -> cdcChunksSql)
+    "q181_cdc_chunks" -> cdcChunksSql,
+    "q254_cdc_curve" -> cdcCurveSql)
 }
