@@ -180,7 +180,11 @@ object CdcQueries {
     * a re-scan of the text. The fine-chunk table is staged once and
     * fanned out x|arms|; the md5 df aggregation per arm is key-spread
     * (hash-keyed); the rollup is |arms| rows. */
-  def cdcCurve(s: SparkSession, dir: String): DataFrame = {
+  /** The per-arm chunk table (divisor, doc_id, clen, h) behind
+    * [[cdcCurve]] — exposed for the plan audit (the curve stages this
+    * frame, and a localCheckpoint boundary hides the upstream shape
+    * from the rollup plan). */
+  private[graft] def cdcArmChunks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val finest = CdcCurveArms.min
     val metaCol = org.apache.spark.sql.GraftInternals.column(
@@ -204,14 +208,17 @@ object CdcQueries {
       .withColumn("grp", sum(col("cut")).over(
         Window.partitionBy(col("divisor"), col("doc_id")).orderBy(col("k"))
           .rowsBetween(Window.unboundedPreceding, 0)))
-    val armChunks = grouped
+    grouped
       .groupBy(col("divisor"), col("doc_id"), col("grp"))
       .agg(array_sort(collect_list(struct(col("k"), col("chunk")))).as("parts"))
       .select(col("divisor"), col("doc_id"),
         array_join(transform(col("parts"), p => p.getField("chunk")), "").as("chunk"))
       .select(col("divisor"), col("doc_id"),
         length(col("chunk")).cast("long").as("clen"), md5(col("chunk")).as("h"))
-    val staged = Dedup.stage(armChunks)
+  }
+
+  def cdcCurve(s: SparkSession, dir: String): DataFrame = {
+    val staged = Dedup.stage(cdcArmChunks(s, dir))
     val dfreq = staged.groupBy(col("divisor"), col("h"))
       .agg(count(lit(1)).as("df"))
     val idx = dfreq.groupBy(col("divisor"))

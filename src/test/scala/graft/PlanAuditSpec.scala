@@ -481,4 +481,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanCount(p) == 1, p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("q254 cdc curve: bounded arm fan-out, per-(arm, doc) window, no cartesian") {
+    // the arm-chunk builder (the staged frame hides it from the
+    // rollup plan): one text chunking scan, the 5-row broadcast arm
+    // fan-out, and a (divisor, doc)-partitioned merge window
+    val pb = plan(graft.queries.CdcQueries.cdcArmChunks(spark, sfDir))
+    assert(!pb.contains("CartesianProduct"), pb)
+    assert(pb.contains("BroadcastNestedLoopJoin"), pb)
+    // (the single native chunking pass sits behind the fine table's
+    // gate-scale stage checkpoint — the differential CdcCurveSpec
+    // pins its semantics instead)
+    // the merge window partitions by (divisor, doc_id) — a global
+    // (unpartitioned) window here would serialize the corpus
+    assert(pb.contains("windowspecdefinition(divisor"), pb)
+    // the rollup over the staged arm table: hash joins only
+    val p = plan(graft.queries.CdcQueries.cdcCurve(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
