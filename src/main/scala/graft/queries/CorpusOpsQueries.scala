@@ -62,6 +62,116 @@ object CorpusOpsQueries {
       |FROM pos JOIN dfq USING (seg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q255: line-dedup minDf operating curve ----
+
+  /** The df-threshold arms of the boilerplate curve: q126 ships 2
+    * ("anywhere else in the corpus") and q169's domain rule ships 3 —
+    * the sweep brackets both and the conservative tail. */
+  val LineDfArms: Seq[Long] = Seq(2L, 3L, 4L, 6L, 8L)
+
+  /** q255: the minDf OPERATING CURVE of duplicated-line removal — the
+    * aggressiveness knob of q126/q169's boilerplate stage (CCNet cuts
+    * at low df, conservative pipelines higher). Per arm: boilerplate
+    * dictionary size (distinct segments at df >= minDf), occurrences
+    * and chars removed corpus-wide, chars kept, docs EMPTIED (every
+    * segment removed — the q126 gate that feeds the curateExtended
+    * length filter) and docs touched at all. The curve an operator
+    * reads before picking the threshold: how much text each notch
+    * costs and how many documents it annihilates. Completes the
+    * operating-curve family for the line-dedup machinery.
+    *
+    * Scale shape: ONE segment explode + one df aggregation (exactly
+    * q126's corpus-scale work), then everything collapses to
+    * DF-HISTOGRAMS before any arm fans out: segment-dictionary,
+    * occurrence and per-doc (min_df, max_df) grains each roll up to
+    * at most |distinct df values| rows (dim-sized — df values number
+    * in the hundreds even at corpus scale), and the 5 arms are
+    * conditional sums over those broadcast histograms. Arm count
+    * never multiplies corpus-sized data. */
+  def lineDfCurve(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode_outer(
+        split(regexp_replace(col("text"), " batch ", ". "), "\\. ")).as("seg0"))
+      .withColumn("seg", trim(col("seg0")))
+      .filter(col("seg").isNotNull && length(col("seg")) > 0)
+      .select(col("doc_id"), col("seg"))
+    val staged = Dedup.stage(segs)
+    val dfreq = staged.groupBy(col("seg"))
+      .agg(count_distinct(col("doc_id")).as("seg_df"))
+    val occ = Dedup.stage(staged.join(dfreq, Seq("seg"))
+      .select(col("doc_id"), col("seg_df"),
+        length(col("seg")).cast("long").as("clen")))
+    // df-grain histograms: everything downstream is dim-sized
+    val segHist = dfreq.groupBy(col("seg_df")).agg(count(lit(1)).as("n_segs"))
+    val occHist = occ.groupBy(col("seg_df"))
+      .agg(count(lit(1)).as("n_occ"), sum(col("clen")).as("chars"))
+    val docHist = occ.groupBy(col("doc_id"))
+      .agg(min(col("seg_df")).as("mn"), max(col("seg_df")).as("mx"))
+      .groupBy(col("mn"), col("mx")).agg(count(lit(1)).as("n_docs"))
+    val total = occ.agg(sum(col("clen")).as("total_chars"))
+    val arms = s.range(1)
+      .select(explode(array(LineDfArms.map(lit): _*)).as("min_df"))
+    val armSeg = arms.crossJoin(broadcast(segHist))
+      .groupBy(col("min_df"))
+      .agg(sum(when(col("seg_df") >= col("min_df"), col("n_segs"))
+        .otherwise(0L)).as("n_boiler_segs"))
+    val armOcc = arms.crossJoin(broadcast(occHist))
+      .groupBy(col("min_df"))
+      .agg(
+        sum(when(col("seg_df") >= col("min_df"), col("n_occ"))
+          .otherwise(0L)).as("occ_removed"),
+        sum(when(col("seg_df") >= col("min_df"), col("chars"))
+          .otherwise(0L)).as("chars_removed"))
+    val armDoc = arms.crossJoin(broadcast(docHist))
+      .groupBy(col("min_df"))
+      .agg(
+        sum(when(col("mn") >= col("min_df"), col("n_docs"))
+          .otherwise(0L)).as("docs_emptied"),
+        sum(when(col("mx") >= col("min_df"), col("n_docs"))
+          .otherwise(0L)).as("docs_touched"))
+    armSeg.join(armOcc, Seq("min_df")).join(armDoc, Seq("min_df"))
+      .crossJoin(broadcast(total))
+      .withColumn("kept_chars", col("total_chars") - col("chars_removed"))
+      .select(col("min_df"), col("n_boiler_segs"), col("occ_removed"),
+        col("chars_removed"), col("kept_chars"),
+        col("docs_emptied"), col("docs_touched"))
+      .orderBy(col("min_df"))
+  }
+
+  val lineDfCurveSql: String = {
+    val armsValues = LineDfArms.map(d => s"(CAST($d AS BIGINT))").mkString(", ")
+    s"""WITH p AS (SELECT doc_id,
+       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |  FROM documents),
+       |pos AS (SELECT doc_id, trim(seg) AS seg FROM (
+       |    SELECT doc_id, unnest(segs) AS seg FROM p)
+       |  WHERE trim(seg) <> ''),
+       |dfq AS (SELECT seg, COUNT(DISTINCT doc_id) AS seg_df FROM pos GROUP BY seg),
+       |occ AS (SELECT doc_id, seg_df, CAST(length(pos.seg) AS BIGINT) AS clen
+       |  FROM pos JOIN dfq USING (seg)),
+       |tot AS (SELECT CAST(SUM(clen) AS BIGINT) AS total_chars FROM occ),
+       |arms(min_df) AS (VALUES $armsValues),
+       |aseg AS (SELECT a.min_df,
+       |    CAST(COUNT(*) FILTER (WHERE seg_df >= a.min_df) AS BIGINT) AS n_boiler_segs
+       |  FROM dfq CROSS JOIN arms a GROUP BY a.min_df),
+       |aocc AS (SELECT a.min_df,
+       |    CAST(COUNT(*) FILTER (WHERE seg_df >= a.min_df) AS BIGINT) AS occ_removed,
+       |    CAST(COALESCE(SUM(clen) FILTER (WHERE seg_df >= a.min_df), 0) AS BIGINT) AS chars_removed
+       |  FROM occ CROSS JOIN arms a GROUP BY a.min_df),
+       |dstat AS (SELECT doc_id, MIN(seg_df) AS mn, MAX(seg_df) AS mx
+       |  FROM occ GROUP BY doc_id),
+       |adoc AS (SELECT a.min_df,
+       |    CAST(COUNT(*) FILTER (WHERE mn >= a.min_df) AS BIGINT) AS docs_emptied,
+       |    CAST(COUNT(*) FILTER (WHERE mx >= a.min_df) AS BIGINT) AS docs_touched
+       |  FROM dstat CROSS JOIN arms a GROUP BY a.min_df)
+       |SELECT aseg.min_df, n_boiler_segs, occ_removed, chars_removed,
+       |  total_chars - chars_removed AS kept_chars, docs_emptied, docs_touched
+       |FROM aseg JOIN aocc ON aseg.min_df = aocc.min_df
+       |  JOIN adoc ON aseg.min_df = adoc.min_df
+       |  CROSS JOIN tot
+       |ORDER BY aseg.min_df""".stripMargin
+  }
+
   // ---- q169: per-SOURCE boilerplate line removal (CCNet domain grain) ----
 
   /** Within-source document frequency at which a segment counts as
@@ -1880,6 +1990,7 @@ object CorpusOpsQueries {
     "q147_exact_substr" -> (exactSubstr _),
     "q145_length_batches" -> (lengthBatches _),
     "q126_line_dedup" -> (lineDedup _),
+    "q255_linedf_curve" -> (lineDfCurve _),
     "q169_source_boilerplate" -> (sourceBoilerplate _),
     "q127_lm_surprisal" -> (lmSurprisal _),
     "q128_lsh_eval" -> (lshEval _),
@@ -1904,6 +2015,7 @@ object CorpusOpsQueries {
     "q182_token_runs" -> (tokenRuns _))
 
   val oracles: Map[String, String] = Map(
+    "q255_linedf_curve" -> lineDfCurveSql,
     "q150_source_overlap" -> sourceOverlapSql,
     "q149_datasheet" -> datasheetSql,
     "q148_chunk_overlap" -> chunkOverlapSql,

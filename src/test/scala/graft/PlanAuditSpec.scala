@@ -482,6 +482,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q255 linedf curve: arms fan out over broadcast histograms only") {
+    val p = plan(graft.queries.CorpusOpsQueries.lineDfCurve(spark, sfDir))
+    // every arm cross rides a broadcast of a df-histogram dim — the
+    // corpus-sized segment/occurrence tables never multiply by arms
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q254 cdc curve: bounded arm fan-out, per-(arm, doc) window, no cartesian") {
     // the arm-chunk builder (the staged frame hides it from the
     // rollup plan): one text chunking scan, the 5-row broadcast arm
