@@ -111,7 +111,10 @@ object CurationPipeline {
     *        removed everywhere, text rewritten from the survivors)
     *     -> quality filter
     *     -> LM-surprisal tail drop (q127: docs at or past
-    *        `surprisalTailMilli` milli-bits/token are cut)
+    *        `surprisalTailMilli` milli-bits/token are cut — or, with
+    *        `surprisalTailPct = Some(p)`, at or past the corpus's own
+    *        exact p-th percentile, derived in one dim-sized pass;
+    *        see [[surprisalTailThreshold]])
     *     -> decontamination -> near-dup clustering -> dup-gram filter
     *     -> optional DSIR selection (q130: keep docs whose importance
     *        weight vs `dsirTarget`'s LM is positive)
@@ -128,9 +131,43 @@ object CurationPipeline {
       seed: String = "ep1", nShards: Int = 8,
       surprisalTailMilli: Long = 5200L,
       lineMinDf: Int = 2,
+      surprisalTailPct: Option[Int] = None,
       cfg: Config = Config()): DataFrame =
     curateExtendedStages(docs, evalPred, segs, dsirTarget, seed, nShards,
-      surprisalTailMilli, lineMinDf, cfg).last._2()
+      surprisalTailMilli, lineMinDf, surprisalTailPct, cfg).last._2()
+
+  /** The corpus-relative LM-tail threshold: the exact `pct`-th
+    * percentile (integer-rank order statistic — the q81 exact-median
+    * machinery generalized) of `milli_bits_per_token` over a
+    * [[Curation.unigramSurprisal]] frame. PERCENTILE_DISC semantics:
+    * the smallest milli-bits value whose cumulative doc count reaches
+    * pct% of the corpus; docs AT or PAST it are the (100-pct)% tail
+    * (plus ties at the threshold value). Returns ONE row (thr).
+    *
+    * Why it exists: the fixed `surprisalTailMilli` default is
+    * corpus-DEPENDENT — sized to the gate corpora (~3-4k milli-bits/
+    * token) it sits below a high-entropy corpus's mean and empties
+    * the pipeline (the zipf rungs at ~10.5 bits/token, SURVEY §5
+    * r13). A 100 TB run derives the cut from its own corpus instead.
+    *
+    * Scale shape: the corpus collapses to a milli-bits HISTOGRAM
+    * first (one row per distinct integer milli-bit value — bounded by
+    * the value resolution, ~1e4 rows, never the corpus), and the
+    * cumulative walk is a window over that dim frame only (a
+    * single-stratum window over a value-resolution-bounded input, the
+    * q255 df-histogram grain — NOT a corpus window). */
+  def surprisalTailThreshold(surprisal: DataFrame, pct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100]: $pct")
+    val hist = surprisal.groupBy(col("milli_bits_per_token"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("milli_bits_per_token"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    cum.crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_corpus"))))
+      .filter(col("cum") * 100 >= col("n_corpus") * pct)
+      .agg(min(col("milli_bits_per_token")).as("thr"))
+  }
 
   /** The staged decomposition of [[curateExtended]]: named stage
     * outputs, each built ON FIRST ACCESS (the thunks close over lazy
@@ -147,6 +184,7 @@ object CurationPipeline {
       seed: String = "ep1", nShards: Int = 8,
       surprisalTailMilli: Long = 5200L,
       lineMinDf: Int = 2,
+      surprisalTailPct: Option[Int] = None,
       cfg: Config = Config()): Seq[(String, () => DataFrame)] = {
     val st = stageAt(Dedup.atScale(docs)) _
     // 1. exact dedup, then line-level dedup rewrites the text the rest
@@ -160,15 +198,28 @@ object CurationPipeline {
         .filter(length(col("text")) > 0)
     }
 
-    // 2. quality gate + 3. LM-surprisal tail drop
+    // 2. quality gate + 3. LM-surprisal tail drop (fixed milli-bits
+    // cut, or — when `surprisalTailPct` is set — the corpus-relative
+    // percentile cut derived from the SAME surprisal frame in one
+    // extra dim-sized pass; see [[surprisalTailThreshold]])
     lazy val qualified = st {
       val quality = Curation.repetitionStats(rewritten, "text", "doc_id")
         .filter(col("n_tokens") >= cfg.minTokens &&
           col("dup_token_e6") < cfg.maxDupE6)
         .select(col("doc_id"))
-      val lmTail = Curation.unigramSurprisal(rewritten, "text", "doc_id")
-        .filter(col("milli_bits_per_token") >= surprisalTailMilli)
-        .select(col("doc_id"))
+      val surp = Curation.unigramSurprisal(rewritten, "text", "doc_id")
+      val lmTail = surprisalTailPct match {
+        case Some(pct) =>
+          // two consumers (threshold derivation + the cut filter) —
+          // stage the surprisal frame under the same adaptive rule
+          val s2 = stageAt(Dedup.atScale(docs))(surp)
+          s2.crossJoin(broadcast(surprisalTailThreshold(s2, pct)))
+            .filter(col("milli_bits_per_token") >= col("thr"))
+            .select(col("doc_id"))
+        case None =>
+          surp.filter(col("milli_bits_per_token") >= surprisalTailMilli)
+            .select(col("doc_id"))
+      }
       rewritten.join(quality, Seq("doc_id"), "left_semi")
         .join(lmTail, Seq("doc_id"), "left_anti")
     }
@@ -260,6 +311,7 @@ object CurationPipeline {
       seed: String = "ep1", nShards: Int = 8,
       surprisalTailMilli: Long = 5200L,
       lineMinDf: Int = 2,
+      surprisalTailPct: Option[Int] = None,
       cfg: Config = Config()): DataFrame = {
     val semDropped = graft.operators.Similarity
       .semDedupVerdicts(embeddings, semK, semDim, iters = 2, tauE6 = semTauE6)
@@ -267,6 +319,6 @@ object CurationPipeline {
       .select(col("vec_id").as("doc_id"))
     curateExtended(docs.join(semDropped, Seq("doc_id"), "left_anti"),
       evalPred, segs, dsirTarget, seed, nShards, surprisalTailMilli,
-      lineMinDf, cfg)
+      lineMinDf, surprisalTailPct, cfg)
   }
 }

@@ -56,6 +56,22 @@ object TextFunctions {
   /** Whitespace tokenization of already-folded text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Sentence segmentation of the line-dedup family (q126/q169/q175/
+    * q178/q255) and the composed gate (q253): '. '-delimited segments
+    * after normalizing the synthetic ' batch ' delimiter to '. '. ONE
+    * shared definition so the q253 gate's "reuses q126's
+    * segmentation" claim holds by construction — change it here and
+    * every consumer (and its oracle via [[sentenceSegsSql]]) moves
+    * together. */
+  def sentenceSegs(c: Column): Column =
+    split(regexp_replace(c, " batch ", ". "), "\\. ")
+
+  /** The DuckDB rendering of [[sentenceSegs]] over a SQL expression —
+    * same delimiter semantics, kept adjacent so the pair can only
+    * drift together. */
+  def sentenceSegsSql(colSql: String): String =
+    s"string_split(regexp_replace($colSql, ' batch ', '. ', 'g'), '. ')"
+
   /** Honorific/title removal (reference: normalization.py:18
     * `_HONORIFIC_PATTERNS`, :93 `_remove_titles`): strip title words,
     * then a leading "ex-"/"ex " prefix, then leading non-word chars. */

@@ -156,6 +156,13 @@ object CdcQueries {
     * through it. Powers of two, smallest first: nesting (below)
     * depends on each arm dividing the next. */
   val CdcCurveArms: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L)
+  // The q254 one-pass reconstruction is only correct when every arm is
+  // a multiple of the finest divisor (residues are kept only for cuts
+  // passing the finest test) — fail fast if an edit breaks nesting.
+  require(CdcCurveArms.nonEmpty && CdcCurveArms == CdcCurveArms.sorted &&
+    CdcCurveArms.forall(_ % CdcCurveArms.min == 0),
+    s"CdcCurveArms must be non-empty, sorted, and each a multiple of the " +
+      s"finest arm (residue nesting precondition): $CdcCurveArms")
 
   /** q254: the chunk-GEOMETRY operating curve of the CDC machinery —
     * the classic granularity trade of content-defined storage dedup
@@ -189,11 +196,16 @@ object CdcQueries {
     val finest = CdcCurveArms.min
     val metaCol = org.apache.spark.sql.GraftInternals.column(
       graft.expressions.CdcChunksMeta(
-        org.apache.spark.sql.GraftInternals.expression(fold(col("text"))),
+        org.apache.spark.sql.GraftInternals.expression(col("s")),
         CdcWindow, CdcPows, CdcMod, finest))
+    // Empty-after-fold docs are excluded BEFORE chunking, mirroring
+    // chunkTable's len > 0 gate (CdcChunksMeta would return one empty
+    // chunk for '', which would otherwise seed an md5('') row in every
+    // arm that the q254 oracle and q181 both exclude).
     val fine = Dedup.stage(Tables.documents(s, dir)
+      .select(col("doc_id"), fold(col("text")).as("s"))
+      .filter(length(col("s")) > 0)
       .select(col("doc_id"), metaCol.as("cs"))
-      .filter(size(col("cs")) > 0)
       .select(col("doc_id"), posexplode(col("cs")).as(Seq("k", "c")))
       .select(col("doc_id"), col("k"),
         col("c.chunk").as("chunk"), col("c.r").as("r")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.functions.TextFunctions.{fold, tokens}
+import graft.functions.TextFunctions.{fold, sentenceSegs, sentenceSegsSql, tokens}
 import graft.operators.{Curation, Dedup}
 
 /** Corpus cleaning, selection, retrieval and layout operators a
@@ -41,13 +41,13 @@ object CorpusOpsQueries {
   def lineDedup(s: SparkSession, dir: String): DataFrame =
     Curation.lineDedup(
       Tables.documents(s, dir), "doc_id",
-      split(regexp_replace(col("text"), " batch ", ". "), "\\. "), ". ", minDf = 2)
+      sentenceSegs(col("text")), ". ", minDf = 2)
       .withColumn("kept_md5", md5(col("kept_text"))).drop("kept_text")
       .orderBy(col("doc_id"))
 
   val lineDedupSql: String =
-    """WITH p AS (SELECT doc_id,
-      |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+    s"""WITH p AS (SELECT doc_id,
+      |    ${sentenceSegsSql("text")} AS segs
       |  FROM documents),
       |pos AS (SELECT doc_id, trim(seg) AS seg, i FROM (
       |    SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS i FROM p)
@@ -91,7 +91,7 @@ object CorpusOpsQueries {
   def lineDfCurve(s: SparkSession, dir: String): DataFrame = {
     val segs = Tables.documents(s, dir)
       .select(col("doc_id"), explode_outer(
-        split(regexp_replace(col("text"), " batch ", ". "), "\\. ")).as("seg0"))
+        sentenceSegs(col("text"))).as("seg0"))
       .withColumn("seg", trim(col("seg0")))
       .filter(col("seg").isNotNull && length(col("seg")) > 0)
       .select(col("doc_id"), col("seg"))
@@ -141,7 +141,7 @@ object CorpusOpsQueries {
   val lineDfCurveSql: String = {
     val armsValues = LineDfArms.map(d => s"(CAST($d AS BIGINT))").mkString(", ")
     s"""WITH p AS (SELECT doc_id,
-       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |    ${sentenceSegsSql("text")} AS segs
        |  FROM documents),
        |pos AS (SELECT doc_id, trim(seg) AS seg FROM (
        |    SELECT doc_id, unnest(segs) AS seg FROM p)
@@ -194,14 +194,14 @@ object CorpusOpsQueries {
   def sourceBoilerplate(s: SparkSession, dir: String): DataFrame =
     Curation.lineDedupKeyed(
       Tables.documents(s, dir), "doc_id", Seq("source"),
-      split(regexp_replace(col("text"), " batch ", ". "), "\\. "), ". ",
+      sentenceSegs(col("text")), ". ",
       minDf = BoilerMinDf)
       .withColumn("kept_md5", md5(col("kept_text"))).drop("kept_text")
       .orderBy(col("doc_id"))
 
   val sourceBoilerplateSql: String =
     s"""WITH p AS (SELECT doc_id, source,
-       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |    ${sentenceSegsSql("text")} AS segs
        |  FROM documents),
        |pos AS (SELECT doc_id, source, trim(seg) AS seg, i FROM (
        |    SELECT doc_id, source, unnest(segs) AS seg, generate_subscripts(segs, 1) AS i FROM p)
@@ -821,7 +821,7 @@ object CorpusOpsQueries {
   def domainPagerank(s: SparkSession, dir: String): DataFrame = {
     val segs = Tables.documents(s, dir)
       .select(col("source"),
-        explode_outer(split(regexp_replace(col("text"), " batch ", ". "), "\\. "))
+        explode_outer(sentenceSegs(col("text")))
           .as("seg"))
       .withColumn("seg", trim(col("seg")))
       .filter(col("seg").isNotNull && length(col("seg")) > 0)
@@ -866,7 +866,7 @@ object CorpusOpsQueries {
          |  GROUP BY n.source)""".stripMargin
     }.mkString(",\n")
     s"""WITH segs AS (SELECT DISTINCT source, trim(seg) AS seg FROM (
-       |    SELECT source, unnest(string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ')) AS seg
+       |    SELECT source, unnest(${sentenceSegsSql("text")}) AS seg
        |    FROM documents) WHERE trim(seg) <> ''),
        |dfq AS (SELECT seg FROM (SELECT seg, COUNT(*) AS seg_df FROM segs GROUP BY seg)
        |  WHERE seg_df >= 2 AND seg_df <= $PrSegDfCap),
@@ -908,7 +908,7 @@ object CorpusOpsQueries {
   def domainHits(s: SparkSession, dir: String): DataFrame = {
     val segs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
-        explode_outer(split(regexp_replace(col("text"), " batch ", ". "), "\\. "))
+        explode_outer(sentenceSegs(col("text")))
           .as("seg"))
       .withColumn("seg", trim(col("seg")))
       .filter(col("seg").isNotNull && length(col("seg")) > 0)
@@ -981,7 +981,7 @@ object CorpusOpsQueries {
          |  FROM h${i}r)""".stripMargin
     }.mkString(",\n")
     s"""WITH segs AS (SELECT source, trim(seg) AS seg, MIN(doc_id) AS min_doc FROM (
-       |    SELECT doc_id, source, unnest(string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ')) AS seg
+       |    SELECT doc_id, source, unnest(${sentenceSegsSql("text")}) AS seg
        |    FROM documents) WHERE trim(seg) <> '' GROUP BY source, trim(seg)),
        |dfq AS (SELECT seg FROM (SELECT seg, COUNT(*) AS seg_df FROM segs GROUP BY seg)
        |  WHERE seg_df >= 2 AND seg_df <= $PrSegDfCap),
@@ -1434,7 +1434,7 @@ object CorpusOpsQueries {
   def snapshotDedup(s: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), (col("doc_id") % SnapMod).as("snap"),
-        explode(split(regexp_replace(col("text"), " batch ", ". "), "\\. ")).as("seg"))
+        explode(sentenceSegs(col("text"))).as("seg"))
       .withColumn("seg", trim(col("seg")))
       .filter(length(col("seg")) > 0)
       .select(col("snap"), md5(col("seg")).as("sig"))
@@ -1458,7 +1458,7 @@ object CorpusOpsQueries {
 
   val snapshotDedupSql: String =
     s"""WITH p AS (SELECT doc_id % $SnapMod AS snap,
-       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |    ${sentenceSegsSql("text")} AS segs
        |  FROM documents),
        |sigs AS (SELECT snap, md5(trim(seg)) AS sig FROM (
        |    SELECT snap, unnest(segs) AS seg FROM p)
@@ -1937,7 +1937,7 @@ object CorpusOpsQueries {
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val segs = Dedup.stage(Tables.documents(s, dir)
       .select(col("source"),
-        explode(split(regexp_replace(col("text"), " batch ", ". "), "\\. "))
+        explode(sentenceSegs(col("text")))
           .as("seg"))
       .withColumn("seg", trim(col("seg")))
       .filter(length(col("seg")) > 0))
@@ -1964,7 +1964,7 @@ object CorpusOpsQueries {
 
   val sourceOverlapSql: String =
     s"""WITH p AS (SELECT source,
-       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |    ${sentenceSegsSql("text")} AS segs
        |  FROM documents),
        |segs AS (SELECT source, trim(seg) AS seg FROM
        |  (SELECT source, unnest(segs) AS seg FROM p) WHERE trim(seg) <> ''),

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.{CurationPipeline, Tables}
 import graft.functions.Hashing
+import graft.functions.TextFunctions.{sentenceSegs, sentenceSegsSql}
+import graft.operators.Dedup
 
 /** The COMPOSED curation pipeline as a correctness gate (SURVEY.md §2
   * D′): every stage of [[CurationPipeline.curateExtendedStages]] is
@@ -47,33 +49,77 @@ object CurationFunnelQueries {
   val Seed = "ep1"
   val NShards = 8
   val TailMilli = 5200L
+  val TailPct = 95
   val LineMinDf = 2
   private val cfg = CurationPipeline.Config()
 
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The funnel over [[CurationPipeline.curateExtendedStages]] with
+    * either LM-tail mode (`tailPct = None` -> the fixed `TailMilli`
+    * cut of q253; `Some(p)` -> q256's corpus-relative percentile cut).
+    *
+    * Gate-scale staging: the funnel forces EVERY stage thunk, and
+    * each of the 8 scalar aggregates consumes the full stage prefix —
+    * unstaged (the gate corpora sit below `StageMinInputBytes`) stage
+    * k's plan re-runs every upstream stage once per consumer, and the
+    * near-dup stage's label-propagation rounds re-derive the whole
+    * prefix once per round (the 27.7 s q253 price in the r13 sweep).
+    * Forcing the multi-consumer staging ON for the funnel's
+    * construction makes each stage materialize exactly once and every
+    * consumer (aggregate rows, component rounds, downstream stages)
+    * read the checkpoint — row-identical by the staging contract
+    * (CurationPipelineSpec pins both shapes), ~3x cheaper at gate
+    * scale. The conf is restored on exit; the localCheckpoint plan
+    * nodes already built keep their staged shape regardless. */
+  private def funnel(s: SparkSession, dir: String,
+      tailPct: Option[Int]): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val segs = split(regexp_replace(col("text"), " batch ", ". "), "\\. ")
-    val stages = CurationPipeline.curateExtendedStages(
-      docs, col("doc_id") % EvalMod === 0, segs,
-      dsirTarget = Some(col("lang") === "en"),
-      seed = Seed, nShards = NShards,
-      surprisalTailMilli = TailMilli, lineMinDf = LineMinDf, cfg = cfg)
-    val rows = stages.zipWithIndex.map { case ((name, thunk), i) =>
-      val df = thunk()
-      // text stages: Σ length(text) pins the (possibly rewritten)
-      // payload; the packed stage: Σ cum_tokens pins layout + order
-      val payload =
-        if (name == "shuffle_pack") col("cum_tokens")
-        else length(col("text")).cast("long")
-      df.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
-        coalesce(sum(payload), lit(0L)).as("payload_sum"))
-        .select(lit((i + 1).toLong).as("stage_ord"), lit(name).as("stage"),
-          col("n_docs"), col("id_sum"), col("payload_sum"))
+    val segs = sentenceSegs(col("text"))
+    val prev = s.conf.getOption(Dedup.StageMinInputBytesConf)
+    s.conf.set(Dedup.StageMinInputBytesConf, "0")
+    try {
+      val stages = CurationPipeline.curateExtendedStages(
+        docs, col("doc_id") % EvalMod === 0, segs,
+        dsirTarget = Some(col("lang") === "en"),
+        seed = Seed, nShards = NShards,
+        surprisalTailMilli = TailMilli, lineMinDf = LineMinDf,
+        surprisalTailPct = tailPct, cfg = cfg)
+      val rows = stages.zipWithIndex.map { case ((name, thunk), i) =>
+        val df = thunk()
+        // text stages: Σ length(text) pins the (possibly rewritten)
+        // payload; the packed stage: Σ cum_tokens pins layout + order
+        val payload =
+          if (name == "shuffle_pack") col("cum_tokens")
+          else length(col("text")).cast("long")
+        df.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+          coalesce(sum(payload), lit(0L)).as("payload_sum"))
+          .select(lit((i + 1).toLong).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), col("id_sum"), col("payload_sum"))
+      }
+      rows.reduce(_.union(_)).orderBy(col("stage_ord"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(Dedup.StageMinInputBytesConf, v)
+        case None => s.conf.unset(Dedup.StageMinInputBytesConf)
+      }
     }
-    rows.reduce(_.union(_)).orderBy(col("stage_ord"))
   }
+
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    funnel(s, dir, None)
+
+  /** q256: the funnel with the CORPUS-RELATIVE LM-tail rule — the
+    * threshold is the corpus's own exact `TailPct`-th percentile of
+    * milli-bits/token ([[CurationPipeline.surprisalTailThreshold]]),
+    * not a fixed constant. Gates the self-tuning mode the zipf
+    * campaign showed is necessary (a fixed cut sized to one corpus
+    * empties another — SURVEY §5 r13); the oracle re-derives the same
+    * percentile in SQL over the same surprisal frame, so the
+    * derivation AND its wiring into the quality gate are both
+    * hash-pinned. */
+  def curationPctFunnel(s: SparkSession, dir: String): DataFrame =
+    funnel(s, dir, Some(TailPct))
 
   // ---- oracle: the whole pipeline as one chained-CTE statement ----
 
@@ -89,7 +135,11 @@ object CurationFunnelQueries {
        |  CAST(COALESCE(SUM($payload), 0) AS BIGINT) AS payload_sum
        |FROM $cte""".stripMargin
 
-  val curationFunnelSql: String = {
+  /** The chained-CTE oracle, parameterized on the LM-tail rule:
+    * `lmTailCtes` adds the threshold-derivation CTEs (pct mode) after
+    * `sdoc`, and `lmTailSelect` is the doc_id set the quality CTE
+    * excludes. */
+  private def funnelSql(lmTailCtes: String, lmTailSelect: String): String = {
     val shuffleHash = Hashing.polyHashSql(s"CAST(doc_id AS VARCHAR) || ':$Seed'")
     val dupE6 =
       "CAST(ROUND((CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens) * 1000000.0) AS BIGINT)"
@@ -100,7 +150,7 @@ object CurationFunnelQueries {
        |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
        |    FROM documents) WHERE doc_id = keep),
        |lp AS MATERIALIZED (SELECT doc_id,
-       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |    ${sentenceSegsSql("text")} AS segs
        |  FROM reps),
        |lpos AS MATERIALIZED (SELECT doc_id, trim(seg) AS seg, i FROM (
        |    SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS i FROM lp)
@@ -123,11 +173,11 @@ object CurationFunnelQueries {
        |sdoc AS MATERIALIZED (SELECT c.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
        |    CAST(SUM(c.cnt * b.bits) AS BIGINT) AS total_bits
        |  FROM qtokc c JOIN sbits b USING (tok) GROUP BY c.doc_id),
+       |$lmTailCtes
        |qualified AS MATERIALIZED (SELECT rw.doc_id, rw.text, rw.lang, rw.source FROM rw
        |  JOIN qstat USING (doc_id)
        |  WHERE qstat.n_tokens >= ${cfg.minTokens} AND $dupE6 < ${cfg.maxDupE6}
-       |    AND doc_id NOT IN (
-       |      SELECT doc_id FROM sdoc WHERE (1000 * total_bits) // n_tokens >= $TailMilli)),
+       |    AND doc_id NOT IN ($lmTailSelect)),
        |csh AS MATERIALIZED (SELECT DISTINCT q.doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |  FROM qualified q JOIN qpos p ON q.doc_id = p.doc_id WHERE i + 2 <= len(t)),
        |cev AS MATERIALIZED (SELECT DISTINCT shingle FROM csh WHERE doc_id % $EvalMod = 0),
@@ -216,9 +266,29 @@ object CurationFunnelQueries {
        |) ORDER BY stage_ord""".stripMargin
   }
 
+  val curationFunnelSql: String = funnelSql("",
+    s"SELECT doc_id FROM sdoc WHERE (1000 * total_bits) // n_tokens >= $TailMilli")
+
+  /** q256's oracle derivation of the percentile threshold — the same
+    * histogram + cumulative-count integer-rank rule the engine uses
+    * (PERCENTILE_DISC: smallest milli-bits value whose cumulative doc
+    * count reaches TailPct% of the rewritten corpus). */
+  private val PctTailCtes =
+    s"""mbs AS MATERIALIZED (SELECT doc_id, (1000 * total_bits) // n_tokens AS mb FROM sdoc),
+       |mhist AS MATERIALIZED (SELECT mb, COUNT(*) AS cnt FROM mbs GROUP BY mb),
+       |mthr AS MATERIALIZED (SELECT MIN(mb) AS thr FROM (
+       |    SELECT mb, SUM(cnt) OVER (ORDER BY mb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |      (SELECT CAST(SUM(cnt) AS BIGINT) FROM mhist) AS n FROM mhist)
+       |  WHERE cum * 100 >= n * $TailPct),""".stripMargin
+
+  val curationPctFunnelSql: String = funnelSql(PctTailCtes,
+    "SELECT doc_id FROM mbs CROSS JOIN mthr WHERE mb >= thr")
+
   val queries: Map[String, Q] = Map(
-    "q253_curation_funnel" -> (curationFunnel _))
+    "q253_curation_funnel" -> (curationFunnel _),
+    "q256_curation_pfunnel" -> (curationPctFunnel _))
 
   val oracles: Map[String, String] = Map(
-    "q253_curation_funnel" -> curationFunnelSql)
+    "q253_curation_funnel" -> curationFunnelSql,
+    "q256_curation_pfunnel" -> curationPctFunnelSql)
 }

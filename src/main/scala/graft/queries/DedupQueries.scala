@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.Hashing
+import graft.functions.TextFunctions.{sentenceSegs, sentenceSegsSql}
 import graft.operators.Dedup
 
 /** Layer D of SURVEY.md §2: the dedup family over `documents`.
@@ -305,7 +306,7 @@ object DedupQueries {
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
     val segs = Dedup.stage(Tables.documents(s, dir)
       .select(col("source"),
-        explode(split(regexp_replace(col("text"), " batch ", ". "), "\\. ")).as("seg"))
+        explode(sentenceSegs(col("text"))).as("seg"))
       .withColumn("seg", trim(col("seg")))
       .filter(length(col("seg")) > 0)
       .distinct())
@@ -343,7 +344,7 @@ object DedupQueries {
     val matchSum = (0 until SrcSimK)
       .map(k => s"(CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH p AS (SELECT source,
-       |    string_split(regexp_replace(text, ' batch ', '. ', 'g'), '. ') AS segs
+       |    ${sentenceSegsSql("text")} AS segs
        |  FROM documents),
        |segs AS (SELECT DISTINCT source, trim(seg) AS seg FROM (
        |    SELECT source, unnest(segs) AS seg FROM p)

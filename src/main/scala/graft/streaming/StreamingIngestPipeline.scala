@@ -37,8 +37,10 @@ object StreamingIngestPipeline {
   *
   * Equivalence contract (StreamingIngestPipelineSpec pins all four):
   * admission ≡ the sequential bucket on the union; CDC rejections ≡
-  * the causal chunk-frequency fold on the union with the same batch
-  * boundaries; LSH rejections ≡ batch q23 candidates over every
+  * the causal verdict (a doc is rejected iff a duplicated chunk's
+  * other copy is in the store, in an EARLIER-arriving doc, or a
+  * within-doc repeat — the batch-size-1 sequential answer, invariant
+  * to batch boundaries); LSH rejections ≡ batch q23 candidates over every
   * CDC-survivor with drop-the-later-member; packed layout ≡
   * `Curation.sequencePack` over the final survivors. The quality /
   * decontamination stages of curateExtended stay batch-side by

@@ -16,9 +16,10 @@ import graft.streaming.StreamingIngestPipeline.IngestDoc
   * its batch formulation on the union of all micro-batches —
   *
   *  - admitted set ≡ the sequential per-source bucket fold;
-  *  - CDC rejections ≡ the causal chunk-frequency fold (a chunk is a
-  *    storage dup in batch k iff its hash count over batches <= k is
-  *    >= 2) with the same batch boundaries;
+  *  - CDC rejections ≡ the causal verdict (a doc is rejected iff a
+  *    duplicated chunk's other copy is in the store, in an
+  *    earlier-arriving doc, or a within-doc repeat — the batch-size-1
+  *    sequential answer, invariant to batch boundaries);
   *  - LSH rejections ≡ batch q23 candidates over the CDC survivors
   *    with the later (higher-id) member dropped;
   *  - packed layout ≡ Curation.sequencePack over the final survivors.
