@@ -17,9 +17,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * (frame-indexed ImageReader) through the same batched path (all
   * spec-pinned on in-test-synthesized media). For video, `Mp4Codec`
   * parses the real MP4/ISO-BMFF container metadata (duration, track
-  * count, dimensions — pure public-spec byte math); video frame
-  * DECODE (H.264 etc.) stays stubbed — no JVM builtin; a JNI/javacpp
-  * binding slots into the same `Codec` trait.
+  * count, dimensions — pure public-spec byte math), and for
+  * compressed audio `Mp3Codec` (MPEG Layer III frame-header walk) and
+  * `FlacCodec` (STREAMINFO) do the same for duration/rate/channels;
+  * video frame DECODE (H.264 etc.) and MP3 sample decode stay
+  * stubbed — no JVM builtin; a JNI/javacpp binding slots into the
+  * same `Codec` trait.
   */
 object MultimodalBatch {
 
@@ -343,6 +346,147 @@ object MultimodalBatch {
                   n_frames = nTracks,
                   brightness_milli = duration * 1000L / timescale))
               }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed.getOrElse(FakeCodec.decode(Seq(a)).head)
+    }
+  }
+
+  /** REAL compressed-audio CONTAINER-METADATA codec for MP3 — the
+    * audio sibling of [[Mp4Codec]]: parses MPEG audio Layer III frame
+    * headers (ISO/IEC 11172-3 / 13818-3 — public spec, pure
+    * big-endian byte math) without decoding a single sample. Walks
+    * EVERY frame (so VBR streams report their true duration, not a
+    * first-frame-bitrate estimate), skipping a leading ID3v2 tag
+    * (syncsafe size) and a trailing 128-byte ID3v1 `TAG` block.
+    *
+    * Envelope mapping (the shared [[AssetFeatures]] shape):
+    * `width` = sample rate in Hz, `height` = channel count (mono=1),
+    * `n_frames` = MPEG frame count, `brightness_milli` = duration in
+    * MILLISECONDS (`total_samples * 1000 / sample_rate`, one integer
+    * division — the [[Mp4Codec]] duration convention, since no PCM is
+    * decoded). Strict walk: the first frame must start exactly where
+    * the audio stream starts and every frame boundary must carry a
+    * valid Layer III header with an unchanged sample rate — anything
+    * else (free-format/reserved fields, mid-stream garbage, truncated
+    * tail) falls back per-asset to [[FakeCodec]], so mixed batches
+    * keep the pipeline total. Sample DECODE (Huffman/MDCT) stays
+    * sanctioned-out like H.264: no JVM builtin. */
+  object Mp3Codec extends Codec {
+    // Layer III bitrate (kbps) and sample-rate tables, by version
+    private val BitrateV1 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val BitrateV2 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    private val SampleRate = Map( // versionBits -> table
+      3 -> Array(44100, 48000, 32000), // MPEG1
+      2 -> Array(22050, 24000, 16000), // MPEG2
+      0 -> Array(11025, 12000, 8000)) //  MPEG2.5
+
+    def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      val parsed =
+        try {
+          val b = a.payload
+          var p = 0
+          // leading ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4)
+          if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+            val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+              ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+            p = 10 + size
+          }
+          var frames = 0L
+          var samples = 0L
+          var sr = -1
+          var channels = 0
+          var ok = b.length > p
+          while (ok && p + 4 <= b.length) {
+            if (b.length - p == 128 && b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G') {
+              p = b.length // trailing ID3v1 tag
+            } else {
+              val h1 = b(p + 1) & 0xff
+              val h2 = b(p + 2) & 0xff
+              val versionBits = (h1 >> 3) & 0x3
+              val layerBits = (h1 >> 1) & 0x3
+              val brIdx = (h2 >> 4) & 0xf
+              val srIdx = (h2 >> 2) & 0x3
+              if ((b(p) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0 ||
+                versionBits == 1 || layerBits != 1 || // Layer III only
+                brIdx == 0 || brIdx == 15 || srIdx == 3) ok = false
+              else {
+                val mpeg1 = versionBits == 3
+                val rate = SampleRate(versionBits)(srIdx)
+                if (sr == -1) {
+                  sr = rate
+                  channels = if (((b(p + 3) >> 6) & 0x3) == 3) 1 else 2
+                } else if (rate != sr) ok = false
+                if (ok) {
+                  val kbps = (if (mpeg1) BitrateV1 else BitrateV2)(brIdx)
+                  val spf = if (mpeg1) 1152 else 576
+                  val len = spf / 8 * kbps * 1000 / rate + ((h2 >> 1) & 1)
+                  if (p + len > b.length) ok = false
+                  else { frames += 1; samples += spf; p += len }
+                }
+              }
+            }
+          }
+          if (!ok || frames == 0 || p != b.length) None
+          else Some(AssetFeatures(
+            asset_id = a.asset_id,
+            media_type = a.media_type,
+            byte_len = b.length.toLong,
+            width = sr,
+            height = channels,
+            n_frames = math.min(frames, Int.MaxValue.toLong).toInt,
+            brightness_milli = samples * 1000L / sr))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed.getOrElse(FakeCodec.decode(Seq(a)).head)
+    }
+  }
+
+  /** REAL lossless-audio CONTAINER-METADATA codec for FLAC: parses the
+    * `fLaC` marker and the mandatory STREAMINFO metadata block (the
+    * xiph FLAC format spec — public, pure byte math) without decoding
+    * a sample. STREAMINFO carries the stream's exact geometry, so
+    * unlike [[Mp3Codec]] no frame walk is needed.
+    *
+    * Envelope mapping: `width` = sample rate in Hz (20-bit field),
+    * `height` = channel count, `n_frames` = total PCM sample frames
+    * (36-bit field, clamped like [[WavCodec]]'s), `brightness_milli`
+    * = duration in MILLISECONDS (`total_samples * 1000 /
+    * sample_rate`, one integer division). A payload without the
+    * marker, whose first block is not a 34-byte STREAMINFO, or with a
+    * zero sample rate falls back per-asset to [[FakeCodec]]. */
+  object FlacCodec extends Codec {
+    def decode(batch: Seq[Asset]): Seq[AssetFeatures] = batch.map { a =>
+      val parsed =
+        try {
+          val b = a.payload
+          // "fLaC" + block header (1 type byte + 3 length bytes) + 34
+          if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+            None
+          else {
+            val blockType = b(4) & 0x7f // bit 7 = last-block flag
+            val blockLen = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+            if (blockType != 0 || blockLen != 34 || b.length < 8 + 34) None
+            else {
+              val s = 8 // STREAMINFO payload start
+              // bytes 10-12: sample rate (20 bits), channels-1 (3), bps-1 (5)
+              val sr = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+                ((b(s + 12) & 0xff) >> 4)
+              val channels = ((b(s + 12) >> 1) & 0x7) + 1
+              val total = ((b(s + 13) & 0x0fL) << 32) |
+                ((b(s + 14) & 0xffL) << 24) | ((b(s + 15) & 0xffL) << 16) |
+                ((b(s + 16) & 0xffL) << 8) | (b(s + 17) & 0xffL)
+              if (sr == 0) None
+              else Some(AssetFeatures(
+                asset_id = a.asset_id,
+                media_type = a.media_type,
+                byte_len = b.length.toLong,
+                width = sr,
+                height = channels,
+                n_frames = math.min(total, Int.MaxValue.toLong).toInt,
+                brightness_milli = total * 1000L / sr))
             }
           }
         } catch { case scala.util.control.NonFatal(_) => None }

@@ -371,4 +371,104 @@ class MultimodalSpec extends SparkSpec {
       Seq(Asset(2L, "media/blob", "not a gif".getBytes("UTF-8")))).head
     assert(blob === stub)
   }
+
+  test("Mp3Codec walks real Layer III frame headers through the batched decode path") {
+    import spark.implicits._
+    import MultimodalBatch.{Asset, Mp3Codec}
+    // synthesize a spec-true MPEG1 Layer III stream in-test: header
+    // math per ISO/IEC 11172-3 — 128 kbps @ 44100 Hz, no padding ->
+    // frame length 144 * 128000 / 44100 = 417 bytes (int division)
+    def frame(brIdx: Int, srIdx: Int, pad: Int, len: Int): Array[Byte] = {
+      val f = Array.fill[Byte](len)(0)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // sync + MPEG1 + Layer III + no CRC
+      f(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      f(3) = 0x00.toByte // stereo
+      f
+    }
+    val f128 = frame(9, 0, 0, 144 * 128000 / 44100) // 417 bytes
+    val f160 = frame(10, 0, 0, 144 * 160000 / 44100) // VBR: 522 bytes
+    // leading ID3v2 (syncsafe size 200) + 10 frames + trailing ID3v1
+    val id3v2 = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0, 0, 0, (200 >> 7).toByte, (200 & 0x7f).toByte) ++
+      Array.fill[Byte](200)(0)
+    val id3v1 = "TAG".getBytes("ISO-8859-1") ++ Array.fill[Byte](125)(0)
+    val mp3 = id3v2 ++ Array.fill(8)(f128).flatten ++ f160 ++ f128 ++ id3v1
+
+    val assets = Seq(
+      Asset(1L, "media/mp3", mp3),
+      Asset(2L, "media/blob", "definitely not audio".getBytes("UTF-8"))).toDS()
+    val feats = MultimodalBatch.decodeFeatures(assets, Mp3Codec)
+      .collect().map(f => f.asset_id -> f).toMap
+    val real = feats(1L)
+    assert(real.width === 44100) // sample rate rides width
+    assert(real.height === 2) // stereo
+    assert(real.n_frames === 10) // MPEG frames, VBR mix included
+    assert(real.byte_len === mp3.length.toLong)
+    // 10 frames x 1152 samples @ 44100 Hz -> 261 ms (int division)
+    assert(real.brightness_milli === 10L * 1152 * 1000 / 44100)
+    // MPEG2 frames are 576-sample: 4 frames @ 22050 Hz -> 104 ms
+    def frame2(len: Int): Array[Byte] = {
+      val f = Array.fill[Byte](len)(0)
+      f(0) = 0xff.toByte
+      f(1) = 0xf3.toByte // sync + MPEG2 + Layer III + no CRC
+      f(2) = ((4 << 4) | (0 << 2)).toByte // 32 kbps @ 22050, idx 0
+      f(3) = 0xc0.toByte // mono
+      f
+    }
+    val mp32 = Array.fill(4)(frame2(576 / 8 * 32000 / 22050)).flatten
+    val v2 = Mp3Codec.decode(Seq(Asset(3L, "media/mp3", mp32))).head
+    assert((v2.width, v2.height, v2.n_frames, v2.brightness_milli) ===
+      ((22050, 1, 4, 4L * 576 * 1000 / 22050)))
+    // non-audio payloads and torn streams (frame cut mid-body) fall back
+    val blob = feats(2L)
+    val stub = MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(2L, "media/blob", "definitely not audio".getBytes("UTF-8")))).head
+    assert(blob === stub)
+    val torn = mp3.take(mp3.length - 130) // cuts into the last frame
+    val tornOut = Mp3Codec.decode(Seq(Asset(4L, "media/mp3", torn))).head
+    assert(tornOut === MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(4L, "media/mp3", torn))).head)
+  }
+
+  test("FlacCodec parses real STREAMINFO metadata through the batched decode path") {
+    import spark.implicits._
+    import MultimodalBatch.{Asset, FlacCodec}
+    // synthesize a spec-true FLAC header in-test (xiph format spec):
+    // fLaC marker + last-flag STREAMINFO (34 bytes) — 22050 Hz,
+    // 2 channels, 16 bps, 44100 total samples -> 2000 ms
+    val si = Array.fill[Byte](34)(0)
+    val sr = 22050; val channels = 2; val bps = 16; val total = 44100L
+    si(10) = (sr >> 12).toByte
+    si(11) = ((sr >> 4) & 0xff).toByte
+    si(12) = (((sr & 0xf) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4)).toByte
+    si(13) = ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
+    si(14) = ((total >> 24) & 0xff).toByte
+    si(15) = ((total >> 16) & 0xff).toByte
+    si(16) = ((total >> 8) & 0xff).toByte
+    si(17) = (total & 0xff).toByte
+    val flac = "fLaC".getBytes("ISO-8859-1") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si ++ Array.fill[Byte](16)(9)
+
+    val assets = Seq(
+      Asset(1L, "media/flac", flac),
+      Asset(2L, "media/blob", "not flac".getBytes("UTF-8"))).toDS()
+    val feats = MultimodalBatch.decodeFeatures(assets, FlacCodec)
+      .collect().map(f => f.asset_id -> f).toMap
+    val real = feats(1L)
+    assert(real.width === 22050)
+    assert(real.height === 2)
+    assert(real.n_frames === 44100) // total PCM frames, WavCodec's convention
+    assert(real.brightness_milli === 2000L) // duration ms, one division
+    assert(real.byte_len === flac.length.toLong)
+    // non-FLAC payloads and a truncated STREAMINFO fall back per-asset
+    val blob = feats(2L)
+    val stub = MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(2L, "media/blob", "not flac".getBytes("UTF-8")))).head
+    assert(blob === stub)
+    val torn = flac.take(20)
+    val tornOut = FlacCodec.decode(Seq(Asset(4L, "media/flac", torn))).head
+    assert(tornOut === MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(4L, "media/flac", torn))).head)
+  }
 }
