@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *    staging instead of localCheckpoint)
   *  - SPARK_GRAFT_CUR_TAIL_MILLI -> the LM-surprisal cut (milli-bits/
   *    token; corpus-relative — see the site comment)
+  *  - SPARK_GRAFT_CUR_TAIL_PCT -> derive the cut as the corpus's own
+  *    exact percentile instead (the shipped q256 self-tuning mode;
+  *    overrides TAIL_MILLI)
   *  - SPARK_GRAFT_CUR_COUNTS=1 -> also report per-stage survivor
   *    counts (stages mode; counted after timing, over the staged
   *    frames)
@@ -76,10 +79,14 @@ object CurationBench {
     // so scale runs pass the rung's own tail here
     val tailMilli = sys.env.get("SPARK_GRAFT_CUR_TAIL_MILLI")
       .map(_.toLong).getOrElse(5200L)
+    // SPARK_GRAFT_CUR_TAIL_PCT engages the pipeline's own
+    // corpus-relative percentile mode (q256's rule) instead of the
+    // manual milli value — the self-tuning form a scale run wants
+    val tailPct = sys.env.get("SPARK_GRAFT_CUR_TAIL_PCT").map(_.toInt)
 
     val t0 = System.nanoTime()
     val stages = CurationPipeline.curateExtendedStages(docs, evalPred, segs,
-      dsirTarget, surprisalTailMilli = tailMilli)
+      dsirTarget, surprisalTailMilli = tailMilli, surprisalTailPct = tailPct)
     val stageTimes: Seq[(String, Double)] = mode match {
       case "fused" =>
         stages.last._2().write.format("noop").mode("overwrite").save()
@@ -106,7 +113,8 @@ object CurationBench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
     println(f"""{"mode":"$mode","dir":"$dir","total_s":$totalS%.1f,""" +
-      f""""tail_milli":$tailMilli,""" +
+      tailPct.map(p => s""""tail_pct":$p,""")
+        .getOrElse(f""""tail_milli":$tailMilli,""") +
       s""""stages":$stagesJson$rowsJson}""")
     spark.stop()
   }
