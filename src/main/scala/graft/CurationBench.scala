@@ -64,6 +64,11 @@ object CurationBench {
     sys.env.get("SPARK_GRAFT_STAGING_DIR").foreach { d =>
       spark.conf.set(graft.operators.Dedup.StagingDirConf, d)
     }
+    // banded bounded-memory jaccard core for the near-dup stage (the
+    // x256 composition form — same knob as ScaleBench)
+    sys.env.get("SPARK_GRAFT_JACCARD_BANDS").foreach { n =>
+      spark.conf.set(graft.operators.Dedup.JaccardBandsConf, n)
+    }
 
     val docs = Tables.documents(spark, dir)
     val evalPred = col("doc_id") % 97 === 0
