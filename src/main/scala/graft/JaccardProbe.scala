@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Explain-your-dispatch probe for the exact-Jaccard core: prints the
+  * df-shape numbers [[Dedup.jaccardPairs]]'s auto dispatches read
+  * (post-cap Σdf² join volume, heavy-shingle share) and the verdicts
+  * they imply for a documents dir — the operability tool for sizing
+  * `spark.graft.jaccardBands` / auditing why a corpus took the
+  * prefix, plain or banded shape.
+  *
+  * Usage: runMain graft.JaccardProbe <docsDir> [dfCap]
+  */
+object JaccardProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: JaccardProbe <docsDir> [dfCap]")
+    val dir = args(0)
+    val cap = if (args.length > 1) args(1).toInt else 1000
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "512")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // mirror the q22/CurationPipeline input: exact dedup FIRST (the
+    // rungs plant exact clones whose df inflation would otherwise
+    // distort the shape numbers the real operator never sees)
+    val reps = Dedup.exact(Tables.documents(spark, dir), "text", "doc_id")
+    val sh = Dedup.shingles(reps, "text", "doc_id")
+    val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .agg(sum(col("df") * col("df")).as("vol"),
+        sum(when(col("df") > Dedup.HeavyDf, col("df") * col("df"))
+          .otherwise(0L)).as("heavy"),
+        count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_rows")).first()
+    val (vol, heavy) = (r.getLong(0), r.getLong(1))
+    val budget = Dedup.AutoBandVolume
+    println(s"""{"dir":"$dir","cap":$cap,"n_shingles":${r.getLong(2)},""" +
+      s""""n_rows":${r.getLong(3)},"vol":$vol,"heavy":$heavy,""" +
+      s""""prefix_wins":${heavy * 2 < vol},""" +
+      s""""auto_bands":${if (vol > budget) math.min(Dedup.MaxAutoBands.toLong, (vol + budget - 1) / budget) else 1}}""")
+    spark.stop()
+  }
+}

@@ -203,11 +203,41 @@ object Dedup {
 
   /** Spark conf key: when set to an int > 1, [[jaccardPairs]] runs the
     * BANDED bounded-memory formulation with that many sequential
-    * shingle bands (see [[jaccardPairsBanded]]). Default 1 = the
-    * single-pass shape. ScaleBench exposes it via
-    * SPARK_GRAFT_JACCARD_BANDS for the trajectory rungs where the
-    * one-pass candidate shuffle exceeds single-box RAM. */
+    * shingle bands (see [[jaccardPairsBanded]]). `auto` sizes the
+    * band count from the measured post-cap join volume (Σdf² — the
+    * same probe the prefix dispatch reads, one aggregate per (input,
+    * cap) per JVM): corpora whose one-pass candidate shuffle would
+    * exceed [[AutoBandVolume]] candidates take
+    * ceil(vol / AutoBandVolume) bands, everything smaller keeps its
+    * established one-pass shape. DEFAULT `auto` (the jaccardPrefix
+    * precedent: measured dispatch over magic constants) — the probe
+    * only runs at scale, so gate corpora keep their one-pass plan
+    * without paying it; set 1 to force one-pass for an A/B.
+    * ScaleBench exposes it via SPARK_GRAFT_JACCARD_BANDS for the
+    * trajectory rungs where the one-pass candidate shuffle exceeds
+    * single-box RAM. */
   val JaccardBandsConf = "spark.graft.jaccardBands"
+
+  /** Per-pass candidate-volume budget of the `auto` banding dispatch
+    * (post-cap Σdf², an upper bound on candidate pair rows entering
+    * one join pass), overridable via [[AutoBandVolumeConf]]. The
+    * default sits between the measured zipf rungs (JaccardProbe,
+    * SURVEY §5 r14): x64 (vol 1.34e8) runs one-pass comfortably in
+    * 45 s while x256 (vol 8.89e8) thrashes one-pass at 272.5 s but
+    * runs bands=8 — per-band volume ~1.1e8 — in 181.7 s with scratch
+    * bounded at 10 GB. 1.5e8 keeps every rung through x64 one-pass
+    * and sizes x256 at 6 bands, putting each band's volume at the
+    * proven-comfortable x64 level. Scale it with executor memory: the
+    * budget is per-PASS shuffle volume, so a real cluster with more
+    * aggregate shuffle room raises it proportionally. */
+  val AutoBandVolume = 150_000_000L
+  val AutoBandVolumeConf = "spark.graft.jaccardAutoBandVolume"
+
+  /** Band-count ceiling for `auto` (each band is a sequential corpus
+    * pass — past this the pass overhead dominates; a corpus needing
+    * more than 16 bands at the default budget should raise the budget
+    * with more cluster memory instead). */
+  val MaxAutoBands = 16
 
   /** Spark conf key selecting the candidate-generation strategy:
     * "auto" (default — df-shape-keyed dispatch at scale), "on"
@@ -229,49 +259,83 @@ object Dedup {
     * CurationPipeline invoke [[jaccardPairs]] more than once per job
     * on the SAME logical input — keyed by (analyzed-plan semantic
     * hash, cap) so each (input, cap) pays the probe once per JVM.
+    * The cached value is the raw (Σdf² join volume, heavy-df share)
+    * pair, shared by BOTH auto dispatches (banding and prefix).
     * Cleared wholesale past a small bound (the key space is one entry
     * per distinct corpus plan — a handful in any real job). */
   private val dispatchCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Long, Long)]()
+
+  /** The memoized df-shape probe behind the auto dispatches: post-cap
+    * Σdf² (an upper bound on one-pass candidate pair rows) and the
+    * share of it carried by heavy (df > [[HeavyDf]]) shingles.
+    * The probe runs OUTSIDE the map (get → run → putIfAbsent):
+    * a Spark action inside computeIfAbsent would hold the bin
+    * lock for the whole query, blocking unrelated probes that
+    * hash into it. Two threads racing the same key at most run
+    * the probe twice — same numbers, no lock convoy. Staleness:
+    * the key is the ANALYZED plan's semantic hash, so a path
+    * re-read after an append reuses the old numbers for the
+    * rest of the JVM — acceptable for a shape heuristic whose
+    * every outcome is row-identical. */
+  private def dfShapeProbe(sh: DataFrame, cap: Int): (Long, Long) = {
+    if (dispatchCache.size > 64) dispatchCache.clear()
+    val key = (sh.queryExecution.analyzed.semanticHash(), cap)
+    Option(dispatchCache.get(key)).getOrElse {
+      val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap)
+        .agg(sum(col("df") * col("df")).as("vol"),
+          sum(when(col("df") > HeavyDf, col("df") * col("df"))
+            .otherwise(0L)).as("heavy")).first()
+      val probed = if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      dispatchCache.putIfAbsent(key, probed)
+      probed
+    }
+  }
 
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None,
       probeFrom: Option[DataFrame] = None): DataFrame = {
     val conf = sh.sparkSession.conf
-    val nBands = conf.getOption(JaccardBandsConf).map(_.toInt).getOrElse(1)
-    if (nBands > 1) return jaccardPairsBanded(sh, idCol, dfCap, nBands, probeFrom)
+    val bandsMode = conf.getOption(JaccardBandsConf).getOrElse("auto")
+    bandsMode match {
+      case "auto" =>
+      case n if n.toInt > 1 =>
+        return jaccardPairsBanded(sh, idCol, dfCap, n.toInt, probeFrom)
+      case _ =>
+    }
+    // auto dispatches: only pay the df-shape probe at scale (below the
+    // staging threshold the whole query is sub-second in every shape,
+    // and the gate corpora keep their established plan); the probe
+    // reads the df dim the cap computes anyway, and its numbers are
+    // memoized per (input plan, cap) and shared by both verdicts
+    val probe: Option[(Long, Long)] =
+      if (dfCap.isDefined && atScale(probeFrom.getOrElse(sh)))
+        Some(dfShapeProbe(sh, dfCap.get))
+      else None
+    if (bandsMode == "auto") {
+      // banding preempts the prefix dispatch: at the rung where the
+      // one-pass candidate volume exceeds the budget, bands beat BOTH
+      // one-pass shapes on wall-clock AND scratch (zipf x256: 181.7 s
+      // banded vs 272.5 s one-pass — SURVEY §5 r14), while below it
+      // the ~N-pass cost never pays back
+      val budget = conf.getOption(AutoBandVolumeConf).map(_.toLong)
+        .getOrElse(AutoBandVolume)
+      probe match {
+        case Some((vol, _)) if vol > budget =>
+          val n = math.min(MaxAutoBands.toLong,
+            (vol + budget - 1) / budget).toInt
+          return jaccardPairsBanded(sh, idCol, dfCap, math.max(2, n), probeFrom)
+        case _ =>
+      }
+    }
     val prefixMode = conf.getOption(JaccardPrefixConf).getOrElse("auto")
     val usePrefix = prefixMode match {
       case "on" => true
       case "off" => false
       case _ =>
-        // auto: only pay the df-shape probe at scale (below the
-        // staging threshold the whole query is sub-second either way,
-        // and the gate corpora keep their established plan); the probe
-        // reads the df dim the cap computes anyway, and its verdict is
-        // memoized per (input plan, cap)
-        dfCap.isDefined && atScale(probeFrom.getOrElse(sh)) && {
-          if (dispatchCache.size > 64) dispatchCache.clear()
-          // The probe runs OUTSIDE the map (get → run → putIfAbsent):
-          // a Spark action inside computeIfAbsent would hold the bin
-          // lock for the whole query, blocking unrelated probes that
-          // hash into it. Two threads racing the same key at most run
-          // the probe twice — same verdict, no lock convoy. Staleness:
-          // the key is the ANALYZED plan's semantic hash, so a path
-          // re-read after an append reuses the old verdict for the
-          // rest of the JVM — acceptable for a shape heuristic whose
-          // both outcomes are row-identical.
-          val key = (sh.queryExecution.analyzed.semanticHash(), dfCap.get)
-          Option(dispatchCache.get(key)).map(_.booleanValue()).getOrElse {
-            val r = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-              .filter(col("df") <= dfCap.get)
-              .agg(sum(col("df") * col("df")).as("vol"),
-                sum(when(col("df") > HeavyDf, col("df") * col("df"))
-                  .otherwise(0L)).as("heavy")).first()
-            val verdict = !r.isNullAt(0) && r.getLong(1) * 2 < r.getLong(0)
-            dispatchCache.putIfAbsent(key, verdict)
-            verdict
-          }
-        }
+        // prefix wins when the join volume is NOT concentrated in
+        // heavy shingles (see HeavyDf)
+        probe.exists { case (vol, heavy) => vol > 0L && heavy * 2 < vol }
     }
     if (usePrefix) return jaccardPairsPrefix(sh, idCol, dfCap, probeFrom)
     val (withSize, key) = sizedKeyed(sh, idCol, dfCap, probeFrom)

@@ -363,6 +363,42 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.JaccardBandsConf)
   }
 
+  test("auto banding dispatches on the measured volume and stays row-identical") {
+    import org.apache.spark.sql.functions.col
+    val reps = Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
+    def pairs() = Dedup.jaccardPairs(
+      Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+      dfCap = Some(graft.queries.DedupQueries.JaccardDfCap))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("size_a"),
+        col("size_b"), col("union_n"), col("jaccard_e6"))
+      .collect().map(_.toSeq).toSet
+    def isBanded(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.exists(_.contains("jacc_bands"))
+    val single = rows(pairs())
+    assert(single.nonEmpty)
+    spark.conf.set(Dedup.JaccardBandsConf, "auto")
+    try {
+      // below the staging threshold the probe never runs: one-pass
+      assert(!isBanded(pairs()))
+      spark.conf.set(Dedup.StageMinInputBytesConf, "0") // force at-scale
+      try {
+        // at scale with a tiny budget the volume exceeds it: banded,
+        // and row-identical to the one-pass shape
+        spark.conf.set(Dedup.AutoBandVolumeConf, "1")
+        val banded = pairs()
+        assert(isBanded(banded))
+        assert(rows(banded) === single)
+        // at scale with a huge budget: the probe says one-pass
+        spark.conf.set(Dedup.AutoBandVolumeConf, Long.MaxValue.toString)
+        assert(!isBanded(pairs()))
+      } finally {
+        spark.conf.unset(Dedup.StageMinInputBytesConf)
+        spark.conf.unset(Dedup.AutoBandVolumeConf)
+      }
+    } finally spark.conf.unset(Dedup.JaccardBandsConf)
+  }
+
   test("prefix-filtered jaccard is row-identical to the single-pass shape") {
     import org.apache.spark.sql.functions.col
     val reps = Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
