@@ -82,4 +82,32 @@ class CdcCurveSpec extends SparkSpec {
     assert(arm64.getAs[Long]("dup_chars") == audit.getAs[Long]("dup_chars"))
     assert(arm64.getAs[Long]("max_chunk_len") == audit.getAs[Long]("max_chunk_len"))
   }
+
+  test("empty-after-fold docs are excluded from every arm (the q181/oracle rule)") {
+    // the gate corpora carry no empty documents, so this pins the
+    // r14 ADVICE fix directly: without the length(fold) > 0 gate an
+    // empty doc seeds one md5('') chunk into EVERY arm (CdcChunksMeta
+    // returns a single empty chunk for ''), silently diverging from
+    // the q254 oracle and q181's chunkTable on any corpus containing
+    // one
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_empty").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 45L),
+      (2L, "", "en", "s0", 0L), // empty: must contribute NO chunks
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CdcQueries.cdcCurve(spark, dir).collect()
+    assert(out.nonEmpty)
+    // doc 2 contributes nothing: per arm, chunks/chars come from the
+    // two identical 45-char docs only — all chunks duplicated, and
+    // the empty-string hash is absent from the index accounting
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_chars") == 90L, s"n_chars @ ${r.getAs[Long]("divisor")}")
+      assert(r.getAs[Long]("dup_chunks") == r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("n_chunks") % 2 == 0)
+      assert(r.getAs[Long]("index_rows") == r.getAs[Long]("n_chunks") / 2)
+    }
+  }
 }
