@@ -511,4 +511,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q256 percentile threshold: the cumulative walk rides the milli-bits histogram, not the corpus") {
+    import org.apache.spark.sql.functions.col
+    val surp = graft.operators.Curation.unigramSurprisal(
+      Tables.documents(spark, sfDir), "text", "doc_id")
+    val p = plan(CurationPipeline.surprisalTailThreshold(surp, 95))
+    // ONE unpartitioned window exists by design, but its input is the
+    // value histogram: the corpus collapses through a
+    // milli_bits-keyed hash aggregate BEFORE the window, so the
+    // single stratum is value-resolution-bounded (the q255
+    // df-histogram grain), and the n_corpus side joins back as a
+    // 1-row broadcast — no cartesian, no corpus sort-merge
+    assert(p.contains("windowspecdefinition"), p)
+    val windowIdx = p.indexOf("Window")
+    val aggBeforeWindow = p.indexOf("HashAggregate", windowIdx) > 0
+    assert(aggBeforeWindow, p) // the histogram agg feeds the window
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row n_corpus side
+  }
 }
