@@ -24,9 +24,18 @@ import graft.operators.{Curation, Dedup}
   */
 object CurationPipeline {
 
+  /** `dupTailPct`: when set, the repetition cut becomes
+    * CORPUS-RELATIVE — docs at or past the corpus's own exact p-th
+    * percentile of `dup_token_e6` are cut instead of the fixed
+    * `maxDupE6` gate (the q256 LM-tail recipe applied to the quality
+    * gate's other corpus-dependent constant: a boilerplate-heavy
+    * corpus sits above any fixed ratio wholesale, a clean one never
+    * reaches it — the percentile rule tracks the corpus). `minTokens`
+    * stays fixed in both modes (structural, not corpus-dependent). */
   case class Config(
       minTokens: Long = 20L,
       maxDupE6: Long = 650000L,
+      dupTailPct: Option[Int] = None,
       contaminationPct: Int = 50,
       sampleDenom: Int = 5,
       ctxLen: Int = 4096,
@@ -63,11 +72,10 @@ object CurationPipeline {
     // 1. exact dedup: cheapest first, everything downstream shrinks
     val reps = st(Dedup.exact(docs, "text", "doc_id"))
 
-    // 2. quality gate: integer repetition thresholds
-    val quality = Curation.repetitionStats(reps, "text", "doc_id")
-      .filter(col("n_tokens") >= cfg.minTokens &&
-        col("dup_token_e6") < cfg.maxDupE6)
-      .select(col("doc_id"))
+    // 2. quality gate: integer repetition thresholds (fixed, or the
+    // corpus-relative dupTailPct percentile rule)
+    val quality = qualitySurvivors(
+      Curation.repetitionStats(reps, "text", "doc_id"), cfg, st)
     val qualified = st(reps.join(quality, Seq("doc_id"), "left_semi"))
 
     // 3. decontamination: drop training docs overlapping the eval set
@@ -156,17 +164,51 @@ object CurationPipeline {
     * cumulative walk is a window over that dim frame only (a
     * single-stratum window over a value-resolution-bounded input, the
     * q255 df-histogram grain — NOT a corpus window). */
-  def surprisalTailThreshold(surprisal: DataFrame, pct: Int): DataFrame = {
+  def surprisalTailThreshold(surprisal: DataFrame, pct: Int): DataFrame =
+    valueTailThreshold(surprisal, "milli_bits_per_token", pct)
+
+  /** The generic corpus-relative tail rule behind
+    * [[surprisalTailThreshold]] and the `dupTailPct` repetition cut:
+    * the exact `pct`-th percentile (PERCENTILE_DISC, integer-rank) of
+    * any BOUNDED-RESOLUTION integer value column. The corpus collapses
+    * to a value histogram first (one row per distinct integer value —
+    * bounded by the value resolution, never the corpus), and the
+    * cumulative walk is a window over that dim frame only. Returns ONE
+    * row (thr): the smallest value whose cumulative doc count reaches
+    * pct% — docs AT or PAST it are the (100-pct)% tail plus ties. */
+  def valueTailThreshold(df: DataFrame, valueCol: String, pct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pct >= 1 && pct <= 100, s"pct must be in [1,100]: $pct")
-    val hist = surprisal.groupBy(col("milli_bits_per_token"))
+    val hist = df.groupBy(col(valueCol))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("milli_bits_per_token"))
+      sum(col("cnt")).over(Window.orderBy(col(valueCol))
         .rowsBetween(Window.unboundedPreceding, 0)))
     cum.crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_corpus"))))
       .filter(col("cum") * 100 >= col("n_corpus") * pct)
-      .agg(min(col("milli_bits_per_token")).as("thr"))
+      .agg(min(col(valueCol)).as("thr"))
+  }
+
+  /** The quality-gate survivor ids for a repetition-stats frame under
+    * `cfg`'s repetition rule — fixed `maxDupE6`, or the
+    * corpus-relative `dupTailPct` percentile cut (one extra dim-sized
+    * pass over the stats frame, which is staged for its two consumers
+    * under `st`). Both modes also apply the structural `minTokens`
+    * floor. */
+  private def qualitySurvivors(rstats: DataFrame, cfg: Config,
+      st: DataFrame => DataFrame): DataFrame = cfg.dupTailPct match {
+    case Some(pct) =>
+      val r2 = st(rstats)
+      r2.crossJoin(broadcast(
+        valueTailThreshold(r2, "dup_token_e6", pct)
+          .withColumnRenamed("thr", "dup_thr")))
+        .filter(col("n_tokens") >= cfg.minTokens &&
+          col("dup_token_e6") < col("dup_thr"))
+        .select(col("doc_id"))
+    case None =>
+      rstats.filter(col("n_tokens") >= cfg.minTokens &&
+        col("dup_token_e6") < cfg.maxDupE6)
+        .select(col("doc_id"))
   }
 
   /** The staged decomposition of [[curateExtended]]: named stage
@@ -179,48 +221,82 @@ object CurationPipeline {
     * stage is built first. The last entry is [[curateExtended]]'s
     * return value; forcing only it reproduces the plain composed
     * flow. */
-  def curateExtendedStages(docs: DataFrame, evalPred: Column, segs: Column,
-      dsirTarget: Option[Column] = None,
-      seed: String = "ep1", nShards: Int = 8,
-      surprisalTailMilli: Long = 5200L,
-      lineMinDf: Int = 2,
-      surprisalTailPct: Option[Int] = None,
-      cfg: Config = Config()): Seq[(String, () => DataFrame)] = {
-    val st = stageAt(Dedup.atScale(docs)) _
-    // 1. exact dedup, then line-level dedup rewrites the text the rest
-    // of the flow sees (boilerplate lines vanish before any signal)
-    lazy val reps = st(Dedup.exact(docs, "text", "doc_id"))
-    lazy val rewritten = st {
+  /** The tail-rule-INVARIANT prefix of [[curateExtendedStages]]: the
+    * frames that are byte-identical across pipeline variants that only
+    * differ in their stage-3+ rules (LM-tail mode, DSIR target) —
+    * exact-dedup reps, line-dedup rewritten text, the per-doc
+    * surprisal frame, and the repetition-quality survivor ids. Two
+    * such variants over the SAME (docs, segs, lineMinDf, cfg) can
+    * share one prefix and pay its construction once (the q253/q256
+    * gate pair). */
+  case class SharedPrefix(reps: DataFrame, rewritten: DataFrame,
+      surprisal: DataFrame, qualityIds: DataFrame)
+
+  /** Builds a [[SharedPrefix]] with `st` as the staging function for
+    * every frame (each one has 2+ consumers across the sharing
+    * variants). A caller that needs the prefix to SURVIVE session
+    * RDD cleanup between queries passes a parquet-backed `st` (the
+    * funnel gates do — localCheckpoint blocks die with an
+    * unpersist, parquet does not). */
+  def buildSharedPrefix(docs: DataFrame, segs: Column, lineMinDf: Int,
+      cfg: Config, st: DataFrame => DataFrame): SharedPrefix = {
+    val reps = st(Dedup.exact(docs, "text", "doc_id"))
+    val rewritten = st {
       val kept = Curation.lineDedup(reps, "doc_id", segs, ". ", lineMinDf)
         .select(col("doc_id"), col("kept_text"))
       reps.drop("text")
         .join(kept.withColumnRenamed("kept_text", "text"), Seq("doc_id"))
         .filter(length(col("text")) > 0)
     }
+    val surp = st(Curation.unigramSurprisal(rewritten, "text", "doc_id"))
+    val quality = st(qualitySurvivors(
+      Curation.repetitionStats(rewritten, "text", "doc_id"), cfg, st))
+    SharedPrefix(reps, rewritten, surp, quality)
+  }
+
+  /** `sharedPrefix`: optionally inject an already-built (and typically
+    * already-materialized) [[SharedPrefix]] instead of rebuilding it.
+    * Caller's contract: the prefix MUST have been built from these
+    * exact (docs, segs, lineMinDf, cfg) — nothing re-validates it. */
+  def curateExtendedStages(docs: DataFrame, evalPred: Column, segs: Column,
+      dsirTarget: Option[Column] = None,
+      seed: String = "ep1", nShards: Int = 8,
+      surprisalTailMilli: Long = 5200L,
+      lineMinDf: Int = 2,
+      surprisalTailPct: Option[Int] = None,
+      cfg: Config = Config(),
+      sharedPrefix: Option[SharedPrefix] = None): Seq[(String, () => DataFrame)] = {
+    val st = stageAt(Dedup.atScale(docs)) _
+    // 1. exact dedup, then line-level dedup rewrites the text the rest
+    // of the flow sees (boilerplate lines vanish before any signal);
+    // with the surprisal + quality frames these form the
+    // tail-rule-invariant prefix, shareable across variants
+    lazy val pre = sharedPrefix.getOrElse(
+      buildSharedPrefix(docs, segs, lineMinDf, cfg, st))
+    lazy val reps = pre.reps
+    lazy val rewritten = pre.rewritten
 
     // 2. quality gate + 3. LM-surprisal tail drop (fixed milli-bits
     // cut, or — when `surprisalTailPct` is set — the corpus-relative
     // percentile cut derived from the SAME surprisal frame in one
     // extra dim-sized pass; see [[surprisalTailThreshold]])
     lazy val qualified = st {
-      val quality = Curation.repetitionStats(rewritten, "text", "doc_id")
-        .filter(col("n_tokens") >= cfg.minTokens &&
-          col("dup_token_e6") < cfg.maxDupE6)
-        .select(col("doc_id"))
-      val surp = Curation.unigramSurprisal(rewritten, "text", "doc_id")
+      // the repetition-survivor ids and the surprisal frame come from
+      // the (possibly shared) prefix — both staged there, since the
+      // pct mode reads surprisal twice (threshold + cut) and sharing
+      // variants read everything twice
       val lmTail = surprisalTailPct match {
         case Some(pct) =>
-          // two consumers (threshold derivation + the cut filter) —
-          // stage the surprisal frame under the same adaptive rule
-          val s2 = stageAt(Dedup.atScale(docs))(surp)
-          s2.crossJoin(broadcast(surprisalTailThreshold(s2, pct)))
+          pre.surprisal
+            .crossJoin(broadcast(surprisalTailThreshold(pre.surprisal, pct)))
             .filter(col("milli_bits_per_token") >= col("thr"))
             .select(col("doc_id"))
         case None =>
-          surp.filter(col("milli_bits_per_token") >= surprisalTailMilli)
+          pre.surprisal
+            .filter(col("milli_bits_per_token") >= surprisalTailMilli)
             .select(col("doc_id"))
       }
-      rewritten.join(quality, Seq("doc_id"), "left_semi")
+      rewritten.join(pre.qualityIds, Seq("doc_id"), "left_semi")
         .join(lmTail, Seq("doc_id"), "left_anti")
     }
 

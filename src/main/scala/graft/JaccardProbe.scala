@@ -39,11 +39,18 @@ object JaccardProbe {
           .otherwise(0L)).as("heavy"),
         count(lit(1)).as("n_shingles"),
         sum(col("df")).as("n_rows")).first()
-    val (vol, heavy) = (r.getLong(0), r.getLong(1))
-    val budget = Dedup.AutoBandVolume
+    // an empty post-cap shingle set aggregates to NULLs — report the
+    // (0, 0) shape the engine's own probe would read, not an NPE
+    val (vol, heavy) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    // the budget the ENGINE would use in this JVM: the conf override
+    // if set, else the heap-derived default — so the printed verdict
+    // matches the actual dispatch on a tuned cluster
+    val budget = Dedup.autoBandVolume(spark.conf)
     println(s"""{"dir":"$dir","cap":$cap,"n_shingles":${r.getLong(2)},""" +
-      s""""n_rows":${r.getLong(3)},"vol":$vol,"heavy":$heavy,""" +
-      s""""prefix_wins":${heavy * 2 < vol},""" +
+      s""""n_rows":${if (r.isNullAt(3)) 0L else r.getLong(3)},"vol":$vol,"heavy":$heavy,""" +
+      s""""budget":$budget,""" +
+      s""""prefix_wins":${vol > 0L && heavy * 2 < vol},""" +
       s""""auto_bands":${if (vol > budget) math.min(Dedup.MaxAutoBands.toLong, (vol + budget - 1) / budget) else 1}}""")
     spark.stop()
   }

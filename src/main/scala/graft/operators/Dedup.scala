@@ -218,20 +218,46 @@ object Dedup {
     * single-box RAM. */
   val JaccardBandsConf = "spark.graft.jaccardBands"
 
+  /** Measured shuffle+sort footprint of ONE candidate pair row through
+    * the inverted-join/agg machinery, the constant behind the derived
+    * per-pass budget: the r14 zipf-rung calibration (SURVEY §5) put the
+    * comfortable per-pass budget at 1.5e8 candidates on a 100 GiB-heap
+    * JVM — x64 (vol 1.34e8) ran one-pass in 45 s while x256 (8.89e8)
+    * thrashed at 272.5 s and recovered banded at ~1.1e8/pass — i.e.
+    * ~700 bytes of per-candidate working set. */
+  val AutoBandBytesPerCandidate = 700L
+
   /** Per-pass candidate-volume budget of the `auto` banding dispatch
     * (post-cap Σdf², an upper bound on candidate pair rows entering
     * one join pass), overridable via [[AutoBandVolumeConf]]. The
-    * default sits between the measured zipf rungs (JaccardProbe,
-    * SURVEY §5 r14): x64 (vol 1.34e8) runs one-pass comfortably in
-    * 45 s while x256 (vol 8.89e8) thrashes one-pass at 272.5 s but
-    * runs bands=8 — per-band volume ~1.1e8 — in 181.7 s with scratch
-    * bounded at 10 GB. 1.5e8 keeps every rung through x64 one-pass
-    * and sizes x256 at 6 bands, putting each band's volume at the
-    * proven-comfortable x64 level. Scale it with executor memory: the
-    * budget is per-PASS shuffle volume, so a real cluster with more
-    * aggregate shuffle room raises it proportionally. */
-  val AutoBandVolume = 150_000_000L
+    * default DERIVES from this JVM's heap (maxMemory /
+    * [[AutoBandBytesPerCandidate]]) — the budget is per-PASS shuffle
+    * volume, so it scales with the memory actually available to hold
+    * a pass, which is the knob's documented contract (a real cluster
+    * with more aggregate shuffle room raises it proportionally, and a
+    * smaller box bands sooner). On the calibration box (100 GiB-heap
+    * scale JVMs) the derivation lands at ~1.53e8 — within 2% of the
+    * hand constant it replaces, so every measured rung verdict is
+    * unchanged: zipf x64 (vol 1.34e8) stays one-pass, zipf x256
+    * (8.89e8) stays 6 bands, flat x64 (3.54e9) stays at the cap. */
+  def autoBandVolumeDefault: Long =
+    math.max(1_000_000L, Runtime.getRuntime.maxMemory() / AutoBandBytesPerCandidate)
   val AutoBandVolumeConf = "spark.graft.jaccardAutoBandVolume"
+
+  /** The effective budget: the conf override (validated — 0 or a
+    * negative count would divide-by-zero or nonsense the band sizing)
+    * or the heap-derived default. */
+  def autoBandVolume(conf: org.apache.spark.sql.RuntimeConfig): Long = {
+    val b = conf.getOption(AutoBandVolumeConf).map { s =>
+      val v = try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$AutoBandVolumeConf='$s' — must be a positive candidate count")
+      }
+      require(v > 0, s"$AutoBandVolumeConf must be a positive candidate count, got $v")
+      v
+    }.getOrElse(autoBandVolumeDefault)
+    b
+  }
 
   /** Band-count ceiling for `auto` (each band is a sequential corpus
     * pass — past this the pass overhead dominates; a corpus needing
@@ -242,7 +268,11 @@ object Dedup {
   /** Spark conf key selecting the candidate-generation strategy:
     * "auto" (default — df-shape-keyed dispatch at scale), "on"
     * (force the prefix-filtered path), "off" (force the plain
-    * inverted join). See [[jaccardPairsPrefix]]. */
+    * inverted join). See [[jaccardPairsPrefix]]. A forced mode is an
+    * A/B guarantee: it bypasses the auto banding dispatch (explicit
+    * [[JaccardBandsConf]] values still win — they return before the
+    * prefix choice is read) and skips the df-shape probe, so a forced
+    * run pays no corpus-wide aggregate it never reads. */
   val JaccardPrefixConf = "spark.graft.jaccardPrefix"
 
   /** The df-shape dispatch signal (see [[jaccardPairs]]): the prefix
@@ -265,6 +295,11 @@ object Dedup {
     * per distinct corpus plan — a handful in any real job). */
   private val dispatchCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Long, Long)]()
+
+  // test hooks: the probe-skip contract for forced modes is only
+  // observable through the memo (the probe is otherwise side-effect-free)
+  private[graft] def clearDispatchCache(): Unit = dispatchCache.clear()
+  private[graft] def dispatchCacheSize: Int = dispatchCache.size
 
   /** The memoized df-shape probe behind the auto dispatches: post-cap
     * Σdf² (an upper bound on one-pass candidate pair rows) and the
@@ -297,29 +332,49 @@ object Dedup {
       probeFrom: Option[DataFrame] = None): DataFrame = {
     val conf = sh.sparkSession.conf
     val bandsMode = conf.getOption(JaccardBandsConf).getOrElse("auto")
-    bandsMode match {
-      case "auto" =>
-      case n if n.toInt > 1 =>
-        return jaccardPairsBanded(sh, idCol, dfCap, n.toInt, probeFrom)
+    // parse once, loudly: anything but `auto` or a positive int is a
+    // configuration error, not a NumberFormatException from a guard
+    val explicitBands: Option[Int] = bandsMode match {
+      case "auto" => None
+      case s =>
+        val n = try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$JaccardBandsConf='$s' — legal values: 'auto' or a positive band count")
+        }
+        require(n >= 1,
+          s"$JaccardBandsConf must be 'auto' or a positive band count, got $n")
+        Some(n)
+    }
+    explicitBands match {
+      case Some(n) if n > 1 =>
+        return jaccardPairsBanded(sh, idCol, dfCap, n, probeFrom)
       case _ =>
     }
+    val prefixMode = conf.getOption(JaccardPrefixConf).getOrElse("auto")
+    require(prefixMode == "auto" || prefixMode == "on" || prefixMode == "off",
+      s"$JaccardPrefixConf='$prefixMode' — legal values: auto | on | off")
+    // A/B-forcing contract: a FORCED prefix mode (on/off) guarantees
+    // that candidate-generation path — auto banding steps aside and
+    // the df-shape probe (an eager corpus-wide aggregate the forced
+    // run never reads) is skipped entirely. Likewise bands=1 forces
+    // one-pass; only the prefix on/off choice may still need the probe.
+    val prefixForced = prefixMode != "auto"
     // auto dispatches: only pay the df-shape probe at scale (below the
     // staging threshold the whole query is sub-second in every shape,
     // and the gate corpora keep their established plan); the probe
     // reads the df dim the cap computes anyway, and its numbers are
     // memoized per (input plan, cap) and shared by both verdicts
     val probe: Option[(Long, Long)] =
-      if (dfCap.isDefined && atScale(probeFrom.getOrElse(sh)))
+      if (!prefixForced && dfCap.isDefined && atScale(probeFrom.getOrElse(sh)))
         Some(dfShapeProbe(sh, dfCap.get))
       else None
-    if (bandsMode == "auto") {
+    if (explicitBands.isEmpty && !prefixForced) {
       // banding preempts the prefix dispatch: at the rung where the
       // one-pass candidate volume exceeds the budget, bands beat BOTH
       // one-pass shapes on wall-clock AND scratch (zipf x256: 181.7 s
       // banded vs 272.5 s one-pass — SURVEY §5 r14), while below it
       // the ~N-pass cost never pays back
-      val budget = conf.getOption(AutoBandVolumeConf).map(_.toLong)
-        .getOrElse(AutoBandVolume)
+      val budget = autoBandVolume(conf)
       probe match {
         case Some((vol, _)) if vol > budget =>
           val n = math.min(MaxAutoBands.toLong,
@@ -328,7 +383,6 @@ object Dedup {
         case _ =>
       }
     }
-    val prefixMode = conf.getOption(JaccardPrefixConf).getOrElse("auto")
     val usePrefix = prefixMode match {
       case "on" => true
       case "off" => false

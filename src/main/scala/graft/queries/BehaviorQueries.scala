@@ -31,12 +31,16 @@ object BehaviorQueries {
     * (recency inverted — smaller is better). */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val wAll = Window.partitionBy()
-    val users = Tables.events(s, dir)
+    val perUser = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("f"),
         sum(round(col("value") * 100).cast("long")).as("m"))
-      .withColumn("max_last", max(col("last_us")).over(wAll))
+    // corpus-wide max as a 1-row broadcast rather than an
+    // unpartitioned window over the user dim (fine at gate scale,
+    // a single-partition sort of every user at 100 TB)
+    val users = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("last_us")).as("max_last"))))
       .withColumn("r", expr("(max_last - last_us) div 86400000000"))
       .select(col("user_id"), col("r"), col("f"), col("m"))
     // value-dim quintile score: rank users by cumulative count over the
@@ -109,10 +113,13 @@ object BehaviorQueries {
     * e6 "freshness" ratio decayed/raw, and the hottest day. The decay
     * weight is map-side column math; one hash agg. */
   def decayedCounts(s: SparkSession, dir: String): DataFrame = {
-    val wAll = Window.partitionBy()
-    Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
       .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("max_us", max(col("ts_us")).over(wAll))
+    // global max as a 1-row broadcast (the repo convention), NOT an
+    // unpartitioned window over the raw event stream — the window
+    // form sorts the whole corpus on one partition at scale (caught
+    // by FleetPlanAuditSpec); the extra scan is 2 pruned columns
+    ev.crossJoin(broadcast(ev.agg(max(col("ts_us")).as("max_us"))))
       .withColumn("age_days", expr("(max_us - ts_us) div 86400000000"))
       .withColumn("w_e6", expr("CASE WHEN age_days >= 63 THEN 0 ELSE shiftright(1000000, CAST(age_days AS INT)) END"))
       .groupBy(col("event_type"))

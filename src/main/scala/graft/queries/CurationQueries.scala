@@ -48,6 +48,69 @@ object CurationQueries {
        |FROM toka LEFT JOIN bga ON toka.doc_id = bga.doc_id
        |ORDER BY toka.doc_id""".stripMargin
 
+  // ---- q257: corpus-relative repetition-tail curve ----
+
+  /** q257: the percentile REPETITION-cut rule —
+    * [[graft.CurationPipeline]]'s `dupTailPct` mode, the q256
+    * corpus-relative recipe applied to the quality gate's other
+    * corpus-dependent constant (`maxDupE6`) — priced as a curve: for
+    * each pct gate, the exact integer-rank percentile threshold
+    * (PERCENTILE_DISC) of `dup_token_e6` over the corpus's repetition
+    * stats, and the survivor set it implies (docs BELOW the threshold
+    * survive; ties at the threshold are tail, the q256 convention).
+    *
+    * Scale shape: the corpus collapses to ONE dup-ratio histogram
+    * (dim-grain — one row per distinct e6 ratio, value-bounded at
+    * 1e6+1, never the corpus); the cumulative walk is a window over
+    * that dim only; the 4-gate threshold dim broadcasts back and the
+    * corpus prices every gate in one aggregate pass. The two
+    * crossJoins are bounded broadcasts (1-row total, 4-row gates). */
+  val DupTailPcts: Seq[Int] = Seq(50, 75, 90, 95)
+
+  def dupTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stats = Curation.repetitionStats(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("dup_token_e6"))
+    val hist = stats.groupBy(col("dup_token_e6")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("dup_token_e6"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_corpus"))))
+    val pcts = DupTailPcts.map(_.toLong).toDF("pct")
+    val thrs = cum.crossJoin(broadcast(pcts))
+      .filter(col("cum") * 100 >= col("n_corpus") * col("pct"))
+      .groupBy(col("pct")).agg(min(col("dup_token_e6")).as("thr"))
+    stats.crossJoin(broadcast(thrs))
+      .groupBy(col("pct"), col("thr"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_token_e6") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("dup_token_e6") < col("thr"), col("doc_id"))),
+          lit(0L)).as("kept_id_sum"))
+      .orderBy(col("pct"))
+  }
+
+  val dupTailSql: String = {
+    val pcts = DupTailPcts.map(p => s"($p)").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM pos GROUP BY doc_id, tok),
+       |stat AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct FROM tokc GROUP BY doc_id),
+       |de6 AS (SELECT doc_id,
+       |    ${e6Sql("CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens")} AS v FROM stat),
+       |hist AS (SELECT v, COUNT(*) AS cnt FROM de6 GROUP BY v),
+       |cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    (SELECT CAST(SUM(cnt) AS BIGINT) FROM hist) AS n FROM hist),
+       |pcts(pct) AS (VALUES $pcts),
+       |thrs AS (SELECT pct, MIN(v) AS thr FROM pcts JOIN cum ON cum * 100 >= n * pct GROUP BY pct)
+       |SELECT CAST(pct AS BIGINT) AS pct, CAST(thr AS BIGINT) AS thr,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN v < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN v < thr THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
+       |FROM de6 CROSS JOIN thrs GROUP BY pct, thr ORDER BY pct""".stripMargin
+  }
+
   // ---- q72: PII scrubbing ----
 
   /** q72: regex PII scrub + per-segment redaction accounting. The
@@ -606,7 +669,8 @@ object CurationQueries {
     "q91_dup_ngrams" -> (dupNgrams _),
     "q99_corpus_split" -> (corpusSplit _),
     "q104_temperature_mix" -> (temperatureMix _),
-    "q158_doremi_mix" -> (doremiMix _))
+    "q158_doremi_mix" -> (doremiMix _),
+    "q257_dup_tail" -> (dupTail _))
 
   val oracles: Map[String, String] = Map(
     "q71_repetition_stats" -> repetitionStatsSql,
@@ -621,5 +685,6 @@ object CurationQueries {
     "q91_dup_ngrams" -> dupNgramsSql,
     "q99_corpus_split" -> corpusSplitSql,
     "q104_temperature_mix" -> temperatureMixSql,
-    "q158_doremi_mix" -> doremiMixSql)
+    "q158_doremi_mix" -> doremiMixSql,
+    "q257_dup_tail" -> dupTailSql)
 }

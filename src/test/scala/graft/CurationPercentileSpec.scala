@@ -63,4 +63,51 @@ class CurationPercentileSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(qualIds === fixedIds)
   }
+
+  test("dup-tail threshold equals the driver-side order statistic, across pcts") {
+    val stats = Curation.repetitionStats(
+      Tables.documents(spark, sfDir).limit(200), "text", "doc_id")
+    val values = stats.select(col("dup_token_e6"))
+      .collect().map(_.getLong(0)).sorted
+    val n = values.length
+    assert(n > 50)
+    for (pct <- Seq(10, 50, 80, 95, 99, 100)) {
+      val expected = values(
+        values.indices.find(i => (i + 1) * 100 >= n.toLong * pct).get)
+      val got = CurationPipeline.valueTailThreshold(stats, "dup_token_e6", pct)
+        .collect().head.getLong(0)
+      assert(got === expected, s"pct=$pct n=$n")
+    }
+  }
+
+  test("dupTailPct mode cuts exactly the at-or-past-threshold docs and equals the fixed run at the derived value") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val segs = graft.functions.TextFunctions.sentenceSegs(col("text"))
+    val pct = 80
+    val pctStages = CurationPipeline.curateExtendedStages(
+      docs, col("doc_id") % 97 === 0, segs,
+      cfg = CurationPipeline.Config(dupTailPct = Some(pct)))
+      .toMap
+    // the threshold the pipeline must have used: derived over the
+    // REWRITTEN frame's repetition stats (stage 2's survivors)
+    val rewritten = pctStages("line_dedup")()
+    val rstats = Curation.repetitionStats(rewritten, "text", "doc_id")
+    val thr = CurationPipeline.valueTailThreshold(rstats, "dup_token_e6", pct)
+      .collect().head.getLong(0)
+    // every rewritten doc at/past thr is absent downstream; the pct
+    // run is row-identical to a fixed run at the derived value
+    val qualIds = pctStages("quality_lm_gate")()
+      .select("doc_id").as[Long].collect().toSet
+    val byThr = rstats.select(col("doc_id"), col("dup_token_e6"))
+      .as[(Long, Long)].collect()
+    assert(byThr.filter(_._2 >= thr).map(_._1).toSet.intersect(qualIds).isEmpty)
+    assert(qualIds.nonEmpty)
+    val fixedIds = CurationPipeline.curateExtendedStages(
+      docs, col("doc_id") % 97 === 0, segs,
+      cfg = CurationPipeline.Config(maxDupE6 = thr))
+      .toMap.apply("quality_lm_gate")()
+      .select("doc_id").as[Long].collect().toSet
+    assert(qualIds === fixedIds)
+  }
 }

@@ -433,6 +433,86 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.JaccardPrefixConf)
   }
 
+  test("jaccard dispatch confs fail loudly on garbage and the budget derives from the heap") {
+    val reps = Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
+    def pairs() = Dedup.jaccardPairs(
+      Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+      dfCap = Some(graft.queries.DedupQueries.JaccardDfCap))
+    // garbage band counts: a typed error naming the conf and legal
+    // values, not a bare NumberFormatException from a match guard
+    for (bad <- Seq("fast", "0", "-3")) {
+      spark.conf.set(Dedup.JaccardBandsConf, bad)
+      try {
+        val e = intercept[IllegalArgumentException](pairs())
+        assert(e.getMessage.contains(Dedup.JaccardBandsConf), s"bands=$bad")
+      } finally spark.conf.unset(Dedup.JaccardBandsConf)
+    }
+    // garbage prefix mode: same contract
+    spark.conf.set(Dedup.JaccardPrefixConf, "sometimes")
+    try {
+      val e = intercept[IllegalArgumentException](pairs())
+      assert(e.getMessage.contains(Dedup.JaccardPrefixConf))
+    } finally spark.conf.unset(Dedup.JaccardPrefixConf)
+    // budget override validation: 0 and negatives would divide-by-zero
+    // or nonsense the band sizing — rejected before any plan is built
+    spark.conf.set(Dedup.StageMinInputBytesConf, "0") // force at-scale
+    try {
+      for (bad <- Seq("0", "-5", "many")) {
+        spark.conf.set(Dedup.AutoBandVolumeConf, bad)
+        try {
+          val e = intercept[IllegalArgumentException](pairs())
+          assert(e.getMessage.contains(Dedup.AutoBandVolumeConf), s"budget=$bad")
+        } finally spark.conf.unset(Dedup.AutoBandVolumeConf)
+      }
+    } finally spark.conf.unset(Dedup.StageMinInputBytesConf)
+    // the default budget is heap-proportional (the knob's documented
+    // scaling law applied to its own default): maxMemory / 700 B per
+    // candidate, floored — and the effective budget reads the override
+    assert(Dedup.autoBandVolumeDefault ===
+      math.max(1000000L, Runtime.getRuntime.maxMemory() / Dedup.AutoBandBytesPerCandidate))
+    assert(Dedup.autoBandVolume(spark.conf) === Dedup.autoBandVolumeDefault)
+    spark.conf.set(Dedup.AutoBandVolumeConf, "123456789")
+    try assert(Dedup.autoBandVolume(spark.conf) === 123456789L)
+    finally spark.conf.unset(Dedup.AutoBandVolumeConf)
+  }
+
+  test("forced prefix mode bypasses auto banding and skips the df-shape probe") {
+    import org.apache.spark.sql.functions.col
+    val reps = Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
+    def pairs() = Dedup.jaccardPairs(
+      Dedup.shingles(reps, "text", "doc_id"), "doc_id",
+      dfCap = Some(graft.queries.DedupQueries.JaccardDfCap))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("jaccard_e6"))
+      .collect().map(_.toSeq).toSet
+    def isBanded(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.exists(_.contains("jacc_bands"))
+    val single = rows(pairs())
+    assert(single.nonEmpty)
+    spark.conf.set(Dedup.StageMinInputBytesConf, "0") // force at-scale
+    spark.conf.set(Dedup.AutoBandVolumeConf, "1") // any volume over-budget
+    try {
+      // auto prefix: the tiny budget makes auto banding take the plan
+      assert(isBanded(pairs()))
+      // forced prefix: the A/B guarantee — the requested path, no
+      // banding preemption, and the probe (observable only through
+      // its memo) never runs
+      for (mode <- Seq("on", "off")) {
+        spark.conf.set(Dedup.JaccardPrefixConf, mode)
+        try {
+          Dedup.clearDispatchCache()
+          val forced = pairs()
+          assert(!isBanded(forced), s"prefix=$mode")
+          assert(rows(forced) === single, s"prefix=$mode")
+          assert(Dedup.dispatchCacheSize === 0, s"prefix=$mode paid the probe")
+        } finally spark.conf.unset(Dedup.JaccardPrefixConf)
+      }
+    } finally {
+      spark.conf.unset(Dedup.StageMinInputBytesConf)
+      spark.conf.unset(Dedup.AutoBandVolumeConf)
+    }
+  }
+
   test("q251 radius curve: truth recomputed all-pairs, pigeonhole anchor, candidate volume") {
     import graft.queries.DedupQueries
     val rows = DedupQueries.simhashSweep(spark, sfDir)

@@ -429,6 +429,19 @@ class MultimodalSpec extends SparkSpec {
     val tornOut = Mp3Codec.decode(Seq(Asset(4L, "media/mp3", torn))).head
     assert(tornOut === MultimodalBatch.FakeCodec.decode(
       Seq(Asset(4L, "media/mp3", torn))).head)
+    // ID3v2.4 FOOTER flag (bit 4): the syncsafe size excludes both the
+    // header and the 10-byte footer — a footered tag must skip 10 more
+    // or the first frame misaligns and the asset silently falls back
+    val id3v24f = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0x10.toByte, 0, 0, (200 >> 7).toByte, (200 & 0x7f).toByte) ++
+      Array.fill[Byte](200)(0) ++
+      "3DI".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0x10.toByte, 0, 0,
+        (200 >> 7).toByte, (200 & 0x7f).toByte)
+    val footered = id3v24f ++ Array.fill(3)(f128).flatten
+    val fOut = Mp3Codec.decode(Seq(Asset(5L, "media/mp3", footered))).head
+    assert((fOut.width, fOut.height, fOut.n_frames) === ((44100, 2, 3)))
+    assert(fOut !== MultimodalBatch.FakeCodec.decode(
+      Seq(Asset(5L, "media/mp3", footered))).head)
   }
 
   test("FlacCodec parses real STREAMINFO metadata through the batched decode path") {
