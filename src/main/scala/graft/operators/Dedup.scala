@@ -259,10 +259,18 @@ object Dedup {
     b
   }
 
-  /** Band-count ceiling for `auto` (each band is a sequential corpus
-    * pass — past this the pass overhead dominates; a corpus needing
-    * more than 16 bands at the default budget should raise the budget
-    * with more cluster memory instead). */
+  /** Band-count ceiling for `auto` — MEASURED, not cosmetic (flat
+    * x256, SURVEY §5 r15): phase-1 partials hold one row per
+    * candidate pair PER BAND it co-occurs in, i.e. min(shared
+    * shingles, N) rows per pair, so on heavy-overlap corpora the
+    * staged partial footprint grows ~linearly with N — at the r15
+    * rung bands=16 completes (1597.8 s) while bands=32 and the
+    * cap-lifted ceil(vol/budget)=94 both exhausted a 66 GB scratch
+    * disk mid-phase-1 (the 94-band run staged 65 GB of partials
+    * before dying). A corpus needing more than 16 bands at the
+    * derived budget needs more AGGREGATE memory and disk — raise the
+    * budget with real cluster shuffle room (the documented contract),
+    * don't stack passes on one box. */
   val MaxAutoBands = 16
 
   /** Spark conf key selecting the candidate-generation strategy:
@@ -485,11 +493,19 @@ object Dedup {
     *     partials, which are DELETED before returning.
     *
     * Peak memory = one band's join; peak disk = the partial pair
-    * table once (measured ~half the naive carry-sizes form). This is
-    * the single-box honesty device for the x256 rung — a real cluster
-    * keeps the one-pass shape (its candidate shuffle spreads over
-    * executors); accordingly the size dim broadcast here (|docs| rows)
-    * is a single-box economy, not a 100 TB claim. Row-identical to
+    * table once (measured ~half the naive carry-sizes form). The
+    * partial table is the BAND-COUNT trade's hidden axis: a pair
+    * sharing s shingles lands in min(s, nBands) band partials, so on
+    * heavy-overlap corpora (the flat template shape, where co-dup
+    * pairs share most of their shingles) partial volume grows
+    * ~linearly with nBands — measured at flat x256 (SURVEY §5 r15):
+    * 16 bands complete within a 66 GB scratch disk, 32 and 94 bands
+    * exhaust it mid-phase-1 (the 94-band run staged 65 GB of partials
+    * before dying). Hence [[MaxAutoBands]]. This is the single-box
+    * honesty device for the x256 rung — a real cluster keeps the
+    * one-pass shape (its candidate shuffle spreads over executors);
+    * accordingly the size dim broadcast here (|docs| rows) is a
+    * single-box economy, not a 100 TB claim. Row-identical to
     * [[jaccardPairs]] (spec-pinned at the gate SFs). */
   def jaccardPairsBanded(sh: DataFrame, idCol: String, dfCap: Option[Int],
       nBands: Int, probeFrom: Option[DataFrame] = None): DataFrame = {

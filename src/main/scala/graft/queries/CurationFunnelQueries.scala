@@ -117,9 +117,16 @@ object CurationFunnelQueries {
         // parquet-backed staging: write each prefix frame once under
         // a temp dir and hand every consumer (this funnel AND the
         // sibling gate) the scan — eager at construction, like the
-        // label-propagation rounds the funnel already runs here
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_funnel_prefix").toString
+        // label-propagation rounds the funnel already runs here.
+        // Root: the shared stagingDir when configured (a multi-node
+        // cluster needs executor-visible storage — the Dedup.stage
+        // contract), else the driver-local tmpdir (the single-box
+        // gate harness)
+        val root = s.conf.getOption(Dedup.StagingDirConf) match {
+          case Some(d) => s"$d/graft_funnel_prefix_${java.util.UUID.randomUUID()}"
+          case None => java.nio.file.Files
+            .createTempDirectory("graft_funnel_prefix").toString
+        }
         var k = 0
         def pq(df: DataFrame): DataFrame = {
           k += 1
