@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *  - SPARK_GRAFT_CUR_TAIL_PCT -> derive the cut as the corpus's own
   *    exact percentile instead (the shipped q256 self-tuning mode;
   *    overrides TAIL_MILLI)
+  *  - SPARK_GRAFT_CUR_DUP_PCT -> derive the REPETITION cut as a
+  *    corpus percentile too (the q257 rule, Config.dupTailPct) —
+  *    with both pct knobs the quality gate is fully self-tuning
   *  - SPARK_GRAFT_CUR_COUNTS=1 -> also report per-stage survivor
   *    counts (stages mode; counted after timing, over the staged
   *    frames)
@@ -88,10 +91,16 @@ object CurationBench {
     // corpus-relative percentile mode (q256's rule) instead of the
     // manual milli value — the self-tuning form a scale run wants
     val tailPct = sys.env.get("SPARK_GRAFT_CUR_TAIL_PCT").map(_.toInt)
+    // SPARK_GRAFT_CUR_DUP_PCT engages the corpus-relative REPETITION
+    // cut (q257's rule — Config.dupTailPct): with both pct knobs set
+    // the quality gate is fully self-tuning, no corpus-sized constant
+    // left
+    val dupPct = sys.env.get("SPARK_GRAFT_CUR_DUP_PCT").map(_.toInt)
 
     val t0 = System.nanoTime()
     val stages = CurationPipeline.curateExtendedStages(docs, evalPred, segs,
-      dsirTarget, surprisalTailMilli = tailMilli, surprisalTailPct = tailPct)
+      dsirTarget, surprisalTailMilli = tailMilli, surprisalTailPct = tailPct,
+      cfg = CurationPipeline.Config(dupTailPct = dupPct))
     val stageTimes: Seq[(String, Double)] = mode match {
       case "fused" =>
         stages.last._2().write.format("noop").mode("overwrite").save()
@@ -120,6 +129,7 @@ object CurationBench {
     println(f"""{"mode":"$mode","dir":"$dir","total_s":$totalS%.1f,""" +
       tailPct.map(p => s""""tail_pct":$p,""")
         .getOrElse(f""""tail_milli":$tailMilli,""") +
+      dupPct.map(p => s""""dup_pct":$p,""").getOrElse("") +
       s""""stages":$stagesJson$rowsJson}""")
     spark.stop()
   }

@@ -228,30 +228,47 @@ object CurationPipeline {
     * surprisal frame, and the repetition-quality survivor ids. Two
     * such variants over the SAME (docs, segs, lineMinDf, cfg) can
     * share one prefix and pay its construction once (the q253/q256
-    * gate pair). */
-  case class SharedPrefix(reps: DataFrame, rewritten: DataFrame,
-      surprisal: DataFrame, qualityIds: DataFrame)
+    * gate pair).
+    *
+    * Members are individually LAZY: under AQE an eager staging `st`
+    * (or even a localCheckpoint's toRdd) runs a frame's shuffle
+    * stages at construction, so building all four at once would
+    * charge the whole prefix to whichever stage is forced first — a
+    * per-stage measurement harness (CurationBench) wants each frame
+    * to materialize inside its OWN stage's timing. Evaluated at most
+    * once per instance; a cached instance hands later variants the
+    * already-evaluated frames. */
+  final class SharedPrefix(
+      repsF: () => DataFrame, rewrittenF: () => DataFrame,
+      surprisalF: () => DataFrame, qualityIdsF: () => DataFrame) {
+    lazy val reps: DataFrame = repsF()
+    lazy val rewritten: DataFrame = rewrittenF()
+    lazy val surprisal: DataFrame = surprisalF()
+    lazy val qualityIds: DataFrame = qualityIdsF()
+  }
 
   /** Builds a [[SharedPrefix]] with `st` as the staging function for
     * every frame (each one has 2+ consumers across the sharing
     * variants). A caller that needs the prefix to SURVIVE session
     * RDD cleanup between queries passes a parquet-backed `st` (the
     * funnel gates do — localCheckpoint blocks die with an
-    * unpersist, parquet does not). */
+    * unpersist, parquet does not). Nothing materializes until a
+    * member is first used. */
   def buildSharedPrefix(docs: DataFrame, segs: Column, lineMinDf: Int,
       cfg: Config, st: DataFrame => DataFrame): SharedPrefix = {
-    val reps = st(Dedup.exact(docs, "text", "doc_id"))
-    val rewritten = st {
-      val kept = Curation.lineDedup(reps, "doc_id", segs, ". ", lineMinDf)
-        .select(col("doc_id"), col("kept_text"))
-      reps.drop("text")
-        .join(kept.withColumnRenamed("kept_text", "text"), Seq("doc_id"))
-        .filter(length(col("text")) > 0)
-    }
-    val surp = st(Curation.unigramSurprisal(rewritten, "text", "doc_id"))
-    val quality = st(qualitySurvivors(
-      Curation.repetitionStats(rewritten, "text", "doc_id"), cfg, st))
-    SharedPrefix(reps, rewritten, surp, quality)
+    lazy val self: SharedPrefix = new SharedPrefix(
+      () => st(Dedup.exact(docs, "text", "doc_id")),
+      () => st {
+        val kept = Curation.lineDedup(self.reps, "doc_id", segs, ". ", lineMinDf)
+          .select(col("doc_id"), col("kept_text"))
+        self.reps.drop("text")
+          .join(kept.withColumnRenamed("kept_text", "text"), Seq("doc_id"))
+          .filter(length(col("text")) > 0)
+      },
+      () => st(Curation.unigramSurprisal(self.rewritten, "text", "doc_id")),
+      () => st(qualitySurvivors(
+        Curation.repetitionStats(self.rewritten, "text", "doc_id"), cfg, st)))
+    self
   }
 
   /** `sharedPrefix`: optionally inject an already-built (and typically

@@ -61,37 +61,60 @@ class FleetPlanAuditSpec extends SparkSpec {
       s.relation.location.rootPaths.map(rp => rp.getName).mkString(",")
     }
 
+  private def sweep(): Seq[String] = {
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val plan = q(spark, sfDir).queryExecution.executedPlan
+      // 1. cartesian products
+      if (!cartesianAllow.contains(name))
+        plan.collect { case c: CartesianProductExec => c }.foreach { _ =>
+          violations += s"$name: CartesianProductExec in plan"
+        }
+      // 2. unpartitioned windows over non-aggregated input
+      if (!globalWindowAllow.contains(name))
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.foreach { w =>
+          if (!hasAggBeneath(w.child))
+            violations += s"$name: unpartitioned WindowExec with no aggregate beneath"
+        }
+      // 3. sort-merge joins against an unambiguous broadcast dim
+      if (!dimSmjAllow.contains(name))
+        plan.collect { case j: SortMergeJoinExec => j }.foreach { j =>
+          Seq(j.left, j.right).foreach { side =>
+            val scans = scansOf(side)
+            if (scans.nonEmpty && scans.forall(s => DimTables.exists(s.contains)))
+              violations += s"$name: SortMergeJoin against dim-only side (${scans.mkString("; ")})"
+          }
+        }
+    }
+    violations.toSeq
+  }
+
   test("every query plan holds the fleet invariants (cartesian, global window, dim SMJ)") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val violations = scala.collection.mutable.ArrayBuffer[String]()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
-        val plan = q(spark, sfDir).queryExecution.executedPlan
-        // 1. cartesian products
-        if (!cartesianAllow.contains(name))
-          plan.collect { case c: CartesianProductExec => c }.foreach { _ =>
-            violations += s"$name: CartesianProductExec in plan"
-          }
-        // 2. unpartitioned windows over non-aggregated input
-        if (!globalWindowAllow.contains(name))
-          plan.collect {
-            case w: WindowExec if w.partitionSpec.isEmpty => w
-          }.foreach { w =>
-            if (!hasAggBeneath(w.child))
-              violations += s"$name: unpartitioned WindowExec with no aggregate beneath"
-          }
-        // 3. sort-merge joins against an unambiguous broadcast dim
-        if (!dimSmjAllow.contains(name))
-          plan.collect { case j: SortMergeJoinExec => j }.foreach { j =>
-            Seq(j.left, j.right).foreach { side =>
-              val scans = scansOf(side)
-              if (scans.nonEmpty && scans.forall(s => DimTables.exists(s.contains)))
-                violations += s"$name: SortMergeJoin against dim-only side (${scans.mkString("; ")})"
-            }
-          }
-      }
+      val violations = sweep()
       assert(violations.isEmpty, violations.mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("the AT-SCALE plan shapes hold the same invariants (staging threshold forced to 0)") {
+    // past StageMinInputBytes every dedup-family query switches to its
+    // staged/dictionary-encoded shape and the dispatch probes fire —
+    // the plans a 100 TB run actually executes; sweeping them at
+    // sf0.001 catches drift in the scale path the gate-shape sweep
+    // never builds
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(graft.operators.Dedup.StageMinInputBytesConf, "0")
+    try {
+      val violations = sweep()
+      assert(violations.isEmpty, violations.mkString("\n"))
+    } finally {
+      spark.conf.unset(graft.operators.Dedup.StageMinInputBytesConf)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }
