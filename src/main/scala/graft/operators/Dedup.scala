@@ -523,7 +523,20 @@ object Dedup {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).exists(hp)
     }
-    // phase 1: sequential per-band partials, sliced by pair hash
+    val sizeA = broadcast(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")))
+    val sizeB = broadcast(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")))
+    // phase 1: sequential per-band partials, sliced by pair hash.
+    // Before anything is WRITTEN, the Jaccard length filter prunes
+    // pairs that can never qualify: J >= 0.5 requires |A∩B| >=
+    // (|A|+|B|)/3 and |A∩B| <= min, hence 2*min >= max (the
+    // jaccardPairsPrefix lemma) — per-pair deterministic, so a pair
+    // is dropped in EVERY band or kept in every band and phase-2
+    // partial sums stay exact. This is the disk-wall mitigation the
+    // r15 flat-x256 campaign motivated: the partial table (the
+    // measured footprint driver, ~linear in nBands on heavy-overlap
+    // corpora) stops carrying never-qualifying size-mismatched pairs;
+    // the size columns themselves are still NOT carried into the
+    // partials (they rejoin once in phase 2).
     (0 until nBands).foreach { bnd =>
       val part = withSize.filter(col("__band") === bnd)
       val a = part.select(col(idCol).as("doc_a"), col(key))
@@ -532,12 +545,14 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("cnt"))
+        .join(sizeA, Seq("doc_a")).join(sizeB, Seq("doc_b"))
+        .filter(least(col("size_a"), col("size_b")) * 2 >=
+          greatest(col("size_a"), col("size_b")))
+        .select(col("doc_a"), col("doc_b"), col("cnt"))
         .withColumn("__slice", pmod(hash(col("doc_a"), col("doc_b")), lit(nBands)))
         .write.partitionBy("__slice").mode("overwrite").parquet(s"$dir/band=$bnd")
     }
     // phase 2: sequential per-slice exact totals -> threshold -> survivors
-    val sizeA = broadcast(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")))
-    val sizeB = broadcast(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")))
     val survDir = s"$dir/surv"
     (0 until nBands).foreach { sl =>
       val paths = (0 until nBands)
