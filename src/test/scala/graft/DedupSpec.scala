@@ -476,6 +476,40 @@ class DedupSpec extends SparkSpec {
     finally spark.conf.unset(Dedup.AutoBandVolumeConf)
   }
 
+  test("banded phase-1 length filter drops only never-qualifying pairs, identically to one-pass") {
+    // a corpus DESIGNED to trip the 2*min >= max phase-1 prune: docs
+    // 10/11 share every one of 10's shingles but 11 is 3x longer
+    // (2*8 < 26 -> can never reach J >= 0.5, pruned before the
+    // partial write); docs 20/21 are a qualifying near-dup pair at a
+    // size ratio just INSIDE the bound; doc 30 is noise
+    val longTail = (1 to 20).map(i => s"w$i").mkString(" ")
+    val sized = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa $longTail"),
+      (20L, "red orange yellow green blue indigo violet umber"),
+      (21L, "red orange yellow green blue indigo violet ochre"),
+      (30L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("union_n"))
+      .collect().map(_.toSeq).toSet
+    val single = rows(Dedup.jaccardPairs(
+      Dedup.shingles(sized, "text", "doc_id"), "doc_id"))
+    // one-pass truth: only (20, 21) qualifies — (10, 11) shares all of
+    // 10's shingles (containment!) but the size mismatch caps J below
+    // 0.5: |A∩B| = 8, |A∪B| = 28
+    assert(single.map(s => (s(0), s(1))) === Set((20L, 21L)))
+    val banded = rows(Dedup.jaccardPairsBanded(
+      Dedup.shingles(sized, "text", "doc_id"), "doc_id", None, nBands = 4))
+    assert(banded === single)
+    // the pruned containment pair is still a CONTAINMENT hit — the
+    // length bound is Jaccard-specific, not a recall loss elsewhere
+    val cont = Dedup.containmentPairs(
+      Dedup.shingles(sized, "text", "doc_id"), "doc_id", thrE6 = 900000L)
+      .filter(col("doc_a") === 10L && col("doc_b") === 11L)
+    assert(cont.count() === 1L)
+  }
+
   test("forced prefix mode bypasses auto banding and skips the df-shape probe") {
     import org.apache.spark.sql.functions.col
     val reps = Dedup.exact(Tables.documents(spark, sfDir), "text", "doc_id")
