@@ -47,11 +47,35 @@ object JaccardProbe {
     // if set, else the heap-derived default — so the printed verdict
     // matches the actual dispatch on a tuned cluster
     val budget = Dedup.autoBandVolume(spark.conf)
+    val bands = if (vol > budget)
+      math.min(Dedup.MaxAutoBands.toLong, (vol + budget - 1) / budget) else 1L
+    // the banded pre-flight numbers (SURVEY §5: the r15 94-band run
+    // died of disk mid-phase-1 with no warning): the un-merged
+    // partial ceiling, what the incremental fold caps it to, and the
+    // free scratch the run would see — so an operator can size
+    // jaccardMergeBytes/stagingDir BEFORE a 20-minute phase 1
+    val ceiling = vol * Dedup.PartialBytesPerVolUnit
+    val mergeBytes = Dedup.jaccardMergeBytes(spark.conf)
+    val estPeak =
+      if (bands <= 1) 0L
+      else if (mergeBytes == Long.MaxValue) ceiling
+      else math.min(ceiling, 4L * mergeBytes + 2L * ceiling / bands)
+    val root = spark.conf.getOption(Dedup.StagingDirConf)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val free = spark.conf.getOption(Dedup.JaccardScratchBytesConf)
+      .map(_.trim.toLong).getOrElse {
+        val uri = new org.apache.hadoop.fs.Path(root).toUri
+        if (uri.getScheme == null || uri.getScheme == "file")
+          new java.io.File(uri.getPath).getUsableSpace
+        else -1L
+      }
     println(s"""{"dir":"$dir","cap":$cap,"n_shingles":${r.getLong(2)},""" +
       s""""n_rows":${if (r.isNullAt(3)) 0L else r.getLong(3)},"vol":$vol,"heavy":$heavy,""" +
       s""""budget":$budget,""" +
       s""""prefix_wins":${vol > 0L && heavy * 2 < vol},""" +
-      s""""auto_bands":${if (vol > budget) math.min(Dedup.MaxAutoBands.toLong, (vol + budget - 1) / budget) else 1}}""")
+      s""""auto_bands":$bands,""" +
+      s""""partial_ceiling_bytes":$ceiling,"est_peak_bytes":$estPeak,""" +
+      s""""free_scratch_bytes":$free}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -207,8 +207,9 @@ object Dedup {
     * band count from the measured post-cap join volume (Σdf² — the
     * same probe the prefix dispatch reads, one aggregate per (input,
     * cap) per JVM): corpora whose one-pass candidate shuffle would
-    * exceed [[AutoBandVolume]] candidates take
-    * ceil(vol / AutoBandVolume) bands, everything smaller keeps its
+    * exceed the effective per-pass budget ([[autoBandVolume]]: the
+    * [[AutoBandVolumeConf]] override or the heap-derived default)
+    * take ceil(vol / budget) bands, everything smaller keeps its
     * established one-pass shape. DEFAULT `auto` (the jaccardPrefix
     * precedent: measured dispatch over magic constants) — the probe
     * only runs at scale, so gate corpora keep their one-pass plan
@@ -227,6 +228,15 @@ object Dedup {
     * ~700 bytes of per-candidate working set. */
   val AutoBandBytesPerCandidate = 700L
 
+  /** The measured r14 calibration constant (1.5e8 comfortable
+    * candidates per pass on the 100 GiB-heap calibration JVM) — the
+    * CLUSTER-mode floor of the derived budget: outside local mode
+    * `Runtime.maxMemory` is the DRIVER heap, which says nothing about
+    * executor-side shuffle room, and a default ~1 GiB driver would
+    * derive a ~1.5e6 budget that silently flips at-scale corpora into
+    * the sequential banded path. */
+  val ClusterBudgetFloor = 150_000_000L
+
   /** Per-pass candidate-volume budget of the `auto` banding dispatch
     * (post-cap Σdf², an upper bound on candidate pair rows entering
     * one join pass), overridable via [[AutoBandVolumeConf]]. The
@@ -239,9 +249,29 @@ object Dedup {
     * scale JVMs) the derivation lands at ~1.53e8 — within 2% of the
     * hand constant it replaces, so every measured rung verdict is
     * unchanged: zipf x64 (vol 1.34e8) stays one-pass, zipf x256
-    * (8.89e8) stays 6 bands, flat x64 (3.54e9) stays at the cap. */
-  def autoBandVolumeDefault: Long =
-    math.max(1_000_000L, Runtime.getRuntime.maxMemory() / AutoBandBytesPerCandidate)
+    * (8.89e8) stays 6 bands, flat x64 (3.54e9) stays at the cap.
+    *
+    * The heap derivation is a SINGLE-BOX calibration (in local mode
+    * driver heap == executor heap). Outside local mode it is floored
+    * at [[ClusterBudgetFloor]] — see [[autoBandVolumeFor]] — and a
+    * real deployment should set [[AutoBandVolumeConf]] from its
+    * aggregate executor shuffle memory. */
+  def autoBandVolumeDefault: Long = {
+    val heapDerived =
+      math.max(1_000_000L, Runtime.getRuntime.maxMemory() / AutoBandBytesPerCandidate)
+    val isLocal = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .forall(_.sparkContext.isLocal)
+    autoBandVolumeFor(isLocal, heapDerived)
+  }
+
+  /** The mode-keyed default (pure, spec-pinned): local mode trusts the
+    * heap derivation (driver == executor); cluster mode floors it at
+    * the measured [[ClusterBudgetFloor]] so a small driver heap cannot
+    * under-budget executor-side passes. */
+  private[graft] def autoBandVolumeFor(isLocal: Boolean, heapDerived: Long): Long =
+    if (isLocal) heapDerived else math.max(ClusterBudgetFloor, heapDerived)
+
   val AutoBandVolumeConf = "spark.graft.jaccardAutoBandVolume"
 
   /** The effective budget: the conf override (validated — 0 or a
@@ -336,8 +366,30 @@ object Dedup {
     }
   }
 
+  /** The default Jaccard gate (t = 0.5) as an e6-scaled integer — the
+    * threshold every call site used before `thrE6` was a parameter. */
+  val JaccardThrE6Default = 500000L
+
+  /** Integer threshold predicate J >= t: 1e6·inter >= thrE6·union —
+    * exact (no float), and at the 500000 default identical to the
+    * historical `2·inter >= union`. */
+  private def jaccardGate(thrE6: Long) =
+    col("intersect_n") * 1000000L >= col("union_n") * thrE6
+
+  /** Jaccard LENGTH bound for threshold t: J >= t and |A∩B| <= min
+    * imply min >= t·max (t = 0.5 ⟹ the historical 2·min >= max) —
+    * the prefix-filter lemma's size bound, sound for any t in (0,1]. */
+  private def lengthGate(thrE6: Long, sizeA: Column, sizeB: Column) =
+    least(sizeA, sizeB) * 1000000L >= greatest(sizeA, sizeB) * thrE6
+
+  private def requireThr(thrE6: Long): Unit =
+    require(thrE6 > 0L && thrE6 <= 1000000L,
+      s"jaccard thrE6 must be in (0, 1000000], got $thrE6")
+
   def jaccardPairs(sh: DataFrame, idCol: String, dfCap: Option[Int] = None,
-      probeFrom: Option[DataFrame] = None): DataFrame = {
+      probeFrom: Option[DataFrame] = None,
+      thrE6: Long = JaccardThrE6Default): DataFrame = {
+    requireThr(thrE6)
     val conf = sh.sparkSession.conf
     val bandsMode = conf.getOption(JaccardBandsConf).getOrElse("auto")
     // parse once, loudly: anything but `auto` or a positive int is a
@@ -355,7 +407,7 @@ object Dedup {
     }
     explicitBands match {
       case Some(n) if n > 1 =>
-        return jaccardPairsBanded(sh, idCol, dfCap, n, probeFrom)
+        return jaccardPairsBanded(sh, idCol, dfCap, n, probeFrom, thrE6)
       case _ =>
     }
     val prefixMode = conf.getOption(JaccardPrefixConf).getOrElse("auto")
@@ -387,7 +439,7 @@ object Dedup {
         case Some((vol, _)) if vol > budget =>
           val n = math.min(MaxAutoBands.toLong,
             (vol + budget - 1) / budget).toInt
-          return jaccardPairsBanded(sh, idCol, dfCap, math.max(2, n), probeFrom)
+          return jaccardPairsBanded(sh, idCol, dfCap, math.max(2, n), probeFrom, thrE6)
         case _ =>
       }
     }
@@ -399,7 +451,7 @@ object Dedup {
         // heavy shingles (see HeavyDf)
         probe.exists { case (vol, heavy) => vol > 0L && heavy * 2 < vol }
     }
-    if (usePrefix) return jaccardPairsPrefix(sh, idCol, dfCap, probeFrom)
+    if (usePrefix) return jaccardPairsPrefix(sh, idCol, dfCap, probeFrom, thrE6)
     val (withSize, key) = sizedKeyed(sh, idCol, dfCap, probeFrom)
     val a = withSize.select(col(idCol).as("doc_a"), col(key), col("set_size").as("size_a"))
     val b = withSize.select(col(idCol).as("doc_b"), col(key), col("set_size").as("size_b"))
@@ -409,7 +461,7 @@ object Dedup {
       .agg(count(lit(1)).as("intersect_n"),
         min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"))
       .withColumn("union_n", col("size_a") + col("size_b") - col("intersect_n"))
-      .filter(col("intersect_n") * 2 >= col("union_n"))
+      .filter(jaccardGate(thrE6))
       .withColumn("jaccard_e6",
         round(lit(1000000.0) *
           (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
@@ -437,7 +489,9 @@ object Dedup {
     * the df-shape dispatch in [[jaccardPairs]] rather than an
     * unconditional switch. */
   def jaccardPairsPrefix(sh: DataFrame, idCol: String, dfCap: Option[Int] = None,
-      probeFrom: Option[DataFrame] = None): DataFrame = {
+      probeFrom: Option[DataFrame] = None,
+      thrE6: Long = JaccardThrE6Default): DataFrame = {
+    requireThr(thrE6)
     val large = atScale(probeFrom.getOrElse(sh))
     val cap = dfCap.getOrElse(Int.MaxValue)
     val key = if (large) "sid" else "shingle"
@@ -446,15 +500,18 @@ object Dedup {
     val withSize0 = enc.join(sizes, Seq(idCol))
     val withSize = if (large) stage(withSize0) else withSize0
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col(key))
+    // Bayardo prefix length at threshold t: |x| - ceil(t·|x|) + 1
+    // (t = 0.5 ⟹ the historical `set_size div 2 + 1`); ceil of the
+    // e6-scaled product as exact integer arithmetic
     val pref = withSize.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= expr("set_size div 2 + 1"))
+      .filter(col("rk") <=
+        expr(s"set_size - ((set_size * $thrE6 + 999999) div 1000000) + 1"))
       .select(col(idCol), col(key), col("set_size"))
     val a = pref.select(col(idCol).as("doc_a"), col(key), col("set_size").as("size_a"))
     val b = pref.select(col(idCol).as("doc_b"), col(key), col("set_size").as("size_b"))
     val cand = a.join(b, Seq(key))
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("size_a"), col("size_b")) * 2 >=
-          greatest(col("size_a"), col("size_b")))
+        lengthGate(thrE6, col("size_a"), col("size_b")))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"))
     val candS = stage(cand)
@@ -466,10 +523,110 @@ object Dedup {
       .agg(count(lit(1)).as("intersect_n"),
         min(col("size_a")).as("size_a"), min(col("size_b")).as("size_b"))
       .withColumn("union_n", col("size_a") + col("size_b") - col("intersect_n"))
-      .filter(col("intersect_n") * 2 >= col("union_n"))
+      .filter(jaccardGate(thrE6))
       .withColumn("jaccard_e6",
         round(lit(1000000.0) *
           (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
+  }
+
+  /** Spark conf key: the UNMERGED phase-1 partial-byte threshold that
+    * triggers an incremental band-merge fold in [[jaccardPairsBanded]]
+    * (`off` disables the merge — the pre-r16 accumulate-all-bands
+    * behavior; `0` folds after every band — the spec mode). Default
+    * [[JaccardMergeBytesDefault]]. The fold rewrites the running
+    * accumulator once per trigger, so the threshold trades fold I/O
+    * (each fold re-reads + re-writes O(distinct pairs)) against peak
+    * scratch (acc + threshold + one band): corpora whose total partial
+    * volume never reaches it (the zipf rungs) pay ZERO folds. */
+  val JaccardMergeBytesConf = "spark.graft.jaccardMergeBytes"
+
+  /** 4 GiB — small enough that the measured disk-wall corpus (flat
+    * x256: ~3.5 GB of partials PER BAND at 32 bands) folds roughly
+    * every band and peaks near O(distinct pairs) instead of the
+    * 55-65 GB accumulate-all footprint; large enough that every
+    * measured zipf rung (≤ 4 GB TOTAL partials) never folds at all. */
+  val JaccardMergeBytesDefault = 4L << 30
+
+  /** The effective fold threshold: conf override ('off' | bytes >= 0)
+    * or the default. */
+  def jaccardMergeBytes(conf: org.apache.spark.sql.RuntimeConfig): Long =
+    conf.getOption(JaccardMergeBytesConf) match {
+      case Some("off") => Long.MaxValue
+      case Some(s) =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$JaccardMergeBytesConf='$s' — must be 'off' or a byte count >= 0")
+        }
+        require(v >= 0,
+          s"$JaccardMergeBytesConf must be 'off' or a byte count >= 0, got $v")
+        v
+      case None => JaccardMergeBytesDefault
+    }
+
+  /** Spark conf keys for the banded pre-flight DISK guard: `warn`
+    * (default — print the estimate, proceed), `refuse` (throw a typed
+    * error with remediation when the estimate exceeds free scratch),
+    * `off` (skip the estimate entirely, including its probe).
+    * [[JaccardScratchBytesConf]] overrides the free-scratch probe for
+    * schemes whose capacity the driver cannot stat (s3a/hdfs) and for
+    * specs. */
+  val JaccardDiskGuardConf = "spark.graft.jaccardDiskGuard"
+  val JaccardScratchBytesConf = "spark.graft.jaccardScratchBytes"
+
+  /** Calibrated partial-table ceiling per unit of post-cap Σdf²: pair
+    * slots across all bands ≤ Σ C(df,2) ≈ vol/2, ≈ 16 B per parquet
+    * (long,long,long) row ⟹ ~8 B/vol-unit. Against the measured rungs
+    * (SURVEY §5): flat x256 vol 1.414e10 ⟹ 113 GB ceiling vs 55.3 GB
+    * realized at 16 bands (2.0x conservative — min(s, 16) caps what
+    * the ceiling doesn't) and ≥65 GB staged at the 94-band death;
+    * zipf x256 vol 8.89e8 ⟹ 7.1 GB vs 2.9-4.0 GB realized. */
+  val PartialBytesPerVolUnit = 8L
+
+  /** Pre-flight disk estimate for a banded run (SURVEY §5: the r15
+    * 94-band run died of disk 20+ minutes into phase 1 with no
+    * warning). Prints one JSON line with the un-merged partial
+    * ceiling (vol × [[PartialBytesPerVolUnit]]), the merge-capped
+    * working estimate, and free scratch; `refuse` mode throws with
+    * remediation instead of letting phase 1 die mid-flight. Free
+    * scratch: the conf override, else `getUsableSpace` for local
+    * paths, else unknown (-1, never refused on). */
+  private def preflightDiskGuard(spark: org.apache.spark.sql.SparkSession,
+      sh: DataFrame, dfCap: Option[Int], nBands: Int, root: String,
+      mergeBytes: Long): Unit = {
+    val conf = spark.conf
+    val mode = conf.getOption(JaccardDiskGuardConf).getOrElse("warn")
+    require(mode == "off" || mode == "warn" || mode == "refuse",
+      s"$JaccardDiskGuardConf='$mode' — legal values: off | warn | refuse")
+    if (mode == "off" || dfCap.isEmpty) return
+    val (vol, _) = dfShapeProbe(sh, dfCap.get)
+    val ceiling = vol * PartialBytesPerVolUnit
+    // with the incremental merge, realized peak is acc + unmerged
+    // (≤ threshold + one band) + the fold's rewrite copy; the acc is
+    // O(distinct pairs) and not probeable a priori, so the working
+    // estimate prices the fold machinery (4x threshold) plus two
+    // bands' worth of the ceiling — bounded by the no-merge ceiling
+    val est =
+      if (mergeBytes == Long.MaxValue) ceiling
+      else math.min(ceiling, 4L * mergeBytes + 2L * ceiling / nBands)
+    val free: Long = conf.getOption(JaccardScratchBytesConf).map(_.trim.toLong)
+      .getOrElse {
+        val uri = new org.apache.hadoop.fs.Path(root).toUri
+        if (uri.getScheme == null || uri.getScheme == "file")
+          new java.io.File(uri.getPath).getUsableSpace
+        else -1L
+      }
+    println(s"""{"jaccard_disk_guard":{"vol":$vol,"bands":$nBands,""" +
+      s""""merge_bytes":${if (mergeBytes == Long.MaxValue) -1 else mergeBytes},""" +
+      s""""partial_ceiling_bytes":$ceiling,"est_peak_bytes":$est,""" +
+      s""""free_scratch_bytes":$free,"root":"$root"}}""")
+    if (mode == "refuse" && free >= 0 && est > free)
+      throw new IllegalStateException(
+        s"banded jaccard pre-flight: estimated peak scratch $est B exceeds " +
+          s"free scratch $free B at $root (vol=$vol, bands=$nBands). " +
+          s"Remediation: lower $JaccardMergeBytesConf (folds partials sooner), " +
+          s"point $StagingDirConf at a larger volume, raise $AutoBandVolumeConf " +
+          s"with real cluster shuffle memory (fewer bands), or set " +
+          s"$JaccardDiskGuardConf=warn to proceed anyway.")
   }
 
   /** BOUNDED-MEMORY-AND-DISK exact Jaccard: the inverted-index
@@ -483,60 +640,106 @@ object Dedup {
     *     partials (doc_a, doc_b, cnt — sizes deliberately NOT carried:
     *     they rejoin once at the end, which halves the partial
     *     footprint) aggregate and land on disk partitioned by a
-    *     pair-hash SLICE;
-    *  2. per SLICE: each pair-hash slice reads its 1/nBands-of-pairs
-    *     fragment from every band dir, sums to true intersections,
-    *     joins the broadcast per-doc size dim, applies the threshold,
-    *     and appends only the SURVIVORS (tiny at t = 0.5) to the
-    *     result dir — so the giant pre-threshold pair set is never
-    *     shuffled in one piece and never lives on disk beyond the
-    *     partials, which are DELETED before returning.
+    *     pair-hash SLICE. Whenever the UNMERGED partial footprint
+    *     crosses [[jaccardMergeBytes]], an incremental FOLD re-sums
+    *     the unmerged bands into a running per-slice (pair, cnt)
+    *     accumulator (read + union + re-agg + overwrite per slice —
+    *     the epoch-overwrite pattern) and deletes them — so peak
+    *     scratch is O(distinct pairs) + the threshold + one band,
+    *     not O(pairs × bands);
+    *  2. per SLICE: each pair-hash slice reads its fragment from the
+    *     accumulator plus any still-unmerged band dirs, sums to true
+    *     intersections, joins the broadcast per-doc size dim, applies
+    *     the threshold, and appends only the SURVIVORS (tiny at
+    *     t = 0.5) to the result dir — so the giant pre-threshold pair
+    *     set is never shuffled in one piece and never lives on disk
+    *     beyond the partials, which are DELETED before returning.
     *
-    * Peak memory = one band's join; peak disk = the partial pair
-    * table once (measured ~half the naive carry-sizes form). The
-    * partial table is the BAND-COUNT trade's hidden axis: a pair
+    * Peak memory = one band's join. Peak disk pre-r16 was the whole
+    * partial table — the BAND-COUNT trade's hidden axis: a pair
     * sharing s shingles lands in min(s, nBands) band partials, so on
-    * heavy-overlap corpora (the flat template shape, where co-dup
-    * pairs share most of their shingles) partial volume grows
-    * ~linearly with nBands — measured at flat x256 (SURVEY §5 r15):
-    * 16 bands complete within a 66 GB scratch disk, 32 and 94 bands
-    * exhaust it mid-phase-1 (the 94-band run staged 65 GB of partials
-    * before dying). Hence [[MaxAutoBands]]. This is the single-box
-    * honesty device for the x256 rung — a real cluster keeps the
-    * one-pass shape (its candidate shuffle spreads over executors);
-    * accordingly the size dim broadcast here (|docs| rows) is a
-    * single-box economy, not a 100 TB claim. Row-identical to
-    * [[jaccardPairs]] (spec-pinned at the gate SFs). */
+    * heavy-overlap corpora (the flat template shape) partial volume
+    * grows ~linearly with nBands — measured at flat x256 (SURVEY §5
+    * r15): 16 bands complete at 55.3 GB of partials within a 66 GB
+    * scratch disk, 32 and 94 bands exhaust it mid-phase-1. The
+    * incremental fold collapses that axis to O(distinct pairs): each
+    * fold pays one accumulator rewrite, and corpora whose partials
+    * never reach the threshold (the zipf rungs, ≤ 4 GB total) pay
+    * zero. The size dim broadcast here (|docs| rows) is a single-box
+    * economy, not a 100 TB claim — a real cluster keeps the one-pass
+    * shape (its candidate shuffle spreads over executors).
+    * Row-identical to [[jaccardPairs]] (spec-pinned at the gate SFs,
+    * fold-every-band forced). */
   def jaccardPairsBanded(sh: DataFrame, idCol: String, dfCap: Option[Int],
-      nBands: Int, probeFrom: Option[DataFrame] = None): DataFrame = {
+      nBands: Int, probeFrom: Option[DataFrame] = None,
+      thrE6: Long = JaccardThrE6Default): DataFrame = {
     require(nBands >= 2, s"nBands $nBands: use jaccardPairs below 2")
+    requireThr(thrE6)
     val spark = sh.sparkSession
+    val mergeBytes = jaccardMergeBytes(spark.conf)
+    val root = spark.conf.getOption(StagingDirConf)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    preflightDiskGuard(spark, sh, dfCap, nBands, root, mergeBytes)
     val (withSize0, key) = sizedKeyed(sh, idCol, dfCap, probeFrom)
     val withSize = withSize0.withColumn("__band", pmod(hash(col(key)), lit(nBands)))
     val sizes = withSize.select(col(idCol), col("set_size")).distinct()
       .localCheckpoint()
-    val root = spark.conf.getOption(StagingDirConf)
-      .getOrElse(System.getProperty("java.io.tmpdir"))
     val dir = s"$root/jacc_bands_${java.util.UUID.randomUUID()}"
     val hconf = spark.sparkContext.hadoopConfiguration
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hconf).exists(hp)
     }
+    def delete(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+      ()
+    }
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (!fs.exists(hp)) 0L
+      else fs.getContentSummary(hp).getLength
+    }
     val sizeA = broadcast(sizes.select(col(idCol).as("doc_a"), col("set_size").as("size_a")))
     val sizeB = broadcast(sizes.select(col(idCol).as("doc_b"), col("set_size").as("size_b")))
     // phase 1: sequential per-band partials, sliced by pair hash.
     // Before anything is WRITTEN, the Jaccard length filter prunes
-    // pairs that can never qualify: J >= 0.5 requires |A∩B| >=
-    // (|A|+|B|)/3 and |A∩B| <= min, hence 2*min >= max (the
+    // pairs that can never qualify (min·1e6 >= max·thrE6 — the
     // jaccardPairsPrefix lemma) — per-pair deterministic, so a pair
     // is dropped in EVERY band or kept in every band and phase-2
-    // partial sums stay exact. This is the disk-wall mitigation the
-    // r15 flat-x256 campaign motivated: the partial table (the
-    // measured footprint driver, ~linear in nBands on heavy-overlap
-    // corpora) stops carrying never-qualifying size-mismatched pairs;
-    // the size columns themselves are still NOT carried into the
+    // partial sums stay exact. This is the first disk-wall
+    // mitigation the r15 flat-x256 campaign motivated; the
+    // incremental fold below is the second (and structural) one. The
+    // size columns themselves are still NOT carried into the
     // partials (they rejoin once in phase 2).
+    var accDir: Option[String] = None
+    var epoch = 0
+    val unmerged = scala.collection.mutable.ArrayBuffer[Int]()
+    var unmergedBytes = 0L
+    // slice fragments of the running accumulator plus the
+    // still-unmerged band dirs — the input set of both a fold and
+    // the final phase-2 pass
+    def sliceParts(sl: Int): Seq[String] =
+      (accDir.map(a => s"$a/__slice=$sl").toSeq ++
+        unmerged.map(bnd => s"$dir/band=$bnd/__slice=$sl")).filter(exists)
+    def fold(): Unit = if (unmerged.nonEmpty) {
+      val next = s"$dir/acc_${epoch + 1}"
+      (0 until nBands).foreach { sl =>
+        val paths = sliceParts(sl)
+        if (paths.nonEmpty)
+          spark.read.parquet(paths: _*)
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .write.mode("overwrite").parquet(s"$next/__slice=$sl")
+      }
+      accDir.foreach(delete)
+      unmerged.foreach(bnd => delete(s"$dir/band=$bnd"))
+      accDir = Some(next)
+      epoch += 1
+      unmerged.clear()
+      unmergedBytes = 0L
+    }
     (0 until nBands).foreach { bnd =>
       val part = withSize.filter(col("__band") === bnd)
       val a = part.select(col(idCol).as("doc_a"), col(key))
@@ -546,18 +749,21 @@ object Dedup {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("cnt"))
         .join(sizeA, Seq("doc_a")).join(sizeB, Seq("doc_b"))
-        .filter(least(col("size_a"), col("size_b")) * 2 >=
-          greatest(col("size_a"), col("size_b")))
+        .filter(lengthGate(thrE6, col("size_a"), col("size_b")))
         .select(col("doc_a"), col("doc_b"), col("cnt"))
         .withColumn("__slice", pmod(hash(col("doc_a"), col("doc_b")), lit(nBands)))
         .write.partitionBy("__slice").mode("overwrite").parquet(s"$dir/band=$bnd")
+      unmerged += bnd
+      unmergedBytes += dirBytes(s"$dir/band=$bnd")
+      if (unmergedBytes >= mergeBytes) fold()
     }
-    // phase 2: sequential per-slice exact totals -> threshold -> survivors
+    // phase 2: sequential per-slice exact totals -> threshold ->
+    // survivors, reading the accumulator + any unmerged tail directly
+    // (their per-slice union re-sums in the same aggregate — a final
+    // fold would be a pure extra rewrite)
     val survDir = s"$dir/surv"
     (0 until nBands).foreach { sl =>
-      val paths = (0 until nBands)
-        .map(bnd => s"$dir/band=$bnd/__slice=$sl")
-        .filter(exists)
+      val paths = sliceParts(sl)
       if (paths.nonEmpty) {
         spark.read.parquet(paths: _*)
           .groupBy(col("doc_a"), col("doc_b"))
@@ -566,7 +772,7 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), col("intersect_n"),
             col("size_a"), col("size_b"))
           .withColumn("union_n", col("size_a") + col("size_b") - col("intersect_n"))
-          .filter(col("intersect_n") * 2 >= col("union_n"))
+          .filter(jaccardGate(thrE6))
           .withColumn("jaccard_e6",
             round(lit(1000000.0) *
               (col("intersect_n").cast("double") / col("union_n").cast("double"))).cast("long"))
@@ -575,10 +781,8 @@ object Dedup {
     }
     // the pre-threshold partials are dead weight now — reclaim before
     // the caller materializes anything else
-    (0 until nBands).foreach { bnd =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/band=$bnd")
-      p.getFileSystem(hconf).delete(p, true)
-    }
+    unmerged.foreach(bnd => delete(s"$dir/band=$bnd"))
+    accDir.foreach(delete)
     // the SURVIVOR dir backs the returned DataFrame, so it must
     // outlive this call — retention is JVM-lifetime: registered for
     // deletion at shutdown so repeated scale runs in one process

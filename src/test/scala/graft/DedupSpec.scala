@@ -660,4 +660,131 @@ class DedupSpec extends SparkSpec {
         s"2x4 banding must not out-recall 4x2 ($strictCands > $defaultCands)")
     } finally spark.conf.unset(Dedup.MinhashBandsConf)
   }
+
+  /** A corpus whose pairwise Jaccards straddle the 0.3/0.5/0.7 gates:
+    * 100/101 sit at 6/14 ≈ 0.43 (in at 0.3, out at 0.5), 100/102 at
+    * 9/11 ≈ 0.82 (in everywhere), 10/11 at 8/28 ≈ 0.286 (out
+    * everywhere — and pruned by the t = 0.3 LENGTH gate, since
+    * 8·1e6 < 28·3e5 fails min ≥ t·max exactly at that edge). */
+  private lazy val thrDocs = {
+    val base = (1 to 12).map(i => s"t$i")
+    val longTail = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq(
+      (100L, base.mkString(" ")),
+      (101L, (base.take(8) ++ (9 to 12).map(i => s"u$i")).mkString(" ")),
+      (102L, (base.take(11) :+ "v12").mkString(" ")),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa $longTail"),
+      (30L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+  }
+
+  test("tunable jaccard threshold: all three shapes match brute-force truth at t = 0.3 and 0.7") {
+    val sh = Dedup.shingles(thrDocs, "text", "doc_id")
+    // independent truth: exact driver-side all-pairs Jaccard over the
+    // same shingle sets (6 docs — brute force is the oracle here)
+    val sets = sh.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    def truth(thrE6: Long): Set[Seq[Any]] = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j)).size.toLong
+      union = (sets(i) | sets(j)).size.toLong
+      if inter * 1000000L >= union * thrE6
+    } yield Seq[Any](i, j, inter, union)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("union_n"))
+      .collect().map(_.toSeq).toSet
+    def all3(thrE6: Long): Seq[Set[Seq[Any]]] = Seq(
+      rows(Dedup.jaccardPairs(sh, "doc_id", thrE6 = thrE6)),
+      rows(Dedup.jaccardPairsPrefix(sh, "doc_id", thrE6 = thrE6)),
+      rows(Dedup.jaccardPairsBanded(sh, "doc_id", None, nBands = 4, thrE6 = thrE6)))
+    val t3 = truth(300000L)
+    val t5 = truth(500000L)
+    val t7 = truth(700000L)
+    // the corpus exercises every gate differently (101/102 share the
+    // same t1..t8 prefix 101 shares with 100, so both ~0.43 pairs
+    // clear the 0.3 gate and die at 0.5)
+    assert(t3.map(s => (s(0), s(1))) === Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    assert(t5.map(s => (s(0), s(1))) === Set((100L, 102L)))
+    assert(t7.map(s => (s(0), s(1))) === Set((100L, 102L)))
+    all3(300000L).zipWithIndex.foreach { case (r, k) => assert(r === t3, s"shape $k @0.3") }
+    all3(700000L).zipWithIndex.foreach { case (r, k) => assert(r === t7, s"shape $k @0.7") }
+    // monotone in t, and the default-parameter form is the 0.5 gate
+    assert(rows(Dedup.jaccardPairs(sh, "doc_id")) === t5)
+    assert(t7.subsetOf(t5) && t5.subsetOf(t3))
+    // bad thresholds die loudly before any plan is built
+    for (bad <- Seq(0L, -1L, 1000001L))
+      intercept[IllegalArgumentException](
+        Dedup.jaccardPairs(sh, "doc_id", thrE6 = bad))
+  }
+
+  test("incremental band-merge (fold-every-band forced) is row-identical and leaves only survivors on disk") {
+    val sh = Dedup.shingles(thrDocs, "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("union_n"),
+        col("jaccard_e6"))
+      .collect().map(_.toSeq).toSet
+    val single = rows(Dedup.jaccardPairs(sh, "doc_id"))
+    assert(single.nonEmpty)
+    spark.conf.set(Dedup.JaccardMergeBytesConf, "0") // fold after EVERY band
+    try {
+      val banded = Dedup.jaccardPairsBanded(sh, "doc_id", None, nBands = 4)
+      assert(rows(banded) === single)
+      // the run dir must hold ONLY the survivor output: every band
+      // partial and every accumulator epoch was folded then reclaimed
+      val runDir = banded.inputFiles.head.replaceAll("/surv/.*$", "")
+      assert(runDir.contains("jacc_bands"))
+      val children = new java.io.File(new java.net.URI(runDir).getPath).list().toSeq
+      assert(children === Seq("surv"), s"leftover scratch: $children")
+    } finally spark.conf.unset(Dedup.JaccardMergeBytesConf)
+    // 'off' (the pre-merge accumulate-all behavior) stays row-identical
+    spark.conf.set(Dedup.JaccardMergeBytesConf, "off")
+    try assert(rows(Dedup.jaccardPairsBanded(sh, "doc_id", None, nBands = 4)) === single)
+    finally spark.conf.unset(Dedup.JaccardMergeBytesConf)
+    // garbage merge conf: typed error naming the conf
+    spark.conf.set(Dedup.JaccardMergeBytesConf, "-7")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.jaccardPairsBanded(sh, "doc_id", None, nBands = 4))
+      assert(e.getMessage.contains(Dedup.JaccardMergeBytesConf))
+    } finally spark.conf.unset(Dedup.JaccardMergeBytesConf)
+  }
+
+  test("banded pre-flight disk guard warns by default and refuses with remediation when told to") {
+    val sh = Dedup.shingles(thrDocs, "text", "doc_id")
+    val cap = Some(graft.queries.DedupQueries.JaccardDfCap)
+    // refuse mode + a zero-byte scratch override: the typed error
+    // carries the confs an operator needs, BEFORE phase 1 starts
+    spark.conf.set(Dedup.JaccardDiskGuardConf, "refuse")
+    spark.conf.set(Dedup.JaccardScratchBytesConf, "0")
+    try {
+      val e = intercept[IllegalStateException](
+        Dedup.jaccardPairsBanded(sh, "doc_id", cap, nBands = 4))
+      assert(e.getMessage.contains(Dedup.JaccardMergeBytesConf))
+      assert(e.getMessage.contains(Dedup.StagingDirConf))
+      // warn (the default) prints but proceeds on the same numbers
+      spark.conf.set(Dedup.JaccardDiskGuardConf, "warn")
+      assert(Dedup.jaccardPairsBanded(sh, "doc_id", cap, nBands = 4).count() > 0L)
+      // garbage mode: typed error naming the conf
+      spark.conf.set(Dedup.JaccardDiskGuardConf, "maybe")
+      val g = intercept[IllegalArgumentException](
+        Dedup.jaccardPairsBanded(sh, "doc_id", cap, nBands = 4))
+      assert(g.getMessage.contains(Dedup.JaccardDiskGuardConf))
+    } finally {
+      spark.conf.unset(Dedup.JaccardDiskGuardConf)
+      spark.conf.unset(Dedup.JaccardScratchBytesConf)
+    }
+  }
+
+  test("cluster-mode budget floor: the heap derivation only rules in local mode") {
+    // local mode: driver heap == executor heap, trust the derivation
+    assert(Dedup.autoBandVolumeFor(isLocal = true, 5000000L) === 5000000L)
+    // cluster mode: a ~1 GiB default driver heap would derive ~1.5e6
+    // and silently band at-scale corpora — floored at the measured
+    // r14 constant instead
+    assert(Dedup.autoBandVolumeFor(isLocal = false, 1500000L) === Dedup.ClusterBudgetFloor)
+    // a genuinely bigger derivation survives the floor
+    assert(Dedup.autoBandVolumeFor(isLocal = false, 9e8.toLong) === 9e8.toLong)
+  }
 }
