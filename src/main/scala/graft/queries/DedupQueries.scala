@@ -568,7 +568,50 @@ object DedupQueries {
        |ORDER BY radius""".stripMargin
   }
 
+  // ---- q258: the pair machinery at a NON-default Jaccard gate ----
+
+  /** The q258 gate: 0.7 — the strict end of q201's operating curve. */
+  val TunedThrE6 = 700000L
+
+  /** q258: q22's near-dup pair machinery run at Jaccard >= 0.7 —
+    * `thrE6` threaded end-to-end through [[Dedup.jaccardPairs]]
+    * (q201 PRICES the 0.3/0.5/0.7 curve; this gates that the
+    * production operator actually APPLIES a tuned verdict: the
+    * threshold predicate, the prefix length |x| − ⌈t·|x|⌉ + 1 and
+    * the banded length bound min ≥ t·max all re-derive from t, all
+    * three shapes spec-pinned identical at t ∈ {0.3, 0.7}).
+    *
+    * Scale shape: identical to q22 — same df-capped inverted join,
+    * same dispatch (prefix/banded auto verdicts apply at ANY t); the
+    * only change is the integer gate constants. */
+  def ngramJaccardTuned(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Dedup.shingles(reps(s, dir), "text", "doc_id"), "doc_id",
+      dfCap = Some(JaccardDfCap), thrE6 = TunedThrE6)
+      .select(col("doc_a"), col("doc_b"), col("intersect_n"), col("size_a"),
+        col("size_b"), col("union_n"), col("jaccard_e6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val ngramJaccardTunedSql: String =
+    s"""WITH $RepsCte,
+       |$ShinglesCte,
+       |shc AS (SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $JaccardDfCap),
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersect_n
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |j AS (SELECT doc_a, doc_b, intersect_n,
+       |    sa.set_size AS size_a, sb.set_size AS size_b,
+       |    sa.set_size + sb.set_size - intersect_n AS union_n
+       |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, intersect_n, size_a, size_b, union_n,
+       |  CAST(ROUND(1000000.0 * (CAST(intersect_n AS DOUBLE) / CAST(union_n AS DOUBLE))) AS BIGINT) AS jaccard_e6
+       |FROM j WHERE intersect_n * 1000000 >= union_n * $TunedThrE6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q258_jaccard_tuned" -> (ngramJaccardTuned _),
     "q251_simhash_sweep" -> (simhashSweep _),
     "q195_containment" -> (containmentDedup _),
     "q201_jaccard_curve" -> (jaccardCurve _),
@@ -581,6 +624,7 @@ object DedupQueries {
     "q178_source_minhash" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
+    "q258_jaccard_tuned" -> ngramJaccardTunedSql,
     "q251_simhash_sweep" -> simhashSweepSql,
     "q195_containment" -> containmentDedupSql,
     "q201_jaccard_curve" -> jaccardCurveSql,
