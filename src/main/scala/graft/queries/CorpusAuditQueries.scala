@@ -474,6 +474,17 @@ object CorpusAuditQueries {
   // ---- q168: embedding-space decontamination -------------------------
 
   val EmbedBenchMod = 41
+
+  /** Hard id ceiling on the mod-selected eval-suite STAND-IN: a real
+    * eval suite is a FIXED table, but `vec_id % 41 == 0` alone grows
+    * linearly with the corpus — at 100 TB that side is corpus/41 and
+    * stops being broadcastable (the r16 fleet BNLJ invariant caught
+    * exactly this). The window is a no-op at every test SF (max
+    * vec_id 1999) and caps the broadcast at a fixed ~25.6k suite
+    * rows at any real scale — which is also the honest semantics:
+    * benchmarks don't grow because the crawl did. */
+  val EmbedBenchIdBound = 1L << 20
+
   val LeakCosE6 = 850000L
   val SuspectCosE6 = 700000L
 
@@ -495,7 +506,8 @@ object CorpusAuditQueries {
   def embedContamination(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{cosineFrom, dot, e6, norm}
     val bench = broadcast(Tables.embeddings(s, dir)
-      .filter(pmod(col("vec_id"), lit(EmbedBenchMod.toLong)) === 0)
+      .filter(pmod(col("vec_id"), lit(EmbedBenchMod.toLong)) === 0 &&
+        col("vec_id") < EmbedBenchIdBound)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       .withColumn("b_norm", norm(col("b_emb"))))
     Tables.embeddings(s, dir)
@@ -523,7 +535,7 @@ object CorpusAuditQueries {
     val d = Similarity.Dim
     s"""WITH b AS (SELECT vec_id AS b_id, embedding AS b_emb,
        |    ${normSql("embedding", d)} AS b_norm
-       |  FROM embeddings WHERE vec_id % $EmbedBenchMod = 0),
+       |  FROM embeddings WHERE vec_id % $EmbedBenchMod = 0 AND vec_id < $EmbedBenchIdBound),
        |c AS (SELECT vec_id, label, embedding,
        |    ${normSql("embedding", d)} AS c_norm
        |  FROM embeddings WHERE vec_id % $EmbedBenchMod <> 0),

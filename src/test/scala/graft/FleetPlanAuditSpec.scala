@@ -1,8 +1,11 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, LocalTableScanExec, RDDScanExec, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** FLEET-WIDE plan-invariant sweep: [[PlanAuditSpec]] pins ~30
@@ -26,7 +29,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  3. no `SortMergeJoinExec` whose one side reads ONLY the
   *     unambiguous sub-broadcast dims (region/nation/supplier — tiny
   *     at every SF by TPC-H construction): those must broadcast, a
-  *     sort-merge there shuffles the corpus side for nothing.
+  *     sort-merge there shuffles the corpus side for nothing;
+  *  4. every `BroadcastNestedLoopJoinExec` broadcasts a BOUNDED side:
+  *     an aggregate root (global ⇒ ≤1 row; grouped ⇒ a derived
+  *     summary/model dim), a driver-materialized relation, or a
+  *     dense-id-window filter (the broadcast query-set convention) —
+  *     previously a per-round hand audit of the ~67 crossJoin sites,
+  *     now mechanized (see [[boundedBnljBuild]]).
   *
   * Plans are built with AQE off (concrete nodes for `collect`), never
   * executed — construction-eager queries (the funnel label-prop
@@ -47,7 +56,63 @@ class FleetPlanAuditSpec extends SparkSpec {
   /** Sanctioned dim-sided SortMergeJoin sites (invariant 3). */
   private val dimSmjAllow: Set[String] = Set.empty
 
+  /** Sanctioned unbounded-broadcast BNLJ sites (invariant 4). */
+  private val bnljAllow: Set[String] = Set.empty
+
   private val DimTables = Set("region.parquet", "nation.parquet", "supplier.parquet")
+
+  /** The dense-id columns of the corpus model (ids are assigned
+    * 0..n-1 by the generators), so `id < K` / `id = K` / `id IN (...)`
+    * against a LITERAL bounds the row count by the literal itself —
+    * the convention every broadcast query-set frame in the repo uses
+    * (`vec_id < QuerySetBound` etc.). */
+  private val DenseIdCols = Set("vec_id", "doc_id", "q_vec_id")
+
+  /** True iff the condition contains a literal id-window comparison
+    * that bounds rows from above (attr </<= /= lit, or the mirrored
+    * literal-first forms, or a literal IN list). */
+  private def idWindow(cond: Expression): Boolean = cond.collectFirst {
+    case LessThan(a: AttributeReference, _: Literal) if DenseIdCols(a.name) => ()
+    case LessThanOrEqual(a: AttributeReference, _: Literal) if DenseIdCols(a.name) => ()
+    case EqualTo(a: AttributeReference, _: Literal) if DenseIdCols(a.name) => ()
+    case GreaterThan(_: Literal, a: AttributeReference) if DenseIdCols(a.name) => ()
+    case GreaterThanOrEqual(_: Literal, a: AttributeReference) if DenseIdCols(a.name) => ()
+    case In(a: AttributeReference, vs) if DenseIdCols(a.name) &&
+      vs.forall(_.isInstanceOf[Literal]) => ()
+  }.isDefined
+
+  /** Invariant 4's boundedness predicate: a BNLJ broadcast side is
+    * sanctioned iff (descending through unary wrappers — exchange,
+    * codegen, project, sort — and resolving ReusedExchange to the
+    * exchange it reuses) it roots in one of the repo's three bounded
+    * shapes:
+    *  - an AGGREGATE: a global one is ≤1 row; a grouped one is a
+    *    derived summary/dim (histogram grains, per-source sketches,
+    *    trained centroid models) whose cardinality is the group
+    *    domain, not the corpus;
+    *  - a driver-materialized relation (LocalTableScan literal frames,
+    *    `Scan ExistingRDD` model frames from `createDataFrame` —
+    *    bounded by what already fit on the driver);
+    *  - a dense-id-WINDOW filter ([[idWindow]]) — the broadcast
+    *    query-set convention, ≤ the literal bound rows at any corpus
+    *    size.
+    * Anything else (a raw scan, a filtered corpus scan without an id
+    * window, a join) broadcasts data-scaled rows into an O(n·m)
+    * nested loop — the shape that melts at 100 TB even when a 60k-row
+    * gate run shrugs it off. */
+  private def boundedBnljBuild(p: SparkPlan): Boolean = p match {
+    case _: HashAggregateExec | _: ObjectHashAggregateExec |
+         _: SortAggregateExec => true
+    case _: LocalTableScanExec | _: RDDScanExec => true
+    case f: FilterExec if idWindow(f.condition) => true
+    case r: ReusedExchangeExec => boundedBnljBuild(r.child)
+    // a cross of two bounded frames is bounded (the stats-frame ×
+    // param-grid composites: q188/q189's purity/triangle harnesses)
+    case b: BroadcastNestedLoopJoinExec =>
+      boundedBnljBuild(b.left) && boundedBnljBuild(b.right)
+    case u: UnaryExecNode => boundedBnljBuild(u.child)
+    case _ => false
+  }
 
   private def hasAggBeneath(p: SparkPlan): Boolean =
     p.collectFirst {
@@ -86,6 +151,17 @@ class FleetPlanAuditSpec extends SparkSpec {
             if (scans.nonEmpty && scans.forall(s => DimTables.exists(s.contains)))
               violations += s"$name: SortMergeJoin against dim-only side (${scans.mkString("; ")})"
           }
+        }
+      // 4. broadcast nested-loop joins must broadcast a BOUNDED side
+      if (!bnljAllow.contains(name))
+        plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+          val build = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          if (!boundedBnljBuild(build))
+            violations += s"$name: BNLJ broadcasts an unbounded side " +
+              s"(${build.collect { case n => n.nodeName }.mkString(" > ")})"
         }
     }
     violations.toSeq
