@@ -80,14 +80,101 @@ object CurationFunnelQueries {
     * branch) rather than localCheckpoint because the gate harness
     * (Verify/Bench) unpersists every session RDD between queries —
     * checkpoint blocks would be gone by the second gate, parquet
-    * survives. Bounded: one entry per (session, dir) pair a JVM ever
-    * gates — cleared wholesale past a small size; the temp dirs live
-    * until JVM tmpdir cleanup (the established staging convention). */
-  private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Int, String), (SparkSession, CurationPipeline.SharedPrefix)]()
+    * survives.
+    *
+    * Staleness + lifecycle (r16):
+    *  - each entry carries an INPUT FINGERPRINT (file names, lengths,
+    *    modification times of the docs scan) — a corpus regenerated
+    *    under the same dir within one JVM (a harness rewriting test
+    *    data between rounds) misses the memo and rebuilds instead of
+    *    silently reading the stale staged prefix;
+    *  - entries whose SparkSession has stopped are evicted on every
+    *    lookup AND by [[close]], and their staged parquet dirs are
+    *    deleted (a stopped session can hold no live plan over them);
+    *  - dirs of LIVE-session entries displaced by a fingerprint
+    *    mismatch or the size bound are NOT deleted — a caller may
+    *    still hold a DataFrame reading them (the caller-holds-plan
+    *    hazard) — they fall to JVM tmpdir cleanup, the established
+    *    staging convention.
+    * Bounded: one entry per (session, dir) pair a JVM ever gates —
+    * cleared wholesale past a small size. */
+  private case class PrefixEntry(session: SparkSession, fingerprint: Long,
+    root: String, pre: CurationPipeline.SharedPrefix)
 
-  def clearPrefixCache(): Unit = prefixCache.clear()
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), PrefixEntry]()
+
+  def clearPrefixCache(): Unit = {
+    evictStale(s => s.sparkContext.isStopped)
+    prefixCache.clear()
+  }
+
+  /** Deletes the staged prefix dirs of every STOPPED-session entry and
+    * drops those entries; live-session entries stay (their dirs may
+    * back plans a caller still holds). Call when a harness retires a
+    * session. */
+  def close(): Unit = evictStale(s => s.sparkContext.isStopped)
+
+  // test hooks: the lifecycle (eviction + fingerprint invalidation)
+  // is only observable through the private map
+  private[graft] def stagePrefixEntryForTest(s: SparkSession, dir: String,
+      root: String): Unit =
+    prefixCache.put((System.identityHashCode(s), dir),
+      PrefixEntry(s, 0L, root, null))
+  private[graft] def prefixCacheSize: Int = prefixCache.size
+  private[graft] def prefixEntryRoot(s: SparkSession, dir: String): Option[String] =
+    Option(prefixCache.get((System.identityHashCode(s), dir))).map(_.root)
+
+  /** Eviction core, predicate-injected so specs can pin the lifecycle
+    * without stopping the shared test session. */
+  private[graft] def evictStale(isStopped: SparkSession => Boolean): Unit = {
+    val it = prefixCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (isStopped(e.getValue.session)) {
+        deleteRoot(e.getValue.root)
+        it.remove()
+      }
+    }
+  }
+
+  /** Staged-dir delete via the Hadoop FS resolved from the path's own
+    * scheme (the dir may live on the shared stagingDir of a cluster
+    * run, not the local tmpdir). Best-effort: the JVM tmp sweep is
+    * the backstop. */
+  private def deleteRoot(root: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+      ()
+    } catch { case _: java.io.IOException => () }
+
+  /** Driver-side metadata fingerprint of the docs scan: file names,
+    * lengths and modification times, one batched listing per parent
+    * dir (the `Dedup.inputBytes` RPC pattern — object-store-polite).
+    * A vanished file counts as a change, never a failure. */
+  private def inputFingerprint(df: DataFrame): Long = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val files = df.inputFiles.sorted
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = h = h * 31 + x
+    files.map(new org.apache.hadoop.fs.Path(_)).groupBy(_.getParent)
+      .toSeq.sortBy(_._1.toString).foreach { case (parent, children) =>
+        val want = children.map(_.getName).toSet
+        try
+          parent.getFileSystem(conf).listStatus(parent)
+            .filter(s => want(s.getPath.getName))
+            .sortBy(_.getPath.getName)
+            .foreach { s =>
+              mix(s.getPath.getName.hashCode.toLong)
+              mix(s.getLen)
+              mix(s.getModificationTime)
+            }
+        catch { case _: java.io.FileNotFoundException => mix(0L) }
+      }
+    mix(files.length.toLong)
+    h
+  }
 
   /** Construction lock: the funnel temporarily forces the
     * multi-consumer staging conf on the SHARED session (restored on
@@ -106,12 +193,17 @@ object CurationFunnelQueries {
     val prev = s.conf.getOption(Dedup.StageMinInputBytesConf)
     s.conf.set(Dedup.StageMinInputBytesConf, "0")
     try {
-      if (prefixCache.size > 8) prefixCache.clear()
+      evictStale(sess => sess.sparkContext.isStopped)
+      if (prefixCache.size > 8) clearPrefixCache()
       val cacheKey = (System.identityHashCode(s), dir)
+      val fp = inputFingerprint(docs)
       val shared = Option(prefixCache.get(cacheKey)).collect {
         // the session must be the SAME live object (identityHashCode
-        // can collide after GC) with its context still running
-        case (sess, pre) if (sess eq s) && !s.sparkContext.isStopped => pre
+        // can collide after GC) with its context still running, AND
+        // the corpus under `dir` must be byte-for-byte the one the
+        // prefix was staged from (fingerprint: names/lengths/mtimes)
+        case PrefixEntry(sess, f, _, pre)
+          if (sess eq s) && !s.sparkContext.isStopped && f == fp => pre
       }
       val pre = shared.getOrElse {
         // parquet-backed staging: write each prefix frame once under
@@ -136,7 +228,7 @@ object CurationFunnelQueries {
         }
         val built = CurationPipeline.buildSharedPrefix(
           docs, segs, LineMinDf, cfg, pq)
-        prefixCache.put(cacheKey, (s, built))
+        prefixCache.put(cacheKey, PrefixEntry(s, fp, root, built))
         built
       }
       val stages = CurationPipeline.curateExtendedStages(
