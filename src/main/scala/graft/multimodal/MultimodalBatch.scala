@@ -392,11 +392,13 @@ object MultimodalBatch {
           // leading ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4);
           // the syncsafe size EXCLUDES the 10-byte header and, per the
           // ID3v2.4 spec §3.1, the optional 10-byte footer — flags bit 4
-          // announces it, so a footered tag skips 10 more
+          // announces it, but ONLY in v2.4 (b(3) is the major version):
+          // in v2.2/v2.3 that bit is undefined, and honoring a garbage
+          // flag there would mis-skip 10 bytes and fail frame sync
           if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
             val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
               ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-            val footer = if ((b(5) & 0x10) != 0) 10 else 0
+            val footer = if (b(3) == 4 && (b(5) & 0x10) != 0) 10 else 0
             p = 10 + size + footer
           }
           var frames = 0L

@@ -442,6 +442,16 @@ class MultimodalSpec extends SparkSpec {
     assert((fOut.width, fOut.height, fOut.n_frames) === ((44100, 2, 3)))
     assert(fOut !== MultimodalBatch.FakeCodec.decode(
       Seq(Asset(5L, "media/mp3", footered))).head)
+    // the footer flag is DEFINED only in v2.4 (id3v2.4 §3.1): a
+    // malformed v2.3 tag with bit 4 set has NO footer, and honoring
+    // the garbage bit would mis-skip 10 bytes and lose frame sync —
+    // the major-version byte gates the skip
+    val id3v23garbage = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0x10.toByte, 0, 0, (200 >> 7).toByte, (200 & 0x7f).toByte) ++
+      Array.fill[Byte](200)(0) // v2.3: nothing after the padding
+    val v23 = id3v23garbage ++ Array.fill(3)(f128).flatten
+    val v23Out = Mp3Codec.decode(Seq(Asset(6L, "media/mp3", v23))).head
+    assert((v23Out.width, v23Out.height, v23Out.n_frames) === ((44100, 2, 3)))
   }
 
   test("FlacCodec parses real STREAMINFO metadata through the batched decode path") {
