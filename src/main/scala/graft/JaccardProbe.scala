@@ -55,20 +55,14 @@ object JaccardProbe {
     // free scratch the run would see — so an operator can size
     // jaccardMergeBytes/stagingDir BEFORE a 20-minute phase 1
     val ceiling = vol * Dedup.PartialBytesPerVolUnit
-    val mergeBytes = Dedup.jaccardMergeBytes(spark.conf)
+    val root = spark.conf.getOption(Dedup.StagingDirConf)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val mergeBytes = Dedup.jaccardMergeBytes(spark.conf, root)
     val estPeak =
       if (bands <= 1) 0L
       else if (mergeBytes == Long.MaxValue) ceiling
       else math.min(ceiling, 4L * mergeBytes + 2L * ceiling / bands)
-    val root = spark.conf.getOption(Dedup.StagingDirConf)
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val free = spark.conf.getOption(Dedup.JaccardScratchBytesConf)
-      .map(_.trim.toLong).getOrElse {
-        val uri = new org.apache.hadoop.fs.Path(root).toUri
-        if (uri.getScheme == null || uri.getScheme == "file")
-          new java.io.File(uri.getPath).getUsableSpace
-        else -1L
-      }
+    val free = Dedup.scratchBytes(spark.conf, root)
     println(s"""{"dir":"$dir","cap":$cap,"n_shingles":${r.getLong(2)},""" +
       s""""n_rows":${if (r.isNullAt(3)) 0L else r.getLong(3)},"vol":$vol,"heavy":$heavy,""" +
       s""""budget":$budget,""" +

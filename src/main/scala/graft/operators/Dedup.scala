@@ -532,24 +532,51 @@ object Dedup {
   /** Spark conf key: the UNMERGED phase-1 partial-byte threshold that
     * triggers an incremental band-merge fold in [[jaccardPairsBanded]]
     * (`off` disables the merge — the pre-r16 accumulate-all-bands
-    * behavior; `0` folds after every band — the spec mode). Default
-    * [[JaccardMergeBytesDefault]]. The fold rewrites the running
-    * accumulator once per trigger, so the threshold trades fold I/O
-    * (each fold re-reads + re-writes O(distinct pairs)) against peak
-    * scratch (acc + threshold + one band): corpora whose total partial
-    * volume never reaches it (the zipf rungs) pay ZERO folds. */
+    * behavior; `0` folds after every band — the spec mode). The fold
+    * rewrites the running accumulator once per trigger, so the
+    * threshold trades fold I/O (each fold re-reads + re-writes
+    * O(distinct pairs)) against peak scratch (acc + threshold + one
+    * band): corpora whose total partial volume never reaches it (the
+    * zipf rungs) pay ZERO folds.
+    *
+    * DEFAULT: free scratch at the staging root / 6, floored at 1 GiB
+    * ([[JaccardMergeBytesFallback]] when free is unknowable) — fold
+    * only as hard as the disk actually demands. Measured at flat x256
+    * /16 bands: a fixed 4 GiB threshold folded ~13 times and paid
+    * 1.5x wall (2232.9 s vs the 1261.8 s no-merge min) for a 34 GB
+    * peak; the disk-derived ~11 GB threshold folds ~4 times — most
+    * of the disk win at a fraction of the fold I/O. A box with
+    * plentiful scratch correctly folds never. */
   val JaccardMergeBytesConf = "spark.graft.jaccardMergeBytes"
 
-  /** 4 GiB — small enough that the measured disk-wall corpus (flat
-    * x256: ~3.5 GB of partials PER BAND at 32 bands) folds roughly
-    * every band and peaks near O(distinct pairs) instead of the
-    * 55-65 GB accumulate-all footprint; large enough that every
-    * measured zipf rung (≤ 4 GB TOTAL partials) never folds at all. */
-  val JaccardMergeBytesDefault = 4L << 30
+  /** Fallback fold threshold when free scratch is unknowable (a
+    * non-local staging scheme with no [[JaccardScratchBytesConf]]
+    * override): 4 GiB — conservative, folds early. */
+  val JaccardMergeBytesFallback = 4L << 30
 
-  /** The effective fold threshold: conf override ('off' | bytes >= 0)
-    * or the default. */
-  def jaccardMergeBytes(conf: org.apache.spark.sql.RuntimeConfig): Long =
+  /** Free-scratch divisor of the derived default: peak scratch is
+    * ~2 x accumulator + threshold + one band + live shuffle, so the
+    * threshold takes 1/6 of free and leaves the rest for the terms
+    * the operator cannot bound a priori. */
+  val JaccardMergeFreeDivisor = 6L
+
+  /** Free scratch at `root`: the conf override (also the knob for
+    * schemes whose capacity the driver cannot stat), else
+    * `getUsableSpace` for local paths, else -1 (unknown). */
+  def scratchBytes(conf: org.apache.spark.sql.RuntimeConfig,
+      root: String): Long =
+    conf.getOption(JaccardScratchBytesConf).map(_.trim.toLong).getOrElse {
+      val uri = new org.apache.hadoop.fs.Path(root).toUri
+      if (uri.getScheme == null || uri.getScheme == "file")
+        new java.io.File(uri.getPath).getUsableSpace
+      else -1L
+    }
+
+  /** The effective fold threshold: conf override ('off' | bytes >= 0),
+    * else the disk-derived default (free/6 floored at 1 GiB), else
+    * the 4 GiB fallback when free is unknowable. */
+  def jaccardMergeBytes(conf: org.apache.spark.sql.RuntimeConfig,
+      root: String): Long =
     conf.getOption(JaccardMergeBytesConf) match {
       case Some("off") => Long.MaxValue
       case Some(s) =>
@@ -560,7 +587,10 @@ object Dedup {
         require(v >= 0,
           s"$JaccardMergeBytesConf must be 'off' or a byte count >= 0, got $v")
         v
-      case None => JaccardMergeBytesDefault
+      case None =>
+        val free = scratchBytes(conf, root)
+        if (free >= 0) math.max(1L << 30, free / JaccardMergeFreeDivisor)
+        else JaccardMergeBytesFallback
     }
 
   /** Spark conf keys for the banded pre-flight DISK guard: `warn`
@@ -608,13 +638,7 @@ object Dedup {
     val est =
       if (mergeBytes == Long.MaxValue) ceiling
       else math.min(ceiling, 4L * mergeBytes + 2L * ceiling / nBands)
-    val free: Long = conf.getOption(JaccardScratchBytesConf).map(_.trim.toLong)
-      .getOrElse {
-        val uri = new org.apache.hadoop.fs.Path(root).toUri
-        if (uri.getScheme == null || uri.getScheme == "file")
-          new java.io.File(uri.getPath).getUsableSpace
-        else -1L
-      }
+    val free = scratchBytes(conf, root)
     println(s"""{"jaccard_disk_guard":{"vol":$vol,"bands":$nBands,""" +
       s""""merge_bytes":${if (mergeBytes == Long.MaxValue) -1 else mergeBytes},""" +
       s""""partial_ceiling_bytes":$ceiling,"est_peak_bytes":$est,""" +
@@ -676,9 +700,9 @@ object Dedup {
     require(nBands >= 2, s"nBands $nBands: use jaccardPairs below 2")
     requireThr(thrE6)
     val spark = sh.sparkSession
-    val mergeBytes = jaccardMergeBytes(spark.conf)
     val root = spark.conf.getOption(StagingDirConf)
       .getOrElse(System.getProperty("java.io.tmpdir"))
+    val mergeBytes = jaccardMergeBytes(spark.conf, root)
     preflightDiskGuard(spark, sh, dfCap, nBands, root, mergeBytes)
     val (withSize0, key) = sizedKeyed(sh, idCol, dfCap, probeFrom)
     val withSize = withSize0.withColumn("__band", pmod(hash(col(key)), lit(nBands)))

@@ -749,6 +749,15 @@ class DedupSpec extends SparkSpec {
         Dedup.jaccardPairsBanded(sh, "doc_id", None, nBands = 4))
       assert(e.getMessage.contains(Dedup.JaccardMergeBytesConf))
     } finally spark.conf.unset(Dedup.JaccardMergeBytesConf)
+    // the derived default is DISK-keyed: free scratch / divisor,
+    // floored at 1 GiB — fold only as hard as the disk demands
+    spark.conf.set(Dedup.JaccardScratchBytesConf, (60L << 30).toString)
+    try assert(Dedup.jaccardMergeBytes(spark.conf, "/tmp") ===
+      (60L << 30) / Dedup.JaccardMergeFreeDivisor)
+    finally spark.conf.unset(Dedup.JaccardScratchBytesConf)
+    spark.conf.set(Dedup.JaccardScratchBytesConf, "1000")
+    try assert(Dedup.jaccardMergeBytes(spark.conf, "/tmp") === (1L << 30))
+    finally spark.conf.unset(Dedup.JaccardScratchBytesConf)
   }
 
   test("banded pre-flight disk guard warns by default and refuses with remediation when told to") {
