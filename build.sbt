@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 0.5 GiB/core for the local[32] bench/verify JVMs (guide §5: memory
+  // per CONCURRENT TASK is what bounds execution memory). The old 8g
+  // (0.25 GiB/core) was GC-bound: two parse-heavy queries benched
+  // back-to-back at 32 threads measured 4-6x their solo wall purely
+  // from collector pressure (q144+q242 12.6 s paired at 8g vs 2.4 s
+  // at 16g, solo 1.1+1.7 s), and the full-sweep run-to-run spread
+  // (±50% on 2-4 s queries) shrinks with the heap. The box has
+  // 128 GiB; tests fork with the same option.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

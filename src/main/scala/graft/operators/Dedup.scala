@@ -182,6 +182,43 @@ object Dedup {
     probe.inputFiles.isEmpty || inputBytes(probe) >= thr
   }
 
+  /** Spread a SMALL scan across the cluster before per-row-EXPENSIVE
+    * work (regex cascades, timestamp parsing, tokenization, codec
+    * decode). A parquet scan parallelizes at ROW-GROUP granularity:
+    * a table written as one file with one row group scans as ONE task
+    * no matter how many cores the cluster has, so an expensive map
+    * chain rooted directly on it serializes on one core while the
+    * rest idle (measured fleet-wide by `graft.StageScan`: the
+    * single-task scan stage is 90-100% of executor time for the
+    * map-shaped queries at gate scale). One round-robin exchange of
+    * the (projected — project BEFORE calling this) input unlocks full
+    * parallelism.
+    *
+    * SCALE-ADAPTIVE, not a local-mode constant: the estimated scan
+    * split count (bytes + per-file open cost over
+    * `spark.sql.files.maxPartitionBytes` — the same arithmetic
+    * FilePartition packing uses) is compared to the cluster's
+    * default parallelism; an input that already yields >= cores
+    * splits returns UNCHANGED, so at 100 TB (many multi-row-group
+    * files) this is a no-op and no repartition of a big input can
+    * ever be introduced by it. A scan-less input (staged/checkpointed
+    * upstream) is already partitioned by its producing shuffle and
+    * also returns unchanged. */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val files = df.inputFiles
+    if (files.isEmpty) return df
+    val cores = spark.sparkContext.defaultParallelism
+    def bytesConf(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.getOption(key).getOrElse(dflt))
+    val maxSplit = math.max(1L, bytesConf("spark.sql.files.maxPartitionBytes", "128m"))
+    val openCost = bytesConf("spark.sql.files.openCostInBytes", "4m")
+    val bytes = inputBytes(df)
+    val splits = (bytes + openCost * files.length + maxSplit - 1) / maxSplit
+    if (splits >= cores) df else df.repartition(cores)
+  }
+
   private def sizedKeyed(sh: DataFrame, idCol: String, dfCap: Option[Int],
       probeFrom: Option[DataFrame] = None): (DataFrame, String) = {
     // `probeFrom`: the file-backed frame to read the footprint from
@@ -1118,26 +1155,46 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage — the standard
     * Spark iterative-algorithm pattern — and the driver only evaluates
     * a scalar convergence count, never row data. `maxIter` bounds the
-    * worst case (a path graph). */
+    * worst case (a path graph).
+    *
+    * Shuffle shape (r16): the static edge list is hash-partitioned by
+    * `dst` ONCE before the loop (checkpoint preserves the
+    * partitioning), and the loop-carried label frame keeps the `node`
+    * partitioning its producing join already has — so each round's
+    * edge⨝label probe and the label⨝nbrMin merge are both
+    * exchange-free, leaving ONE exchange per round (the `src`
+    * aggregate) where the naive form re-shuffled the full edge list
+    * every round. Each round also probes only the FRONTIER — the
+    * labels that changed last round — not the whole label frame: a
+    * label can only improve through a neighbor whose label improved
+    * (min-propagation is monotone), so round k's probe input is the
+    * distance-(k-1) wavefront, which on shallow near-dup clusters
+    * collapses after 1-2 rounds instead of re-joining every node's
+    * unchanged label until global convergence. Same rows, same round
+    * count; strictly less data moved per round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
+    // round 1's frontier is every node (initial labels all "changed")
+    var frontier = labels
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+    while (iter < maxIter && !frontier.isEmpty) {
+      val nbrMin = edges.join(frontier, edges("dst") === frontier("node"))
         .groupBy(col("src")).agg(min(col("lab")).as("nbr_lab"))
       val updated = labels
         .join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(col("node"), col("lab"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("new_lab"))
         .localCheckpoint()
-      converged = updated.filter(col("new_lab") < col("lab")).isEmpty
+      // both views below read the checkpointed blocks — no recompute
+      frontier = updated.filter(col("new_lab") < col("lab"))
+        .select(col("node"), col("new_lab").as("lab"))
       labels = updated.select(col("node"), col("new_lab").as("lab"))
       iter += 1
     }

@@ -93,8 +93,11 @@ object DateParseQueries {
   def datetimeCascade(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{DatetimeCascade => DC}
     val k = col("o_orderkey")
-    val base = Tables.orders(s, dir)
-      .select(k, col("o_orderdate").cast("date").as("d"))
+    // the regex cascade is per-row expensive and sits directly on the
+    // orders scan — spread the projected input across the cluster
+    // (single-row-group scan = one task otherwise; no-op at scale)
+    val base = graft.operators.Dedup.spread(Tables.orders(s, dir)
+        .select(k, col("o_orderdate").cast("date").as("d")))
       .withColumn("fam", k % 8)
       .withColumn("sy", year(col("d")).cast("string"))
       .withColumn("smo", month(col("d")).cast("string"))

@@ -280,7 +280,12 @@ object PayloadQueries {
     val naiveIso = concat(date_format(col("o_orderdate").cast("timestamp"),
       "yyyy-MM-dd'T'"), lpad(k % 24, 2, "0"), lit(":"),
       lpad(k % 60, 2, "0"), lit(":"), lpad(k % 30, 2, "0"))
-    val raw = Tables.orders(s, dir).select(
+    // the parse cascade below is per-row expensive and sits directly
+    // on the orders scan — spread the projected input so it runs on
+    // every core instead of the scan's single row-group task
+    val base = graft.operators.Dedup.spread(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")))
+    val raw = base.select(
       k.as("article_key"),
       when(k % 7 === 0, lit(null).cast("string"))
         .when(k % 7 === 1, lit(""))
@@ -307,11 +312,20 @@ object PayloadQueries {
     // re-parse per consuming branch — and the range-sort sampler
     // evaluates the projection once more on top; staged columns made
     // q144 scale linearly on the 64x trajectory corpus)
-    val staged = raw.withColumn("try_offset", try_to_timestamp(
-        col("published_raw"), lit("yyyy-MM-dd'T'HH:mm:ssXXX")))
-      .withColumn("try_naive", try_to_timestamp(
-        col("published_raw"), lit("yyyy-MM-dd'T'HH:mm:ss")))
-      .withColumn("try_date", try_to_timestamp(col("published_raw"), lit("yyyy-MM-dd")))
+    // LENGTH-gate each attempt before it runs: a failed
+    // try_to_timestamp still pays the full DateTimeFormatter parse +
+    // swallowed exception per row, and the three formats admit
+    // disjoint surface lengths (offset >= 20 — "+HH:MM"/Z on the
+    // 19-char core; naive exactly 19; date-only exactly 10, all with
+    // the 4-digit years date_format emits), so the gate skips the
+    // attempts that cannot succeed without changing which one does.
+    val plen = length(col("published_raw"))
+    val staged = raw.withColumn("try_offset", when(plen >= 20, try_to_timestamp(
+        col("published_raw"), lit("yyyy-MM-dd'T'HH:mm:ssXXX"))))
+      .withColumn("try_naive", when(plen === 19, try_to_timestamp(
+        col("published_raw"), lit("yyyy-MM-dd'T'HH:mm:ss"))))
+      .withColumn("try_date", when(plen === 10,
+        try_to_timestamp(col("published_raw"), lit("yyyy-MM-dd"))))
     val tryOffset = col("try_offset")
     val tryNaive = col("try_naive")
     val tryDate = col("try_date")

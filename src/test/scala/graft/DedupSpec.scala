@@ -77,6 +77,33 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 9L -> 5L, 12L -> 5L))
   }
 
+  test("spread repartitions a small scan to cluster parallelism, rows unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    (1L to 100L).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val sp = Dedup.spread(df)
+    assert(sp.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(sp.select(sum(col("id"))).head.getLong(0) == 5050L)
+    assert(sp.count() == 100L)
+  }
+
+  test("spread is a no-op when the input already yields enough splits, and on scan-less plans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread2").toString
+    (1L to 100L).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // force the split estimate past the core count: 1-byte target splits
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try assert(Dedup.spread(df) eq df)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    // scan-less (in-memory) plans have no files: unchanged
+    val mem = (1L to 10L).toDF("id")
+    assert(Dedup.spread(mem) eq mem)
+  }
+
   test("lsh bucket assignment is deterministic and brute-force topk ranks by cos_e6") {
     val vecs = Seq(
       (0L, Array.tabulate(64)(i => (i % 7).toFloat / 7f)),
