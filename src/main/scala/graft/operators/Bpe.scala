@@ -44,7 +44,10 @@ object Bpe {
     * wstr is bijective with word (per-char wrapping), so carrying the
     * raw word through merge rounds is free. */
   def dictionaryWithWords(docs: DataFrame, textCol: String): DataFrame =
-    docs
+    // every caller roots this split/explode directly on the documents
+    // scan (one task on a single-row-group file) — spread the projected
+    // text first so the word explode runs cluster-wide (no-op at scale)
+    Dedup.spread(docs.select(col(textCol)))
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))

@@ -364,7 +364,11 @@ object Gazetteer {
     * window — `first.end <= match_end + 48` decides, exactly the old
     * RANGE-frame min. */
   def contextMatches(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
-    val sig0 = docs
+    // the fold/tokenize/StreamSignals chain below is per-row expensive
+    // and every caller roots it directly on the documents scan, whose
+    // single row group scans as ONE task — spread the projected input
+    // so the signal pass runs cluster-wide (no-op at scale)
+    val sig0 = Dedup.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
       .select(col(idCol),
         posexplode_outer(GraftFunctions.streamSignals(col("toks"),

@@ -233,7 +233,10 @@ object CorpusOpsQueries {
     * they agree on `bin`). Two hash-agg chains + a token-keyed
     * join-back; the corpus total is a 1-row broadcast. */
   def lmSurprisal(s: SparkSession, dir: String): DataFrame =
-    Curation.unigramSurprisal(Tables.documents(s, dir), "text", "doc_id")
+    // the tokenize/explode head is scan-rooted and staged once inside
+    // unigramSurprisal — spread the single-row-group scan (no-op at scale)
+    Curation.unigramSurprisal(Dedup.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))), "text", "doc_id")
       .withColumn("bucket",
         when(col("milli_bits_per_token") < HeadMaxMilli, "head")
           .when(col("milli_bits_per_token") < MiddleMaxMilli, "middle")
@@ -364,7 +367,8 @@ object CorpusOpsQueries {
     * counts and e6 rate — the tokenizer-coverage eval that gates a
     * vocab before the q125 encode commits to it. */
   def vocabOov(s: SparkSession, dir: String): DataFrame =
-    Curation.vocabCoverage(Tables.documents(s, dir), "text", "doc_id", VocabSize)
+    Curation.vocabCoverage(Dedup.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))), "text", "doc_id", VocabSize)
       .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("n_oov_types"),
         col("oov_e6"))
       .orderBy(col("doc_id"))
@@ -1276,7 +1280,7 @@ object CorpusOpsQueries {
     * doc-keyed join-back on the staged run table. */
   def tokenRuns(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = Tables.documents(s, dir)
+    val pos = Dedup.spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(tokens(fold(col("text")))).as(Seq("i", "tok")))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val runs = Dedup.stage(pos
@@ -1353,7 +1357,8 @@ object CorpusOpsQueries {
     * pure integer arithmetic on the global position. */
   def curriculumLayout(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sur = Curation.unigramSurprisal(Tables.documents(s, dir), "text", "doc_id")
+    val sur = Curation.unigramSurprisal(Dedup.spread(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))), "text", "doc_id")
       .withColumn("bucket",
         when(col("milli_bits_per_token") < HeadMaxMilli, "head")
           .when(col("milli_bits_per_token") < MiddleMaxMilli, "middle")
@@ -1499,7 +1504,7 @@ object CorpusOpsQueries {
     * Nothing corpus-sized sorts. */
   def skipgramAssoc(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.tokenShingles
-    val toked = Tables.documents(s, dir)
+    val toked = Dedup.spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(fold(col("text"))).as("toks"))
     def pairsAt(g: Int): DataFrame = toked
       .select(explode_outer(tokenShingles(col("toks"), g + 1)).as("sh"))
