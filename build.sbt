@@ -26,13 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 0.5 GiB/core for the local[32] bench/verify JVMs (guide §5: memory
-  // per CONCURRENT TASK is what bounds execution memory). The old 8g
-  // (0.25 GiB/core) was GC-bound: two parse-heavy queries benched
-  // back-to-back at 32 threads measured 4-6x their solo wall purely
-  // from collector pressure (q144+q242 12.6 s paired at 8g vs 2.4 s
-  // at 16g, solo 1.1+1.7 s), and the full-sweep run-to-run spread
-  // (±50% on 2-4 s queries) shrinks with the heap. The box has
-  // 128 GiB; tests fork with the same option.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 8g measured BEST for the full 256-query sweep (r16 A/B: 214 s at
+  // 8g vs 282 s at 16g, same code): Spark's ContextCleaner piggybacks
+  // on GC, so a roomier heap lets shuffle/broadcast/checkpoint state
+  // from ~250 prior queries accumulate mid-sweep and the sweep
+  // degrades in a band; the tight heap keeps cleanup continuous.
+  // Short filtered runs CAN be GC-bound at 8g (q144+q242 paired
+  // measured 12.6 s at 8g vs 2.4 s at 16g) — use SPARK_DRIVER_MEM for
+  // those, the full-sweep default stays 8g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

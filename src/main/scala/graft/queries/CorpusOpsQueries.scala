@@ -910,7 +910,8 @@ object CorpusOpsQueries {
     * universal segment can go quadratic. Oracle = unrolled
     * a/h CTE rounds AS MATERIALIZED. */
   def domainHits(s: SparkSession, dir: String): DataFrame = {
-    val segs = Tables.documents(s, dir)
+    val segs = Dedup.spread(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         explode_outer(sentenceSegs(col("text")))
           .as("seg"))

@@ -494,7 +494,8 @@ object CorpusStatsQueries {
     * (doc, bigram) hash agg + a doc-keyed rollup; the corpus mean is a
     * 1-row broadcast. Nothing corpus-wide sorts or windows. */
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+    val base = graft.operators.Dedup.spread(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), fold(col("text")).as("s"))
       .withColumn("len", length(col("s")).cast("long"))
       .filter(col("len") >= 2)
