@@ -16,28 +16,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE rewrite sort-merge joins to shuffled-hash at runtime
-      // when every post-shuffle build partition is under 64 MB (off by
-      // default upstream). Scale-safe by construction: the decision is
-      // made from MEASURED partition sizes, so a 100 TB build side
-      // keeps its sort-merge plan; when it fires it removes both
-      // sides' sorts. In-JVM interleaved A/B over the 30 hottest
-      // queries (min-of-3 per arm): 88.1 -> 85.8 s, the funnel pair
-      // -1.6 s, worst mover +0.22 s. The other AQE knobs measured and
-      // deliberately left at defaults: coalescePartitions.
-      // parallelismFirst=false cost +14.4 s (byte-based coalescing
-      // serializes CPU-dense tiny-byte stages), minPartitionSize=64k
-      // cost +2.5 s on the funnels (task overhead beats parallelism).
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Shared product session recipe (Sessions.builder): the same confs
+    // the oracle-verified (Verify) and scale (ScaleBench) runs use.
+    // The AQE knobs measured and deliberately left at defaults in r16:
+    // coalescePartitions.parallelismFirst=false cost +14.4 s
+    // (byte-based coalescing serializes CPU-dense tiny-byte stages),
+    // minPartitionSize=64k cost +2.5 s on the funnels (task overhead
+    // beats parallelism).
+    val spark = Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {

@@ -49,16 +49,12 @@ object CurationBench {
     require(args.nonEmpty, "usage: CurationBench <docsDir> [stages|fused]")
     val dir = args(0)
     val mode = if (args.length > 1) args(1) else "stages"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = Sessions.builder("32")
       // same AQE sizing rationale as ScaleBench: high initial count,
       // AQE coalesces small stages back down
       .config("spark.sql.shuffle.partitions", "512")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sys.env.get("SPARK_GRAFT_STAGE_MIN_BYTES").foreach { v =>

@@ -19,8 +19,7 @@ object ScaleBench {
     val reps = if (args.length > 2) args(2).toInt else 2
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    val spark = Sessions.builder("32")
       // scale-correct shuffle sizing: let AQE pick per-stage
       // parallelism downward from a high initial count instead of
       // pinning 32 — at 64x data a fixed 32 makes every partition
@@ -31,9 +30,6 @@ object ScaleBench {
       // local[32] wants finer post-coalesce grains than the 64 MB
       // cluster default: keeps window/sort stages at full parallelism
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // scale runs opt in to occupancy-driven SemDeDup cell refinement

@@ -44,10 +44,12 @@ object Bpe {
     * wstr is bijective with word (per-char wrapping), so carrying the
     * raw word through merge rounds is free. */
   def dictionaryWithWords(docs: DataFrame, textCol: String): DataFrame =
-    // every caller roots this split/explode directly on the documents
-    // scan (one task on a single-row-group file) — spread the projected
-    // text first so the word explode runs cluster-wide (no-op at scale)
-    Dedup.spread(docs.select(col(textCol)))
+    // r16 spread the projected text before the word explode; r17
+    // reverted it: the driver measured the spread arm SLOWER for every
+    // consumer (q125 +1.04, q152 +0.78, q185 +0.37, q209 +0.28 vs r15,
+    // scaling 0.66–1.04) and the r17 in-JVM A/B confirmed (q121
+    // 2.57→1.45, q125 −0.64, q185 −0.83, tokenizers −3.3 s total)
+    docs.select(col(textCol))
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))

@@ -206,6 +206,10 @@ object Dedup {
     * also returns unchanged. */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // kill switch for in-JVM A/B measurement (ABBench interleaves arms
+    // with this conf); shipped default is enabled
+    if (!spark.conf.getOption("spark.graft.spread.enabled").forall(_.toBoolean))
+      return df
     val files = df.inputFiles
     if (files.isEmpty) return df
     val cores = spark.sparkContext.defaultParallelism
@@ -1174,6 +1178,11 @@ object Dedup {
     * count; strictly less data moved per round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // A/B switch for the r15 3-exchange-per-round loop (ABBench arms);
+    // shipped default is the frontier form below
+    if (pairs.sparkSession.conf.getOption("spark.graft.cc.frontier")
+        .exists(v => !v.toBoolean))
+      return connectedComponentsSimple(pairs, aCol, bCol, maxIter)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("dst"))
@@ -1195,6 +1204,33 @@ object Dedup {
       // both views below read the checkpointed blocks — no recompute
       frontier = updated.filter(col("new_lab") < col("lab"))
         .select(col("node"), col("new_lab").as("lab"))
+      labels = updated.select(col("node"), col("new_lab").as("lab"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** The r15 loop shape (kept for in-JVM A/B): full label frame joined
+    * every round, no pre-partitioned edges — 3 exchanges per round. */
+  private def connectedComponentsSimple(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nbr_lab"))
+      val updated = labels
+        .join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), col("lab"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("new_lab"))
+        .localCheckpoint()
+      converged = updated.filter(col("new_lab") < col("lab")).isEmpty
       labels = updated.select(col("node"), col("new_lab").as("lab"))
       iter += 1
     }

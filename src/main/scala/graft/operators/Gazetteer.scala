@@ -364,11 +364,12 @@ object Gazetteer {
     * window — `first.end <= match_end + 48` decides, exactly the old
     * RANGE-frame min. */
   def contextMatches(docs: DataFrame, s: SparkSession, textCol: String, idCol: String): DataFrame = {
-    // the fold/tokenize/StreamSignals chain below is per-row expensive
-    // and every caller roots it directly on the documents scan, whose
-    // single row group scans as ONE task — spread the projected input
-    // so the signal pass runs cluster-wide (no-op at scale)
-    val sig0 = Dedup.spread(docs.select(col(idCol), col(textCol)))
+    // r16 spread the projected input here; r17 reverted it after the
+    // driver contradicted the win (q56 +0.18, q57 +0.25 vs r15, both
+    // scaling 0.55 at 8-vs-32 cores) and an in-JVM interleaved A/B
+    // confirmed the revert (q57 3.36→1.62, q61 −0.46, q63 −0.24,
+    // context family −2.9 s total at local[32])
+    val sig0 = docs.select(col(idCol), col(textCol))
       .select(col(idCol), tokens(fold(col(textCol))).as("toks"))
       .select(col(idCol),
         posexplode_outer(GraftFunctions.streamSignals(col("toks"),

@@ -233,10 +233,10 @@ object CorpusOpsQueries {
     * they agree on `bin`). Two hash-agg chains + a token-keyed
     * join-back; the corpus total is a 1-row broadcast. */
   def lmSurprisal(s: SparkSession, dir: String): DataFrame =
-    // the tokenize/explode head is scan-rooted and staged once inside
-    // unigramSurprisal — spread the single-row-group scan (no-op at scale)
-    Curation.unigramSurprisal(Dedup.spread(
-      Tables.documents(s, dir).select(col("doc_id"), col("text"))), "text", "doc_id")
+    // r16 spread the scan head; r17 reverted (driver: q127 +0.39 vs
+    // r15, scale 0.61; r17 in-JVM A/B: revert −0.30 s)
+    Curation.unigramSurprisal(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", "doc_id")
       .withColumn("bucket",
         when(col("milli_bits_per_token") < HeadMaxMilli, "head")
           .when(col("milli_bits_per_token") < MiddleMaxMilli, "middle")
@@ -367,8 +367,9 @@ object CorpusOpsQueries {
     * counts and e6 rate — the tokenizer-coverage eval that gates a
     * vocab before the q125 encode commits to it. */
   def vocabOov(s: SparkSession, dir: String): DataFrame =
-    Curation.vocabCoverage(Dedup.spread(
-      Tables.documents(s, dir).select(col("doc_id"), col("text"))), "text", "doc_id", VocabSize)
+    // r16 spread reverted in r17 (in-JVM A/B: revert −0.25 s)
+    Curation.vocabCoverage(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", "doc_id", VocabSize)
       .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("n_oov_types"),
         col("oov_e6"))
       .orderBy(col("doc_id"))
@@ -910,8 +911,9 @@ object CorpusOpsQueries {
     * universal segment can go quadratic. Oracle = unrolled
     * a/h CTE rounds AS MATERIALIZED. */
   def domainHits(s: SparkSession, dir: String): DataFrame = {
-    val segs = Dedup.spread(
-        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+    // r16 spread reverted in r17 (driver: q163 +1.06 vs r15, scale
+    // 1.25 but absolute loss; r17 in-JVM A/B: revert −0.91 s)
+    val segs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
       .select(col("doc_id"), col("source"),
         explode_outer(sentenceSegs(col("text")))
           .as("seg"))
@@ -1358,8 +1360,9 @@ object CorpusOpsQueries {
     * pure integer arithmetic on the global position. */
   def curriculumLayout(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sur = Curation.unigramSurprisal(Dedup.spread(
-      Tables.documents(s, dir).select(col("doc_id"), col("text"))), "text", "doc_id")
+    // r16 spread reverted in r17 (in-JVM A/B: revert −0.41 s)
+    val sur = Curation.unigramSurprisal(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", "doc_id")
       .withColumn("bucket",
         when(col("milli_bits_per_token") < HeadMaxMilli, "head")
           .when(col("milli_bits_per_token") < MiddleMaxMilli, "middle")
@@ -1505,7 +1508,9 @@ object CorpusOpsQueries {
     * Nothing corpus-sized sorts. */
   def skipgramAssoc(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.tokenShingles
-    val toked = Dedup.spread(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // r16 spread reverted in r17 (driver: q172 +0.58 vs r15, scale
+    // 0.64; r17 in-JVM A/B: revert −0.49 s)
+    val toked = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .select(col("doc_id"), tokens(fold(col("text"))).as("toks"))
     def pairsAt(g: Int): DataFrame = toked
       .select(explode_outer(tokenShingles(col("toks"), g + 1)).as("sh"))

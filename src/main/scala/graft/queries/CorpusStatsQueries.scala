@@ -494,8 +494,10 @@ object CorpusStatsQueries {
     * (doc, bigram) hash agg + a doc-keyed rollup; the corpus mean is a
     * 1-row broadcast. Nothing corpus-wide sorts or windows. */
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.operators.Dedup.spread(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // r16 spread the scan head; r17 reverted it on the driver's data
+    // (q187 +2.90 s vs r15 at 32 cores, 8-vs-32 scaling ratio 0.17 —
+    // the worst spread outcome fleet-wide, outweighing q191's −0.36)
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .select(col("doc_id"), fold(col("text")).as("s"))
       .withColumn("len", length(col("s")).cast("long"))
       .filter(col("len") >= 2)
